@@ -23,8 +23,15 @@ object Det {
   /** Near-exact carrier for unit-scale float math (embeddings). */
   val D38_30: DecimalType = DecimalType(38, 30)
 
-  /** Order-independent SUM(double) -> double via exact decimal. */
-  def dsum(c: Column, dt: DecimalType = D18_2): Column = sum(c.cast(dt)).cast("double")
+  /** Order-independent SUM(double) -> double via exact decimal.
+    *
+    * The final decimal is rounded to `roundTo` digits BEFORE the double
+    * cast: a decimal whose scaled integer exceeds 2^53 casts to double with
+    * two roundings in DuckDB (int128→double, then /10^scale) but one in the
+    * JVM — an occasional 1-ulp mismatch. Rounding first keeps the scaled
+    * integer exact in a double, making the cast single-rounded everywhere. */
+  def dsum(c: Column, dt: DecimalType = D18_2, roundTo: Int = 2): Column =
+    round(sum(c.cast(dt)), roundTo).cast("double")
 
   /** Long-truncating average — the reference's integer-division mean
     * (reference StreamingJob.scala:100–106 sums Longs and divides by count). */

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Det
+import graft.sources.Tables
+
+/** Relational operator surface over the TPC-H-ish star schema.
+  *
+  * The reference has no joins at all (SURVEY.md §2.2 — verified absence),
+  * but the engine's north star is the full relational surface; each query
+  * here demonstrates one operator family, Spark-first:
+  * joins pick broadcast-hash for the small dims (explicit broadcast()),
+  * aggregations run partial→final, top-k compiles to TakeOrderedAndProject.
+  *
+  * Scale notes (100 TB): lineitem⋈orders is the only genuinely large
+  * shuffle; it shuffles both sides on the join key once and aggregates on
+  * the same pass. Dim tables (region/nation/customer at 1000× smaller)
+  * are broadcast so they never shuffle the fact table a second time.
+  */
+object Relational {
+
+  private val D18_4 = DecimalType(18, 4)
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate groupBy with exact
+    * decimal sums and the reference's truncating average (SURVEY.md §2.4). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), Det.D28_10).as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), Det.D28_10).as("sum_charge"),
+        round(Det.dsum(col("l_discount"), D18_4, 4) / count(lit(1)), 6).as("avg_disc"),
+        Det.floorAvg(col("l_quantity")).as("avg_qty_floor"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue per region/nation: the join-strategy showcase. lineitem⋈orders
+    * is a shuffle join on the fact keys; orders⋈customer shuffles the
+    * already-reduced side; nation and region are broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), Det.D28_10).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-10 orders by price — ORDER BY + LIMIT with explicit tie-break;
+    * compiles to TakeOrderedAndProject (no global sort materialization). */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  /** Ranking window function: top-3 orders per priority class — the
+    * OVER-clause surface the reference's maxBy only hints at. */
+  def priorityTop3(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rank_in_priority", row_number().over(byPrice).cast("long"))
+      .where(col("rank_in_priority") <= 3)
+      .select(col("o_orderpriority"), col("rank_in_priority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rank_in_priority")
+  }
+
+  /** ROLLUP with GROUPING() sentinels ('(all)') so no NULL group keys reach
+    * the oracle compare (Spark and DuckDB disagree on NULL sort order). */
+  def rollupReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"))
+      .select(
+        when(col("g1") === 1, lit("(all)")).otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g2") === 1, lit("(all)")).otherwise(col("l_linestatus")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operations: BUILDING-segment customers ∩ customers with finished
+    * orders ∖ negative-balance customers. Distinct set semantics on both
+    * engines. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")))
+      .except(c.where(col("c_acctbal") < 0).select(col("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join: customers that never ordered (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: customers with at least one open order (EXISTS). */
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o.where(col("o_orderstatus") === "O"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Date/string scalar functions: per-month order stats with a normalized
+    * priority label (regex strip of the '1-' prefix). */
+  def ordersPerMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        regexp_replace(col("o_orderpriority"), "^\\d-", "").as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        Det.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("month", "priority")
+
+  /** Conditional aggregation (pivot-style counts per status, by year). */
+  def statusByYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
+        count(lit(1)).as("n_total"))
+      .orderBy("yr")
+
+  /** Scalar subquery: parts priced above the global mean, per brand. The
+    * single-row threshold is broadcast — no second scan shuffle. */
+  def aboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val thr = p.agg((Det.dsum(col("p_retailprice")) / count(lit(1))).as("thr"))
+    p.crossJoin(broadcast(thr))
+      .where(col("p_retailprice") > col("thr"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above"), min(col("p_partkey")).as("min_partkey"))
+      .orderBy("p_brand")
+  }
+}
