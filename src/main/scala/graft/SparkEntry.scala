@@ -39,6 +39,18 @@ object SparkEntry {
     "q18_orders_per_month" -> ((s, d) => Relational.ordersPerMonth(s, d)),
     "q19_status_by_year"  -> ((s, d) => Relational.statusByYear(s, d)),
     "q20_above_avg_parts" -> ((s, d) => Relational.aboveAvgParts(s, d)),
+    // LLM-pipeline text ops (documents table)
+    "q21_text_quality"    -> ((s, d) => TextAnalysis.textQuality(s, d)),
+    "q22_lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q23_token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q24_fingerprints"    -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q25_corpus_stats"    -> ((s, d) => TextAnalysis.corpusStats(s, d)),
+    "q26_binary_payload"  -> ((s, d) => TextAnalysis.binaryPayloadFeatures(s, d)),
+    "q27_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
+    "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
+    "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,5 +190,103 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > (SELECT CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)/COUNT(*) FROM part)
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q21_text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS tks FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |  CAST(len(tks) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(list_sum(list_transform(tks, t -> length(t))) AS DOUBLE)/len(tks), 6) AS avg_token_len,
+        |  ROUND(CAST(len(list_filter(tks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)/len(tks), 6) AS stopword_ratio,
+        |  ROUND(CAST(len(list_distinct(tks)) AS DOUBLE)/len(tks), 6) AS distinct_ratio
+        |FROM t)
+        |SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, distinct_ratio,
+        |  0.5*distinct_ratio + 0.5*least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q22_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS tks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(tks, t -> t IN ('the','a','is','of'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(tks, t -> t IN ('der','die','und','das'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(tks, t -> t IN ('le','et','les','une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(tks, t -> t IN ('el','la','los','que'))) AS BIGINT) AS s_es
+        |FROM t),
+        |p AS (SELECT *, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |                     WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang FROM s)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, pred_lang, pred_lang = lang AS is_match
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q23_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  n_chars,
+        |  ROUND(CAST(n_chars AS DOUBLE)/len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')), 6) AS chars_per_bpe_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5_raw,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_norm,
+        |  md5(substr(text, 1, 64)) AS md5_prefix64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_corpus_stats" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(FLOOR(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)) AS BIGINT) AS avg_chars_floor
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q26_binary_payload" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        |  md5(text) AS payload_md5, source AS media_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    "q28_near_dup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
+        |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+        |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
+    "q30_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |bits AS (
+        |  SELECT doc_id, pp.p AS p, bb.b AS b,
+        |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, CAST(pp.p AS INT), 1)) - 1)
+        |                             // (1 << CAST(bb.b AS INT))) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) pp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+        |  GROUP BY 1, 2, 3),
+        |digits AS (SELECT doc_id, p, CAST(SUM(bit * (1 << CAST(b AS INT))) AS INT) AS d FROM bits GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
+        |FROM digits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q31_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |bits AS (
+        |  SELECT doc_id, pp.p AS p, bb.b AS b,
+        |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, CAST(pp.p AS INT), 1)) - 1)
+        |                             // (1 << CAST(bb.b AS INT))) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) pp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+        |  GROUP BY 1, 2, 3),
+        |digits AS (SELECT doc_id, p, CAST(SUM(bit * (1 << CAST(b AS INT))) AS INT) AS d FROM bits GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
+        |       FROM digits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bb.b AS band_idx, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) AS band_val
+        |           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, a.simhash AS h1, b2.simhash AS h2
+        |         FROM banded a JOIN banded b2
+        |           ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id),
+        |ham AS (SELECT d1, d2,
+        |  CAST(list_sum(list_transform(range(1, 17), p -> bit_count(xor(
+        |      strpos('0123456789abcdef', substr(h1, CAST(p AS INT), 1)) - 1,
+        |      strpos('0123456789abcdef', substr(h2, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin,
   )
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+import graft.sources.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` table: quality scoring, heuristic language ID, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * Everything is per-row column expressions or higher-order functions —
+  * no UDFs, no shuffles except the final ORDER BY (which at 100 TB would
+  * be replaced by a partitioned write; it exists here for the oracle
+  * hash-compare). Ratios stay in IEEE double ops (bit-deterministic
+  * cross-engine); counts are exact ints.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; documents are single-space word salad but \\s+
+    * keeps the operator honest on real text. */
+  private val toksExpr = "split(text, '\\\\s+')"
+
+  /** Per-document quality metrics: token count, mean token length,
+    * stopword ratio, vocabulary diversity, composite score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tks", expr(toksExpr))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("tks")).cast("long").as("n_tokens"),
+        round(expr("aggregate(tks, 0, (acc, t) -> acc + length(t))").cast("double")
+          / size(col("tks")), 6).as("avg_token_len"),
+        round(expr("size(filter(tks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))").cast("double")
+          / size(col("tks")), 6).as("stopword_ratio"),
+        round(expr("size(array_distinct(tks))").cast("double")
+          / size(col("tks")), 6).as("distinct_ratio"))
+      // No round() here: the inputs are already bit-identical doubles on
+      // both engines, and rounding a value that lands on an exact decimal
+      // tie (x.xxxxxx5) diverges — Spark rounds the exact binary value,
+      // DuckDB the shortest decimal representation.
+      .withColumn("quality_score",
+        lit(0.5) * col("distinct_ratio")
+          + lit(0.5) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .orderBy("doc_id")
+
+  /** Heuristic n-gram/stopword language ID. The synthetic corpus shares
+    * one English-ish vocabulary across lang labels, so accuracy against
+    * the `lang` column is incidental; the operator contract is the
+    * deterministic marker-count classifier itself. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def score(markers: Seq[String]): String =
+      s"size(filter(tks, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    Tables.documents(spark, dir)
+      .withColumn("tks", expr(toksExpr))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr(score(Seq("the", "a", "is", "of"))).cast("long").as("s_en"),
+        expr(score(Seq("der", "die", "und", "das"))).cast("long").as("s_de"),
+        expr(score(Seq("le", "et", "les", "une"))).cast("long").as("s_fr"),
+        expr(score(Seq("el", "la", "los", "que"))).cast("long").as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs | digit runs | single other-glyphs). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_bpe_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: raw md5, whitespace-normalized md5, and a
+    * 64-char-prefix hash (cheap shingle-free near-dup prefilter). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_raw"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("md5_norm"),
+        md5(substring(col("text"), 1, 64)).as("md5_prefix64"))
+      .orderBy("doc_id")
+
+  /** Per-source corpus rollup — the pipeline-level monitoring aggregate. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        Det.floorAvg(col("n_chars")).as("avg_chars_floor"))
+      .orderBy("source")
+
+  /** Multimodal plumbing stub, oracle-checkable half: documents as opaque
+    * binary payloads with typed metadata + deterministic "features"
+    * (byte length, content digest). The decode-and-batch machinery for
+    * true image/audio payloads lives in [[Multimodal]]. */
+  def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        col("source").as("media_source"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("media_source"))
+      .orderBy("doc_id")
+}
