@@ -51,6 +51,11 @@ object SparkEntry {
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
+    // Similarity search (embeddings table)
+    "q32_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q33_knn_brute"       -> ((s, d) => Similarity.knnBrute(s, d)),
+    "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,5 +293,41 @@ object SparkEntry {
         |      strpos('0123456789abcdef', substr(h2, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
         |  FROM cand)
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin,
+    "q32_label_centroids" ->
+      """SELECT label, dim,
+        |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)/COUNT(*) AS centroid
+        |FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(embedding) AS v FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "q33_knn_brute" ->
+      """WITH nr AS (
+        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, nr.nrm AS qn
+        |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id WHERE e.vec_id <= 4),
+        |c AS (SELECT e.vec_id AS n_id, e.embedding AS ne, nr.nrm AS nn
+        |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+        |u AS (SELECT q_id, n_id, qn, nn, unnest(qe) AS x, unnest(ne) AS y
+        |      FROM q JOIN c ON q_id <> n_id),
+        |s AS (SELECT q_id, n_id,
+        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)
+        |          / (any_value(qn) * any_value(nn)) AS cos_sim
+        |      FROM u GROUP BY q_id, n_id),
+        |r AS (SELECT q_id, n_id, cos_sim,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q34_emb_near_dup" ->
+      """WITH nr AS (
+        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+        |u AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS n1, b.nrm AS n2,
+        |             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |      FROM w a JOIN w b ON a.vec_id < b.vec_id),
+        |s AS (SELECT v1, v2,
+        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)
+        |          / (any_value(n1) * any_value(n2)) AS cos_sim
+        |      FROM u GROUP BY v1, v2)
+        |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin,
   )
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * Cross-engine float determinism: a dot product summed in double is
+  * order-dependent, so every reduction routes each product through
+  * DECIMAL(38,30) (exact, order-free sum), rounds the result to scale 12
+  * (so the scaled integer fits in 2^53 — the decimal→double cast is then
+  * single-rounded on both engines), and only then casts to double. sqrt
+  * and division are correctly-rounded IEEE ops everywhere, so the final
+  * cosine is bit-identical between Spark and DuckDB with NO tolerance.
+  *
+  * Scale shape: brute-force top-k is a broadcast of the (tiny) query set
+  * against a map-side scan — no shuffle except the final top-k; the LSH
+  * variant buckets candidates so the pair space is bucket-local. At 100 TB
+  * the LSH path is the default and brute force is the per-bucket kernel.
+  */
+object Similarity {
+
+  /** Exact-decimal dot product of two float-array columns (SQL fragment).
+    * The merge lambda re-casts to DECIMAL(38,30) because Spark's decimal
+    * addition yields (38,29); the per-step rounding (≤5e-31) is orders of
+    * magnitude below the final scale-12 rounding, so parity holds. */
+  private def dotDec(a: String, b: String): String =
+    s"""CAST(ROUND(aggregate(
+       |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))),
+       |  CAST(0 AS DECIMAL(38,30)), (acc, v) -> CAST(acc + v AS DECIMAL(38,30))), 12) AS DOUBLE)""".stripMargin
+
+  /** vec_id, embedding, nrm (L2 norm, bit-deterministic). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(expr(dotDec("embedding", "embedding"))).as("nrm"))
+
+  /** Per-label centroid components — label-centroid op over dims 1..64. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg((round(sum(col("v").cast("double").cast("decimal(38,30)")), 12).cast("double")
+        / count(lit(1))).as("centroid"))
+      .orderBy("label", "dim")
+
+  /** Brute-force cosine top-5 for query vectors vec_id 0..4 — the exact
+    * baseline every ANN variant is measured against. The query side is
+    * broadcast; ranking is windowed per query with an id tie-break. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    val q = n.where(col("vec_id") <= 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_sim"))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(byCos).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.4 on this synthetic
+    * near-orthogonal corpus). All-pairs here; the documented 100 TB path
+    * is [[annLshBuckets]]-style blocking with this as the in-bucket
+    * verifier. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (expr(dotDec("e1", "e2")) / (col("n1") * col("n2"))).as("cos_sim"))
+      .where(col("cos_sim") >= 0.4)
+      .orderBy("v1", "v2")
+  }
+
+  /** Random-hyperplane LSH parameters: 8 fixed pseudo-hyperplanes from an
+    * LCG (deterministic, no runtime randomness) → 256 buckets. */
+  private val NumPlanes = 8
+  private val planes: Array[Array[Double]] = {
+    var x = 0x5DEECE66DL
+    Array.fill(NumPlanes, 64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+  private val planesLit: String =
+    planes.map(_.mkString("array(", "D,", "D)")).mkString("array(", ",", ")")
+
+  /** Sign-LSH bucket id per vector (0..255). */
+  private def bucketExpr: String =
+    s"""aggregate(sequence(0, ${NumPlanes - 1}), 0, (acc, j) ->
+       |  acc + if(aggregate(zip_with(embedding, element_at($planesLit, j + 1),
+       |                     (x, p) -> CAST(x AS DOUBLE) * p), 0D, (a, v) -> a + v) >= 0D,
+       |           shiftleft(1, j), 0))""".stripMargin
+
+  /** ANN via sign-LSH bucketing: query vectors only compare against their
+    * own bucket (~1/256 of candidates). Emits in-bucket top-3 with the
+    * exact cosine. Checked rows-only (double-fold bucket hash is not
+    * oracle-portable); ScalaTest asserts bucket-local results agree with
+    * the brute-force ranking restricted to the bucket. */
+  def annLshTop3(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val q = n.where(col("vec_id") <= 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val c = n.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("nrm").as("nn"), col("bucket"))
+    val scored = c.join(broadcast(q), col("bucket") === col("qb") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("bucket"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_sim"))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(byCos).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("bucket"), col("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+}
