@@ -56,6 +56,18 @@ object SparkEntry {
     "q33_knn_brute"       -> ((s, d) => Similarity.knnBrute(s, d)),
     "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
+    // Multimodal stub pipeline + CLF parity (rows-only: no oracle table)
+    "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "q37_clf_parse"       -> ((s, _) => {
+      import s.implicits._
+      graft.clf.LogParser.validLines(s.createDataset(graft.clf.LogParser.FixtureLines).toDF("value"))
+        .orderBy("raw")
+    }),
+    "q38_clf_dead_letters" -> ((s, _) => {
+      import s.implicits._
+      graft.clf.LogParser.deadLetters(s.createDataset(graft.clf.LogParser.FixtureLines).toDF("value"))
+        .orderBy("raw")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+
+/** Structured Streaming formulations of the reference's dataflow
+  * (reference StreamingJob.scala:85–107), over any streaming DataFrame
+  * with (ts: timestamp, user_id, event_type, value) — e.g.
+  * spark.readStream parquet/rate sources or MemoryStream in tests.
+  *
+  * Semantics mapping (SURVEY.md §2.6–2.7):
+  *  - Flink rolling keyed sum (:149–151)    → update-mode groupBy agg;
+  *  - filterWithState first-per-key (:157)  → dropDuplicates (state store,
+  *    never expires — identical semantics), or
+  *    dropDuplicatesWithinWatermark for bounded state at scale;
+  *  - punctuated per-record watermark (:56) → withWatermark; micro-batch
+  *    watermarks advance per batch, not per record — on in-order or
+  *    single-window data results are identical, on out-of-order data
+  *    Spark is strictly more permissive (documented divergence, §2.7).
+  *
+  * All functions return unstarted DataFrames; callers pick the sink and
+  * output mode (update for running aggregates, append for watermarked
+  * windows) — the reference's labeled print sinks (:92,:96,:107) map to
+  * named console queries.
+  */
+object StreamingAnalytics {
+
+  private def w31(ts: Column): Column = window(ts, "31 days")
+
+  /** Running request count per user — the keyed rolling sum. Run in
+    * `update` output mode: each micro-batch emits changed (user, cnt)
+    * rows, the streaming analog of Flink's per-record emission. */
+  def runningCountPerUser(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-window per-user counts — the windowed half of Q1 (busiest user).
+    * The final argmax is a second aggregation, which streaming can't chain
+    * in one query; at the sink, take max_by per window (e.g. in
+    * foreachBatch) — window-scoped, fixing the reference's cross-window
+    * count leak (SURVEY.md §2.9). */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "0 seconds")
+      .groupBy(w31(col("ts")), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("cnt"))
+
+  /** Unique users per window = streaming dedup then windowed count
+    * (reference Q2: filterWithState → rolling count → windowed max). */
+  def uniqueUsersPerWindow(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(w31(col("ts")))
+      .agg(count(lit(1)).as("uniq_users"))
+      .select(col("window.start").as("w_start"), col("uniq_users"))
+
+  /** Average value per window with the reference's exact null-as-zero +
+    * truncating-division semantics (Q3). */
+  def avgValuePerWindow(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "0 seconds")
+      .groupBy(w31(col("ts")))
+      .agg(Det.floorAvg(coalesce(col("value"), lit(0))).as("avg_value_floor"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("avg_value_floor"), col("n_events"))
+
+  /** First event per user — filterWithState parity. Unbounded state like
+    * the reference; swap for dropDuplicatesWithinWatermark at scale. */
+  def firstEventPerUser(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id")
+
+  /** Session windows per user (30-minute gap), streaming-native. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.clf.LogParser
+
+class ClfParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = LogParser.FixtureLines.toDF("value")
+
+  test("valid/invalid split matches FIXTURES.md corpus (5 valid, 5 dead-lettered)") {
+    assert(LogParser.validLines(fixture).count() === 5)
+    assert(LogParser.deadLetters(fixture).count() === 5)
+  }
+
+  test("golden record: first corpus line parses to the FIXTURES.md §A.3 values") {
+    val r = LogParser.validLines(fixture)
+      .where(col("host") === "host01.example.com" && col("day") === 1).head()
+    assert(r.getAs[String]("host") === "host01.example.com")
+    assert(r.getAs[Int]("day") === 1)
+    assert(r.getAs[String]("month") === "Aug")
+    assert(r.getAs[Int]("year") === 1995)
+    assert(r.getAs[Int]("hour") === 0)
+    assert(r.getAs[Int]("minute") === 0)
+    assert(r.getAs[Int]("second") === 1)
+    assert(r.getAs[String]("timezone") === "-0400")
+    // 1995-08-01T00:00:01-0400 = 1995-08-01T04:00:01Z (intended semantics)
+    assert(r.getAs[Timestamp]("date").toInstant.toString === "1995-08-01T04:00:01Z")
+    assert(r.getAs[String]("httpMethod") === "GET")
+    assert(r.getAs[String]("ressource") === "/index.html")
+    assert(r.getAs[String]("httpVersion") === "HTTP/1.0")
+    assert(r.getAs[Int]("httpReplyCode") === 200)
+    assert(r.getAs[Int]("replyBytes") === 1839)
+  }
+
+  test("CLF '-' bytes become null (reference Try(...).toOption semantics)") {
+    val r = LogParser.validLines(fixture).where(col("host") === "host02.example.net").head()
+    assert(r.isNullAt(r.fieldIndex("replyBytes")))
+  }
+
+  test("seconds-as-millis buggy date reproduces the reference timestamp bug 1000x compression") {
+    val r = LogParser.validLines(fixture).where(col("host") === "host01.example.com" && col("day") === 1).head()
+    val good = r.getAs[Timestamp]("date").getTime
+    val buggy = r.getAs[Timestamp]("date_ref_buggy").getTime
+    assert(buggy === good / 1000) // millis field holds the epoch-second count
+  }
+
+  test("dead letters include HTTP/1.1, non-dash user, positive tz, spaced path, garbage") {
+    val dead = LogParser.deadLetters(fixture).as[String].collect().toSet
+    assert(dead.exists(_.contains("HTTP/1.1")))
+    assert(dead.exists(_.contains("alice")))
+    assert(dead.exists(_.contains("+0200")))
+    assert(dead.exists(_.contains("/a b.html")))
+    assert(dead.contains("not a log line at all"))
+  }
+
+  test("avg-bytes analytics semantics on CLF: '-' bytes count 0 in numerator, 1 in denominator") {
+    val valid = LogParser.validLines(fixture)
+    val avg = valid.agg(
+      functions.floorAvgLong(coalesce(col("replyBytes"), lit(0)))).head().getLong(0)
+    // bytes: 1839, 0, null->0, 999999999, 77 → sum=1000001915, n=5 → floor = 200000383
+    assert(avg === 200000383L)
+  }
+
+  private object functions {
+    def floorAvgLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))).cast("long")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-computed micro-dataset written as a parquet `events` table so the
+    * operator under test runs its real scan path. Window boundary: 31-day
+    * epoch-aligned windows here start 2023-12-25T00:00Z (index 636) and
+    * 2024-01-25T00:00Z (index 637) — SURVEY.md §0 epoch alignment. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events").toString
+    val rows = Seq(
+      // (event_id, ts, user_id, event_type, value, props)
+      (0L, "2024-01-10 00:00:00", 1L, "view", Some(10.0), """{"k": 1}"""),
+      (1L, "2024-01-10 00:10:00", 1L, "view", Some(20.0), """{"k": 2}"""),
+      (2L, "2024-01-23 23:59:59", 2L, "click", None, """{"k": 3}"""),
+      (3L, "2024-01-24 00:00:00", 2L, "click", Some(7.0), """{"k": 4}"""),
+      (4L, "2024-01-25 00:00:00", 3L, "view", Some(8.0), """{"k": 5}"""),  // exactly on the boundary → window 2
+      (5L, "2024-01-25 00:00:01", 3L, "view", Some(9.0), """{"k": 6}"""))
+      .toDF("event_id", "raw_ts", "user_id", "event_type", "value", "props")
+      // driver data stores ts as TIMESTAMP(NANOS); Tables.events reads it
+      // as a nanos BIGINT — mimic that encoding here
+      .withColumn("ts", expr("unix_micros(to_timestamp(raw_ts)) * 1000")).drop("raw_ts")
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("busiest user per window: window-scoped counts, larger-user tie-break") {
+    val out = EventAnalytics.busiestUserPerWindow(spark, dir).collect()
+    assert(out.length === 2)
+    // window 1 (2023-12-25): users 1 and 2 both have 2 → tie → larger id 2
+    assert(out(0).getAs[Long]("user_id") === 2L && out(0).getAs[Long]("cnt") === 2L)
+    // window 2 (2024-01-25): user 3 has 2
+    assert(out(1).getAs[Long]("user_id") === 3L && out(1).getAs[Long]("cnt") === 2L)
+  }
+
+  test("busiest user tie-break is deterministic: equal counts pick larger user_id") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft-tie").toString
+    Seq(
+      (0L, "2024-01-10 00:00:00", 5L, "view", Some(1.0), "{}"),
+      (1L, "2024-01-10 00:00:01", 9L, "view", Some(1.0), "{}"))
+      .toDF("event_id", "raw_ts", "user_id", "event_type", "value", "props")
+      // driver data stores ts as TIMESTAMP(NANOS); Tables.events reads it
+      // as a nanos BIGINT — mimic that encoding here
+      .withColumn("ts", expr("unix_micros(to_timestamp(raw_ts)) * 1000")).drop("raw_ts")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val out = EventAnalytics.busiestUserPerWindow(spark, d2).collect()
+    assert(out.head.getAs[Long]("user_id") === 9L)
+  }
+
+  test("unique users per window") {
+    val out = EventAnalytics.uniqueUsersPerWindow(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("uniq_users")).toSeq === Seq(2L, 1L))
+  }
+
+  test("avg value floor: nulls count as zero in numerator AND denominator") {
+    val out = EventAnalytics.avgValuePerWindow(spark, dir).collect()
+    // window 1: values 10,20,null→0,7 over n=4 → floor(37/4)=9
+    assert(out(0).getAs[Long]("avg_value_floor") === 9L)
+    assert(out(0).getAs[Long]("n_events") === 4L)
+    // window 2: 8,9 over n=2 → floor(17/2)=8
+    assert(out(1).getAs[Long]("avg_value_floor") === 8L)
+  }
+
+  test("window boundary: event exactly at 2024-01-25T00:00:00Z lands in the second window") {
+    val out = EventAnalytics.busiestUserPerWindow(spark, dir).collect()
+    // 637 * 2678400 = 1706140800 = 2024-01-25T00:00:00Z
+    assert(out(1).getAs[Long]("w_start") === 1706140800L)
+  }
+
+  test("first event per user is (ts, event_id)-deterministic") {
+    val out = EventAnalytics.firstEventPerUser(spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_event_id"))).toSeq
+      === Seq((1L, 0L), (2L, 2L), (3L, 4L)))
+  }
+
+  test("global reference-parity aggregate equals whole-input analytics") {
+    val r = EventAnalytics.globalReferenceParity(spark, dir).head()
+    assert(r.getAs[Long]("busiest_user") === 3L) // 1 and 3 tie at 2 → larger id
+    assert(r.getAs[Long]("uniq_users") === 3L)
+    assert(r.getAs[Long]("avg_value_floor") === 9L) // floor(54/6)
+    assert(r.getAs[Long]("n_events") === 6L)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingAnalytics
+
+/** Stream/batch parity: the property the reference implicitly relies on
+  * (its "streaming" job reads a finite file). Each streaming formulation,
+  * fed the same rows via MemoryStream, must converge to the batch answer. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Option[Double])
+
+  private def evs = Seq(
+    Ev(0, Timestamp.valueOf("2024-01-10 00:00:00"), 1, "view", Some(10.0)),
+    Ev(1, Timestamp.valueOf("2024-01-10 00:10:00"), 1, "view", Some(20.0)),
+    Ev(2, Timestamp.valueOf("2024-01-23 23:59:59"), 2, "click", None),
+    Ev(3, Timestamp.valueOf("2024-01-24 00:00:00"), 2, "click", Some(7.0)),
+    Ev(4, Timestamp.valueOf("2024-01-25 00:00:00"), 3, "view", Some(8.0)),
+    Ev(5, Timestamp.valueOf("2024-01-25 00:00:01"), 3, "view", Some(9.0)))
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, mode: String, name: String): Array[org.apache.spark.sql.Row] = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect()
+  }
+
+  test("update-mode running count per user converges to batch groupBy count") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs.take(3)); input.addData(evs.drop(3))
+    val rows = runToCompletion(
+      StreamingAnalytics.runningCountPerUser(input.toDF()), "update", "running_counts")
+    // memory sink in update mode appends every update; the LAST update per
+    // user is the converged count (per-record emission parity with the
+    // reference's rolling sum)
+    val last = rows.zipWithIndex.groupBy(_._1.getLong(0)).map { case (u, rs) => u -> rs.maxBy(_._2)._1.getLong(1) }
+    assert(last === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("windowed user counts equal the batch window counts") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val rows = runToCompletion(
+      StreamingAnalytics.windowedUserCounts(input.toDF()), "update", "win_counts")
+    val got = rows.map(r => (r.getAs[Timestamp]("w_start").toInstant.toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("2023-12-25T00:00:00Z", 1L, 2L), ("2023-12-25T00:00:00Z", 2L, 2L),
+      ("2024-01-25T00:00:00Z", 3L, 2L)))
+  }
+
+  test("streaming dedup + windowed count gives unique users per window") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val rows = runToCompletion(
+      StreamingAnalytics.uniqueUsersPerWindow(input.toDF()), "update", "uniq_users")
+    // dedup keeps the first arrival per user: users 1,2 in w1; 3 in w2
+    val got = rows.map(r => (r.getAs[Timestamp]("w_start").toInstant.toString, r.getLong(1))).toSet
+    assert(got === Set(("2023-12-25T00:00:00Z", 2L), ("2024-01-25T00:00:00Z", 1L)))
+  }
+
+  test("streaming floor-avg per window equals the batch analytics") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val rows = runToCompletion(
+      StreamingAnalytics.avgValuePerWindow(input.toDF()), "update", "avg_win")
+    val got = rows.map(r => (r.getAs[Timestamp]("w_start").toInstant.toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("2023-12-25T00:00:00Z", 9L, 4L), ("2024-01-25T00:00:00Z", 8L, 2L)))
+  }
+
+  test("streaming first-event-per-user emits one row per user") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val rows = runToCompletion(
+      StreamingAnalytics.firstEventPerUser(input.toDF()), "append", "first_ev")
+    assert(rows.map(_.getAs[Long]("user_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming session windows split on the 30-minute gap") {
+    // session aggregation only supports append mode: sessions flush when
+    // the watermark passes their end, so push two future sentinel batches
+    // to advance it past every real session
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingAnalytics.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    input.addData(evs); q.processAllAvailable()
+    input.addData(Ev(98, Timestamp.valueOf("2024-03-01 00:00:00"), 98, "view", None)); q.processAllAvailable()
+    input.addData(Ev(99, Timestamp.valueOf("2024-04-01 00:00:00"), 99, "view", None)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect().filter(_.getAs[Long]("user_id") < 90)
+    // user 1: one session (10-minute gap); user 2: one session (the
+    // 23:59:59 → 00:00:00 gap is 1 second)
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length === 1 && u1.head.getAs[Long]("n_events") === 2L)
+    val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Long]("n_events") === 2L)
+  }
+}
