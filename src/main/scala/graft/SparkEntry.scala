@@ -39,6 +39,9 @@ object SparkEntry {
     "q18_orders_per_month" -> ((s, d) => Relational.ordersPerMonth(s, d)),
     "q19_status_by_year"  -> ((s, d) => Relational.statusByYear(s, d)),
     "q20_above_avg_parts" -> ((s, d) => Relational.aboveAvgParts(s, d)),
+    "q39_merge_join"      -> ((s, d) => Relational.ordersLineitemMergeJoin(s, d)),
+    "q40_cube_orders"     -> ((s, d) => Relational.cubeOrderStats(s, d)),
+    "q41_order_history"   -> ((s, d) => Relational.customerOrderHistory(s, d)),
     // LLM-pipeline text ops (documents table)
     "q21_text_quality"    -> ((s, d) => TextAnalysis.textQuality(s, d)),
     "q22_lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -207,6 +210,28 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > (SELECT CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)/COUNT(*) FROM part)
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q39_merge_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items, COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q40_cube_orders" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus)=1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |       CASE WHEN GROUPING(o_orderpriority)=1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q41_order_history" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice,
+        |  COALESCE(LAG(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+        |  ROW_NUMBER() OVER w AS order_seq
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
     "q21_text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS tks FROM documents),
         |r AS (SELECT doc_id, n_chars,

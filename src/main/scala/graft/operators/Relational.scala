@@ -153,6 +153,56 @@ object Relational {
         count(lit(1)).as("n_total"))
       .orderBy("yr")
 
+  /** Shuffle (sort-merge) join, hint-forced: the strategy the optimizer
+    * picks on its own when both sides are fact-sized (at 100 TB,
+    * lineitem⋈orders can't broadcast). Semantically identical to the
+    * broadcast plan — only the physical exchange differs. */
+  def ordersLineitemMergeJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        Det.dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  /** CUBE over two dimensions with GROUPING() sentinels — the full
+    * grouping-sets lattice (rollup's sibling). */
+  def cubeOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice")).as("total_price"),
+        grouping(col("o_orderstatus")).as("g1"),
+        grouping(col("o_orderpriority")).as("g2"))
+      .select(
+        when(col("g1") === 1, lit("(all)")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g2") === 1, lit("(all)")).otherwise(col("o_orderpriority")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** Analytic window functions with explicit frames: per-customer order
+    * history — previous order price (lag) and a running total over an
+    * UNBOUNDED PRECEDING frame. The OVER-clause surface the reference's
+    * time windows only hint at (SURVEY.md §2.2). */
+  def customerOrderHistory(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = hist.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") % 100 === 0) // deterministic sample keeps output bounded
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        coalesce(lag(col("o_totalprice"), 1).over(hist), lit(0.0)).as("prev_price"),
+        round(sum(col("o_totalprice").cast(Det.D18_2)).over(running), 2).cast("double").as("running_total"),
+        row_number().over(hist).cast("long").as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
   /** Scalar subquery: parts priced above the global mean, per brand. The
     * single-row threshold is broadcast — no second scan shuffle. */
   def aboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
