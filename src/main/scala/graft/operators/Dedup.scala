@@ -33,14 +33,18 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("text_md5")
 
-  /** Distinct word-3-gram shingles per document. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** Word-3-gram shingles per document (with duplicates). */
+  private def rawShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("tks"))
       .where(size(col("tks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(tks)-3), i -> concat_ws(' ', tks[i], tks[i+1], tks[i+2]))")).as("sh"))
-      .distinct()
+
+  /** Distinct word-3-gram shingles per document (set semantics for the
+    * inverted-index Jaccard join). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    rawShingles(spark, dir).distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.6) via inverted
     * index self-join: only docs sharing at least one shingle ever meet. */
@@ -81,7 +85,9 @@ object Dedup {
     * functions over the collected distinct shingle-hash set — one shuffle
     * (groupBy doc), then pure map-side array math. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
+    // rawShingles: collect_set dedups per doc anyway, so the global
+    // distinct() exchange the Jaccard path needs would be a wasted shuffle
+    rawShingles(spark, dir)
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P32)).as("h"))
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("hs"))

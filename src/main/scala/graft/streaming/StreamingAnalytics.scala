@@ -65,9 +65,16 @@ object StreamingAnalytics {
       .select(col("window.start").as("w_start"), col("avg_value_floor"), col("n_events"))
 
   /** First event per user — filterWithState parity. Unbounded state like
-    * the reference; swap for dropDuplicatesWithinWatermark at scale. */
+    * the reference; swap for [[firstEventPerUserBounded]] at scale. */
   def firstEventPerUser(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id")
+
+  /** Bounded-state dedup: state for a user expires once the watermark
+    * passes their last-seen event time — the 100 TB replacement for the
+    * reference's never-expiring Set state (documented divergence: a user
+    * re-appearing after the lateness horizon is emitted again). */
+  def firstEventPerUserBounded(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("user_id")
 
   /** Session windows per user (30-minute gap), streaming-native. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.clf.LogParser
+import graft.operators.Multimodal
+
+/** ScalaCheck properties for the pure kernels (SURVEY.md §5.2.3).
+  * Spark-free: the CLF regex, truncating-average arithmetic, and frame
+  * sampling are all testable without a session. */
+object PropertySpec extends Properties("graft") {
+
+  private val pattern = java.util.regex.Pattern.compile(LogParser.Pattern)
+
+  private val genHost = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(20))
+  private val genMonth = Gen.oneOf("Jan", "Feb", "Mar", "Aug", "Sep", "Dec")
+  private val genPath = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('/'))).map("/" + _.mkString.take(30))
+  private val genLine = for {
+    host <- genHost
+    day <- Gen.choose(1, 28)
+    month <- genMonth
+    hour <- Gen.choose(0, 23); minute <- Gen.choose(0, 59); second <- Gen.choose(0, 59)
+    tz <- Gen.choose(1, 9)
+    method <- Gen.oneOf("GET", "HEAD", "POST")
+    path <- genPath
+    v <- Gen.oneOf("HTTP/1.0", "HTTP/V1.0")
+    code <- Gen.choose(100, 599)
+    bytes <- Gen.option(Gen.choose(0, 999999999))
+  } yield {
+    val b = bytes.map(_.toString).getOrElse("-")
+    (host, day, month, hour, method, path, code, bytes,
+      f"$host - - [$day%02d/$month/1995:$hour%02d:$minute%02d:$second%02d -0$tz%d00] " +
+        f""""$method $path $v" $code%03d $b""")
+  }
+
+  property("regex parse inverts CLF formatting (parse . format = id)") =
+    forAll(genLine) { case (host, day, month, hour, method, path, code, bytes, line) =>
+      val m = pattern.matcher(line)
+      m.matches() &&
+        m.group(1) == host && m.group(2).toInt == day && m.group(3) == month &&
+        m.group(5).toInt == hour && m.group(9) == method && m.group(10) == path &&
+        m.group(12).toInt == code &&
+        (bytes match { case Some(x) => m.group(13).toInt == x; case None => m.group(13) == "-" })
+    }
+
+  property("lines with spaced paths or HTTP/1.1 never parse (dead-letter invariant)") =
+    forAll(genHost) { host =>
+      !pattern.matcher(s"""$host - - [01/Aug/1995:00:00:00 -0400] "GET /a b HTTP/1.0" 200 1""").matches() &&
+      !pattern.matcher(s"""$host - - [01/Aug/1995:00:00:00 -0400] "GET /a HTTP/1.1" 200 1""").matches()
+    }
+
+  property("truncating average: floor(sum/n)*n <= sum < floor(sum/n)*n + n") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { xs =>
+      val sum = xs.sum; val n = xs.length
+      val avg = math.floor(sum.toDouble / n).toLong
+      avg * n <= sum && sum < avg * n + n
+    }
+
+  property("frame sampling: k evenly spaced offsets, strictly increasing, in range") =
+    forAll(Gen.choose(0, 10000), Gen.choose(1, 64)) { (n, k) =>
+      val off = Multimodal.frameOffsets(n, k)
+      val expectLen = math.min(n, k).max(0)
+      off.length == expectLen &&
+        off.forall(o => o >= 0 && o < math.max(n, 1)) &&
+        off.sliding(2).forall { case Array(a, b) => a < b; case _ => true }
+    }
+}
