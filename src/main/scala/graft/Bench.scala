@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup outside the timed region, so the alphabetically
+    // first query doesn't absorb one-time JVM costs
+    spark.range(100000).selectExpr("sum(id) AS s", "count(distinct id % 7) AS c")
+      .write.format("noop").mode("overwrite").save()
     // noop sink: forces full materialization of every column (count() lets
     // Catalyst prune computed columns, undercounting real query cost)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

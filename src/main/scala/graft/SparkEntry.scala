@@ -42,6 +42,8 @@ object SparkEntry {
     "q39_merge_join"      -> ((s, d) => Relational.ordersLineitemMergeJoin(s, d)),
     "q40_cube_orders"     -> ((s, d) => Relational.cubeOrderStats(s, d)),
     "q41_order_history"   -> ((s, d) => Relational.customerOrderHistory(s, d)),
+    "q42_salted_revenue"  -> ((s, d) => Relational.revenueByNationSalted(s, d)),
+    "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
     // LLM-pipeline text ops (documents table)
     "q21_text_quality"    -> ((s, d) => TextAnalysis.textQuality(s, d)),
     "q22_lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -222,6 +224,22 @@ object SparkEntry {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q42_salted_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q43_deterministic_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents WHERE (doc_id * 2654435761) % 100 < 20
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "q41_order_history" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,

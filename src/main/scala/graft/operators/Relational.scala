@@ -153,6 +153,34 @@ object Relational {
         count(lit(1)).as("n_total"))
       .orderBy("yr")
 
+  /** Skew-resistant salted variant of [[revenueByNation]]: the fact side
+    * gets a deterministic salt from its full row key, the dimension side
+    * is replicated across all salt values, and the join key becomes
+    * (key, salt) — so one hot orderkey spreads over `saltBuckets`
+    * partitions instead of stalling a single reducer. Same oracle SQL as
+    * the unsalted query: salting must be semantics-invisible. (AQE skew
+    * handling covers most cases automatically; this is the explicit tool
+    * for when it can't, e.g. a single key larger than one executor.) */
+  def revenueByNationSalted(spark: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltBuckets)))
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", explode(expr(s"sequence(0L, ${saltBuckets - 1}L)")))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), Det.D28_10).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Shuffle (sort-merge) join, hint-forced: the strategy the optimizer
     * picks on its own when both sides are fact-sized (at 100 TB,
     * lineitem⋈orders can't broadcast). Semantically identical to the

@@ -107,6 +107,21 @@ object TextAnalysis {
         Det.floorAvg(col("n_chars")).as("avg_chars_floor"))
       .orderBy("source")
 
+  /** Deterministic hash-based sampling — the reproducible train/eval split
+    * a training pipeline needs (TABLESAMPLE is seed- and partitioning-
+    * dependent; a key-hash cut is stable across engines, runs, and
+    * cluster sizes). Keeps ~20% of documents, summarized per language. */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 20)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .orderBy("lang")
+
   /** Multimodal plumbing stub, oracle-checkable half: documents as opaque
     * binary payloads with typed metadata + deterministic "features"
     * (byte length, content digest). The decode-and-batch machinery for

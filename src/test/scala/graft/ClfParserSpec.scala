@@ -57,6 +57,16 @@ class ClfParserSpec extends SparkSpec {
     assert(dead.contains("not a log line at all"))
   }
 
+  test("observe() metric counts dead letters in the same pass as valid rows") {
+    val observed = LogParser.validLinesObserved(fixture)
+    // collect() (not count()) so the metric lands on THIS DataFrame's own
+    // QueryExecution rather than a derived aggregate plan
+    assert(observed.collect().length === 5)
+    val metrics = observed.queryExecution.observedMetrics("clf_parse")
+    assert(metrics.getAs[Long]("n_lines") === 10L)
+    assert(metrics.getAs[Long]("n_dead_letters") === 5L)
+  }
+
   test("avg-bytes analytics semantics on CLF: '-' bytes count 0 in numerator, 1 in denominator") {
     val valid = LogParser.validLines(fixture)
     val avg = valid.agg(
