@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.Det
 
@@ -75,6 +76,34 @@ object StreamingAnalytics {
     * re-appearing after the lateness horizon is emitted again). */
   def firstEventPerUserBounded(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("user_id")
+
+  /** Typed row for the custom-state API. */
+  case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Mechanism-level parity with the reference's filterWithState
+    * (reference StreamingJob.scala:157–165): explicit keyed state via
+    * flatMapGroupsWithState, emitting only the first-seen event per user.
+    * [[firstEventPerUser]] covers the same *semantics* with the built-in
+    * dedup operator; this is the fully general custom-state form (the
+    * reference's Option[Set[String]] becomes a Boolean "seen" flag, which
+    * is all its per-key set ever encoded). NoTimeout = never-expiring
+    * state, exactly like the reference. */
+  def firstEventPerUserCustomState(events: DataFrame): Dataset[UserEvent] = {
+    implicit val evEnc = Encoders.product[UserEvent]
+    implicit val boolEnc = Encoders.scalaBoolean
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("event_id"), col("ts"), col("user_id")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, UserEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[UserEvent], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1) // first arrival within this batch for a new key
+          }
+      }
+  }
 
   /** Session windows per user (30-minute gap), streaming-native. */
   def sessionCounts(events: DataFrame): DataFrame =

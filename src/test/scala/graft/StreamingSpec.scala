@@ -80,6 +80,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("user_id")).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState custom-state dedup matches dropDuplicates semantics") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs.take(3)); input.addData(evs.drop(3))
+    val q = StreamingAnalytics.firstEventPerUserCustomState(input.toDF())
+      .writeStream.format("memory").queryName("custom_state").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("custom_state").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    // first event per user in arrival order: user1→0, user2→2, user3→4
+    assert(got === Set((1L, 0L), (2L, 2L), (3L, 4L)))
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
