@@ -107,15 +107,22 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> aggregate(slice(sig, b*$RowsPerBand + 1, $RowsPerBand), 0L, (acc, x) -> (acc * 1000003L + pmod(x, 1000000007L)) % 1000000007L))"
       )).as(Seq("band_idx", "band_key")))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
-    cands
+    // bucket-local pair expansion instead of a self-join: the signature
+    // pipeline runs ONCE, one shuffle on the band key, and the O(k²) pair
+    // blow-up stays confined to each bucket's member list (the property
+    // that makes LSH viable at 100 TB). array_sort orders members by
+    // doc_id, so emitted pairs are canonically d1 < d2.
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .where(size(col("members")) >= 2)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('d1', x.doc_id, 'sig1', x.sig, 'd2', y.doc_id, 'sig2', y.sig))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.sig1").as("sig1"), col("p.sig2").as("sig2"))
+      .distinct() // the same pair can collide in several bands
       .select(col("d1"), col("d2"),
         round(expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))").cast("double") / NumPerm, 6)
           .as("est_jaccard"))
@@ -149,13 +156,17 @@ object Dedup {
         |  acc + bit_count(
         |    (instr('0123456789abcdef', substr(h1, p, 1)) - 1) ^
         |    (instr('0123456789abcdef', substr(h2, p, 1)) - 1)))""".stripMargin)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+    // bucket-local pair expansion (see minhashLshPairs): one pass over the
+    // simhash pipeline, pairs canonically d1 < d2 via array_sort
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .where(size(col("members")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('d1', x.doc_id, 'h1', x.simhash, 'd2', y.doc_id, 'h2', y.simhash))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
       .distinct()
       .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
       .where(col("hamming") <= 6)
