@@ -44,6 +44,8 @@ object SparkEntry {
     "q41_order_history"   -> ((s, d) => Relational.customerOrderHistory(s, d)),
     "q42_salted_revenue"  -> ((s, d) => Relational.revenueByNationSalted(s, d)),
     "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
+    "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
+    "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
     "q21_text_quality"    -> ((s, d) => TextAnalysis.textQuality(s, d)),
     "q22_lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -54,6 +56,7 @@ object SparkEntry {
     "q27_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q29b_minhash_sig_portable" -> ((s, d) => Dedup.minhashSignaturesPortable(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -250,6 +253,21 @@ object SparkEntry {
         |WHERE o_custkey % 100 = 0
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q44_union_parties" ->
+      """SELECT party_key FROM (
+        |  SELECT c_custkey AS party_key FROM customer WHERE c_acctbal > 9000
+        |  UNION
+        |  SELECT o_custkey AS party_key FROM orders WHERE o_orderstatus = 'P'
+        |) t ORDER BY party_key""".stripMargin,
+    "q45_embedding_array_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_c,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_c,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+        |  CAST(embedding[1] AS DOUBLE) AS c1,
+        |  CAST(embedding[64] AS DOUBLE) AS c64
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q21_text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS tks FROM documents),
         |r AS (SELECT doc_id, n_chars,
@@ -311,6 +329,24 @@ object SparkEntry {
         |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
         |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
+    "q29b_minhash_sig_portable" ->
+      ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks),
+        |hx AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |         )) AS BIGINT) AS x
+        |       FROM sh),
+        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN(PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) AS sig_value
+        |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+        |        GROUP BY 1, 2)
+        |SELECT doc_id, perm_idx, CAST(sig_value AS BIGINT) AS sig_value
+        |FROM sig ORDER BY doc_id, perm_idx""".stripMargin
+        .replace("PERMA", graft.operators.Dedup.permALiteral)
+        .replace("PERMB", graft.operators.Dedup.permBLiteral)),
     "q30_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS m FROM tok),

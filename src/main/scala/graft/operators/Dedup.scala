@@ -130,6 +130,28 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Oracle-checkable MinHash: same 64 permutations, but the shingle hash
+    * is the first 8 hex chars of md5 (portable to DuckDB, unlike
+    * xxhash64), exploded to one row per (doc, permutation). Proves the
+    * signature arithmetic cross-engine; [[minhashLshPairs]] keeps the
+    * faster xxhash64 for the production path. */
+  def minhashSignaturesPortable(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"),
+        ColumnBridge.of(MinHashSig(ColumnBridge.expr(col("hs")), permA.toSeq, permB.toSeq)).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("pos", "sig_value")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("perm_idx"), col("sig_value"))
+      .orderBy("doc_id", "perm_idx")
+
+  /** The permutation constants, rendered as engine literals for the
+    * DuckDB oracle. */
+  def permALiteral: String = permA.mkString("[", ", ", "]")
+  def permBLiteral: String = permB.mkString("[", ", ", "]")
+
   /** 64-bit SimHash per document, emitted as a 16-hex-digit string.
     *
     * Portable construction (identical arithmetic exists in the DuckDB

@@ -111,7 +111,16 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Anti join: customers that never ordered (NOT EXISTS). */
+  /** UNION (distinct) across differently-sourced key sets — completes the
+    * set-operation family next to q15's INTERSECT/EXCEPT. */
+  def activeParties(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.where(col("c_acctbal") > 9000).select(col("c_custkey").as("party_key"))
+      .union(o.where(col("o_orderstatus") === "P").select(col("o_custkey").as("party_key")))
+      .distinct()
+      .orderBy("party_key")
+  }
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)

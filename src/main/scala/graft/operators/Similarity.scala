@@ -101,6 +101,21 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** Array-function surface over the embedding vectors: size, extrema,
+    * positive-component count, first components — pure per-row list ops
+    * (no shuffle except the final ORDER BY). */
+  def embeddingArrayStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("CAST(array_min(embedding) AS DOUBLE)").as("min_c"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("max_c"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_positive"),
+        expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("c1"),
+        expr("CAST(element_at(embedding, 64) AS DOUBLE)").as("c64"))
+      .orderBy("vec_id")
+
   /** Random-hyperplane LSH parameters: 8 fixed pseudo-hyperplanes from an
     * LCG (deterministic, no runtime randomness) → 256 buckets. */
   private val NumPlanes = 8
