@@ -27,14 +27,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 refuses
-    * to read; read it as a nanos BIGINT (legacy conf) and truncate to a
-    * proper TimestampType column at microsecond precision — the same
-    * truncation DuckDB's epoch_us applies, keeping the oracle aligned. */
+  /** The driver's events.ts is parquet TIMESTAMP(NANOS), which vanilla
+    * Spark 4 refuses to read; read it as a nanos BIGINT (legacy conf) and
+    * truncate to a proper TimestampType column at microsecond precision —
+    * the same truncation DuckDB's epoch_us applies, keeping the oracle
+    * aligned. Files that already carry micro-precision timestamps (any
+    * non-driver writer) pass through unchanged. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
