@@ -87,7 +87,12 @@ object Similarity {
     * verifier. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val n = withNorm(spark, dir)
-    val a = n.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    // the nested-loop join parallelizes over the STREAMED side's partitions,
+    // and a small parquet file scans as one split — spread the O(n²) loop
+    // across the cluster explicitly (results are order-independent)
+    val streamParts = spark.sparkContext.defaultParallelism * 2
+    val a = n.repartition(streamParts)
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = n.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("v1") < col("v2"))
       // two-phase scoring: a cheap codegen'd double dot-product prefilter
