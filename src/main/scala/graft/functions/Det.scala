@@ -37,11 +37,4 @@ object Det {
     * (reference StreamingJob.scala:100–106 sums Longs and divides by count). */
   def floorAvg(c: Column): Column =
     floor(sum(c.cast(D18_2)).cast("double") / count(lit(1))).cast("long")
-
-  /** Epoch-aligned tumbling-window start in epoch seconds as BIGINT.
-    * Mirrors Flink's timeWindowAll alignment (reference StreamingJob.scala:91)
-    * and Spark's window(); emitted as BIGINT so the DuckDB oracle needs no
-    * timestamp-codec agreement. */
-  def windowStartSec(ts: Column, seconds: Long): Column =
-    (floor(unix_timestamp(ts) / seconds) * seconds).cast("long")
 }
