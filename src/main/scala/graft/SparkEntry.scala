@@ -57,6 +57,7 @@ object SparkEntry {
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q29b_minhash_sig_portable" -> ((s, d) => Dedup.minhashSignaturesPortable(s, d)),
+    "q29c_minhash_lsh_portable" -> ((s, d) => Dedup.minhashLshPairsPortable(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -317,15 +318,20 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    // Jaccard over df-filtered shingle sets: shingles with document
+    // frequency > MaxShingleDf are dropped from sizes AND intersections,
+    // mirroring Dedup.nearDupJaccard's stop-shingle cutoff.
     "q28_near_dup_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
-        |              WHERE len(string_split_regex(text, '\s+')) >= 3),
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
         |sh AS (SELECT DISTINCT doc_id,
         |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |       FROM toks),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        |k AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.df <= ${operators.Dedup.MaxShingleDf}),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1),
         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |       FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
         |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
@@ -347,6 +353,53 @@ object SparkEntry {
         |FROM sig ORDER BY doc_id, perm_idx""".stripMargin
         .replace("PERMA", graft.operators.Dedup.permALiteral)
         .replace("PERMB", graft.operators.Dedup.permBLiteral)),
+    // Full LSH path in SQL: md5-portable shingle hashes → minhash
+    // signatures → 16×4 band fold mod 1e9+7 → buckets capped at
+    // Dedup.MaxBucket smallest doc_ids → distinct candidate pairs →
+    // signature-estimated Jaccard >= 0.5. Mirrors
+    // Dedup.minhashLshPairsPortable exactly.
+    "q29c_minhash_lsh_portable" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks),
+        |hx AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |         )) AS BIGINT) AS x
+        |       FROM sh),
+        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN(PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) AS sig_value
+        |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+        |        GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, CAST((perm_idx - 1) // 4 AS BIGINT) AS band_idx,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 0 THEN sig_value END) AS s0,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 1 THEN sig_value END) AS s1,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 2 THEN sig_value END) AS s2,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 3 THEN sig_value END) AS s3
+        |       FROM sig GROUP BY 1, 2),
+        |bkey AS (SELECT doc_id, band_idx,
+        |           ((((((s0 % 1000000007) * 1000003 + (s1 % 1000000007)) % 1000000007)
+        |               * 1000003 + (s2 % 1000000007)) % 1000000007)
+        |               * 1000003 + (s3 % 1000000007)) % 1000000007 AS band_key
+        |         FROM bk),
+        |mem AS (SELECT doc_id, band_idx, band_key,
+        |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY band_idx, band_key) AS n
+        |        FROM bkey),
+        |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM kept a JOIN kept b
+        |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |est AS (SELECT d1, d2,
+        |          ROUND(CAST(SUM(CASE WHEN s1.sig_value = s2.sig_value THEN 1 ELSE 0 END) AS DOUBLE)/64, 6) AS est_jaccard
+        |        FROM cand
+        |        JOIN sig s1 ON s1.doc_id = d1
+        |        JOIN sig s2 ON s2.doc_id = d2 AND s2.perm_idx = s1.perm_idx
+        |        GROUP BY 1, 2)
+        |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
+        .replace("PERMA", graft.operators.Dedup.permALiteral)
+        .replace("PERMB", graft.operators.Dedup.permBLiteral)),
     "q30_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS m FROM tok),
@@ -360,8 +413,10 @@ object SparkEntry {
         |digits AS (SELECT doc_id, p, CAST(SUM(bit * (1 << CAST(b AS INT))) AS INT) AS d FROM bits GROUP BY 1, 2)
         |SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
         |FROM digits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Banded Hamming pairs with the same MaxBucket cap as the Spark side:
+    // buckets keep their MaxBucket smallest doc_ids.
     "q31_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS m FROM tok),
         |bits AS (
         |  SELECT doc_id, pp.p AS p, bb.b AS b,
@@ -373,10 +428,13 @@ object SparkEntry {
         |digits AS (SELECT doc_id, p, CAST(SUM(bit * (1 << CAST(b AS INT))) AS INT) AS d FROM bits GROUP BY 1, 2),
         |sh AS (SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
         |       FROM digits GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, bb.b AS band_idx, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) AS band_val
+        |banded AS (SELECT doc_id, simhash, bb.b AS band_idx, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) AS band_val,
+        |             ROW_NUMBER() OVER (PARTITION BY bb.b, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) ORDER BY doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY bb.b, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4)) AS n
         |           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+        |kept AS (SELECT * FROM banded WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, a.simhash AS h1, b2.simhash AS h2
-        |         FROM banded a JOIN banded b2
+        |         FROM kept a JOIN kept b2
         |           ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id),
         |ham AS (SELECT d1, d2,
         |  CAST(list_sum(list_transform(range(1, 17), p -> bit_count(xor(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -12,13 +12,23 @@ import graft.sources.Tables
   *
   * Three tiers, by cost:
   *  1. exact (hash groupBy) — one shuffle on a 16-byte digest;
-  *  2. exact n-gram Jaccard via an inverted shingle index — shuffles
-  *     (doc, shingle) pairs, never materializes the O(n²) pair space
-  *     beyond docs that actually share a shingle;
+  *  2. exact n-gram Jaccard via shingle posting lists — shuffles
+  *     (doc, shingle) pairs once, expands pairs per posting list, and a
+  *     document-frequency cutoff bounds the per-shingle expansion at
+  *     O(maxDf²) so a stop-phrase shingle (df = 10⁶ in a web corpus)
+  *     can never generate 10¹² candidate pairs;
   *  3. MinHash + LSH banding — fixed-size signatures (64 longs/doc)
   *     regardless of document length; candidate pairs come from band
   *     buckets, then are verified on the signature. This is the 100 TB
   *     path: shuffle volume is O(n · bands), not O(n · shingles).
+  *
+  * Every pair-generation step is bounded: posting lists by the df
+  * cutoff, LSH buckets by [[MaxBucket]] (a degenerate bucket — a
+  * 10M-copy boilerplate cluster, routine in web corpora — keeps its
+  * [[MaxBucket]] smallest doc_ids and reports the overflow through an
+  * `observe` metric instead of OOMing one task). Capped-away members are
+  * exactly the mass exact-dedup (tier 1) removes first in a real
+  * pipeline.
   */
 object Dedup {
 
@@ -46,14 +56,37 @@ object Dedup {
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     rawShingles(spark, dir).distinct()
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.6) via inverted
-    * index self-join: only docs sharing at least one shingle ever meet. */
+  /** Document-frequency cutoff for [[nearDupJaccard]]: shingles shared by
+    * more than this many documents are dropped from the representation
+    * (sizes AND intersections — i.e. Jaccard is defined over the filtered
+    * shingle sets, the standard recall-safe stop-shingle treatment). */
+  val MaxShingleDf = 50
+
+  /** Members kept per LSH band bucket (smallest doc_ids, deterministic).
+    * Bounds the in-bucket pair expansion at O(MaxBucket²) per bucket. */
+  val MaxBucket = 64
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.6) over
+    * df-filtered shingle sets, via posting lists: one shuffle groups
+    * (doc, shingle) postings by shingle; lists with df > [[MaxShingleDf]]
+    * are dropped (stop-phrases — they would expand O(df²) pairs and carry
+    * no near-dup signal); pairs expand in-array, bounded per shingle. */
   def nearDupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val postings = shingles(spark, dir)
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= MaxShingleDf)
+    // per-doc set size over the SAME filtered representation (Catalyst
+    // reuses the groupBy(sh) exchange for both branches)
+    val sizes = postings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = postings
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> named_struct('d1', x, 'd2', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
@@ -65,8 +98,16 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Diagnostic: the stop-shingles [[nearDupJaccard]]'s df cutoff drops
+    * (shingle + its document frequency). Empty on clean corpora. */
+  def hotShingles(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxShingleDf)
+      .orderBy(col("df").desc, col("sh"))
+
   /** MinHash parameters: 64 permutations h_i(x) = a_i*x + b_i over
-    * 32-bit-reduced xxhash64 shingle hashes, banded 16×4 for LSH.
+    * 32-bit-reduced shingle hashes, banded 16×4 for LSH.
     * a_i < 2^30 and x < 2^32 keep every product under 2^62 — no long
     * overflow, so the math is safe under Spark 4's default ANSI mode.
     * Constants come from a fixed LCG: reproducible, no runtime
@@ -81,41 +122,53 @@ object Dedup {
   private val permA: Array[Long] = lcgStream(0x12345678L).map(x => (x >>> 34) | 1L).take(NumPerm).toArray
   private val permB: Array[Long] = lcgStream(0x87654321L).map(_ >>> 34).take(NumPerm).toArray
 
-  /** 64-long MinHash signature per doc, computed with higher-order
-    * functions over the collected distinct shingle-hash set — one shuffle
-    * (groupBy doc), then pure map-side array math. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    // rawShingles: collect_set dedups per doc anyway, so the global
-    // distinct() exchange the Jaccard path needs would be a wasted shuffle
-    rawShingles(spark, dir)
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P32)).as("h"))
+  /** 64-long MinHash signature per doc over a caller-chosen shingle-hash
+    * column — one shuffle (groupBy doc), then pure map-side array math
+    * through the native tight-loop expression [[MinHashSig]]. */
+  private def signaturesFromHash(sh: DataFrame, hashCol: org.apache.spark.sql.Column): DataFrame =
+    sh.select(col("doc_id"), hashCol.as("h"))
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("hs"))
-      // native tight-loop expression; same a*x+b arithmetic as the HOF
-      // formulation, ~64x fewer interpreted lambda dispatches
       .select(col("doc_id"),
         ColumnBridge.of(MinHashSig(ColumnBridge.expr(col("hs")), permA.toSeq, permB.toSeq)).as("sig"))
 
-  /** MinHash-LSH candidate pairs with signature-estimated Jaccard.
-    * Bands hashed with a polynomial fold; docs sharing any band bucket
-    * become candidates; estimate = matching signature positions / 64.
-    * Not SQL-expressible in the oracle (xxhash64) — rows-only check;
-    * ScalaTest asserts recall against [[nearDupJaccard]]. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
+  /** Production signatures: xxhash64 shingle hashes (fast, not
+    * SQL-portable). rawShingles: collect_set dedups per doc anyway, so
+    * the global distinct() exchange the Jaccard path needs would be a
+    * wasted shuffle. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFromHash(rawShingles(spark, dir), pmod(xxhash64(col("sh")), lit(P32)))
+
+  /** Oracle-portable signatures: the shingle hash is the first 8 hex
+    * chars of md5 (reproducible in DuckDB), over distinct shingles. */
+  private def portableSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFromHash(shingles(spark, dir),
+      expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
+
+  /** LSH banding + bucket-capped pair expansion + signature-estimated
+    * Jaccard, shared by the production and oracle-portable paths.
+    *
+    * Bands hashed with a polynomial fold mod 1e9+7; docs sharing any band
+    * bucket become candidates; estimate = matching signature positions /
+    * 64. The signature pipeline runs ONCE, one shuffle on the band key,
+    * and the O(k²) pair blow-up stays confined to each bucket's member
+    * list — capped at [[MaxBucket]] members (the smallest doc_ids;
+    * array_sort gives canonical d1 < d2 pairs). The capped overflow is
+    * surfaced as an `observe` metric (`overflow_members_dropped`) so a
+    * duplicate-heavy corpus is visible instead of a straggler task. */
+  private def lshPairsFromSignatures(sig: DataFrame, obsName: String): DataFrame = {
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> aggregate(slice(sig, b*$RowsPerBand + 1, $RowsPerBand), 0L, (acc, x) -> (acc * 1000003L + pmod(x, 1000000007L)) % 1000000007L))"
       )).as(Seq("band_idx", "band_key")))
-    // bucket-local pair expansion instead of a self-join: the signature
-    // pipeline runs ONCE, one shuffle on the band key, and the O(k²) pair
-    // blow-up stays confined to each bucket's member list (the property
-    // that makes LSH viable at 100 TB). array_sort orders members by
-    // doc_id, so emitted pairs are canonically d1 < d2.
     val buckets = banded
       .groupBy(col("band_idx"), col("band_key"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
-      .where(size(col("members")) >= 2)
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, MaxBucket))
+      .observe(obsName,
+        sum(greatest(size(col("all_members")) - MaxBucket, lit(0))).as("overflow_members_dropped"),
+        count(lit(1)).as("n_buckets"))
     buckets
       .select(explode(expr(
         """flatten(transform(members, (x, i) ->
@@ -130,19 +183,25 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Oracle-checkable MinHash: same 64 permutations, but the shingle hash
-    * is the first 8 hex chars of md5 (portable to DuckDB, unlike
-    * xxhash64), exploded to one row per (doc, permutation). Proves the
-    * signature arithmetic cross-engine; [[minhashLshPairs]] keeps the
-    * faster xxhash64 for the production path. */
+  /** MinHash-LSH candidate pairs (production: xxhash64 hashes — rows-only
+    * check; ScalaTest asserts recall against [[nearDupJaccard]] and
+    * agreement with [[minhashLshPairsPortable]]'s logic). */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsFromSignatures(signatures(spark, dir), "q29_lsh_buckets")
+
+  /** Oracle-checked MinHash-LSH end-to-end: same banding, bucket cap, and
+    * estimate as [[minhashLshPairs]], over md5-portable shingle hashes —
+    * the whole LSH path (signatures → bands → capped buckets → pairs →
+    * estimate → threshold) is reproduced in DuckDB SQL. */
+  def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame =
+    lshPairsFromSignatures(portableSignatures(spark, dir), "q29c_lsh_buckets")
+
+  /** Oracle-checkable MinHash signatures: the portable signatures
+    * exploded to one row per (doc, permutation). Proves the signature
+    * arithmetic cross-engine; [[minhashLshPairsPortable]] extends the
+    * check through banding and pair expansion. */
   def minhashSignaturesPortable(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"))
-      .select(col("doc_id"),
-        ColumnBridge.of(MinHashSig(ColumnBridge.expr(col("hs")), permA.toSeq, permB.toSeq)).as("sig"))
+    portableSignatures(spark, dir)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("pos", "sig_value")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("perm_idx"), col("sig_value"))
       .orderBy("doc_id", "perm_idx")
@@ -168,22 +227,28 @@ object Dedup {
   /** Hamming-near SimHash pairs: block the 16 hex digits into 4 bands of
     * 4 digits; candidates share a band (pigeonhole: any pair within
     * Hamming distance 3 bits-per-band-boundary shares one); verify by
-    * exact bit Hamming distance <= 6 of 64. */
+    * exact bit Hamming distance <= 6 of 64. Buckets capped at
+    * [[MaxBucket]] like the MinHash path (mirrored in the oracle). */
   def simhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir).select(col("doc_id"), col("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> substr(simhash, b*4 + 1, 4))")).as(Seq("band_idx", "band_val")))
-    val hamming: Column = expr(
+    val hamming = expr(
       """aggregate(sequence(1, 16), 0, (acc, p) ->
         |  acc + bit_count(
         |    (instr('0123456789abcdef', substr(h1, p, 1)) - 1) ^
         |    (instr('0123456789abcdef', substr(h2, p, 1)) - 1)))""".stripMargin)
-    // bucket-local pair expansion (see minhashLshPairs): one pass over the
-    // simhash pipeline, pairs canonically d1 < d2 via array_sort
-    banded
+    // bucket-local pair expansion (see lshPairsFromSignatures): one pass
+    // over the simhash pipeline, pairs canonically d1 < d2 via array_sort,
+    // buckets capped with the overflow observed
+    val buckets = banded
       .groupBy(col("band_idx"), col("band_val"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
-      .where(size(col("members")) >= 2)
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, MaxBucket))
+      .observe("q31_simhash_buckets",
+        sum(greatest(size(col("all_members")) - MaxBucket, lit(0))).as("overflow_members_dropped"))
+    buckets
       .select(explode(expr(
         """flatten(transform(members, (x, i) ->
           |  transform(slice(members, i + 2, size(members)), y ->
