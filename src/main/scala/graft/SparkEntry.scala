@@ -64,6 +64,7 @@ object SparkEntry {
     "q32_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q33_knn_brute"       -> ((s, d) => Similarity.knnBrute(s, d)),
     "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "q34b_emb_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLsh(s, d)),
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     // Multimodal stub pipeline + CLF parity (rows-only: no oracle table)
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -478,5 +479,39 @@ object SparkEntry {
         |          / (any_value(n1) * any_value(n2)) AS cos_sim
         |      FROM u GROUP BY v1, v2)
         |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin,
+    // Flagship near-dup: banded sign-LSH (8 bands x 3 fixed hyperplanes,
+    // DECIMAL-exact dot so the sign bits match Spark's), buckets capped at
+    // Dedup.MaxBucket smallest vec_ids, distinct candidates, exact decimal
+    // cosine >= 0.4. Mirrors Similarity.embeddingNearDupPairsLsh.
+    "q34b_emb_near_dup_lsh" ->
+      (s"""WITH pl AS (SELECT PLANES AS p),
+        |bits AS (
+        |  SELECT e.vec_id, bb.b AS band_idx,
+        |    CAST(list_sum(list_transform(range(0, 3), j ->
+        |      CASE WHEN CAST(ROUND(list_sum(list_transform(range(1, 65), i ->
+        |             CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+        |                  * (pl.p)[CAST(bb.b*3 + j + 1 AS INT)][CAST(i AS INT)] AS DECIMAL(18,12)))), 12) AS DOUBLE) >= 0
+        |           THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS band_key
+        |  FROM embeddings e CROSS JOIN pl CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+        |mem AS (SELECT vec_id, band_idx, band_key,
+        |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY vec_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY band_idx, band_key) AS n
+        |        FROM bits),
+        |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |         FROM kept a JOIN kept b
+        |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+        |nr AS (
+        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+        |u AS (SELECT c.v1, c.v2, a.nrm AS n1, b.nrm AS n2, unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |      FROM cand c JOIN w a ON a.vec_id = c.v1 JOIN w b ON b.vec_id = c.v2),
+        |s AS (SELECT v1, v2,
+        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+        |          / (any_value(n1) * any_value(n2)) AS cos_sim
+        |      FROM u GROUP BY v1, v2)
+        |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin
+        .replace("PLANES", operators.Similarity.ndPlanesSqlLiteral)),
   )
 }

@@ -82,9 +82,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.4 on this synthetic
-    * near-orthogonal corpus). All-pairs here; the documented 100 TB path
-    * is [[annLshBuckets]]-style blocking with this as the in-bucket
-    * verifier. */
+    * near-orthogonal corpus), ALL-PAIRS — the exact in-bucket kernel and
+    * recall baseline. NOT the scale path: the flagship near-dup query is
+    * [[embeddingNearDupPairsLsh]], whose candidate generation is
+    * bucket-local (no nested-loop join over the full table). */
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val n = withNorm(spark, dir)
     // the nested-loop join parallelizes over the STREAMED side's partitions,
@@ -100,6 +101,85 @@ object Similarity {
       // re-scores only the survivors, so the ≥0.4 cut is still taken on
       // the oracle-exact value
       .where(fdot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.4 - 1e-6)
+      .select(col("v1"), col("v2"),
+        (expr(dotDec("e1", "e2")) / (col("n1") * col("n2"))).as("cos_sim"))
+      .where(col("cos_sim") >= 0.4)
+      .orderBy("v1", "v2")
+  }
+
+  /** Banded sign-LSH parameters for the near-dup flagship: [[NdBands]]
+    * bands × [[NdPlanesPerBand]] fixed pseudo-hyperplanes each (fresh LCG
+    * stream, independent of the [[planes]] used by [[annLshTop3]]).
+    *
+    * Candidate recall at cos = c is 1 − (1 − p^3)^8 with
+    * p = 1 − acos(c)/π: ≈ 0.90 at c = 0.4, ≈ 0.97 at c = 0.6, → 1 for
+    * true duplicates. At 100 TB, planes-per-band scales with log(n) to
+    * hold bucket sizes constant; bands trade shuffle volume for recall. */
+  private val NdBands = 8
+  private val NdPlanesPerBand = 3
+  private val ndPlanes: Array[Array[Double]] = {
+    var x = 0x0BADCAFEL
+    Array.fill(NdBands * NdPlanesPerBand, 64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  /** The hyperplanes as a DuckDB nested-list literal, for the oracle. */
+  def ndPlanesSqlLiteral: String =
+    ndPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** Exact-decimal dot product against a fixed plane — the same
+    * DECIMAL(18,12) routing as [[dotDec]], so the SIGN (the LSH bit) is
+    * bit-identical between Spark and DuckDB even when the dot is ~0. */
+  private def dotDecPlane(e: Column, plane: Array[Double]): Column =
+    round(aggregate(
+      zip_with(e, typedlit(plane), (x, y) => (x.cast("double") * y).cast("decimal(18,12)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(18,12)"),
+      (acc, v) => (acc + v).cast("decimal(18,12)")), 12).cast("double")
+
+  /** Band key (0..7) for band `b`: 3 sign bits from the band's planes. */
+  private def ndBandKey(b: Int): Column =
+    (0 until NdPlanesPerBand).map { j =>
+      when(dotDecPlane(col("embedding"), ndPlanes(b * NdPlanesPerBand + j)) >= 0d,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** FLAGSHIP embedding near-dup: banded sign-LSH blocking + exact
+    * decimal cosine verification (cos >= 0.4, same threshold and output
+    * schema as [[embeddingNearDupPairs]]).
+    *
+    * Scale shape: one shuffle on (band_idx, band_key); the O(k²) pair
+    * expansion is confined to each bucket's member array, capped at
+    * [[Dedup.MaxBucket]] smallest vec_ids with the overflow `observe`d
+    * (see Dedup's cap rationale); candidates that collide in several
+    * bands are de-duplicated before the exact (decimal) re-score. The
+    * plan contains NO nested-loop join — candidate generation is linear
+    * in n, not quadratic. */
+  def embeddingNearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    val banded = n.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until NdBands).map(ndBandKey): _*)).as(Seq("band_idx", "band_key")))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+      .observe("q34b_lsh_buckets",
+        sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"),
+        count(lit(1)).as("n_buckets"))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('v1', x.vec_id, 'e1', x.embedding, 'n1', x.nrm,
+          |                 'v2', y.vec_id, 'e2', y.embedding, 'n2', y.nrm))))""".stripMargin)).as("p"))
+      .select(col("p.v1").as("v1"), col("p.e1").as("e1"), col("p.n1").as("n1"),
+        col("p.v2").as("v2"), col("p.e2").as("e2"), col("p.n2").as("n2"))
+      // cheap codegen'd prefilter BEFORE the distinct: kills non-dup
+      // candidates so the dedup shuffle only carries plausible pairs
+      .where(fdot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.4 - 1e-6)
+      .distinct() // the same pair can collide in several bands
       .select(col("v1"), col("v2"),
         (expr(dotDec("e1", "e2")) / (col("n1") * col("n2"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.4)

@@ -75,6 +75,49 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("flagship LSH near-dup: exact-verified subset with high recall, no nested-loop join") {
+    val exact = Similarity.embeddingNearDupPairs(spark, sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Similarity.embeddingNearDupPairsLsh(spark, sf0001)
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "flagship near-dup must not contain a nested-loop/cartesian join")
+    val lsh = lshDf.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.6,
+      s"recall ${lsh.size}/${exact.size} below 0.6 (theory: ~0.9 at cos=0.4)")
+  }
+
+  test("1k-copy duplicate cluster: bucket caps bound the pair explosion, no OOM") {
+    import spark.implicits._
+    val clone = "the quick brown fox jumps over the lazy dog repeatedly every day"
+    val docs = (0L until 1000L).map(i => (i, clone, "en", "stress", clone.length.toLong)) ++
+      Seq((1000L, "completely different text about spark partitions and shuffles", "en", "stress", 62L),
+          (1001L, "another unrelated document mentioning catalyst and tungsten", "en", "stress", 60L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // MinHash-LSH: 1000 identical sigs land in ONE bucket per band; the cap
+    // keeps the 64 smallest doc_ids -> exactly C(64,2) pairs, not C(1000,2).
+    val lsh = Dedup.minhashLshPairs(spark, dir).collect()
+    assert(lsh.length === 64 * 63 / 2, s"expected capped pair count, got ${lsh.length}")
+    lsh.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
+
+    // SimHash banding gets the same cap treatment.
+    val sim = Dedup.simhashNearPairs(spark, dir).collect()
+    assert(sim.length === 64 * 63 / 2)
+    sim.foreach(r => assert(r.getAs[Long]("hamming") === 0L))
+
+    // The Jaccard path's df cutoff classifies the clone's shingles as
+    // stop-shingles (df=1000 > MaxShingleDf) — the mega-cluster is exact-
+    // dedup's job (tier 1), not the near-dup join's.
+    assert(Dedup.nearDupJaccard(spark, dir).count() === 0L)
+    val hot = Dedup.hotShingles(spark, dir).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("df") === 1000L))
+    assert(Dedup.exactDedup(spark, dir).count() === 3L) // clone group + 2 singletons
+  }
+
   test("label centroids: 10 labels x 64 dims, components bounded by max component") {
     val out = Similarity.labelCentroids(spark, sf0001).collect()
     assert(out.length === 640)
