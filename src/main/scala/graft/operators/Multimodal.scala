@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,32 +58,40 @@ object Multimodal {
     out
   }
 
-  /** Batched feature extraction over binary payloads — mapPartitions so a
-    * real decoder could amortize codec/context setup per partition (the
-    * Scala analog of a pandas-UDF batch). Emits narrow numeric features. */
+  /** Typed input batch row for the decode kernel (public: Catalyst's
+    * generated deserializer must construct it). */
+  case class MediaIn(doc_id: Long, payload: Array[Byte], format: String,
+                     width: Int, height: Int, n_frames: Int)
+  /** Narrow numeric feature row the decoder emits. */
+  case class MediaFeatureRow(doc_id: Long, format: String, payload_bytes: Long,
+                             mean_pixel: Double, n_sampled_frames: Int)
+
+  /** Batched feature extraction over binary payloads — a typed
+    * `Dataset.mapPartitions` so a real decoder could amortize codec/
+    * context setup per partition (the Scala analog of a pandas-UDF
+    * batch). Stays inside the Dataset plan (Deserialize → MapPartitions →
+    * Serialize, no RDD/createDataFrame hop), so Catalyst still prunes the
+    * scan to exactly the six input columns and the downstream plan
+    * re-enters whole-stage codegen. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("format", StringType, nullable = false),
-      StructField("payload_bytes", LongType, nullable = false),
-      StructField("mean_pixel", DoubleType, nullable = false),
-      StructField("n_sampled_frames", IntegerType, nullable = false)))
-    val rdd = media.select(col("doc_id"), col("payload"), col("meta.format"),
-      col("meta.width"), col("meta.height"), col("meta.n_frames")).rdd
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"))
+      .as[MediaIn]
       .mapPartitions { rows =>
         // per-partition setup happens once (decoder init would go here)
-        rows.map { r =>
-          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          val pixels = decodeRgbStub(payload, r.getInt(3), r.getInt(4))
+        rows.map { m =>
+          val payload = Option(m.payload).getOrElse(Array.emptyByteArray)
+          val pixels = decodeRgbStub(payload, m.width, m.height)
           val mean =
             if (pixels.isEmpty) 0.0
             else pixels.map(b => (b & 0xFF).toLong).sum.toDouble / pixels.length
-          Row(r.getLong(0), r.getString(2), payload.length.toLong, mean,
-            frameOffsets(r.getInt(5), 5).length)
+          MediaFeatureRow(m.doc_id, m.format, payload.length.toLong, mean,
+            frameOffsets(m.n_frames, 5).length)
         }
       }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** Frame sampling: offsets of `k` evenly spaced frames out of n. */

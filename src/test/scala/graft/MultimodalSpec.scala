@@ -24,6 +24,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("feature extraction stays in the Dataset plan: no RDD hop, scan pruned") {
+    val df = Multimodal.mediaFeatures(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old .rdd + createDataFrame shape shows up as "Scan ExistingRDD"
+    assert(!plan.contains("ExistingRDD"), "feature extraction must not leave the Dataset plan")
+    assert(plan.contains("MapPartitions"), "decode kernel should be a typed mapPartitions")
+    // column pruning reaches the parquet scan through the typed boundary
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("doc_id") && !scan.contains("lang"),
+      s"scan should read only the projected columns, got: $scan")
+  }
+
   test("frame sampling: even spacing, degenerate cases") {
     assert(Multimodal.frameOffsets(0, 5).isEmpty)
     assert(Multimodal.frameOffsets(3, 5).toSeq === Seq(0, 1, 2))

@@ -92,6 +92,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 0L), (2L, 2L), (3L, 4L)))
   }
 
+  test("stream/batch parity: foreachBatch-upserted windowed argmax equals batch q1") {
+    // the property the reference relies on implicitly (SURVEY §5.2.4):
+    // stream the REAL sf0.001 events through windowedUserCounts in update
+    // mode, upsert each micro-batch into a KV map (the foreachBatch sink a
+    // deployment would use), then argmax per window — must equal batch q1
+    // exactly, including the (cnt, user_id) tie-break.
+    val batch = graft.operators.EventAnalytics.busiestUserPerWindow(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+
+    val rows = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val input = MemoryStream[Ev](spark)
+    val upserts = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      b.collect().foreach { r =>
+        upserts((r.getAs[Timestamp]("w_start").toInstant.getEpochSecond, r.getLong(1))) = r.getLong(2)
+      }
+    val q = StreamingAnalytics.windowedUserCounts(input.toDF())
+      .writeStream.outputMode("update").foreachBatch(sink).start()
+    rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = upserts.toSeq.groupBy(_._1._1).map { case (w, kvs) =>
+      val ((_, user), cnt) = kvs.maxBy { case ((_, u), c) => (c, u) }
+      (w, user, cnt)
+    }.toSeq.sortBy(_._1)
+    assert(streamed === batch)
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
