@@ -44,6 +44,7 @@ object SparkEntry {
     "q41_order_history"   -> ((s, d) => Relational.customerOrderHistory(s, d)),
     "q42_salted_revenue"  -> ((s, d) => Relational.revenueByNationSalted(s, d)),
     "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
+    "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -245,6 +246,13 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents WHERE (doc_id * 2654435761) % 100 < 20
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // Same rows as the bucketed-layout join (bucketing is physical only).
+    "q46_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
     "q41_order_history" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,

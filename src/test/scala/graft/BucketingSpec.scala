@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Bucketing, Tables}
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join: no hash exchange in the plan, results equal the plain join") {
+    val df = Bucketing.bucketedOrderRevenue(spark, sf0001)
+    val rows = df.collect()
+
+    // AQE has finalized the plan after collect(); the only exchange allowed
+    // is the range partitioning of the final ORDER BY.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join, got:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle on the bucket key:\n$plan")
+
+    // bucketing is physical layout only: same rows as the plain join
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === plain)
+  }
+
+  test("bucketed tables are reused, not rewritten, on a second call") {
+    val (o, _) = Bucketing.ensureBucketed(spark, sf0001)
+    val t0 = spark.table(o).inputFiles.toSeq.sorted
+    Bucketing.bucketedOrderRevenue(spark, sf0001).collect()
+    val t1 = spark.table(o).inputFiles.toSeq.sorted
+    assert(t0 === t1, "second call must not rewrite the bucketed files")
+  }
+}
