@@ -67,6 +67,7 @@ object SparkEntry {
     "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "q34b_emb_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLsh(s, d)),
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
+    "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
     // Multimodal stub pipeline + CLF parity (rows-only: no oracle table)
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => {

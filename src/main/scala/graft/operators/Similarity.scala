@@ -186,6 +186,71 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** IVF parameters: [[NumCells]] fixed unit-norm pseudo-centroids from
+    * the LCG partition the space into Voronoi cells (by cosine = max dot
+    * with a unit centroid). Production IVF would k-means these on a
+    * sample; fixed centroids keep the operator deterministic with the
+    * same plan shape. */
+  private val NumCells = 16
+  private val ivfCentroids: Array[Array[Double]] = {
+    var x = 0x1CEB00DAL
+    Array.fill(NumCells, 64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }.map { v =>
+      val n = math.sqrt(v.map(d => d * d).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Per-vector centroid dot scores (codegen'd native dot ×16). */
+  private def cellScoresCol: Column =
+    array(ivfCentroids.map(c => fdot(col("embedding"), typedlit(c))): _*)
+
+  /** vec_id, embedding, nrm, scores, cell (nearest centroid, 0-based;
+    * first-index tie-break). */
+  private def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    withNorm(spark, dir)
+      .withColumn("scores", cellScoresCol)
+      .withColumn("cell", expr("CAST(array_position(scores, array_max(scores)) - 1 AS INT)"))
+
+  /** IVF-style ANN: queries probe their `nprobe` best cells and brute-
+    * force only those cells' members with the exact decimal cosine —
+    * the second blocking scheme next to sign-LSH ([[annLshTop3]]).
+    *
+    * Scale shape: cell assignment is map-side (16 codegen'd dots/row, no
+    * shuffle); the tiny probe set broadcasts, so candidates never
+    * shuffle for the join; the per-query top-k runs in two phases
+    * (salted local top-k, then a ≤ 32k-row final ranking) so one hot
+    * query key can't serialize n/K candidate rows through one reducer.
+    * Checked rows-only (argmax cell of an IEEE double fold isn't
+    * oracle-portable); ScalaTest proves nprobe=NumCells reproduces the
+    * brute-force ranking exactly and recall degrades gracefully. */
+  def annIvfTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val a = ivfAssignments(spark, dir)
+    val data = a.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("nrm").as("nn"), col("cell"))
+    val q = a.where(col("vec_id") <= 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(expr(
+          s"""slice(transform(array_sort(transform(scores, (s, i) ->
+             |  named_struct('negs', -s, 'idx', i))), x -> x.idx), 1, $nprobe)""".stripMargin))
+          .as("probe_cell"))
+    val cand = data
+      .join(broadcast(q), col("cell") === col("probe_cell") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("cell"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_sim"))
+    val bySim = Seq(col("cos_sim").desc, col("n_id").asc)
+    val local = Window.partitionBy(col("q_id"), pmod(hash(col("n_id")), lit(32)))
+      .orderBy(bySim: _*)
+    val global = Window.partitionBy("q_id").orderBy(bySim: _*)
+    cand
+      .withColumn("r", row_number().over(local)).where(col("r") <= k).drop("r")
+      .withColumn("rank", row_number().over(global).cast("long")).where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cell"), col("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Array-function surface over the embedding vectors: size, extrema,
     * positive-component count, first components — pure per-row list ops
     * (no shuffle except the final ORDER BY). */

@@ -118,6 +118,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exactDedup(spark, dir).count() === 3L) // clone group + 2 singletons
   }
 
+  test("IVF ANN with full probe reproduces the brute-force ranking exactly") {
+    val brute = Similarity.knnBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val full = Similarity.annIvfTopK(spark, sf0001, nprobe = 16).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Long]("rank"))).toSet
+    assert(full === brute, "probing every cell must degenerate to exact brute force")
+  }
+
+  test("IVF ANN with nprobe=4: valid ranks, scores bounded by brute best, sane recall") {
+    val ivf = Similarity.annIvfTopK(spark, sf0001).collect()
+    assert(ivf.nonEmpty)
+    val bruteBest = Similarity.knnBrute(spark, sf0001).where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivf.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    ivf.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <= bruteBest(r.getAs[Long]("q_id")) + 1e-12)
+    }
+  }
+
   test("label centroids: 10 labels x 64 dims, components bounded by max component") {
     val out = Similarity.labelCentroids(spark, sf0001).collect()
     assert(out.length === 640)
