@@ -41,24 +41,33 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Revenue per region/nation: the join-strategy showcase. lineitem⋈orders
-    * is a shuffle join on the fact keys; orders⋈customer shuffles the
-    * already-reduced side; nation and region are broadcast. */
+  /** Revenue per region/nation: the join-strategy showcase.
+    *
+    * lineitem pre-aggregates to one row per orderkey BEFORE any join
+    * (exact decimal partials — associative, so the final rounded sum is
+    * bit-identical to aggregating raw rows), which (a) shrinks the
+    * orders⋈customer shuffle from |lineitem| to |orders| rows and (b)
+    * turns the countDistinct(orderkey) — an expand + second aggregate —
+    * into a plain count of pre-reduced rows. nation/region broadcast. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Det.D28_10)).as("order_rev"),
+        count(lit(1)).as("order_items"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), Det.D28_10).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_items"))
+        round(sum(col("order_rev")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"), // one pre-aggregated row per order
+        sum(col("order_items")).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 

@@ -34,7 +34,11 @@ object Tables {
     * aligned. Files that already carry micro-precision timestamps (any
     * non-driver writer) pass through unchanged. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-conf write guarded so repeated loads don't churn a global
+    // (the conf must be set before the scan is PLANNED, which is why it
+    // lives here and not in each entrypoint's builder)
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
