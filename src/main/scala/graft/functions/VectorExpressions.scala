@@ -147,38 +147,8 @@ object Simhash64 {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
-/** MinHash signature: min over the array<long> of reduced shingle hashes
-  * of a_i*x + b_i, for each of the 64 fixed permutations. Same arithmetic
-  * as the HOF formulation (a < 2^30, x < 2^32 — overflow-free). */
-case class MinHashSig(child: Expression, permA: Seq[Long], permB: Seq[Long])
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_minhash"
-
-  private lazy val as = permA.toArray
-  private lazy val bs = permB.toArray
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val n = hs.numElements()
-    val sig = new Array[Long](as.length)
-    var i = 0
-    while (i < as.length) {
-      var min = Long.MaxValue
-      var j = 0
-      while (j < n) {
-        val v = as(i) * hs.getLong(j) + bs(i)
-        if (v < min) min = v
-        j += 1
-      }
-      sig(i) = min
-      i += 1
-    }
-    ArrayData.toArrayData(sig)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
+// Round-1 note: a MinHashSig expression (tight-loop min(a_i*x+b_i) over a
+// collect_set'd hash array) lived here until round 2 replaced it with 64
+// declarative min() aggregates in Dedup.signaturesFromHash — algebraic
+// min() gets map-side partial aggregation, which the collect_set
+// formulation structurally could not, and the declarative form codegens.

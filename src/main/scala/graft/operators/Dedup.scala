@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{MinHashSig, Simhash64}
+import graft.functions.Simhash64
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` — the core of a training-data
@@ -123,14 +123,25 @@ object Dedup {
   private val permB: Array[Long] = lcgStream(0x87654321L).map(_ >>> 34).take(NumPerm).toArray
 
   /** 64-long MinHash signature per doc over a caller-chosen shingle-hash
-    * column — one shuffle (groupBy doc), then pure map-side array math
-    * through the native tight-loop expression [[MinHashSig]]. */
-  private def signaturesFromHash(sh: DataFrame, hashCol: org.apache.spark.sql.Column): DataFrame =
+    * column, as 64 DECLARATIVE min() aggregates (min(a_i*x + b_i) per
+    * permutation).
+    *
+    * This replaced round 1's collect_set + native tight-loop expression:
+    * min() is algebraic, so Spark runs a map-side partial aggregate and
+    * the shuffle carries 64 longs per (doc × input partition) instead of
+    * every distinct shingle hash — the difference between O(corpus
+    * tokens) and O(docs) shuffle volume at 100 TB. min is order-free and
+    * duplicate-insensitive, so results are bit-identical to the set
+    * formulation (oracles q29b/q29c unchanged). The whole update loop is
+    * codegen'd multiply-add-min inside HashAggregate. */
+  private def signaturesFromHash(sh: DataFrame, hashCol: org.apache.spark.sql.Column): DataFrame = {
+    val h = col("h")
+    val mins = (0 until NumPerm).map(i => min(h * permA(i) + permB(i)).as(s"_s$i"))
     sh.select(col("doc_id"), hashCol.as("h"))
       .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"))
-      .select(col("doc_id"),
-        ColumnBridge.of(MinHashSig(ColumnBridge.expr(col("hs")), permA.toSeq, permB.toSeq)).as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerm).map(i => col(s"_s$i")): _*).as("sig"))
+  }
 
   /** Production signatures: xxhash64 shingle hashes (fast, not
     * SQL-portable). rawShingles: collect_set dedups per doc anyway, so
@@ -140,9 +151,11 @@ object Dedup {
     signaturesFromHash(rawShingles(spark, dir), pmod(xxhash64(col("sh")), lit(P32)))
 
   /** Oracle-portable signatures: the shingle hash is the first 8 hex
-    * chars of md5 (reproducible in DuckDB), over distinct shingles. */
+    * chars of md5 (reproducible in DuckDB). Raw (non-distinct) shingles:
+    * min() is duplicate-insensitive, so the distinct() exchange the
+    * Jaccard path needs would be a wasted shuffle here too. */
   private def portableSignatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesFromHash(shingles(spark, dir),
+    signaturesFromHash(rawShingles(spark, dir),
       expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
 
   /** LSH banding + bucket-capped pair expansion + signature-estimated
