@@ -45,6 +45,8 @@ object SparkEntry {
     "q42_salted_revenue"  -> ((s, d) => Relational.revenueByNationSalted(s, d)),
     "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
     "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
+    "q48_asof_join"       -> ((s, d) => Temporal.asofLatestOrder(s, d)),
+    "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -254,6 +256,27 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+    // As-of semantics spelled out relationally: latest order (date desc,
+    // orderkey desc) at-or-before each event, -1/0.0 when none. The Spark
+    // side computes this with one union+window pass, not this join.
+    "q48_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
+        |o AS (SELECT o_custkey, o_orderkey, o_totalprice, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS ot FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, e.ts_sec, o.o_orderkey, o.o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.ot DESC, o.o_orderkey DESC) AS rn
+        |      FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.ot <= e.ts_sec)
+        |SELECT event_id, user_id, ts_sec,
+        |  COALESCE(o_orderkey, -1) AS asof_orderkey,
+        |  COALESCE(o_totalprice, 0.0) AS asof_totalprice
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Naive |t1-t2| <= 3600 self-join — semantically identical to the
+    // Spark side's bucketized equi-join decomposition.
+    "q49_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events)
+        |SELECT e1.event_id,
+        |  CAST(COUNT(CASE WHEN e2.event_id <> e1.event_id THEN 1 END) AS BIGINT) AS n_within_1h
+        |FROM e e1 JOIN e e2 ON ABS(e1.t - e2.t) <= 3600
+        |GROUP BY 1 ORDER BY e1.event_id""".stripMargin,
     "q41_order_history" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,
