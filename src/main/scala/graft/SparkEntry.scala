@@ -47,6 +47,10 @@ object SparkEntry {
     "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
     "q48_asof_join"       -> ((s, d) => Temporal.asofLatestOrder(s, d)),
     "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
+    "q50_window_suite"    -> ((s, d) => Relational.windowFunctionSuite(s, d)),
+    "q51_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "q52_status_pivot"    -> ((s, d) => Relational.statusPriorityPivot(s, d)),
+    "q53_grouping_sets"   -> ((s, d) => Relational.groupingSetsStats(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -277,6 +281,44 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN e2.event_id <> e1.event_id THEN 1 END) AS BIGINT) AS n_within_1h
         |FROM e e1 JOIN e e2 ON ABS(e1.t - e2.t) <= 3600
         |GROUP BY 1 ORDER BY e1.event_id""".stripMargin,
+    "q50_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 9) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 9) AS cume,
+        |  COALESCE(lead(o_totalprice, 1) OVER w, 0.0) AS next_price,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_orderkey
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q51_price_quantiles" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    [quantile_cont(o_totalprice, 0.25), quantile_cont(o_totalprice, 0.5),
+        |     quantile_cont(o_totalprice, 0.75), quantile_cont(o_totalprice, 0.95)] AS qs
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n_orders,
+        |  CAST([0.25, 0.5, 0.75, 0.95][CAST(i AS INT)] AS DOUBLE) AS q,
+        |  ROUND(qs[CAST(i AS INT)], 4) AS price_quantile
+        |FROM q CROSS JOIN (SELECT unnest(range(1, 5)) AS i) ii
+        |ORDER BY o_orderstatus, q""".stripMargin,
+    "q52_status_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+        |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_not_specified,
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q53_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "q41_order_history" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,

@@ -251,6 +251,72 @@ object Relational {
 
   /** Scalar subquery: parts priced above the global mean, per brand. The
     * single-row threshold is broadcast — no second scan shuffle. */
+  /** Analytic window-function suite beyond ranking: ntile quartiles,
+    * percent_rank, cume_dist, lead with default, first_value over an
+    * explicit frame — one window definition, deterministic order. All
+    * run in a single Window exec after one shuffle on the partition key. */
+  def windowFunctionSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") % 100 === 0)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"),
+        lead(col("o_totalprice"), 1, 0.0).over(w).as("next_price"),
+        first_value(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("top_orderkey"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Exact interpolated percentiles per group (the sketch-free baseline;
+    * approx_percentile is the 100 TB drop-in with the same call shape).
+    * Rounded to 4 digits so the one-ulp interpolation difference between
+    * engines can't break the cross-engine hash. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        posexplode(col("qs")).as(Seq("qi", "qv")))
+      .select(col("o_orderstatus"), col("n_orders"),
+        element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.95)), col("qi") + 1).as("q"),
+        round(col("qv"), 4).as("price_quantile"))
+      .orderBy("o_orderstatus", "q")
+
+  /** PIVOT: order counts + decimal revenue per status × priority, with
+    * priorities as columns. Explicit pivot value list so the plan is a
+    * single pass (no distinct-values pre-query). */
+  def statusPriorityPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        col("`1-URGENT`").as("n_urgent"), col("`2-HIGH`").as("n_high"),
+        col("`3-MEDIUM`").as("n_medium"), col("`4-NOT SPECIFIED`").as("n_not_specified"),
+        col("`5-LOW`").as("n_low"))
+      .orderBy("o_orderstatus")
+
+  /** GROUPING SETS beyond rollup/cube: the exact set list
+    * ((status), (priority), ()) — three aggregation granularities in one
+    * shuffle via the expand operator. */
+  def groupingSetsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
   def aboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val thr = p.agg((Det.dsum(col("p_retailprice")) / count(lit(1))).as("thr"))
