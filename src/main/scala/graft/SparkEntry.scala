@@ -51,6 +51,7 @@ object SparkEntry {
     "q51_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q52_status_pivot"    -> ((s, d) => Relational.statusPriorityPivot(s, d)),
     "q53_grouping_sets"   -> ((s, d) => Relational.groupingSetsStats(s, d)),
+    "q54_partition_pruned" -> ((s, d) => graft.sources.Sinks.dailyActivity(s, d, "2024-01-15")),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -319,6 +320,13 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    // Same rows as the partition-pruned read of the date-partitioned copy
+    // (partitioning is physical layout only).
+    "q54_partition_pruned" ->
+      """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q41_order_history" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,

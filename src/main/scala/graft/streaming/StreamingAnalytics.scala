@@ -105,6 +105,28 @@ object StreamingAnalytics {
       }
   }
 
+  /** Stream-stream interval join: each "view" event joins the same
+    * user's "click" events that follow within 10 minutes.
+    *
+    * Both sides carry a watermark and the join condition bounds event
+    * time in BOTH directions, so Spark can expire join state once the
+    * watermark passes view_ts + 10 min — bounded state at 100 TB stream
+    * volume (an unbounded-time stream-stream join would hold every row
+    * forever). Inner join: unmatched views simply never emit. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Session windows per user (30-minute gap), streaming-native. */
   def sessionCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "0 seconds")

@@ -125,6 +125,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join matches the batch join on the same rows") {
+    val views = Seq(
+      Ev(10, Timestamp.valueOf("2024-02-01 12:00:00"), 1, "view", None),
+      Ev(11, Timestamp.valueOf("2024-02-01 12:30:00"), 1, "view", None),
+      Ev(12, Timestamp.valueOf("2024-02-01 12:00:00"), 2, "view", None))
+    val clicks = Seq(
+      Ev(20, Timestamp.valueOf("2024-02-01 12:05:00"), 1, "click", None), // joins view 10
+      Ev(21, Timestamp.valueOf("2024-02-01 12:31:00"), 1, "click", None), // joins view 11
+      Ev(22, Timestamp.valueOf("2024-02-01 12:20:00"), 2, "click", None), // outside 10 min
+      Ev(23, Timestamp.valueOf("2024-02-01 11:59:00"), 1, "click", None)) // before any view
+    val vIn = MemoryStream[Ev](spark)
+    val cIn = MemoryStream[Ev](spark)
+    val q = StreamingAnalytics.viewClickJoin(vIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("vc_join").outputMode("append").start()
+    vIn.addData(views); cIn.addData(clicks); q.processAllAvailable()
+    // advance both watermarks past every row so all joinable pairs flush
+    // (distinct users so the sentinels can't join each other)
+    vIn.addData(Ev(98, Timestamp.valueOf("2024-02-02 00:00:00"), 98, "x", None))
+    cIn.addData(Ev(99, Timestamp.valueOf("2024-02-02 00:00:00"), 99, "x", None))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vc_join").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+    assert(got === Set((10L, 20L), (11L, 21L)))
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
