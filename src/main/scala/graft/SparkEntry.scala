@@ -52,6 +52,8 @@ object SparkEntry {
     "q52_status_pivot"    -> ((s, d) => Relational.statusPriorityPivot(s, d)),
     "q53_grouping_sets"   -> ((s, d) => Relational.groupingSetsStats(s, d)),
     "q54_partition_pruned" -> ((s, d) => graft.sources.Sinks.dailyActivity(s, d, "2024-01-15")),
+    "q55_doc_chunks"      -> ((s, d) => TextAnalysis.documentChunks(s, d)),
+    "q56_tfidf_top3"      -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -418,6 +420,33 @@ object SparkEntry {
         |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
         |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
+    // Overlapping 32-token windows every 24 tokens; tails shorter than
+    // the 8-token overlap drop unless they're the only chunk. DuckDB
+    // lambda indexes are 1-based (Spark's are 0-based) — hence i = 1 /
+    // idx - 1.
+    "q55_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tks FROM documents),
+        |ch AS (SELECT doc_id,
+        |         list_filter(list_transform(range(0, greatest(len(tks), 1), 24), s -> tks[CAST(s+1 AS INT):CAST(s+32 AS INT)]),
+        |                     (c, i) -> i = 1 OR len(c) >= 8) AS chunks
+        |       FROM t),
+        |u AS (SELECT doc_id, unnest(list_transform(chunks, (c, i) -> {'idx': i - 1, 'c': c})) AS e FROM ch)
+        |SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(e.c) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(e.c, ' ')) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Integer-exact tf-idf ranking: score = tf * ((N+1)*1e6 // (df+1)).
+    "q56_tfidf_top3" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |        tf.tf * ((n.nd + 1) * 1000000 // (dfq.df + 1)) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS term_rank FROM s)
+        |SELECT doc_id, term_rank, term, tf, df, score
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
     "q29b_minhash_sig_portable" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
         |              WHERE len(string_split_regex(text, '\s+')) >= 3),

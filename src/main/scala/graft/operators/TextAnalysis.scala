@@ -126,6 +126,62 @@ object TextAnalysis {
     * binary payloads with typed metadata + deterministic "features"
     * (byte length, content digest). The decode-and-batch machinery for
     * true image/audio payloads lives in [[Multimodal]]. */
+  /** Chunk size / stride (tokens) for [[documentChunks]]. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Document chunking — the canonical LLM training prep: overlapping
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens. Tail
+    * chunks shorter than the overlap (8 tokens) are dropped unless they
+    * are the document's only chunk (they would duplicate the previous
+    * chunk's suffix verbatim). Pure per-row array ops — chunking is
+    * map-side; at 100 TB the chunks flow straight into a partitioned
+    * write with no shuffle at all. Chunk text emitted as md5 so the
+    * oracle compare stays compact. */
+  def documentChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tks", expr(toksExpr))
+      .select(col("doc_id"), posexplode(expr(
+        s"""filter(
+           |  transform(sequence(0, greatest(size(tks) - 1, 0), $ChunkStride),
+           |            s -> slice(tks, s + 1, $ChunkSize)),
+           |  (c, i) -> i = 0 OR size(c) >= ${ChunkSize - ChunkStride})""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** TF-IDF top-3 terms per document, with an integer-exact score so the
+    * ranking is bit-deterministic cross-engine (no ln()): score =
+    * tf * ((N+1)*1e6 div (df+1)) — the same monotone ordering as
+    * tf * log-smoothed idf for ranking purposes, in pure BIGINT math.
+    * Shape: one tokenize pass (tf map-side via in-array aggregation
+    * would skip the shuffle, but df needs the global groupBy anyway);
+    * one groupBy(term) for df; broadcast-size doc count; windowed top-3.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // tiny scalar; at 100 TB a pre-computed stat
+    val tf = docs
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        col("tf") * expr(s"(${nDocs + 1}L * 1000000L) div (df + 1)"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(byScore).cast("long"))
+      .where(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "term_rank")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
