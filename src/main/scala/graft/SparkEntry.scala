@@ -49,6 +49,7 @@ object SparkEntry {
     "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
     "q50_window_suite"    -> ((s, d) => Relational.windowFunctionSuite(s, d)),
     "q51_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "q58_price_quantiles_approx" -> ((s, d) => Relational.priceQuantilesApprox(s, d)),
     "q52_status_pivot"    -> ((s, d) => Relational.statusPriorityPivot(s, d)),
     "q53_grouping_sets"   -> ((s, d) => Relational.groupingSetsStats(s, d)),
     "q54_partition_pruned" -> ((s, d) => graft.sources.Sinks.dailyActivity(s, d, "2024-01-15")),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
     "q32_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q57_centroids_udaf"  -> ((s, d) => Similarity.labelCentroidsAgg(s, d)),
     "q33_knn_brute"       -> ((s, d) => Similarity.knnBrute(s, d)),
     "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "q34b_emb_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLsh(s, d)),
@@ -555,6 +557,13 @@ object SparkEntry {
         |  FROM cand)
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin,
     "q32_label_centroids" ->
+      """SELECT label, dim,
+        |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)/COUNT(*) AS centroid
+        |FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(embedding) AS v FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // The typed-Aggregator path computes the SAME centroids as q32 — one
+    // oracle definition, two physical shapes.
+    "q57_centroids_udaf" ->
       """SELECT label, dim,
         |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)/COUNT(*) AS centroid
         |FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(embedding) AS v FROM embeddings)

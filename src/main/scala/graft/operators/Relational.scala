@@ -287,6 +287,24 @@ object Relational {
         round(col("qv"), 4).as("price_quantile"))
       .orderBy("o_orderstatus", "q")
 
+  /** Sketch twin of [[priceQuantiles]]: approx_percentile (the
+    * GK/KLL-style mergeable quantile summary built into Spark) — the
+    * 100 TB path where an exact percentile's global sort-by-group is
+    * unpayable. Rows-only check (sketch internals aren't oracle-
+    * reproducible); RelationalSpec bounds its error against the exact
+    * percentiles. */
+  def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("qs"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        posexplode(col("qs")).as(Seq("qi", "qv")))
+      .select(col("o_orderstatus"), col("n_orders"),
+        element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.95)), col("qi") + 1).as("q"),
+        col("qv").as("price_quantile_approx"))
+      .orderBy("o_orderstatus", "q")
+
   /** PIVOT: order counts + decimal revenue per status × priority, with
     * priorities as columns. Explicit pivot value list so the plan is a
     * single pass (no distinct-values pre-query). */

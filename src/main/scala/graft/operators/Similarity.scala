@@ -62,6 +62,28 @@ object Similarity {
         / count(lit(1))).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Per-label centroids through the typed [[graft.functions.VectorAggregates.CentroidAgg]]
+    * Aggregator — same results as [[labelCentroids]] (shared oracle), very
+    * different physical shape: ONE input row per vector (no 64× posexplode
+    * blowup), partial aggregation map-side, the shuffle carries one
+    * 64-component exact-decimal buffer per (label × partition). The fully
+    * general custom-UDAF form for when an aggregate can't be composed
+    * from built-ins. */
+  def labelCentroidsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.VectorAggregates.CentroidAgg(64)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroids"))
+      .toDF("label", "centroids")
+      .select(col("label"), posexplode(col("centroids")).as(Seq("pos", "centroid")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"), col("centroid"))
+      .orderBy("label", "dim")
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id 0..4 — the exact
     * baseline every ANN variant is measured against. The query side is
     * broadcast; ranking is windowed per query with an id tie-break. */

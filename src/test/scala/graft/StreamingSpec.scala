@@ -151,6 +151,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((10L, 20L), (11L, 21L)))
   }
 
+  test("checkpointed file sink restarts exactly-once: no loss, no duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (ckpt, out) = (s"$base/checkpoint", s"$base/out")
+    val input = MemoryStream[Ev](spark)
+    def start() = input.toDF().select("event_id", "user_id")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(evs.take(3)); q1.processAllAvailable()
+    q1.stop()
+    // rows arriving while the query is down + a replay-prone overlap batch
+    input.addData(evs.drop(3))
+    val q2 = start()
+    input.addData(Ev(50, Timestamp.valueOf("2024-02-01 00:00:00"), 5, "view", None))
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (evs.map(_.event_id) :+ 50L).sorted,
+      "restart from the checkpoint must deliver every row exactly once")
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
