@@ -50,6 +50,7 @@ object SparkEntry {
     "q50_window_suite"    -> ((s, d) => Relational.windowFunctionSuite(s, d)),
     "q51_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q58_price_quantiles_approx" -> ((s, d) => Relational.priceQuantilesApprox(s, d)),
+    "q59_sql_api"         -> ((s, d) => Relational.sqlApiLateOrders(s, d)),
     "q52_status_pivot"    -> ((s, d) => Relational.statusPriorityPivot(s, d)),
     "q53_grouping_sets"   -> ((s, d) => Relational.groupingSetsStats(s, d)),
     "q54_partition_pruned" -> ((s, d) => graft.sources.Sinks.dailyActivity(s, d, "2024-01-15")),
@@ -286,6 +287,13 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN e2.event_id <> e1.event_id THEN 1 END) AS BIGINT) AS n_within_1h
         |FROM e e1 JOIN e e2 ON ABS(e1.t - e2.t) <= 3600
         |GROUP BY 1 ORDER BY e1.event_id""".stripMargin,
+    "q59_sql_api" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q50_window_suite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

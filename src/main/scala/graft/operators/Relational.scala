@@ -335,6 +335,24 @@ object Relational {
         col("n"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** The `spark.sql` entry path: temp views + a pure-SQL query (TPC-H
+    * Q4-flavored). Same Catalyst plan space as the DataFrame API — this
+    * exists so users of the SQL surface have a first-class, oracle-gated
+    * example (views registered per call; idempotent). */
+  def sqlApiLateOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def aboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val thr = p.agg((Det.dsum(col("p_retailprice")) / count(lit(1))).as("thr"))
