@@ -64,20 +64,88 @@ object Temporal {
   /** Bucket width for [[eventNeighborCounts]] (seconds). */
   val RangeWindowSec = 3600L
 
-  /** RANGE (interval) self-join: per event, how many other events fall
-    * within ±1 hour — with NO equi key to bound the pair space.
+  /** RANGE (interval) self-join COUNT: per event, how many other events
+    * fall within ±1 hour — with NO equi key to bound the pair space.
     *
-    * The naive formulation `|t1 - t2| <= w` is a cartesian. The scale
-    * path is interval bucketing: bucket time by the window width; a pair
-    * within w is always within one bucket step, so exploding the probe
-    * side to (b-1, b, b+1) and EQUI-joining on the bucket covers exactly
-    * the candidate space (each pair meets once — the build side's bucket
-    * is unique), and the residual |Δt| <= w filter finishes. One shuffle
-    * per side on the bucket key, per-bucket fan-out bounded by bucket
-    * occupancy (hot buckets salt like any skewed key). Every event
-    * matches itself, so zero-neighbor events survive the inner join with
-    * a conditional count. */
+    * Because the payload is a COUNT, the pair space never needs to
+    * materialize at all: n_within(e) = cum(t_e + w) − cum(t_e − w − 1)
+    * − 1, where cum(x) = number of events with t <= x. cum comes from a
+    * TWO-LEVEL distributed prefix sum — per-day running counts (window
+    * partitioned by day, fully parallel) plus exclusive day offsets (one
+    * tiny serial window over the calendar-day domain, broadcast back) —
+    * and each probe point (t ± w) reads the running total through the
+    * same union-timeline/last-non-null trick as [[asofLatestOrder]],
+    * partitioned by day. Total cost: two day-keyed sorts over O(n) rows —
+    * independent of how DENSE the window is, where any pair-materializing
+    * plan does O(n · density) work (64× the work at 8× the data; this
+    * one does 8×).
+    *
+    * [[eventNeighborCountsBucketed]] keeps the general bucket-decomposed
+    * join for range joins whose OUTPUT is pairs (payloads, not counts);
+    * TemporalSpec proves both against the naive cartesian. */
   def eventNeighborCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = RangeWindowSec
+    val day = 86400L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+
+    // ---- two-level distributed prefix sum (no global single-task sort):
+    // level 1: per-day running counts (window PARTITIONED by day — parallel)
+    val dist = ev.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("day", expr(s"t div $day"))
+      .withColumn("wcum", sum(col("cnt")).over(
+        Window.partitionBy("day").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // level 2: exclusive day-offsets over the DENSE day domain (tiny —
+    // one row per calendar day, the only serial window in the plan)
+    val bounds = dist.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+    val (loDay, hiDay) = (bounds.getLong(0), bounds.getLong(1))
+    val dayTotals = dist.groupBy(col("day")).agg(sum(col("cnt")).as("tot"))
+    val denseDays = ev.sparkSession.range(loDay - 1, hiDay + 2)
+      .toDF("day")
+      .join(dayTotals, Seq("day"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
+      .withColumn("off", coalesce(sum(col("tot")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("off"))
+
+    // data rows carry their within-day running count; probe rows (two per
+    // event, at t±w bounds, clamped into the dense day domain) resolve
+    // as-of WITHIN their day — data rows sort first at equal t, so a
+    // probe exactly on a data timestamp includes it
+    val dataRows = dist.select(col("day"), col("t"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("string").as("bound"),
+      col("wcum"))
+    val probeRows = ev.select(col("event_id"), col("t"),
+        explode(expr(s"array(named_struct('pt', t + $w, 'bound', 'hi')," +
+          s" named_struct('pt', t - $w - 1, 'bound', 'lo'))")).as("p"))
+      .select(
+        greatest(least(expr(s"p.pt div $day"), lit(hiDay + 1)), lit(loDay - 1)).as("day"),
+        col("p.pt").as("t"), col("event_id"), col("p.bound").as("bound"),
+        lit(null).cast("long").as("wcum"))
+    val inDay = Window.partitionBy("day")
+      .orderBy(col("t").asc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dataRows.unionByName(probeRows)
+      .withColumn("wcum_at", last(col("wcum"), ignoreNulls = true).over(inDay))
+      .where(col("event_id").isNotNull)
+      .join(broadcast(denseDays), "day")
+      .withColumn("cum_at", col("off") + coalesce(col("wcum_at"), lit(0L)))
+      .groupBy(col("event_id"))
+      .agg((max(when(col("bound") === "hi", col("cum_at")))
+        - max(when(col("bound") === "lo", col("cum_at"))) - 1L).as("n_within_1h"))
+      .orderBy("event_id")
+  }
+
+  /** General bucket-decomposed range join — the tool for range joins
+    * whose output is PAIRS (the count-only query above never needs it).
+    * Bucket time by the window width; a pair within w is always within
+    * one bucket step, so exploding the probe side to (b-1, b, b+1) and
+    * EQUI-joining on the bucket covers exactly the candidate space (each
+    * pair meets once — the build side's bucket is unique), and the
+    * residual |Δt| <= w filter finishes. One shuffle per side on the
+    * bucket key; hot buckets salt like any skewed key. */
+  def eventNeighborCountsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val w = RangeWindowSec
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), unix_timestamp(col("ts")).as("t"))

@@ -37,8 +37,16 @@ class TemporalSpec extends SparkSpec {
     assert(plan.contains("Window"), "as-of should run as a window over the merged timeline")
   }
 
+  test("prefix-sum range count equals the bucketized range join exactly") {
+    val viaPrefix = Temporal.eventNeighborCounts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val viaBuckets = Temporal.eventNeighborCountsBucketed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(viaPrefix === viaBuckets)
+  }
+
   test("bucketized range join equals the naive |dt| <= w self-join") {
-    val got = Temporal.eventNeighborCounts(spark, sf0001).collect()
+    val got = Temporal.eventNeighborCountsBucketed(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
 
     val e = Tables.events(spark, sf0001)
