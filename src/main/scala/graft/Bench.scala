@@ -22,7 +22,11 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // noop sink: forces full materialization of every column (count() lets
     // Catalyst prune computed columns, undercounting real query cost)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for timing a single query while
+    // iterating (e.g. SPARK_GRAFT_BENCH_ONLY=q49_range_join)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
