@@ -80,6 +80,7 @@ object SparkEntry {
     "q34b_emb_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLsh(s, d)),
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "q60_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeansTopK(s, d)),
     // Multimodal stub pipeline + CLF parity (rows-only: no oracle table)
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => {

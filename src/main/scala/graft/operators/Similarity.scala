@@ -226,15 +226,56 @@ object Similarity {
   }
 
   /** Per-vector centroid dot scores (codegen'd native dot ×16). */
-  private def cellScoresCol: Column =
-    array(ivfCentroids.map(c => fdot(col("embedding"), typedlit(c))): _*)
+  private def cellScoresCol(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => fdot(col("embedding"), typedlit(c))): _*)
 
   /** vec_id, embedding, nrm, scores, cell (nearest centroid, 0-based;
     * first-index tie-break). */
-  private def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+  private def ivfAssignments(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]] = ivfCentroids): DataFrame =
     withNorm(spark, dir)
-      .withColumn("scores", cellScoresCol)
+      .withColumn("scores", cellScoresCol(centroids))
       .withColumn("cell", expr("CAST(array_position(scores, array_max(scores)) - 1 AS INT)"))
+
+  private val Dim = 64
+
+  /** Spherical k-means training for the IVF centroids (Lloyd's
+    * iterations), upgrading the fixed LCG seeds to data-adapted cells.
+    *
+    * Each iteration is one distributed pass: map-side assignment (16
+    * codegen'd dots per row, no shuffle) → per-cell mean via 64 partial
+    * aggregates (ONE shuffle of 64-value buffers, map-side combined) →
+    * a k×64-double collect to the driver (the model — same driver-side
+    * footprint MLlib's KMeans keeps). Means are summed in exact
+    * DECIMAL(28,12), so the trained model is bit-deterministic across
+    * partitionings and runs; empty cells keep their previous centroid.
+    * Normalizing each mean back to the unit sphere keeps assignment =
+    * argmax-dot ≡ nearest-by-cosine.
+    *
+    * At 100 TB: run the same loop over a deterministic hash sample
+    * (`pmod(xxhash64(vec_id), S) = 0` — a few million vectors train 16..
+    * 4096 cells fine), then assign the full corpus once with the frozen
+    * model; the per-iteration cost never touches the full table. */
+  def trainIvfCentroids(spark: SparkSession, dir: String, iters: Int = 3): Array[Array[Double]] = {
+    var cents = ivfCentroids
+    val meanAggs = (1 to Dim).map(i =>
+      (round(sum(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")
+          .cast("decimal(28,12)")), 12).cast("double")
+        / count(lit(1))).as(s"c$i"))
+    for (_ <- 1 to iters) {
+      val rows = ivfAssignments(spark, dir, cents)
+        .groupBy(col("cell")).agg(meanAggs.head, meanAggs.tail: _*)
+        .collect()
+      val next = cents.clone()
+      rows.foreach { r =>
+        val v = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+        val n = math.sqrt(v.map(d => d * d).sum)
+        if (n > 0) next(r.getInt(0)) = v.map(_ / n)
+      }
+      cents = next
+    }
+    cents
+  }
 
   /** IVF-style ANN: queries probe their `nprobe` best cells and brute-
     * force only those cells' members with the exact decimal cosine —
@@ -248,8 +289,9 @@ object Similarity {
     * Checked rows-only (argmax cell of an IEEE double fold isn't
     * oracle-portable); ScalaTest proves nprobe=NumCells reproduces the
     * brute-force ranking exactly and recall degrades gracefully. */
-  def annIvfTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
-    val a = ivfAssignments(spark, dir)
+  def annIvfTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5,
+      centroids: Array[Array[Double]] = ivfCentroids): DataFrame = {
+    val a = ivfAssignments(spark, dir, centroids)
     val data = a.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
       col("nrm").as("nn"), col("cell"))
     val q = a.where(col("vec_id") <= 4)
@@ -272,6 +314,14 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cell"), col("cos_sim"), col("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** [[annIvfTopK]] with k-means-trained centroids — the production IVF
+    * (train once, search many). Same plan shape as q47; only the 16
+    * centroid literals change. Rows-only at the driver (argmax over IEEE
+    * folds isn't oracle-portable); SimilaritySpec pins full-probe ≡
+    * brute force and recall ≥ the untrained seeds'. */
+  def annIvfKmeansTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame =
+    annIvfTopK(spark, dir, nprobe, k, trainIvfCentroids(spark, dir))
 
   /** Array-function surface over the embedding vectors: size, extrema,
     * positive-component count, first components — pure per-row list ops

@@ -139,6 +139,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF: trained model is unit-norm + deterministic; full probe stays exact; recall >= seeds'") {
+    val m1 = Similarity.trainIvfCentroids(spark, sf0001)
+    val m2 = Similarity.trainIvfCentroids(spark, sf0001)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq,
+      "decimal-summed means must make training bit-deterministic")
+    m1.foreach(c => assert(math.abs(math.sqrt(c.map(d => d * d).sum) - 1.0) < 1e-9))
+
+    val brute = Similarity.knnBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullProbe = Similarity.annIvfTopK(spark, sf0001, nprobe = 16, centroids = m1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(fullProbe === brute, "full probe must stay exact under any centroids")
+
+    def recall(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).count(brute.contains)
+    val trained = recall(Similarity.annIvfKmeansTopK(spark, sf0001).collect())
+    val seeded = recall(Similarity.annIvfTopK(spark, sf0001).collect())
+    assert(trained >= seeded,
+      s"k-means cells should not lose recall vs LCG seeds ($trained < $seeded)")
+  }
+
   test("label centroids: 10 labels x 64 dims, components bounded by max component") {
     val out = Similarity.labelCentroids(spark, sf0001).collect()
     assert(out.length === 640)
