@@ -160,11 +160,23 @@ object Similarity {
       lit(java.math.BigDecimal.ZERO).cast("decimal(18,12)"),
       (acc, v) => (acc + v).cast("decimal(18,12)")), 12).cast("double")
 
-  /** Band key (0..7) for band `b`: 3 sign bits from the band's planes. */
+  /** Band key (0..7) for band `b`: 3 sign bits from the band's planes.
+    *
+    * Hybrid sign: the codegen'd double dot decides whenever it is safely
+    * nonzero (|dot| > 1e-6 — the decimal and double folds can only
+    * disagree within ~1e-10: 64 products each rounded at 1e-12 plus the
+    * double fold's own ~1-ulp error), and only a near-zero dot falls back
+    * to the exact-decimal fold the oracle computes. CaseWhen evaluates
+    * value branches lazily, so the interpreted decimal path runs on the
+    * rare boundary rows instead of 24×/row — the bits stay bit-identical
+    * to DuckDB while the common case stays inside codegen. */
   private def ndBandKey(b: Int): Column =
     (0 until NdPlanesPerBand).map { j =>
-      when(dotDecPlane(col("embedding"), ndPlanes(b * NdPlanesPerBand + j)) >= 0d,
-        lit(1 << j)).otherwise(lit(0))
+      val plane = ndPlanes(b * NdPlanesPerBand + j)
+      val fast = fdot(col("embedding"), typedlit(plane))
+      val sign = when(abs(fast) > 1e-6, fast >= 0d)
+        .otherwise(dotDecPlane(col("embedding"), plane) >= 0d)
+      when(sign, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** FLAGSHIP embedding near-dup: banded sign-LSH blocking + exact
