@@ -76,7 +76,7 @@ object SparkEntry {
     "q32_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q57_centroids_udaf"  -> ((s, d) => Similarity.labelCentroidsAgg(s, d)),
     "q33_knn_brute"       -> ((s, d) => Similarity.knnBrute(s, d)),
-    "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, every = 4)),
     "q34b_emb_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLsh(s, d)),
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -595,11 +595,15 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
         |      FROM s)
         |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Exact all-pairs baseline pinned to the deterministic vec_id % 4 = 0
+    // audit slice (the O(n²) kernel never runs full-corpus at top level;
+    // the flagship scale path is q34b).
     "q34_emb_near_dup" ->
       """WITH nr AS (
         |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
-        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-        |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings WHERE vec_id % 4 = 0) GROUP BY vec_id),
+        |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id
+        |      WHERE e.vec_id % 4 = 0),
         |u AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS n1, b.nrm AS n2,
         |             unnest(a.embedding) AS x, unnest(b.embedding) AS y
         |      FROM w a JOIN w b ON a.vec_id < b.vec_id),
@@ -642,5 +646,40 @@ object SparkEntry {
         |      FROM u GROUP BY v1, v2)
         |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin
         .replace("PLANES", operators.Similarity.ndPlanesSqlLiteral)),
+    // Sign-LSH ANN: hybrid bucket bits reproduced with the decimal-exact
+    // dot (mirrors Similarity.annLshTop3's hybridSign), then in-bucket
+    // exact-cosine top-3.
+    "q35_ann_lsh" ->
+      ("""WITH pl AS (SELECT PLANES AS p),
+        |bk AS (SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(range(0, 8), j ->
+        |    CASE WHEN CAST(ROUND(list_sum(list_transform(range(1, 65), i ->
+        |           CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+        |                * (pl.p)[CAST(j + 1 AS INT)][CAST(i AS INT)] AS DECIMAL(18,12)))), 12) AS DOUBLE) >= 0
+        |         THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN pl),
+        |nr AS (SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |w AS (SELECT e.vec_id, e.embedding, bk.bucket, nr.nrm
+        |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id JOIN nr ON e.vec_id = nr.vec_id),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket AS qb FROM w WHERE vec_id <= 4),
+        |u AS (SELECT q.q_id, w.vec_id AS n_id, w.bucket, q.qn, w.nrm AS nn,
+        |  unnest(q.qe) AS x, unnest(w.embedding) AS y
+        |  FROM q JOIN w ON w.bucket = q.qb AND w.vec_id <> q.q_id),
+        |s AS (SELECT q_id, n_id, any_value(bucket) AS bucket,
+        |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+        |    / (any_value(qn) * any_value(nn)) AS cos_sim
+        |  FROM u GROUP BY q_id, n_id),
+        |r AS (SELECT q_id, n_id, bucket, cos_sim,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank FROM s)
+        |SELECT q_id, n_id, bucket, cos_sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+        .replace("PLANES", operators.Similarity.annPlanesSqlLiteral)),
+    // IVF ANN on the fixed seed centroids (generated in lockstep with the
+    // Scala pipeline — see Similarity.ivfOracleSql).
+    "q47_ann_ivf" -> operators.Similarity.ivfOracleSql(iters = 0),
+    // k-means IVF: the oracle re-derives the identical trained model in
+    // SQL (3 unrolled Lloyd iterations over the deterministic 50% sample,
+    // exact-decimal sums and norms), then replays the probe+rank pipeline.
+    "q60_ann_ivf_kmeans" -> operators.Similarity.ivfOracleSql(iters = 3),
   )
 }
