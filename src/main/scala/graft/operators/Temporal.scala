@@ -97,8 +97,14 @@ object Temporal {
         Window.partitionBy("day").orderBy("t")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // level 2: exclusive day-offsets over the DENSE day domain (tiny —
-    // one row per calendar day, the only serial window in the plan)
+    // one row per calendar day, the only serial window in the plan).
+    // NOTE: this .head() eagerly runs a 2-value min/max job at
+    // DataFrame-CONSTRUCTION time (the day-domain bounds parameterize the
+    // dense range below — they can't stay lazy); an empty events table
+    // short-circuits to the empty result instead of a null getLong.
     val bounds = dist.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+    if (bounds.isNullAt(0))
+      return ev.select(col("event_id"), lit(0L).as("n_within_1h")).limit(0)
     val (loDay, hiDay) = (bounds.getLong(0), bounds.getLong(1))
     val dayTotals = dist.groupBy(col("day")).agg(sum(col("cnt")).as("tot"))
     val denseDays = ev.sparkSession.range(loDay - 1, hiDay + 2)

@@ -23,16 +23,48 @@ import graft.functions.Det
   */
 object Bucketing {
 
-  /** Buckets per table. In production this scales with data volume
-    * (buckets ≈ table bytes / target partition bytes); 8 keeps the
-    * local[] test footprint small while exercising the real code path. */
-  val NumBuckets = 8
+  /** Target on-disk bytes per bucket. A bucketed scan runs ONE task per
+    * bucket, so the bucket count is the join's parallelism ceiling — size
+    * it from the data, not a constant (the round-2 fixed 8 left 24 of 32
+    * local cores idle and showed 11× time at 8× data). */
+  val TargetBucketBytes: Long = 256L * 1024 * 1024
+
+  /** Buckets for a source dir: the bigger join side (lineitem) divided
+    * into [[TargetBucketBytes]] buckets, floored at the cluster's core
+    * count so small inputs still use every core. At 100 TB of lineitem
+    * this yields ~400k buckets — fine for parquet (one file per bucket)
+    * and exactly the task granularity a 1000-executor scan wants. */
+  def numBucketsFor(spark: SparkSession, dir: String): Int = {
+    val bytes = sourceFiles(dir, Seq("lineitem")).map(_.length).sum
+    val cores = spark.sparkContext.defaultParallelism
+    math.max(cores, math.ceil(bytes.toDouble / TargetBucketBytes).toInt)
+  }
 
   private val Warehouse = "/tmp/graft_warehouse"
   private val Db = "graft_bucketed"
 
-  private def tname(base: String, dir: String): String =
-    s"$Db.${base}_b_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  private[sources] def sourceFiles(dir: String, tables: Seq[String]): Seq[java.io.File] =
+    tables.flatMap { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+    }
+
+  /** Content fingerprint of the source tables (name+size+mtime of every
+    * file, plus the bucket count): baked into the warehouse table name so
+    * (a) distinct source dirs can never collide after sanitization
+    * ('sf0.1' vs 'sf0_1') and (b) in-place source changes or a different
+    * bucket sizing invalidate the cached copies instead of silently
+    * serving stale rows. */
+  private[sources] def fingerprint(dir: String, tables: Seq[String], numBuckets: Int): String = {
+    val sig = sourceFiles(dir, tables)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + s"|b=$numBuckets"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  private def tname(base: String, dir: String, fp: String): String =
+    s"$Db.${base}_b_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$fp"
 
   /** One-time (per session + source dir) bucketed copies of orders and
     * lineitem, bucketed and sorted by their order key. `repartition` on
@@ -45,8 +77,10 @@ object Bucketing {
     * a cache rebuild, not a semantic change). */
   def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db LOCATION '$Warehouse'")
-    val o = tname("orders", dir)
-    val l = tname("lineitem", dir)
+    val numBuckets = numBucketsFor(spark, dir)
+    val fp = fingerprint(dir, Seq("orders", "lineitem"), numBuckets)
+    val o = tname("orders", dir, fp)
+    val l = tname("lineitem", dir, fp)
     def write(table: String, df: => org.apache.spark.sql.DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(table)) {
         val loc = new java.io.File(Warehouse, table.stripPrefix(s"$Db."))
@@ -55,9 +89,9 @@ object Bucketing {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(loc.getPath), true)
         }
-        df.repartition(NumBuckets, col(key))
+        df.repartition(numBuckets, col(key))
           .write.mode("overwrite").format("parquet")
-          .bucketBy(NumBuckets, key).sortBy(key)
+          .bucketBy(numBuckets, key).sortBy(key)
           .saveAsTable(table)
       }
     write(o, Tables.orders(spark, dir), "o_orderkey")

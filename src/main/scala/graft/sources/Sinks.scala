@@ -18,8 +18,12 @@ object Sinks {
 
   private val Warehouse = "/tmp/graft_warehouse"
 
+  /** Location keyed by the source's content fingerprint (see
+    * [[Bucketing.fingerprint]]) so sanitized dir names can't collide and
+    * an in-place change to events.parquet invalidates the copy. */
   private def loc(dir: String): String =
-    s"$Warehouse/events_by_date_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"$Warehouse/events_by_date_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Bucketing.fingerprint(dir, Seq("events"), 0)
 
   /** One-time (per source dir) date-partitioned copy of events.
     * Deterministic content — rebuilding from another JVM is a cache

@@ -34,4 +34,14 @@ class BucketingSpec extends SparkSpec {
     val t1 = spark.table(o).inputFiles.toSeq.sorted
     assert(t0 === t1, "second call must not rewrite the bucketed files")
   }
+
+  test("bucket count is sized from data: cores floor locally, bytes-driven at scale") {
+    val local = Bucketing.numBucketsFor(spark, sf0001)
+    assert(local === spark.sparkContext.defaultParallelism,
+      s"tiny input must floor at the core count, got $local")
+    // the sizing rule itself: 100 TB of lineitem → bytes/target buckets
+    val hundredTb = 100L * 1024 * 1024 * 1024 * 1024
+    val buckets = math.ceil(hundredTb.toDouble / Bucketing.TargetBucketBytes).toLong
+    assert(buckets === 409600L, "rule: bytes / 256 MiB target per bucket")
+  }
 }

@@ -62,4 +62,18 @@ class TemporalSpec extends SparkSpec {
     (got.keySet -- brute.keySet).foreach { id => assert(got(id) === 0L) }
     assert(got.size === e.count())
   }
+
+  test("prefix-sum range count on an empty events table returns empty, not an NPE") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.eventNeighborCounts(spark, dir)
+    assert(out.columns.toSeq === Seq("event_id", "n_within_1h"))
+    assert(out.count() === 0L)
+  }
 }
