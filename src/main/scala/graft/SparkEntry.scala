@@ -93,6 +93,10 @@ object SparkEntry {
       graft.clf.LogParser.deadLetters(s.createDataset(graft.clf.LogParser.FixtureLines).toDF("value"))
         .orderBy("raw")
     }),
+    // CLF at volume: deterministic 120k-line generated corpus, hash-gated
+    // against DuckDB's regexp engine running the same 13-group pattern.
+    "q37b_clf_parse_volume" -> ((s, _) => graft.clf.LogCorpus.parsedValidVolume(s)),
+    "q38b_clf_dead_letters_volume" -> ((s, _) => graft.clf.LogCorpus.deadLettersVolume(s)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -681,5 +685,7 @@ object SparkEntry {
     // SQL (3 unrolled Lloyd iterations over the deterministic 50% sample,
     // exact-decimal sums and norms), then replays the probe+rank pipeline.
     "q60_ann_ivf_kmeans" -> operators.Similarity.ivfOracleSql(iters = 3),
+    "q37b_clf_parse_volume" -> clf.LogCorpus.validOracleSql,
+    "q38b_clf_dead_letters_volume" -> clf.LogCorpus.deadOracleSql,
   )
 }

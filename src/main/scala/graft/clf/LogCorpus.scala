@@ -1,0 +1,123 @@
+package graft.clf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic NASA-like CLF corpus at volume (120k lines), so the
+  * reference's actual domain — parsing a 1.5M-line access log
+  * (reference StreamingJob.scala:85, 112–138) — is exercised and
+  * ORACLE-GATED at scale instead of on a 10-line fixture: the corpus is
+  * materialized to parquet that DuckDB reads directly, and the 13-group
+  * regex parse is re-expressed in DuckDB SQL (q37b/q38b).
+  *
+  * Every field is a pure function of the line id (no RNG, no timestamps
+  * of "now"), so the corpus is bit-identical across machines and reruns;
+  * 1 line in 13 is a near-miss dead letter cycling through the four
+  * reject reasons the regex encodes (ident/user set, HTTP/1.1, space in
+  * path, positive timezone — SURVEY.md §2.3).
+  */
+object LogCorpus {
+
+  val NumLines = 120000L
+
+  /** Corpus location — content is a pure function of this code, so the
+    * version tag IS the fingerprint; bump it when generation changes. */
+  val Path = "/tmp/graft_clf_corpus_v1"
+
+  private def fmt2(c: Column): Column = format_string("%02d", c)
+
+  /** One CLF line per id. Valid shape:
+    * `host042.example.com - - [07/Mar/1995:13:21:44 -0400] "GET /data/item01234.html HTTP/1.0" 200 56789` */
+  private def lineCol: Column = {
+    val id = col("id")
+    val isDead = pmod(id, lit(13L)) === 11
+    val kind = pmod(id, lit(4L))
+    val host = format_string("host%03d.example.com", pmod(id, lit(997L)))
+    val ident = when(isDead && kind === 0, lit(" - alice ")).otherwise(lit(" - - "))
+    val day = fmt2(pmod(id, lit(28L)) + 1)
+    val month = element_at(
+      array(Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+        .map(lit): _*), (pmod(id, lit(12L)) + 1).cast("int"))
+    val time = concat(fmt2(pmod(id, lit(24L))), lit(":"), fmt2(pmod(id * 7, lit(60L))), lit(":"), fmt2(pmod(id * 13, lit(60L))))
+    val tz = when(isDead && kind === 3, lit("+0400"))
+      .otherwise(element_at(array(lit("-0400"), lit("-0500"), lit("-0800")), (pmod(id, lit(3L)) + 1).cast("int")))
+    val method = element_at(array(lit("GET"), lit("HEAD"), lit("POST")), (pmod(id, lit(3L)) + 1).cast("int"))
+    val path = when(isDead && kind === 2, lit("/a b.html"))
+      .otherwise(format_string("/data/item%05d.html", pmod(id, lit(50000L))))
+    val version = when(isDead && kind === 1, lit("HTTP/1.1"))
+      .otherwise(when(pmod(id, lit(50L)) === 0, lit("HTTP/V1.0")).otherwise(lit("HTTP/1.0")))
+    val code = element_at(array(lit(200), lit(304), lit(404), lit(500)), (pmod(id, lit(4L)) + 1).cast("int"))
+    val bytes = when(pmod(id, lit(17L)) === 0, lit("-")).otherwise(pmod(id * 37, lit(1000000L)).cast("string"))
+    format_string("%s%s[%s/%s/1995:%s %s] \"%s %s %s\" %d %s",
+      host, ident, day, month, time, tz, method, path, version, code, bytes)
+  }
+
+  /** One-time materialization of the corpus (value: string). Generation
+    * is distributed (`spark.range` partitions) and deterministic; the
+    * `_SUCCESS` marker gates reuse like the other warehouse copies. */
+  def ensure(spark: SparkSession): String = {
+    if (!new java.io.File(Path, "_SUCCESS").exists())
+      spark.range(NumLines).select(lineCol.as("value"))
+        .write.mode("overwrite").parquet(Path)
+    Path
+  }
+
+  private def corpus(spark: SparkSession): DataFrame =
+    spark.read.parquet(ensure(spark))
+
+  /** q37b: the 13-group parse over the full corpus — every parsed field
+    * plus the timestamp as BIGINT epoch seconds (the cross-engine-safe
+    * form). Lines are unique by construction (the field cycles' lcm far
+    * exceeds [[NumLines]]), so ORDER BY raw is deterministic. */
+  def parsedValidVolume(spark: SparkSession): DataFrame =
+    LogParser.validLines(corpus(spark))
+      .select(col("raw"), col("host"), col("day"), col("month"), col("year"),
+        col("hour"), col("minute"), col("second"), col("timezone"),
+        col("date").cast("long").as("ts_sec"),
+        col("httpMethod"), col("ressource"), col("httpVersion"),
+        col("httpReplyCode"), col("replyBytes"))
+      .orderBy("raw")
+
+  /** q38b: the dead-letter stream at volume (raw unparseable lines). */
+  def deadLettersVolume(spark: SparkSession): DataFrame =
+    LogParser.deadLetters(corpus(spark)).orderBy("raw")
+
+  /** The corpus as a DuckDB FROM clause. */
+  private val FromCorpus = s"read_parquet('$Path/*.parquet')"
+
+  /** DuckDB twin of [[parsedValidVolume]]: the same regex (RE2 and
+    * java.util.regex agree on this pattern class). DuckDB's positional
+    * regexp_extract caps at group 9, so all 13 groups come out in one
+    * shot via the named-struct variant. */
+  def validOracleSql: String =
+    s"""WITH src AS (SELECT value,
+       |    regexp_extract(value, '${LogParser.Pattern}',
+       |      ['host','day','month','year','hour','minute','second','timezone',
+       |       'httpMethod','ressource','httpVersion','httpReplyCode','replyBytes']) AS g
+       |  FROM $FromCorpus WHERE regexp_matches(value, '${LogParser.Pattern}')),
+       |p AS (SELECT value AS raw,
+       |  g.host AS host,
+       |  CAST(g.day AS INT) AS day,
+       |  g.month AS month,
+       |  CAST(g.year AS INT) AS year,
+       |  CAST(g.hour AS INT) AS hour,
+       |  CAST(g.minute AS INT) AS minute,
+       |  CAST(g.second AS INT) AS second,
+       |  g.timezone AS timezone,
+       |  CAST(FLOOR(EPOCH(strptime(
+       |    g.day || '/' || g.month || '/' || g.year || ' ' ||
+       |    g.hour || ':' || g.minute || ':' || g.second || ' ' || g.timezone,
+       |    '%d/%b/%Y %H:%M:%S %z'))) AS BIGINT) AS ts_sec,
+       |  g.httpMethod AS httpMethod,
+       |  g.ressource AS ressource,
+       |  g.httpVersion AS httpVersion,
+       |  CAST(g.httpReplyCode AS INT) AS httpReplyCode,
+       |  TRY_CAST(g.replyBytes AS INT) AS replyBytes
+       |FROM src)
+       |SELECT * FROM p ORDER BY raw""".stripMargin
+
+  /** DuckDB twin of [[deadLettersVolume]]. */
+  def deadOracleSql: String =
+    s"""SELECT value AS raw FROM $FromCorpus
+       |WHERE NOT regexp_matches(value, '${LogParser.Pattern}') ORDER BY raw""".stripMargin
+}

@@ -63,4 +63,16 @@ class LogAnalysisJobSpec extends SparkSpec {
     val rows = spark.table("clf_stream").collect()
     assert(rows.map(_.getAs[Long]("avg_bytes")).sorted.toSeq === Seq(613L, 500000038L))
   }
+
+  test("volume corpus: 120k deterministic lines, valid + dead letters partition exactly") {
+    val valid = graft.clf.LogCorpus.parsedValidVolume(spark)
+    val dead = graft.clf.LogCorpus.deadLettersVolume(spark)
+    val nValid = valid.count()
+    val nDead = dead.count()
+    assert(nValid + nDead === graft.clf.LogCorpus.NumLines)
+    // exactly the ids ≡ 11 (mod 13) are near-miss dead letters
+    assert(nDead === (0L until graft.clf.LogCorpus.NumLines).count(_ % 13 == 11))
+    // parsed timestamps are real instants (no null dates among valid rows)
+    assert(valid.where(org.apache.spark.sql.functions.col("ts_sec").isNull).count() === 0)
+  }
 }
