@@ -40,10 +40,13 @@ object StreamingAnalytics {
     * The final argmax is a second aggregation, which streaming can't chain
     * in one query; at the sink, take max_by per window (e.g. in
     * foreachBatch) — window-scoped, fixing the reference's cross-window
-    * count leak (SURVEY.md §2.9). */
-  def windowedUserCounts(events: DataFrame): DataFrame =
+    * count leak (SURVEY.md §2.9). `windowLen` defaults to the reference's
+    * 31 days; StreamingSpec's watermark-boundary cases use short windows
+    * to pin exactly where Spark's batch-granularity watermark diverges
+    * from the reference's punctuated per-record one (SURVEY.md §2.7). */
+  def windowedUserCounts(events: DataFrame, windowLen: String = "31 days"): DataFrame =
     events.withWatermark("ts", "0 seconds")
-      .groupBy(w31(col("ts")), col("user_id"))
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("user_id"), col("cnt"))
 

@@ -174,6 +174,66 @@ class StreamingSpec extends SparkSpec {
       "restart from the checkpoint must deliver every row exactly once")
   }
 
+  test("watermark boundary: same-batch disorder survives; cross-batch late rows drop (counted)") {
+    // The §2.7 divergence, pinned executable. Spark's micro-batch
+    // watermark advances BETWEEN batches:
+    //  (a) an out-of-order row in the SAME batch as the row that will
+    //      advance the watermark is still aggregated — the reference's
+    //      punctuated per-record watermark (StreamingJob.scala:56–65)
+    //      would drop it;
+    //  (b) a row arriving in a LATER batch behind the watermark is
+    //      dropped, and the drop is observable in the progress metrics
+    //      (numRowsDroppedByWatermark) — late-data accounting a
+    //      deployment alarms on.
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingAnalytics.windowedUserCounts(input.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("wm_boundary").outputMode("update").start()
+    // batch 1: in-order, out-of-order-within-batch, then the max ts
+    input.addData(
+      Ev(0, Timestamp.valueOf("2024-01-01 10:00:05"), 1, "view", None),
+      Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", None), // advances wm to 10:05
+      Ev(2, Timestamp.valueOf("2024-01-01 10:00:20"), 1, "view", None)) // behind ev1, same batch
+    q.processAllAvailable()
+    // batch 2: late row behind the committed watermark -> dropped
+    input.addData(Ev(3, Timestamp.valueOf("2024-01-01 10:00:40"), 1, "view", None))
+    q.processAllAvailable()
+    val dropped = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    val counts = spark.table("wm_boundary").collect()
+      .map(r => (r.getAs[Timestamp]("w_start").toInstant.toString, r.getLong(2)))
+    // (a): the 10:00 window counted BOTH same-batch rows (ev0 + ev2)
+    assert(counts.filter(_._1 == "2024-01-01T10:00:00Z").map(_._2).max === 2L,
+      "same-batch out-of-order row must be aggregated (Spark is more permissive than the reference)")
+    // (b): the cross-batch late row was dropped and accounted
+    assert(dropped === 1L, s"late row should be dropped by the watermark, metrics saw $dropped")
+    assert(counts.filter(_._1 == "2024-01-01T10:00:00Z").map(_._2).max === 2L,
+      "dropped row must not have updated the window count")
+  }
+
+  test("dropDuplicatesWithinWatermark: bounded state re-admits a key after the horizon") {
+    // firstEventPerUserBounded is the 100 TB replacement for the
+    // reference's never-expiring Set state; the documented trade is that
+    // a user re-appearing after the lateness horizon is emitted AGAIN
+    // (state for the key was reclaimed). Pin both directions.
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingAnalytics.firstEventPerUserBounded(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("bounded_dedup").outputMode("append").start()
+    input.addData(
+      Ev(0, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", None),
+      Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", None)) // dup within horizon
+    q.processAllAvailable()
+    // advance the watermark far past 10:00 + 10 min, expiring user 1's state
+    input.addData(Ev(2, Timestamp.valueOf("2024-01-01 12:00:00"), 99, "view", None))
+    q.processAllAvailable()
+    input.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:01:00"), 1, "view", None)) // re-appears
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("bounded_dedup").collect()
+      .filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(u1 === Seq(0L, 3L),
+      "within-horizon duplicate suppressed; post-horizon re-appearance re-emitted (bounded state)")
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
