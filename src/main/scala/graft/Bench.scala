@@ -26,14 +26,21 @@ object Bench {
     // iterating (e.g. SPARK_GRAFT_BENCH_ONLY=q49_range_join)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // sub-1.5s queries get extra reps: at that scale a single co-tenant
+    // hiccup is a 2-3x swing, and the extra reps are cheap by definition
+    // (round-2 saw q15/q16/q22 drift 2-3x within one driver run at n=2)
+    val cheapCutoffSec = 1.5
+    val cheapExtraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHEAP_REPS", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val base = (1 to reps).map(_ => timeOnce())
+      val extra = if (base.min < cheapCutoffSec) (1 to cheapExtraReps).map(_ => timeOnce()) else Nil
+      name -> (base ++ extra).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
