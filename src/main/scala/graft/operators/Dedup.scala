@@ -188,11 +188,22 @@ object Dedup {
           |  transform(slice(members, i + 2, size(members)), y ->
           |    named_struct('d1', x.doc_id, 'sig1', x.sig, 'd2', y.doc_id, 'sig2', y.sig))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.sig1").as("sig1"), col("p.sig2").as("sig2"))
-      .distinct() // the same pair can collide in several bands
+      // estimate + threshold BEFORE the cross-band dedup: a duplicate
+      // candidate's est is identical in every band, so filtering first is
+      // result-identical while the distinct's shuffle carries 24-byte
+      // (d1,d2,est) survivors instead of ~1 KB of signature payload per
+      // candidate — the q34b prefilter-before-distinct trick. The
+      // signature-agreement count itself is the native codegen'd
+      // [[graft.functions.LongVecEqCount]] (bit-identical to the HOF
+      // formulation); both landed after the clean-corpus 8x probe showed
+      // q29 at 15.7x with ~10.8M capped candidates.
       .select(col("d1"), col("d2"),
-        round(expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))").cast("double") / NumPerm, 6)
+        round(org.apache.spark.sql.graft.ColumnBridge.of(graft.functions.LongVecEqCount(
+            org.apache.spark.sql.graft.ColumnBridge.expr(col("sig1")),
+            org.apache.spark.sql.graft.ColumnBridge.expr(col("sig2")))).cast("double") / NumPerm, 6)
           .as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)
+      .distinct() // the same pair can collide in several bands
       .orderBy("d1", "d2")
   }
 
@@ -246,11 +257,10 @@ object Dedup {
     val sh = simhash(spark, dir).select(col("doc_id"), col("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> substr(simhash, b*4 + 1, 4))")).as(Seq("band_idx", "band_val")))
-    val hamming = expr(
-      """aggregate(sequence(1, 16), 0, (acc, p) ->
-        |  acc + bit_count(
-        |    (instr('0123456789abcdef', substr(h1, p, 1)) - 1) ^
-        |    (instr('0123456789abcdef', substr(h2, p, 1)) - 1)))""".stripMargin)
+    // native codegen'd hex-Hamming (bit-identical to the instr/bit_count
+    // HOF the oracle runs — integer math, nothing to diverge)
+    val hamming = ColumnBridge.of(graft.functions.HexHamming64(
+      ColumnBridge.expr(col("h1")), ColumnBridge.expr(col("h2"))))
     // bucket-local pair expansion (see lshPairsFromSignatures): one pass
     // over the simhash pipeline, pairs canonically d1 < d2 via array_sort,
     // buckets capped with the overflow observed
@@ -267,9 +277,12 @@ object Dedup {
           |  transform(slice(members, i + 2, size(members)), y ->
           |    named_struct('d1', x.doc_id, 'h1', x.simhash, 'd2', y.doc_id, 'h2', y.simhash))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
-      .distinct()
+      // verify + threshold BEFORE the cross-band dedup (identical result:
+      // a duplicate candidate's hamming is the same in every band) so the
+      // distinct only shuffles surviving near-pairs
       .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
       .where(col("hamming") <= 6)
+      .distinct()
       .orderBy("d1", "d2")
   }
 }

@@ -7,14 +7,56 @@ keys get +k*stride per replica; document texts are perturbed per replica
 replica (distinct vectors, same norms); event times shift per replica.
 region/nation are dimension tables and stay as-is (FKs unchanged).
 
-Usage: python3 tools/make_scale_probe.py /root/testdata/sf0.1 /tmp/sf0.8 8
+With --fresh-docs, replicas 1..k-1 of `documents` are GENUINELY NEW
+documents instead of token-suffixed copies: tokens are hash-sampled from
+the source corpus's vocabulary AT ITS OBSERVED FREQUENCIES (so shingle
+document frequency and LSH bucket occupancy grow with the corpus, the
+adversarial case for the dedup family that suffixed replication masks),
+and 1 source doc in 20 additionally spawns a near-dup twin (same sampled
+token stream with ~4%% of positions re-sampled) so the corpus keeps a
+linear-in-n near-dup population to find.
+
+Usage: python3 tools/make_scale_probe.py /root/testdata/sf0.1 /tmp/sf0.8 8 [--fresh-docs]
 """
 import sys
 
 import duckdb
 
 
-def main(src, dst, reps):
+def fresh_docs_sql(src, dk):
+    """Vocabulary-frequency-preserving fresh documents for replicas k>0."""
+    return f"""
+WITH srcdocs AS (SELECT doc_id, text, lang, source FROM read_parquet('{src}/documents.parquet')),
+tok0 AS (SELECT doc_id, lang, source, string_split_regex(text, '\\s+') AS ts FROM srcdocs),
+vocab AS (SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(ts) AS w FROM tok0) GROUP BY 1),
+vcum AS (SELECT w, COALESCE(SUM(cnt) OVER (ORDER BY w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo FROM vocab),
+tot AS (SELECT SUM(cnt) AS t FROM vocab),
+base AS (SELECT doc_id, lang, source, len(ts) AS n FROM tok0),
+newdocs AS (
+  SELECT doc_id + k*{dk} AS nid, doc_id AS sid, k, n, lang, source, FALSE AS twin
+  FROM base, r WHERE k > 0
+  UNION ALL
+  SELECT doc_id + (k+8)*{dk} AS nid, doc_id AS sid, k, n, lang, source, TRUE AS twin
+  FROM base, r WHERE k > 0 AND doc_id % 20 = 0),
+pos AS (SELECT nid, sid, k, twin, lang, source, unnest(range(n)) AS p FROM newdocs),
+picks AS (SELECT nid, sid, k, twin, lang, source, p,
+  CASE WHEN twin AND hash(sid*31 + p*61 + k) % 25 = 0
+       THEN hash(sid*999331 + k*104729 + p) % t.t
+       ELSE hash(sid*1000003 + k*7919 + p) % t.t END AS rr
+  FROM pos, tot t),
+words AS (SELECT pk.nid, pk.p, pk.lang, pk.source, v.w
+          FROM picks pk ASOF JOIN vcum v ON pk.rr >= v.lo),
+assembled AS (SELECT nid AS doc_id, string_agg(w, ' ' ORDER BY p) AS text,
+                     any_value(lang) AS lang, any_value(source) AS source
+              FROM words GROUP BY nid)
+SELECT doc_id, text, lang, source, length(text) AS n_chars FROM assembled
+UNION ALL
+SELECT doc_id, text, lang, source, length(text) AS n_chars FROM srcdocs"""
+
+
+def main(src, dst, reps, fresh_docs=False):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({reps})) AS k")
 
@@ -61,15 +103,18 @@ def main(src, dst, reps):
          f"SELECT event_id + k*{ek} AS event_id, ts + INTERVAL (k) HOUR AS ts, "
          f"user_id + k*{uk} AS user_id, event_type, value, props "
          f"FROM read_parquet('{src}/events.parquet'), r")
-    # suffix every token with the replica id (k>0): zero cross-replica
-    # shingle overlap, so near-dup pair structure scales exactly 8x
-    # instead of 64x (the output-cardinality trap of naive replication)
-    copy("documents",
-         f"SELECT doc_id + k*{dk} AS doc_id, "
-         f"CASE WHEN k = 0 THEN text ELSE "
-         f"array_to_string(list_transform(string_split_regex(text, '\\s+'), t -> t || k), ' ') "
-         f"END AS text, "
-         f"lang, source, n_chars FROM read_parquet('{src}/documents.parquet'), r")
+    if fresh_docs:
+        copy("documents", fresh_docs_sql(src, dk))
+    else:
+        # suffix every token with the replica id (k>0): zero cross-replica
+        # shingle overlap, so near-dup pair structure scales exactly 8x
+        # instead of 64x (the output-cardinality trap of naive replication)
+        copy("documents",
+             f"SELECT doc_id + k*{dk} AS doc_id, "
+             f"CASE WHEN k = 0 THEN text ELSE "
+             f"array_to_string(list_transform(string_split_regex(text, '\\s+'), t -> t || k), ' ') "
+             f"END AS text, "
+             f"lang, source, n_chars FROM read_parquet('{src}/documents.parquet'), r")
     # rotate embedding by k components: distinct vectors, same norm/stats
     copy("embeddings",
          f"SELECT vec_id + k*{vk} AS vec_id, "
@@ -78,4 +123,5 @@ def main(src, dst, reps):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         fresh_docs="--fresh-docs" in sys.argv[4:])
