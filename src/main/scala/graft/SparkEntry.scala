@@ -82,7 +82,7 @@ object SparkEntry {
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "q60_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeansTopK(s, d)),
-    // Multimodal stub pipeline + CLF parity (rows-only: no oracle table)
+    // Multimodal codec-free decode pipeline + CLF parity fixtures
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => {
       import s.implicits._
@@ -434,6 +434,50 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
         |  md5(text) AS payload_md5, source AS media_source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Multimodal roundtrip gate: Spark encodes formula-generated pixels/
+    // samples into REAL BMP/WAV/PPM bytes and re-parses them; DuckDB
+    // recomputes the decoded features in closed form from the same integer
+    // formulas (Multimodal.imgVal/vidVal/wavVal). The order-weighted
+    // checksum makes the hash sensitive to BMP row flips/BGR/padding and
+    // PPM frame-sampling mistakes.
+    "q36_media_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS fmt_i, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+        |         doc_id % 30 + 1 AS nf, doc_id % 2000 + 500 AS ns
+        |  FROM documents)
+        |SELECT doc_id, 'bmp' AS format,
+        |  CAST(54 + h*((w*3 + 3)//4*4) AS BIGINT) AS payload_bytes,
+        |  CAST(w*h*3 AS BIGINT) AS n_values,
+        |  CAST(list_sum(list_transform(range(0, w*h*3), i -> (doc_id*131 + i*7919)%256)) AS BIGINT) AS sum_values,
+        |  CAST(list_min(list_transform(range(0, w*h*3), i -> (doc_id*131 + i*7919)%256)) AS BIGINT) AS min_value,
+        |  CAST(list_max(list_transform(range(0, w*h*3), i -> (doc_id*131 + i*7919)%256)) AS BIGINT) AS max_value,
+        |  CAST(list_sum(list_transform(range(0, w*h*3), i -> (i+1)*((doc_id*131 + i*7919)%256))) AS BIGINT) AS checksum,
+        |  CAST(1 AS BIGINT) AS n_sampled_frames
+        |FROM p WHERE fmt_i = 0
+        |UNION ALL
+        |SELECT doc_id, 'wav',
+        |  CAST(44 + 2*ns AS BIGINT), CAST(ns AS BIGINT),
+        |  CAST(list_sum(list_transform(range(0, ns), i -> (doc_id*131 + i*7919)%65536 - 32768)) AS BIGINT),
+        |  CAST(list_min(list_transform(range(0, ns), i -> (doc_id*131 + i*7919)%65536 - 32768)) AS BIGINT),
+        |  CAST(list_max(list_transform(range(0, ns), i -> (doc_id*131 + i*7919)%65536 - 32768)) AS BIGINT),
+        |  CAST(list_sum(list_transform(range(0, ns), i -> (i+1)*((doc_id*131 + i*7919)%65536 - 32768))) AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |FROM p WHERE fmt_i = 1
+        |UNION ALL
+        |SELECT doc_id, 'vid',
+        |  CAST(nf*(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3) AS BIGINT),
+        |  CAST(least(nf,5)*w*h*3 AS BIGINT),
+        |  CAST(list_sum(list_transform(range(0, least(nf,5)), j -> list_sum(list_transform(range(0, w*h*3),
+        |    i -> (doc_id*131 + (CASE WHEN nf <= 5 THEN j ELSE j*nf//5 END)*104729 + i*7919)%256)))) AS BIGINT),
+        |  CAST(list_min(list_transform(range(0, least(nf,5)), j -> list_min(list_transform(range(0, w*h*3),
+        |    i -> (doc_id*131 + (CASE WHEN nf <= 5 THEN j ELSE j*nf//5 END)*104729 + i*7919)%256)))) AS BIGINT),
+        |  CAST(list_max(list_transform(range(0, least(nf,5)), j -> list_max(list_transform(range(0, w*h*3),
+        |    i -> (doc_id*131 + (CASE WHEN nf <= 5 THEN j ELSE j*nf//5 END)*104729 + i*7919)%256)))) AS BIGINT),
+        |  CAST(list_sum(list_transform(range(0, least(nf,5)), j -> list_sum(list_transform(range(0, w*h*3),
+        |    i -> (j*(w*h*3) + i + 1)*((doc_id*131 + (CASE WHEN nf <= 5 THEN j ELSE j*nf//5 END)*104729 + i*7919)%256))))) AS BIGINT),
+        |  CAST(least(nf,5) AS BIGINT)
+        |FROM p WHERE fmt_i = 2
+        |ORDER BY doc_id""".stripMargin,
     "q27_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies

@@ -6,21 +6,62 @@ import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * payloads with typed metadata, processed in partition-sized batches.
+/** Multimodal-column pipeline: image/audio/video as opaque `binary`
+  * payloads with typed metadata, decoded in partition-sized batches.
   *
-  * The decode kernels themselves are STUBS (this container has no image/
-  * audio codecs): `decodeRgbStub` derives deterministic fake pixels from
-  * the payload bytes. Everything around the stub — the schema, the
-  * batched `mapPartitions` shape (one buffer reuse per partition, the
-  * same shape a JNI/FFI decoder needs), partition sizing, and the
-  * frame-sampling offset math — is real and tested.
+  * The decode kernels are REAL, codec-free byte arithmetic over three
+  * self-describing formats (this container has no codec libraries, so the
+  * formats are ones whose spec is pure header + raw samples):
   *
-  * Scale notes: payloads never pass through a shuffle here; feature
-  * extraction is map-side, and the output is narrow (features only).
-  * At 100 TB you'd repartitionByRange on doc_id only for sink sizing.
+  *   - BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, 24-bpp,
+  *     bottom-up rows padded to 4-byte boundaries, BGR byte order. The
+  *     decoder parses the header fields (offset, dims, planes, bpp,
+  *     compression), un-pads each row, flips the vertical order and
+  *     un-swizzles BGR back to the logical top-down RGB stream.
+  *   - WAV: RIFF container walked chunk-by-chunk (word-aligned), `fmt `
+  *     validated as PCM mono 16-bit, `data` parsed as little-endian
+  *     signed samples.
+  *   - Video: a concatenated stream of binary PPM (P6) frames (the
+  *     image2pipe layout) — each frame's ASCII header is parsed, frame
+  *     count is discovered from the stream itself, and 5 evenly spaced
+  *     frames are sampled via [[frameOffsets]].
+  *
+  * Payloads are synthesized from a deterministic integer formula of
+  * `doc_id` (encode side), so a DuckDB oracle can recompute the decoded
+  * features in closed form — the q36 hash gate checks the full
+  * encode → real parse → feature roundtrip. The order-weighted `checksum`
+  * feature makes the gate sensitive to row flips, BGR swizzle, row
+  * padding and frame-sampling mistakes that order-invariant aggregates
+  * (sum/min/max) would miss.
+  *
+  * Analog in the reference: the typed-record parse discipline of
+  * StreamingJob.scala:112–138 (parse → validate → typed fields) applied
+  * to binary records.
+  *
+  * Scale notes: synthesis and decode are both map-side (no shuffle
+  * touches a payload); output is a narrow numeric feature row. At 100 TB
+  * you'd repartitionByRange on doc_id only for sink file sizing.
   */
 object Multimodal {
+
+  // deterministic payload-content formulas, shared verbatim by the
+  // encoder, the spec's golden values, and the q36 DuckDB oracle
+  private[graft] val SeedMul  = 131L
+  private[graft] val IdxMul   = 7919L
+  private[graft] val FrameMul = 104729L
+  private[graft] def imgW(docId: Long): Int      = (docId % 24 + 8).toInt
+  private[graft] def imgH(docId: Long): Int      = (docId % 16 + 8).toInt
+  private[graft] def vidFrames(docId: Long): Int = (docId % 30 + 1).toInt
+  private[graft] def wavSamples(docId: Long): Int = (docId % 2000 + 500).toInt
+  /** Image pixel byte at logical top-down RGB flat index `i`. */
+  private[graft] def imgVal(docId: Long, i: Int): Int =
+    ((docId * SeedMul + i * IdxMul) % 256).toInt
+  /** Video pixel byte in frame `f` at flat index `i`. */
+  private[graft] def vidVal(docId: Long, f: Int, i: Int): Int =
+    ((docId * SeedMul + f * FrameMul + i * IdxMul) % 256).toInt
+  /** Signed 16-bit PCM sample `i`. */
+  private[graft] def wavVal(docId: Long, i: Int): Short =
+    ((docId * SeedMul + i * IdxMul) % 65536 - 32768).toShort
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -31,67 +72,87 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("n_frames", IntegerType, nullable = false))), nullable = false)))
 
-  /** Deterministic synthetic media table derived from `documents`: the
-    * payload is the utf-8 text (stand-in for encoded bytes), metadata is
-    * derived arithmetically — a stable fixture for the pipeline shape. */
-  def synthesizeMedia(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        when(col("doc_id") % 3 === 0, "img").when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("format"),
-        (col("n_chars") % 64 + 16).cast("int").as("width"),
-        (col("n_chars") % 48 + 16).cast("int").as("height"),
-        (col("doc_id") % 30 + 1).cast("int").as("n_frames")).as("meta"))
+  /** Typed media record (public: Catalyst's generated serializer must
+    * construct it). */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String,
+                         width: Int, height: Int, n_frames: Int)
 
-  /** STUB decode kernel: real implementation would call an image codec on
-    * the payload; here the "pixels" are a deterministic function of the
-    * bytes so the batch plumbing is testable end-to-end. */
-  private def decodeRgbStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](math.min(w * h, 256))
-    var i = 0
-    while (i < out.length) {
-      out(i) = (if (payload.isEmpty) 0 else payload(i % payload.length) ^ (i & 0x7F)).toByte
-      i += 1
-    }
-    out
+  /** Deterministic synthetic media table derived from `documents`:
+    * doc_id % 3 picks the modality (0 = BMP image, 1 = WAV audio,
+    * 2 = PPM-stream video) and the payload is a REAL encoding in that
+    * format of formula-generated pixels/samples. Map-side only; the
+    * documents scan is pruned to the single `doc_id` column. */
+  def synthesizeMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id % 3).toInt match {
+            case 0 =>
+              val (w, h) = (imgW(id), imgH(id))
+              MediaRecord(id, MediaCodecs.encodeBmp(w, h, imgVal(id, _)), "bmp", w, h, 1)
+            case 1 =>
+              val n = wavSamples(id)
+              MediaRecord(id, MediaCodecs.encodeWav(Array.tabulate(n)(wavVal(id, _))), "wav", 0, 0, 1)
+            case _ =>
+              val (w, h, nf) = (imgW(id), imgH(id), vidFrames(id))
+              MediaRecord(id, MediaCodecs.encodePpmStream(w, h, nf, vidVal(id, _, _)), "vid", w, h, nf)
+          }
+        }
+      }
+      .select(col("doc_id"), col("payload"),
+        struct(col("format"), col("width"), col("height"), col("n_frames")).as("meta"))
   }
 
-  /** Typed input batch row for the decode kernel (public: Catalyst's
-    * generated deserializer must construct it). */
-  case class MediaIn(doc_id: Long, payload: Array[Byte], format: String,
-                     width: Int, height: Int, n_frames: Int)
-  /** Narrow numeric feature row the decoder emits. */
+  /** Typed input batch row for the decode kernel. Only doc_id + payload:
+    * the kernel sniffs the format and parses ALL geometry from the bytes
+    * themselves — metadata is never trusted for decode. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  /** Narrow numeric feature row the decoder emits. `checksum` is the
+    * order-weighted sum Σ (i+1)·value(i) over the logical value stream. */
   case class MediaFeatureRow(doc_id: Long, format: String, payload_bytes: Long,
-                             mean_pixel: Double, n_sampled_frames: Int)
+                             n_values: Long, sum_values: Long, min_value: Long,
+                             max_value: Long, checksum: Long, n_sampled_frames: Long)
 
   /** Batched feature extraction over binary payloads — a typed
-    * `Dataset.mapPartitions` so a real decoder could amortize codec/
-    * context setup per partition (the Scala analog of a pandas-UDF
-    * batch). Stays inside the Dataset plan (Deserialize → MapPartitions →
-    * Serialize, no RDD/createDataFrame hop), so Catalyst still prunes the
-    * scan to exactly the six input columns and the downstream plan
-    * re-enters whole-stage codegen. */
+    * `Dataset.mapPartitions` so a real codec could amortize context setup
+    * per partition. Stays inside the Dataset plan (Deserialize →
+    * MapPartitions → Serialize, no RDD/createDataFrame hop), so Catalyst
+    * still prunes the scan and the downstream plan re-enters whole-stage
+    * codegen. */
   def extractFeatures(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.n_frames").as("n_frames"))
-      .as[MediaIn]
+    media.select(col("doc_id"), col("payload")).as[MediaIn]
       .mapPartitions { rows =>
-        // per-partition setup happens once (decoder init would go here)
+        // per-partition setup happens once (decoder buffers would go here)
         rows.map { m =>
           val payload = Option(m.payload).getOrElse(Array.emptyByteArray)
-          val pixels = decodeRgbStub(payload, m.width, m.height)
-          val mean =
-            if (pixels.isEmpty) 0.0
-            else pixels.map(b => (b & 0xFF).toLong).sum.toDouble / pixels.length
-          MediaFeatureRow(m.doc_id, m.format, payload.length.toLong, mean,
-            frameOffsets(m.n_frames, 5).length)
+          decodeToFeatures(m.doc_id, payload)
         }
       }
       .toDF()
+  }
+
+  /** Sniff the container from magic bytes, parse it, and fold the decoded
+    * value stream into the feature row in one pass. */
+  private[graft] def decodeToFeatures(docId: Long, payload: Array[Byte]): MediaFeatureRow = {
+    var n = 0L; var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var cks = 0L
+    @inline def acc(v: Long): Unit = {
+      n += 1; sum += v; if (v < mn) mn = v; if (v > mx) mx = v; cks += n * v
+    }
+    MediaCodecs.sniff(payload) match {
+      case "bmp" =>
+        MediaCodecs.decodeBmp(payload)(v => acc(v.toLong))
+        MediaFeatureRow(docId, "bmp", payload.length.toLong, n, sum, mn, mx, cks, 1L)
+      case "wav" =>
+        MediaCodecs.decodeWav(payload)(s => acc(s.toLong))
+        MediaFeatureRow(docId, "wav", payload.length.toLong, n, sum, mn, mx, cks, 1L)
+      case "vid" =>
+        val sampled = MediaCodecs.decodePpmStreamSampled(payload, 5)(v => acc(v.toLong))
+        MediaFeatureRow(docId, "vid", payload.length.toLong, n, sum, mn, mx, cks, sampled.toLong)
+      case other =>
+        throw new IllegalArgumentException(s"doc $docId: unknown media container '$other'")
+    }
   }
 
   /** Frame sampling: offsets of `k` evenly spaced frames out of n. */
@@ -100,8 +161,225 @@ object Multimodal {
     else if (nFrames <= k) Array.range(0, nFrames)
     else Array.tabulate(k)(i => i * nFrames / k)
 
-  /** End-to-end stub pipeline over documents: synthesize → decode →
-    * features, ordered for the rows-only check. */
+  /** End-to-end media pipeline over documents: synthesize real-format
+    * payloads → parse → features, ordered for the hash gate (q36). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(synthesizeMedia(spark, dir)).orderBy("doc_id")
+}
+
+/** Codec-free encoders/decoders: every format here is header + raw
+  * samples, decodable with pure byte arithmetic. Encoders emit
+  * spec-conformant files; decoders validate magic numbers and header
+  * invariants and throw IllegalArgumentException on malformed input
+  * (the binary analog of the CLF dead-letter discipline). */
+object MediaCodecs {
+
+  /** Classify a payload from its magic bytes: BM → bmp, RIFF/WAVE → wav,
+    * P6 → vid (a PPM stream; single images use BMP in this pipeline). */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") "wav"
+    else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') "vid"
+    else "unknown"
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+  @inline private def u8(b: Byte): Int = b & 0xFF
+  private def readLE16(b: Array[Byte], off: Int): Int = u8(b(off)) | (u8(b(off + 1)) << 8)
+  private def readLE32(b: Array[Byte], off: Int): Int =
+    u8(b(off)) | (u8(b(off + 1)) << 8) | (u8(b(off + 2)) << 16) | (u8(b(off + 3)) << 24)
+  private def writeLE16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def writeLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+  private def check(cond: Boolean, msg: => String): Unit = if (!cond) fail(msg)
+
+  /** BMP row stride: w·3 bytes rounded up to a 4-byte boundary. */
+  def bmpStride(w: Int): Int = (w * 3 + 3) / 4 * 4
+  /** Total encoded BMP size for a w×h 24-bpp image. */
+  def bmpSize(w: Int, h: Int): Int = 54 + bmpStride(w) * h
+
+  /** Encode a 24-bpp bottom-up BMP. `rgb(i)` gives the byte at logical
+    * top-down row-major RGB flat index i ∈ [0, w·h·3). */
+  def encodeBmp(w: Int, h: Int, rgb: Int => Int): Array[Byte] = {
+    val stride = bmpStride(w)
+    val out = new Array[Byte](bmpSize(w, h))
+    out(0) = 'B'; out(1) = 'M'
+    writeLE32(out, 2, out.length)           // file size
+    writeLE32(out, 10, 54)                  // pixel-data offset
+    writeLE32(out, 14, 40)                  // BITMAPINFOHEADER size
+    writeLE32(out, 18, w)
+    writeLE32(out, 22, h)                   // positive height = bottom-up
+    writeLE16(out, 26, 1)                   // planes
+    writeLE16(out, 28, 24)                  // bits per pixel
+    writeLE32(out, 30, 0)                   // BI_RGB (uncompressed)
+    writeLE32(out, 34, stride * h)          // image size
+    writeLE32(out, 38, 2835); writeLE32(out, 42, 2835) // 72 dpi
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy                    // file rows are bottom-up
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3             // logical RGB index
+        val pos = 54 + fy * stride + x * 3  // file stores BGR
+        out(pos) = rgb(i + 2).toByte
+        out(pos + 1) = rgb(i + 1).toByte
+        out(pos + 2) = rgb(i).toByte
+        x += 1
+      }
+      fy += 1                               // padding bytes stay zero
+    }
+    out
+  }
+
+  /** Parse a 24-bpp BMP and emit the logical top-down RGB value stream
+    * (each value 0–255) in order — un-padding rows, flipping the
+    * bottom-up layout and un-swizzling BGR. */
+  def decodeBmp(b: Array[Byte])(emit: Int => Unit): Unit = {
+    check(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "BMP: bad magic/short header")
+    val off = readLE32(b, 10)
+    check(readLE32(b, 14) == 40, "BMP: expected BITMAPINFOHEADER")
+    val w = readLE32(b, 18); val h = readLE32(b, 22)
+    check(w > 0 && h > 0, s"BMP: bad dims ${w}x$h")
+    check(readLE16(b, 26) == 1, "BMP: planes != 1")
+    check(readLE16(b, 28) == 24, "BMP: not 24-bpp")
+    check(readLE32(b, 30) == 0, "BMP: compressed")
+    val stride = bmpStride(w)
+    check(b.length >= off + stride * h, "BMP: truncated pixel data")
+    var y = 0
+    while (y < h) {
+      val rowPos = off + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val pos = rowPos + x * 3
+        emit(u8(b(pos + 2))); emit(u8(b(pos + 1))); emit(u8(b(pos))) // BGR → R,G,B
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Total encoded WAV size for n mono 16-bit samples. */
+  def wavSize(n: Int): Int = 44 + 2 * n
+
+  /** Encode mono 16-bit PCM at 8 kHz into a canonical RIFF/WAVE file. */
+  def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    writeLE32(out, 4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    writeLE32(out, 16, 16)                  // fmt chunk size
+    writeLE16(out, 20, 1)                   // PCM
+    writeLE16(out, 22, 1)                   // mono
+    writeLE32(out, 24, 8000)                // sample rate
+    writeLE32(out, 28, 16000)               // byte rate
+    writeLE16(out, 32, 2)                   // block align
+    writeLE16(out, 34, 16)                  // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    writeLE32(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) { writeLE16(out, 44 + i * 2, samples(i) & 0xFFFF); i += 1 }
+    out
+  }
+
+  /** Walk a RIFF/WAVE container chunk-by-chunk (word-aligned, unknown
+    * chunks skipped), validate `fmt ` as PCM mono 16-bit, and emit the
+    * signed samples of the `data` chunk in order. */
+  def decodeWav(b: Array[Byte])(emit: Short => Unit): Unit = {
+    check(b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE",
+      "WAV: bad RIFF/WAVE header")
+    var pos = 12
+    var fmtSeen = false
+    var dataSeen = false
+    while (pos + 8 <= b.length && !dataSeen) {
+      val id = ascii(b, pos, 4)
+      val size = readLE32(b, pos + 4)
+      check(size >= 0 && pos + 8 + size <= b.length, s"WAV: chunk '$id' overruns payload")
+      id match {
+        case "fmt " =>
+          check(size >= 16, "WAV: short fmt chunk")
+          check(readLE16(b, pos + 8) == 1, "WAV: not PCM")
+          check(readLE16(b, pos + 10) == 1, "WAV: not mono")
+          check(readLE16(b, pos + 22) == 16, "WAV: not 16-bit")
+          fmtSeen = true
+        case "data" =>
+          check(fmtSeen, "WAV: data chunk before fmt")
+          check(size % 2 == 0, "WAV: odd data size for 16-bit samples")
+          var i = 0
+          while (i < size / 2) { emit(readLE16(b, pos + 8 + i * 2).toShort); i += 1 }
+          dataSeen = true
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + size + (size & 1)          // chunks are word-aligned
+    }
+    check(dataSeen, "WAV: no data chunk")
+  }
+
+  /** Encoded size of one P6 frame header ("P6\n{w} {h}\n255\n"). */
+  def ppmHeaderSize(w: Int, h: Int): Int = 9 + w.toString.length + h.toString.length
+  /** Total encoded size of an n-frame P6 stream. */
+  def ppmStreamSize(w: Int, h: Int, nFrames: Int): Int =
+    nFrames * (ppmHeaderSize(w, h) + w * h * 3)
+
+  /** Encode nFrames concatenated binary PPM (P6) frames — the
+    * image2pipe stream layout. `value(f, i)` gives frame f's byte at
+    * flat index i ∈ [0, w·h·3). */
+  def encodePpmStream(w: Int, h: Int, nFrames: Int, value: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(ppmStreamSize(w, h, nFrames))
+    var f = 0
+    while (f < nFrames) {
+      out.write(s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var i = 0
+      while (i < w * h * 3) { out.write(value(f, i)); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse a concatenated P6 stream: discover the frame count from the
+    * stream itself, sample k evenly spaced frames via
+    * [[Multimodal.frameOffsets]], and emit their pixel bytes in frame
+    * order. Returns the number of frames sampled. */
+  def decodePpmStreamSampled(b: Array[Byte], k: Int)(emit: Int => Unit): Int = {
+    // pass 1: walk headers to index frame payload offsets
+    var pos = 0
+    var dims: (Int, Int) = null
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (pos < b.length) {
+      check(pos + 2 <= b.length && b(pos) == 'P' && b(pos + 1) == '6', "PPM: bad magic")
+      pos += 2
+      def parseInt(): Int = {
+        while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+        check(pos < b.length && b(pos) >= '0' && b(pos) <= '9', "PPM: expected integer in header")
+        var v = 0
+        while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') { v = v * 10 + (b(pos) - '0'); pos += 1 }
+        v
+      }
+      val w = parseInt(); val h = parseInt(); val maxVal = parseInt()
+      pos += 1                              // single whitespace after maxval
+      check(maxVal == 255, s"PPM: unsupported maxval $maxVal")
+      check(w > 0 && h > 0, s"PPM: bad dims ${w}x$h")
+      if (dims == null) dims = (w, h)
+      else check(dims == ((w, h)), "PPM: frame dims differ within stream")
+      check(pos + w * h * 3 <= b.length, "PPM: truncated frame data")
+      offsets += pos
+      pos += w * h * 3
+    }
+    check(offsets.nonEmpty, "PPM: empty stream")
+    // pass 2: emit only the sampled frames
+    val (w, h) = dims
+    val sampled = Multimodal.frameOffsets(offsets.length, k)
+    sampled.foreach { f =>
+      val base = offsets(f)
+      var i = 0
+      while (i < w * h * 3) { emit(u8(b(base + i))); i += 1 }
+    }
+    sampled.length
+  }
 }

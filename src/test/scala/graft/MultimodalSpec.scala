@@ -1,26 +1,126 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{MediaCodecs, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("synthesized media has the declared schema") {
+  // --- codec golden bytes -------------------------------------------------
+
+  test("BMP encoder emits a spec-conformant header and zero padding") {
+    val w = 3; val h = 2 // stride 12 (9 data + 3 pad bytes per row)
+    val b = MediaCodecs.encodeBmp(w, h, i => i) // pixel byte = its own index
+    assert(b.length === 54 + 12 * 2)
+    assert(b(0) === 'B'.toByte && b(1) === 'M'.toByte)
+    // LE32 fields: file size @2, data offset @10, header size @14, dims @18/@22
+    def le32(off: Int) = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    assert(le32(2) === b.length && le32(10) === 54 && le32(14) === 40)
+    assert(le32(18) === w && le32(22) === h)
+    assert(((b(28) & 0xFF) | ((b(29) & 0xFF) << 8)) === 24, "bpp")
+    // bottom-up: first file row is logical row y=1; BGR swizzle:
+    // logical pixel (y=1,x=0) has RGB indices 9,10,11 → file bytes B=11,G=10,R=9
+    assert(b(54) === 11 && b(55) === 10 && b(56) === 9)
+    // row padding bytes are zero
+    assert(b(54 + 9) === 0 && b(54 + 10) === 0 && b(54 + 11) === 0)
+  }
+
+  test("BMP roundtrip recovers the logical top-down RGB stream (flip + unswizzle + unpad)") {
+    // position-dependent values make a missed flip/swizzle/pad visible
+    for (w <- Seq(3, 4, 8, 9); h <- Seq(1, 2, 5)) {
+      val vals = Array.tabulate(w * h * 3)(i => (i * 31 + 7) % 256)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(w, h, vals))(out += _)
+      assert(out.toSeq === vals.toSeq, s"roundtrip failed at ${w}x$h")
+    }
+  }
+
+  test("WAV encoder/decoder roundtrip signed 16-bit samples; walker skips unknown chunks") {
+    val samples = Array.tabulate(777)(i => ((i * 1031) % 65536 - 32768).toShort)
+    val enc = MediaCodecs.encodeWav(samples)
+    assert(enc.length === 44 + 777 * 2)
+    assert(new String(enc, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(enc, 8, 4, "US-ASCII") === "WAVE")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    MediaCodecs.decodeWav(enc)(out += _)
+    assert(out.toSeq === samples.toSeq)
+    // splice an odd-sized LIST chunk between fmt and data: the walker must
+    // skip it word-aligned and still find the samples
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val spliced = enc.take(36) ++ extra ++ enc.drop(36)
+    // fix the RIFF size field
+    val riffSize = spliced.length - 8
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    spliced(6) = (riffSize >> 16).toByte; spliced(7) = (riffSize >> 24).toByte
+    val out2 = scala.collection.mutable.ArrayBuffer.empty[Short]
+    MediaCodecs.decodeWav(spliced)(out2 += _)
+    assert(out2.toSeq === samples.toSeq)
+  }
+
+  test("PPM stream: frame count discovered from bytes, k frames sampled in order") {
+    val (w, h, nf) = (4, 3, 12)
+    val enc = MediaCodecs.encodePpmStream(w, h, nf, (f, i) => (f * 100 + i) % 256)
+    assert(enc.length === MediaCodecs.ppmStreamSize(w, h, nf))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sampled = MediaCodecs.decodePpmStreamSampled(enc, 5)(out += _)
+    assert(sampled === 5)
+    val expectFrames = Multimodal.frameOffsets(nf, 5) // 0,2,4,7,9
+    val expected = expectFrames.flatMap(f => Array.tabulate(w * h * 3)(i => (f * 100 + i) % 256))
+    assert(out.toSeq === expected.toSeq)
+  }
+
+  test("malformed payloads are rejected, not silently decoded") {
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(4, 4, _ => 0).take(60))(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(MediaCodecs.encodeWav(Array[Short](1, 2, 3)).take(40))(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpmStreamSampled("P6\n4 4\n255\nxx".getBytes("US-ASCII"), 5)(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeToFeatures(1L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  // --- pipeline ------------------------------------------------------------
+
+  test("synthesized media has the declared schema and real container magic") {
     val m = Multimodal.synthesizeMedia(spark, sf0001)
     assert(m.schema("payload").dataType.typeName === "binary")
     assert(m.schema("meta").dataType.typeName === "struct")
-    assert(m.count() === 500)
+    val rows = m.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val fmt = r.getStruct(r.fieldIndex("meta")).getString(0)
+      assert(MediaCodecs.sniff(payload) === fmt, s"doc ${r.getLong(0)}")
+    }
   }
 
-  test("feature extraction is deterministic and batch-shaped") {
+  test("decoded features match the generating formulas (hand-computed doc)") {
+    // doc_id=3 → fmt bmp, w=11, h=11, 363 pixel bytes
+    val f = Multimodal.decodeToFeatures(3L,
+      MediaCodecs.encodeBmp(11, 11, Multimodal.imgVal(3L, _)))
+    val vals = Array.tabulate(11 * 11 * 3)(Multimodal.imgVal(3L, _)).map(_.toLong)
+    assert(f.format === "bmp")
+    assert(f.payload_bytes === MediaCodecs.bmpSize(11, 11).toLong)
+    assert(f.n_values === vals.length.toLong)
+    assert(f.sum_values === vals.sum)
+    assert(f.min_value === vals.min && f.max_value === vals.max)
+    assert(f.checksum === vals.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
+  }
+
+  test("feature extraction is deterministic and covers all 500 docs") {
     val f1 = Multimodal.mediaFeatures(spark, sf0001).collect()
     val f2 = Multimodal.mediaFeatures(spark, sf0001).collect()
     assert(f1.length === 500)
     assert(f1.map(_.toSeq).toSeq === f2.map(_.toSeq).toSeq)
     f1.foreach { r =>
-      val mean = r.getAs[Double]("mean_pixel")
-      assert(mean >= 0 && mean <= 255)
+      assert(Set("bmp", "wav", "vid").contains(r.getAs[String]("format")))
       assert(r.getAs[Long]("payload_bytes") > 0)
-      assert(r.getAs[Int]("n_sampled_frames") > 0)
+      assert(r.getAs[Long]("n_values") > 0)
+      assert(r.getAs[Long]("n_sampled_frames") >= 1)
     }
   }
 
@@ -30,10 +130,11 @@ class MultimodalSpec extends SparkSpec {
     // the old .rdd + createDataFrame shape shows up as "Scan ExistingRDD"
     assert(!plan.contains("ExistingRDD"), "feature extraction must not leave the Dataset plan")
     assert(plan.contains("MapPartitions"), "decode kernel should be a typed mapPartitions")
-    // column pruning reaches the parquet scan through the typed boundary
+    // column pruning reaches the parquet scan through the typed boundary:
+    // only doc_id is needed (payloads are synthesized, text never read)
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains("doc_id") && !scan.contains("lang"),
-      s"scan should read only the projected columns, got: $scan")
+    assert(scan.contains("doc_id") && !scan.contains("text") && !scan.contains("lang"),
+      s"scan should read only doc_id, got: $scan")
   }
 
   test("frame sampling: even spacing, degenerate cases") {
