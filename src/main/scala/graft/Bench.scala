@@ -40,12 +40,21 @@ object Bench {
       }
       val base = (1 to reps).map(_ => timeOnce())
       val extra = if (base.min < cheapCutoffSec) (1 to cheapExtraReps).map(_ => timeOnce()) else Nil
-      name -> (base ++ extra).min
+      name -> (base ++ extra)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + r3(rs.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-rep timing arrays, in run order (rep 1 = cold: layout/model
+    // queries like q46/q54/q60 pay one-time setup there that min() hides).
+    // A drifted min vs a real regression is now mechanically distinguishable:
+    // noise = one slow outlier rep, regression = ALL reps slow.
+    val rep = results.map { case (k, rs) => "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val cold = results.map { case (k, rs) => "\"" + k + "\":" + r3(rs.head) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rep,"cold":$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

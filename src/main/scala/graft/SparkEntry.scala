@@ -77,7 +77,7 @@ object SparkEntry {
     "q32_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q57_centroids_udaf"  -> ((s, d) => Similarity.labelCentroidsAgg(s, d)),
     "q33_knn_brute"       -> ((s, d) => Similarity.knnBrute(s, d)),
-    "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, every = 4)),
+    "q34_emb_near_dup"    -> ((s, d) => Similarity.embeddingNearDupPairsAudit(s, d)),
     "q34b_emb_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLsh(s, d)),
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
@@ -662,15 +662,17 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
         |      FROM s)
         |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    // Exact all-pairs baseline pinned to the deterministic vec_id % 4 = 0
-    // audit slice (the O(n²) kernel never runs full-corpus at top level;
-    // the flagship scale path is q34b).
+    // Exact all-pairs baseline pinned to a CONSTANT-size audit slice:
+    // vec_id % ceil(n/128) = 0 keeps ~128 rows at ANY corpus size, so the
+    // O(n²) kernel never grows with the data at top level; the flagship
+    // scale path is q34b. Mirrors Similarity.embeddingNearDupPairsAudit.
     "q34_emb_near_dup" ->
-      """WITH nr AS (
+      """WITH m AS (SELECT GREATEST(1, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS md FROM embeddings),
+        |nr AS (
         |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
-        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings WHERE vec_id % 4 = 0) GROUP BY vec_id),
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings WHERE vec_id % (SELECT md FROM m) = 0) GROUP BY vec_id),
         |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id
-        |      WHERE e.vec_id % 4 = 0),
+        |      WHERE e.vec_id % (SELECT md FROM m) = 0),
         |u AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS n1, b.nrm AS n2,
         |             unnest(a.embedding) AS x, unnest(b.embedding) AS y
         |      FROM w a JOIN w b ON a.vec_id < b.vec_id),

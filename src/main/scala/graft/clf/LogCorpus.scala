@@ -3,12 +3,12 @@ package graft.clf
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic NASA-like CLF corpus at volume (120k lines), so the
-  * reference's actual domain — parsing a 1.5M-line access log
-  * (reference StreamingJob.scala:85, 112–138) — is exercised and
-  * ORACLE-GATED at scale instead of on a 10-line fixture: the corpus is
-  * materialized to parquet that DuckDB reads directly, and the 13-group
-  * regex parse is re-expressed in DuckDB SQL (q37b/q38b).
+/** Deterministic NASA-like CLF corpus at REFERENCE volume (1.57M lines —
+  * the NASA-access-log size the reference job parses, StreamingJob
+  * .scala:85, 112–138), exercised and ORACLE-GATED at that scale instead
+  * of on a 10-line fixture: the corpus is materialized to parquet that
+  * DuckDB reads directly, and the 13-group regex parse is re-expressed
+  * in DuckDB SQL (q37b/q38b).
   *
   * Every field is a pure function of the line id (no RNG, no timestamps
   * of "now"), so the corpus is bit-identical across machines and reruns;
@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object LogCorpus {
 
-  val NumLines = 120000L
+  /** Matches the NASA Jul-1995 trace's 1,569,898 lines (BASELINE.md).
+    * Line uniqueness survives the bump: ids 1e6 apart repeat the bytes
+    * cycle but differ in host (1e6 mod 997 = 9 ≠ 0). */
+  val NumLines = 1569898L
 
   /** Corpus location — content is a pure function of this code, so the
     * version tag IS the fingerprint; bump it when generation changes. */
-  val Path = "/tmp/graft_clf_corpus_v1"
+  val Path = "/tmp/graft_clf_corpus_v2"
 
   private def fmt2(c: Column): Column = format_string("%02d", c)
 

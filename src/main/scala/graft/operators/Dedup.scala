@@ -115,28 +115,51 @@ object Dedup {
     * via localCheckpoint so lineage stays O(1) instead of O(rounds) —
     * the iterative-algorithm pattern (same shape as PageRank/CC on
     * GraphX, composed from DataFrame ops so Catalyst keeps optimizing
-    * each round). */
+    * each round).
+    *
+    * ONE Spark job per round: the per-vertex `chg` flag (did my label
+    * shrink?) is computed inside the propagation select, the round's
+    * localCheckpoint is LAZY, and the `sum(chg)` convergence probe is the
+    * action that materializes it — propagation, checkpoint and
+    * changed-count all ride the same job (previously a separate
+    * next⋈labels + count() doubled the per-round job count).
+    *
+    * Durability: `localCheckpoint` stores blocks on executors only — fast,
+    * but an executor loss mid-computation fails the query. On a real
+    * cluster where that matters, swap in `checkpoint()` against a
+    * replicated checkpoint dir (same O(1)-lineage contract, +HDFS write
+    * per round). */
   val MaxCcIters = 20
+
+  /** Min-label propagation over an undirected edge list (`src`,`dst`;
+    * both directions present). Returns the (`id`,`comp`) label table and
+    * whether a fixpoint was reached within `maxIters` rounds. */
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int): (DataFrame, Boolean) = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).cast("long").as("chg"))
+        .localCheckpoint(false) // lazy: materialized by the sum(chg) action
+      val row = next.agg(coalesce(sum(col("chg")), lit(0L))).first()
+      changed = row.getLong(0)
+      labels = next.select(col("id"), col("comp"))
+      iters += 1
+    }
+    (labels, changed == 0)
+  }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < MaxCcIters) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.comp") =!= col("o.comp")).count()
-      labels = next
-      iters += 1
-    }
+    val (labels, _) = connectedComponents(edges, MaxCcIters)
     edges.unpersist()
     labels
       .select(col("id").as("doc_id"), col("comp").as("comp_id"))

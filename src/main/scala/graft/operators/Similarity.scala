@@ -111,9 +111,10 @@ object Similarity {
     *
     * `every` pins the baseline to the deterministic `vec_id % every = 0`
     * subset, so the top-level q34 entry never runs a full-corpus O(n²)
-    * plan — the SparkEntry query uses every=4 (the O(n²/16) audit slice,
-    * oracle mirrored); specs call every=1 on the tiny sf0.001 fixture to
-    * measure LSH recall against the complete ground truth. */
+    * plan — the SparkEntry query goes through
+    * [[embeddingNearDupPairsAudit]] (a CONSTANT-size slice at any corpus
+    * size, oracle mirrored); specs call every=1 on the tiny sf0.001
+    * fixture to measure LSH recall against the complete ground truth. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, every: Int = 1): DataFrame = {
     val n0 = withNorm(spark, dir)
     val n = if (every == 1) n0 else n0.where(pmod(col("vec_id"), lit(every)) === 0)
@@ -134,6 +135,24 @@ object Similarity {
         (expr(dotDec("e1", "e2")) / (col("n1") * col("n2"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.4)
       .orderBy("v1", "v2")
+  }
+
+  /** The audit slice keeps ~[[AuditRows]] rows REGARDLESS of corpus size:
+    * modulus = ceil(n / AuditRows), so the exact-baseline pair work is
+    * O(AuditRows²) — a constant — at any scale (a fixed fraction would
+    * grow the quadratic term 100× per 10× of data). */
+  val AuditRows = 128
+
+  /** Modulus that keeps ~[[AuditRows]] of `n` rows under `vec_id % m = 0`. */
+  def auditModulus(n: Long): Long = math.max(1L, (n + AuditRows - 1) / AuditRows)
+
+  /** q34 entry: the exact all-pairs baseline on a constant-size audit
+    * slice. The corpus count is read once at plan-construction time (a
+    * parquet-footer-cheap action, mirrored by the oracle's scalar
+    * subquery); empty input degrades to modulus 1 over zero rows. */
+  def embeddingNearDupPairsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    embeddingNearDupPairs(spark, dir, every = auditModulus(n).toInt)
   }
 
   /** Banded sign-LSH parameters for the near-dup flagship: [[NdBands]]

@@ -88,6 +88,41 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size} below 0.6 (theory: ~0.9 at cos=0.4)")
   }
 
+  test("connected components: chain longer than the iteration cap surfaces converged=false") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-30: min-label propagation moves the 0 label
+    // one hop per round, so depth 30 needs 30 rounds
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val (_, convergedCapped) = graft.operators.Dedup.connectedComponents(edges, 5)
+    assert(!convergedCapped, "5 rounds cannot converge a depth-30 chain")
+    val (labels, converged) = graft.operators.Dedup.connectedComponents(edges, 40)
+    assert(converged)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 31 && comps.values.forall(_ === 0L),
+      "all chain vertices must label to the min id 0")
+  }
+
+  test("q34 audit slice is constant-size at any corpus scale") {
+    // modulus grows linearly with n, so kept rows ~ AuditRows at any n
+    assert(Similarity.auditModulus(0) === 1)
+    assert(Similarity.auditModulus(100) === 1)          // small corpus: keep all
+    assert(Similarity.auditModulus(500) === 4)          // sf0.01: 125 rows
+    assert(Similarity.auditModulus(2000) === 16)        // sf0.1: 125 rows
+    assert(Similarity.auditModulus(16000) === 125)      // 8x probe: 128 rows
+    assert(Similarity.auditModulus(2_000_000_000L) === 15_625_000L)
+    for (n <- Seq(500L, 2000L, 16000L, 1_000_000L, 2_000_000_000L)) {
+      val kept = (n + Similarity.auditModulus(n) - 1) / Similarity.auditModulus(n)
+      assert(kept <= Similarity.AuditRows,
+        s"slice at n=$n would keep $kept rows > ${Similarity.AuditRows}")
+    }
+    // end-to-end: the audit entry stays hash-consistent with the explicit
+    // every=4 slice on the 500-row fixture (ceil(500/128) = 4)
+    val audit = Similarity.embeddingNearDupPairsAudit(spark, sf0001).collect()
+    val manual = Similarity.embeddingNearDupPairs(spark, sf0001, every = 4).collect()
+    assert(audit.map(_.toSeq).toSeq === manual.map(_.toSeq).toSeq)
+  }
+
   test("1k-copy duplicate cluster: bucket caps bound the pair explosion, no OOM") {
     import spark.implicits._
     val clone = "the quick brown fox jumps over the lazy dog repeatedly every day"
