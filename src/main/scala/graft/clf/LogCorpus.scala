@@ -65,8 +65,18 @@ object LogCorpus {
     Path
   }
 
+  /** The corpus compresses to a handful of small parquet files that the
+    * file-source packer coalesces into ~1 split (files.openCostInBytes ×
+    * nFiles fills maxPartitionBytes), which would serialize the
+    * expression-heavy 13-group parse onto one core — so spread the raw
+    * lines across the cluster first. The shuffle moves only the ~140 MB
+    * value column; the parse then runs data-parallel, which is also the
+    * 100 TB shape (there the files are big enough that the scan itself
+    * yields parallel splits and this repartition becomes a no-op to
+    * remove). */
   private def corpus(spark: SparkSession): DataFrame =
     spark.read.parquet(ensure(spark))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** q37b: the 13-group parse over the full corpus — every parsed field
     * plus the timestamp as BIGINT epoch seconds (the cross-engine-safe

@@ -31,50 +31,67 @@ object LogParser {
       date: java.sql.Timestamp, httpMethod: String, ressource: String,
       httpVersion: String, httpReplyCode: Int, replyBytes: Option[Int])
 
-  private def grp(c: Column, i: Int): Column = regexp_extract(c, Pattern, i)
-  private def intGrp(c: Column, i: Int): Column =
-    // try_cast: empty extract (no match) → null, matching the reference's
-    // Try(...).toOption under Spark 4 ANSI mode.
-    nullif(grp(c, i), lit("")).try_cast("int")
+  /** Group separator for the single-pass extraction — a control char that
+    * cannot appear in CLF lines (hosts/paths/tokens are printable ASCII;
+    * the corpus generator and the NASA trace contain none). */
+  private val Sep = ""
 
   /** value:string → the 15-column LogLine schema. Unparseable lines keep
     * `raw` and get null/sentinel fields (reference StreamingJob.scala:135:
-    * LogLine(raw = line)). */
+    * LogLine(raw = line)).
+    *
+    * Single-pass extraction: 13 separate `regexp_extract(v, P, i)` calls
+    * each re-run the full 13-group match (codegen CSE can't merge them —
+    * the group index differs), which dominated the 1.57M-line parse. One
+    * `regexp_replace` rewrites a matching line to all 13 groups
+    * ``-joined, `split` fans them out, and every field references
+    * the SAME subexpression — whole-stage codegen evaluates the regex
+    * once per row. `rlike` (the second and last regex run) stays the
+    * match authority, so valid/dead-letter classification is exactly the
+    * reference's regex semantics even for pathological inputs where the
+    * replace trick would mis-split. */
   def parse(lines: DataFrame): DataFrame = {
     val v = col("value")
-    val matched = v.rlike(Pattern)
-    lines.select(
+    // Stage 1 computes the match bit and the group array ONCE per row
+    // behind a projection boundary: both are referenced 13+ times below,
+    // and CollapseProject declines to inline non-cheap expressions with
+    // multiple references, so the regex runs exactly twice per row
+    // regardless of how many fields stage 2 derives.
+    val staged = lines.select(
       v.as("raw"),
-      grp(v, 1).as("host"),
-      intGrp(v, 2).as("day"),
-      grp(v, 3).as("month"),
-      intGrp(v, 4).as("year"),
-      intGrp(v, 5).as("hour"),
-      intGrp(v, 6).as("minute"),
-      intGrp(v, 7).as("second"),
-      grp(v, 8).as("timezone"),
-      // Intended semantics: a real UTC instant. Guarded by `matched` so
-      // garbage lines yield null instead of an ANSI parse error.
-      when(matched, to_timestamp(
-        concat_ws(" ",
-          concat_ws("/", grp(v, 2), grp(v, 3), grp(v, 4)),
-          concat_ws(":", grp(v, 5), grp(v, 6), grp(v, 7)),
-          grp(v, 8)),
-        "dd/MMM/yyyy HH:mm:ss Z")).as("date"),
+      v.rlike(Pattern).as("m"),
+      split(regexp_replace(v, Pattern, (1 to 13).map("$" + _).mkString(Sep)), Sep).as("g"))
+    val matched = col("m")
+    // "" on no match — the regexp_extract contract downstream code keys on
+    def grp(i: Int): Column = when(matched, element_at(col("g"), i)).otherwise(lit(""))
+    def intGrp(i: Int): Column = nullif(grp(i), lit("")).try_cast("int")
+    val tsStr = concat_ws(" ",
+      concat_ws("/", element_at(col("g"), 2), element_at(col("g"), 3), element_at(col("g"), 4)),
+      concat_ws(":", element_at(col("g"), 5), element_at(col("g"), 6), element_at(col("g"), 7)),
+      element_at(col("g"), 8))
+    // Intended semantics: a real UTC instant. Guarded by `matched` so
+    // garbage lines yield null instead of an ANSI parse error.
+    val ts = to_timestamp(when(matched, tsStr), "dd/MMM/yyyy HH:mm:ss Z")
+    staged.select(
+      col("raw"),
+      grp(1).as("host"),
+      intGrp(2).as("day"),
+      grp(3).as("month"),
+      intGrp(4).as("year"),
+      intGrp(5).as("hour"),
+      intGrp(6).as("minute"),
+      intGrp(7).as("second"),
+      grp(8).as("timezone"),
+      ts.as("date"),
       // Output parity with the reference's seconds-as-millis bug
       // (StreamingJob.scala:125–126, SURVEY.md §0): epoch-seconds value
       // interpreted as milliseconds.
-      when(matched, timestamp_millis(unix_timestamp(to_timestamp(
-        concat_ws(" ",
-          concat_ws("/", grp(v, 2), grp(v, 3), grp(v, 4)),
-          concat_ws(":", grp(v, 5), grp(v, 6), grp(v, 7)),
-          grp(v, 8)),
-        "dd/MMM/yyyy HH:mm:ss Z")))).as("date_ref_buggy"),
-      grp(v, 9).as("httpMethod"),
-      grp(v, 10).as("ressource"),
-      grp(v, 11).as("httpVersion"),
-      intGrp(v, 12).as("httpReplyCode"),
-      intGrp(v, 13).as("replyBytes"))
+      timestamp_millis(unix_timestamp(ts)).as("date_ref_buggy"),
+      grp(9).as("httpMethod"),
+      grp(10).as("ressource"),
+      grp(11).as("httpVersion"),
+      intGrp(12).as("httpReplyCode"),
+      intGrp(13).as("replyBytes"))
   }
 
   /** Valid rows (reference parseLoglines, StreamingJob.scala:141–143). */
@@ -82,9 +99,12 @@ object LogParser {
     parse(lines).where(col("host") =!= "")
 
   /** Dead-letter stream of unparseable raw lines (reference
-    * checkInvalidLoglineParsing, StreamingJob.scala:145–147). */
+    * checkInvalidLoglineParsing, StreamingJob.scala:145–147). Equivalent
+    * to `parse(...).where(host === "")` — host is `\S+` so it is empty
+    * iff the regex did not match — but skips the group extraction: one
+    * regex run per line is the whole cost. */
   def deadLetters(lines: DataFrame): DataFrame =
-    parse(lines).where(col("host") === "").select(col("raw"))
+    lines.where(!col("value").rlike(Pattern)).select(col("value").as("raw"))
 
   /** Single-pass alternative to the valid/dead-letter double scan: the
     * valid rows flow through while an `observe` metric counts total and
