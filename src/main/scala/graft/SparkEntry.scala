@@ -54,6 +54,8 @@ object SparkEntry {
     "q52_status_pivot"    -> ((s, d) => Relational.statusPriorityPivot(s, d)),
     "q53_grouping_sets"   -> ((s, d) => Relational.groupingSetsStats(s, d)),
     "q54_partition_pruned" -> ((s, d) => graft.sources.Sinks.dailyActivity(s, d, "2024-01-15")),
+    "q62_range_clustered" -> ((s, d) => graft.sources.Clustering.shipdateRangeRevenue(s, d)),
+    "q63_zorder_slice"    -> ((s, d) => graft.sources.Clustering.zorderSliceStats(s, d)),
     "q55_doc_chunks"      -> ((s, d) => TextAnalysis.documentChunks(s, d)),
     "q56_tfidf_top3"      -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
@@ -364,6 +366,22 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Clustered layouts are layout-only: the copies hold the same rows as
+    // lineitem, so the oracle reads the raw table with the same predicate.
+    "q62_range_clustered" ->
+      """SELECT CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) AS ship_sec,
+        |  COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_zorder_slice" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 29
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_order_history" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,

@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => Simhash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder2"),
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
   }
 }
