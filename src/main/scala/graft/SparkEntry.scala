@@ -44,6 +44,8 @@ object SparkEntry {
     "q41_order_history"   -> ((s, d) => Relational.customerOrderHistory(s, d)),
     "q42_salted_revenue"  -> ((s, d) => Relational.revenueByNationSalted(s, d)),
     "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
+    "q64_repetition_metrics" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
+    "q65_eval_contamination" -> ((s, d) => TextAnalysis.evalContamination(s, d)),
     "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
     "q48_asof_join"       -> ((s, d) => Temporal.asofLatestOrder(s, d)),
     "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
@@ -286,6 +288,48 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents WHERE (doc_id * 2654435761) % 100 < 20
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // Gopher-style repetition metrics. Tie-break parity: Spark keeps the
+    // first maximal run in ascending sort order = the lexicographically
+    // smallest token among equal counts; mirrored by ORDER BY cnt DESC,
+    // tok ASC here. Single-token docs have no bigrams -> COALESCE(cnt, 0)
+    // and a NULL top bigram on both sides.
+    "q64_repetition_metrics" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |ucnt AS (SELECT doc_id, tok, COUNT(*) AS cnt
+        |         FROM (SELECT doc_id, unnest(ts) AS tok FROM d) GROUP BY 1, 2),
+        |utop AS (SELECT doc_id, tok, cnt FROM
+        |           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn FROM ucnt)
+        |         WHERE rn = 1),
+        |bcnt AS (SELECT doc_id, bg, COUNT(*) AS cnt
+        |         FROM (SELECT doc_id,
+        |                 unnest(list_transform(range(1, CAST(greatest(len(ts), 1) AS BIGINT)),
+        |                                       i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)])) AS bg
+        |               FROM d) GROUP BY 1, 2),
+        |btop AS (SELECT doc_id, bg, cnt FROM
+        |           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn FROM bcnt)
+        |         WHERE rn = 1)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  u.tok AS top_token, CAST(u.cnt AS BIGINT) AS top_token_cnt,
+        |  b.bg AS top_bigram, CAST(COALESCE(b.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |  (u.cnt * 5 <= len(d.ts) AND COALESCE(b.cnt, 0) * 10 <= greatest(len(d.ts) - 1, 1)
+        |    AND len(d.ts) >= 20) AS keep
+        |FROM d JOIN utop u USING (doc_id) LEFT JOIN btop b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Train/eval decontamination: 8-token shingles, q43's hash split.
+    // The train side is DISTINCT so the left join cannot amplify.
+    "q65_eval_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, CAST(greatest(len(ts) - 6, 1) AS BIGINT)),
+        |                               i -> array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS shingle
+        |       FROM d WHERE len(ts) >= 8),
+        |ev AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE (doc_id * 2654435761) % 100 < 20),
+        |tr AS (SELECT DISTINCT shingle FROM sh WHERE (doc_id * 2654435761) % 100 >= 20)
+        |SELECT e.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_shingles,
+        |  (SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) * 5 >= COUNT(*)) AS contaminated
+        |FROM ev e LEFT JOIN tr t USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Same rows as the bucketed-layout join (bucketing is physical only).
     "q46_bucketed_join" ->
       """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,

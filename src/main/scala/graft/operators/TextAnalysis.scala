@@ -182,6 +182,98 @@ object TextAnalysis {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** q64 — Gopher-style repetition quality metrics, fully map-side.
+    *
+    * The classic pre-training repetition filters (most-frequent-token
+    * fraction, most-frequent-2-gram fraction) are per-DOCUMENT statistics,
+    * so shuffling exploded tokens across the cluster to count them is
+    * wasted movement. Instead each row sorts its own token (and bigram)
+    * array and takes the longest run via one `aggregate` fold — O(n log n)
+    * per document, zero shuffles before the oracle ORDER BY. At 100 TB
+    * this is a pure scan→project pipeline that parallelizes by input
+    * split, with nothing keyed on document at all.
+    *
+    * Tie-break: the fold keeps the FIRST maximal run in sorted order, i.e.
+    * the lexicographically smallest token among equally-frequent ones —
+    * mirrored in the oracle via ORDER BY cnt DESC, tok ASC.
+    *
+    * The keep flag is the integer-exact filter rule (thresholds from the
+    * published Gopher heuristics, adapted to token streams): top token
+    * ≤ 20% of tokens, top bigram ≤ 10% of bigrams, ≥ 20 tokens. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    // longest run in a sorted array: state = (prev, run, best_cnt, best_tok)
+    def longestRun(sortedArr: String): String =
+      s"""aggregate(
+         |  $sortedArr,
+         |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best_cnt, CAST(NULL AS STRING) AS best_tok),
+         |  (s, t) -> CASE WHEN s.prev IS NOT NULL AND t = s.prev
+         |    THEN struct(t AS prev, s.run + 1L AS run,
+         |                IF(s.run + 1L > s.best_cnt, s.run + 1L, s.best_cnt) AS best_cnt,
+         |                IF(s.run + 1L > s.best_cnt, t, s.best_tok) AS best_tok)
+         |    ELSE struct(t AS prev, 1L AS run,
+         |                IF(1L > s.best_cnt, 1L, s.best_cnt) AS best_cnt,
+         |                IF(1L > s.best_cnt, t, s.best_tok) AS best_tok) END,
+         |  s -> struct(s.best_cnt, s.best_tok))""".stripMargin
+    Tables.documents(spark, dir)
+      .withColumn("tks", expr(toksExpr))
+      .withColumn("bgs", expr(
+        "transform(slice(tks, 1, greatest(size(tks) - 1, 0)), (t, i) -> concat(t, ' ', tks[i + 1]))"))
+      .withColumn("u", expr(longestRun("array_sort(tks)")))
+      .withColumn("b", expr(longestRun("array_sort(bgs)")))
+      .select(
+        col("doc_id"),
+        size(col("tks")).cast("long").as("n_tokens"),
+        col("u.best_tok").as("top_token"),
+        col("u.best_cnt").as("top_token_cnt"),
+        col("b.best_tok").as("top_bigram"),
+        col("b.best_cnt").as("top_bigram_cnt"))
+      .withColumn("keep",
+        col("top_token_cnt") * 5 <= col("n_tokens") &&
+          col("top_bigram_cnt") * 10 <= greatest(col("n_tokens") - 1, lit(1L)) &&
+          col("n_tokens") >= 20)
+      .orderBy("doc_id")
+  }
+
+  /** Shingle width for [[evalContamination]] — 8-token n-grams, the
+    * common published choice for eval-set decontamination. */
+  val ContamShingle = 8
+
+  /** q65 — train/eval decontamination: which held-out documents share an
+    * 8-token shingle with the training split (the standard check that an
+    * eval set leaked into training data, run the same way at corpus scale).
+    *
+    * Split rule is [[deterministicSample]]'s hash cut (eval = the 20%
+    * bucket, train = the rest) so the partition is engine- and
+    * cluster-size-independent. Scale shape: both sides reduce to DISTINCT
+    * shingle sets first (the train side additionally project-only — no
+    * doc ids), then ONE equi-join keyed on the shingle. Because the train
+    * side is distinct, the left join cannot amplify: a shingle appearing
+    * in 10^6 training docs still matches each eval shingle exactly once,
+    * so the operator is immune to the O(df²) blow-up the Jaccard pair
+    * pipeline (q28) has to bound explicitly. One shuffle per distinct +
+    * the join's, all keyed on the shingle. */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod(col("doc_id") * lit(2654435761L), lit(100)) < 20
+    def shingles(df: DataFrame) = df
+      .withColumn("tks", expr(toksExpr))
+      .where(size(col("tks")) >= ContamShingle)
+      .select(col("doc_id"), explode(expr(
+        s"transform(slice(tks, 1, greatest(size(tks) - ${ContamShingle - 1}, 0)), " +
+          s"(t, i) -> concat_ws(' ', slice(tks, i + 1, $ContamShingle)))")).as("shingle"))
+    val evalSh = shingles(docs.where(isEval)).distinct()
+    val trainSh = shingles(docs.where(!isEval)).select("shingle").distinct()
+      .withColumn("hit", lit(1L))
+    evalSh
+      .join(trainSh, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_shingles"))
+      .withColumn("contaminated", col("n_hit_shingles") * 5 >= col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
