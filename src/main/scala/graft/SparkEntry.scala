@@ -46,6 +46,8 @@ object SparkEntry {
     "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
     "q64_repetition_metrics" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
     "q65_eval_contamination" -> ((s, d) => TextAnalysis.evalContamination(s, d)),
+    "q66_pii_redaction"   -> ((s, d) => TextAnalysis.piiRedaction(s, d)),
+    "q67_snapshot_diff"   -> ((s, d) => Snapshot.snapshotDiff(s, d)),
     "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
     "q48_asof_join"       -> ((s, d) => Temporal.asofLatestOrder(s, d)),
     "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
@@ -330,6 +332,42 @@ object SparkEntry {
         |  (SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) * 5 >= COUNT(*)) AS contaminated
         |FROM ev e LEFT JOIN tr t USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // PII scrub: the injection CASE re-derives the identical PII-bearing
+    // corpus (pure functions of doc_id), then RE2 counts/redacts with the
+    // same portable regexes ('g' = replace-all, Spark's default).
+    "q66_pii_redaction" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ||
+        |         CASE WHEN doc_id % 8 = 0 THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
+        |       WHEN doc_id % 4 = 1 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |         CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || ' logged'
+        |       WHEN doc_id % 4 = 2 THEN text || ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+        |       ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(txt, '\b555-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // Snapshot diff: both versions are pure functions of event_id; +1.0 is
+    // an exact IEEE op so updated doubles are bit-identical cross-engine.
+    "q67_snapshot_diff" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |p AS (SELECT event_id, event_type AS old_type, value AS old_value FROM ev WHERE event_id % 10 <> 7),
+        |n AS (SELECT event_id, event_type AS new_type,
+        |        CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS new_value
+        |      FROM ev WHERE event_id % 10 <> 3)
+        |SELECT COALESCE(p.event_id, n.event_id) AS event_id,
+        |  CASE WHEN n.new_type IS NULL THEN 'D' WHEN p.old_type IS NULL THEN 'I' ELSE 'U' END AS change,
+        |  p.old_value AS old_value, n.new_value AS new_value
+        |FROM p FULL OUTER JOIN n ON p.event_id = n.event_id
+        |WHERE n.new_type IS NULL OR p.old_type IS NULL
+        |   OR p.old_value <> n.new_value OR p.old_type <> n.new_type
+        |ORDER BY event_id""".stripMargin,
     // Same rows as the bucketed-layout join (bucketing is physical only).
     "q46_bucketed_join" ->
       """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,

@@ -274,6 +274,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns for [[piiRedaction]] — the portable regex subset where
+    * java.util.regex (Spark) and RE2 (DuckDB) agree: character classes,
+    * bounded repetition, `\b` word boundaries; no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** q66 — PII detection + redaction, the pre-training scrub pass every
+    * published data pipeline runs before tokenization (emails, IPs,
+    * phone-shaped numbers → typed placeholder tokens, plus per-document
+    * match counts for the removal-rate audit).
+    *
+    * The synthetic corpus is PII-free, so the query's input stage INJECTS
+    * deterministic PII spans (email / IPv4 / phone, chosen by
+    * `doc_id % 4`, every value a pure function of doc_id) and the oracle
+    * re-derives the identical injected corpus in SQL — the redactor is
+    * then verified on text where ground truth is known exactly, including
+    * multi-match rows (`doc_id % 8 = 0` carries two emails).
+    *
+    * Scale shape: counts and replacement are per-row column expressions —
+    * scan → project, zero shuffles before the oracle ORDER BY (at 100 TB
+    * the sort is replaced by a partitioned write). Each regex runs inside
+    * whole-stage codegen; redaction chains three `regexp_replace` calls
+    * whose placeholder outputs cannot re-match a later pattern. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val injected = Tables.documents(spark, dir).select(
+      id,
+      when(pmod(id, lit(4)) === 0,
+        concat(col("text"), lit(" contact user"), id.cast("string"), lit("@example.com now"),
+          when(pmod(id, lit(8)) === 0,
+            concat(lit(" or admin"), id.cast("string"), lit("@example.org"))).otherwise(lit(""))))
+        .when(pmod(id, lit(4)) === 1,
+          concat(col("text"), lit(" from 10."), pmod(id, lit(256)).cast("string"), lit("."),
+            pmod(id * 7, lit(256)).cast("string"), lit("."),
+            pmod(id * 13, lit(256)).cast("string"), lit(" logged")))
+        .when(pmod(id, lit(4)) === 2,
+          concat(col("text"), lit(" call 555-"), (pmod(id, lit(9000)) + 1000).cast("string"), lit(" today")))
+        .otherwise(col("text")).as("txt"))
+    injected.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("txt"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

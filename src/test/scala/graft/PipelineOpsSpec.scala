@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Snapshot, TextAnalysis}
+
+/** q66 PII redaction + q67 snapshot diff — hand-computed expectations on
+  * sf0.001 (the oracle gate re-checks both at sf0.01 against DuckDB). */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("q66: injected PII is counted and fully redacted, class by class") {
+    val out = TextAnalysis.piiRedaction(spark, sf0001)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val (ne, ni, np, red) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      id % 4 match {
+        case 0 => // email class; %8==0 carries a second address
+          assert(ne === (if (id % 8 == 0) 2L else 1L) && ni === 0L && np === 0L)
+          assert(red.contains("<EMAIL>") && !red.contains("@"))
+        case 1 =>
+          assert(ne === 0L && ni === 1L && np === 0L)
+          assert(red.contains("from <IP> logged") && !red.contains("10."))
+        case 2 =>
+          assert(ne === 0L && ni === 0L && np === 1L)
+          assert(red.contains("call <PHONE> today") && !red.contains("555-"))
+        case _ =>
+          assert(ne === 0L && ni === 0L && np === 0L)
+          assert(!red.contains("<"))
+      }
+    }
+  }
+
+  test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
+    val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
+    val ids = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val expI = ids.filter(_ % 10 == 7)
+    val expD = ids.filter(_ % 10 == 3)
+    val expU = ids.filter(i => i % 10 != 7 && i % 10 != 3 && i % 5 == 0)
+    val byChange = rows.groupBy(_.getString(1)).map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+    assert(byChange.getOrElse("I", Set.empty) === expI)
+    assert(byChange.getOrElse("D", Set.empty) === expD)
+    assert(byChange.getOrElse("U", Set.empty) === expU)
+    assert(rows.length === expI.size + expD.size + expU.size)
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "I" => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "D" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "U" => assert(r.getDouble(3) === r.getDouble(2) + 1.0)
+      }
+    }
+  }
+}
