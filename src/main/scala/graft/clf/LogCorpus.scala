@@ -24,8 +24,9 @@ object LogCorpus {
   val NumLines = 1569898L
 
   /** Corpus location — content is a pure function of this code, so the
-    * version tag IS the fingerprint; bump it when generation changes. */
-  val Path = "/tmp/graft_clf_corpus_v2"
+    * version tag IS the fingerprint; bump it when generation changes.
+    * (v3: rows carry `line_id` so the oracle sort keys on a BIGINT.) */
+  val Path = "/tmp/graft_clf_corpus_v3"
 
   private def fmt2(c: Column): Column = format_string("%02d", c)
 
@@ -55,12 +56,17 @@ object LogCorpus {
       host, ident, day, month, time, tz, method, path, version, code, bytes)
   }
 
-  /** One-time materialization of the corpus (value: string). Generation
-    * is distributed (`spark.range` partitions) and deterministic; the
-    * `_SUCCESS` marker gates reuse like the other warehouse copies. */
+  /** One-time materialization of the corpus (line_id: bigint, value:
+    * string). Generation is distributed (`spark.range` partitions) and
+    * deterministic; the `_SUCCESS` marker gates reuse like the other
+    * warehouse copies. `line_id` is the provenance/order key: the oracle
+    * hash-compare needs SOME deterministic global order, and ordering by
+    * an 8-byte BIGINT is far cheaper than by the ~115-byte log lines
+    * whose long shared prefixes (`hostNNN.example.com - - [...`) make
+    * string comparisons worst-case. */
   def ensure(spark: SparkSession): String = {
     if (!new java.io.File(Path, "_SUCCESS").exists())
-      spark.range(NumLines).select(lineCol.as("value"))
+      spark.range(NumLines).select(col("id").as("line_id"), lineCol.as("value"))
         .write.mode("overwrite").parquet(Path)
     Path
   }
@@ -80,20 +86,33 @@ object LogCorpus {
 
   /** q37b: the 13-group parse over the full corpus — every parsed field
     * plus the timestamp as BIGINT epoch seconds (the cross-engine-safe
-    * form). Lines are unique by construction (the field cycles' lcm far
-    * exceeds [[NumLines]]), so ORDER BY raw is deterministic. */
+    * form), keyed and ordered by `line_id`.
+    *
+    * Shape: sort FIRST, parse after. The oracle's global ORDER BY has to
+    * shuffle something; sorting the (line_id, raw) pairs moves the
+    * narrowest possible payload (vs the 15 parsed columns), the range
+    * exchange keys on the 8-byte BIGINT (vs worst-case shared-prefix
+    * string compares), its output supplies the parse's data-parallelism,
+    * and the post-sort parse is [[LogParser.parseSepFree]]'s single regex
+    * run per row — the corpus is printable-ASCII, separator-free by
+    * construction. At 100 TB the sort disappears entirely (replaced by a
+    * partitioned write); it exists for the oracle hash gate. */
   def parsedValidVolume(spark: SparkSession): DataFrame =
-    LogParser.validLines(corpus(spark))
-      .select(col("raw"), col("host"), col("day"), col("month"), col("year"),
+    LogParser.parseSepFree(corpus(spark).orderBy("line_id"), Seq("line_id"))
+      .where(col("host") =!= "")
+      .select(col("line_id"), col("raw"), col("host"), col("day"), col("month"), col("year"),
         col("hour"), col("minute"), col("second"), col("timezone"),
         col("date").cast("long").as("ts_sec"),
         col("httpMethod"), col("ressource"), col("httpVersion"),
         col("httpReplyCode"), col("replyBytes"))
-      .orderBy("raw")
 
-  /** q38b: the dead-letter stream at volume (raw unparseable lines). */
+  /** q38b: the dead-letter stream at volume (raw unparseable lines).
+    * One regex run per line (the match test), narrow BIGINT sort key. */
   def deadLettersVolume(spark: SparkSession): DataFrame =
-    LogParser.deadLetters(corpus(spark)).orderBy("raw")
+    corpus(spark)
+      .where(!col("value").rlike(LogParser.Pattern))
+      .select(col("line_id"), col("value").as("raw"))
+      .orderBy("line_id")
 
   /** The corpus as a DuckDB FROM clause. */
   private val FromCorpus = s"read_parquet('$Path/*.parquet')"
@@ -103,12 +122,12 @@ object LogCorpus {
     * regexp_extract caps at group 9, so all 13 groups come out in one
     * shot via the named-struct variant. */
   def validOracleSql: String =
-    s"""WITH src AS (SELECT value,
+    s"""WITH src AS (SELECT line_id, value,
        |    regexp_extract(value, '${LogParser.Pattern}',
        |      ['host','day','month','year','hour','minute','second','timezone',
        |       'httpMethod','ressource','httpVersion','httpReplyCode','replyBytes']) AS g
        |  FROM $FromCorpus WHERE regexp_matches(value, '${LogParser.Pattern}')),
-       |p AS (SELECT value AS raw,
+       |p AS (SELECT line_id, value AS raw,
        |  g.host AS host,
        |  CAST(g.day AS INT) AS day,
        |  g.month AS month,
@@ -127,10 +146,10 @@ object LogCorpus {
        |  CAST(g.httpReplyCode AS INT) AS httpReplyCode,
        |  TRY_CAST(g.replyBytes AS INT) AS replyBytes
        |FROM src)
-       |SELECT * FROM p ORDER BY raw""".stripMargin
+       |SELECT * FROM p ORDER BY line_id""".stripMargin
 
   /** DuckDB twin of [[deadLettersVolume]]. */
   def deadOracleSql: String =
-    s"""SELECT value AS raw FROM $FromCorpus
-       |WHERE NOT regexp_matches(value, '${LogParser.Pattern}') ORDER BY raw""".stripMargin
+    s"""SELECT line_id, value AS raw FROM $FromCorpus
+       |WHERE NOT regexp_matches(value, '${LogParser.Pattern}') ORDER BY line_id""".stripMargin
 }

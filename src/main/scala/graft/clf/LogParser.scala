@@ -57,10 +57,36 @@ object LogParser {
     // and CollapseProject declines to inline non-cheap expressions with
     // multiple references, so the regex runs exactly twice per row
     // regardless of how many fields stage 2 derives.
-    val staged = lines.select(
+    fields(lines.select(
       v.as("raw"),
       v.rlike(Pattern).as("m"),
-      split(regexp_replace(v, Pattern, (1 to 13).map("$" + _).mkString(Sep)), Sep).as("g"))
+      split(regexp_replace(v, Pattern, (1 to 13).map("$" + _).mkString(Sep)), Sep).as("g")))
+  }
+
+  /** ONE-regex-per-row variant of [[parse]] for inputs guaranteed free of
+    * the `` group separator (any corpus of printable-ASCII lines —
+    * [[graft.clf.LogCorpus]] by construction, the NASA trace in fact).
+    * Under that precondition the replace trick is itself the match
+    * authority: an anchored pattern either rewrites the whole line to 13
+    * ``-joined groups (`size(g) = 13`) or leaves it untouched
+    * (`size(g) = 1`), so the separate `rlike` run — half the regex cost of
+    * the 1.57M-line parse — is redundant. [[parse]] keeps `rlike` for
+    * inputs that could smuggle the separator. */
+  def parseSepFree(lines: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val v = col("value")
+    val keep = passthrough.map(col)
+    fields(lines
+      .select(keep ++ Seq(
+        v.as("raw"),
+        split(regexp_replace(v, Pattern, (1 to 13).map("$" + _).mkString(Sep)), Sep).as("g")): _*)
+      .select(keep ++ Seq(col("raw"), (size(col("g")) === 13).as("m"), col("g")): _*),
+      passthrough)
+  }
+
+  /** Stage 2 shared by the parse variants: staged must carry `raw`, the
+    * match bit `m`, and the 13-group array `g`; `passthrough` columns are
+    * retained ahead of the parsed fields. */
+  private def fields(staged: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val matched = col("m")
     // "" on no match — the regexp_extract contract downstream code keys on
     def grp(i: Int): Column = when(matched, element_at(col("g"), i)).otherwise(lit(""))
@@ -72,7 +98,7 @@ object LogParser {
     // Intended semantics: a real UTC instant. Guarded by `matched` so
     // garbage lines yield null instead of an ANSI parse error.
     val ts = to_timestamp(when(matched, tsStr), "dd/MMM/yyyy HH:mm:ss Z")
-    staged.select(
+    staged.select(passthrough.map(col) ++ Seq(
       col("raw"),
       grp(1).as("host"),
       intGrp(2).as("day"),
@@ -91,7 +117,7 @@ object LogParser {
       grp(10).as("ressource"),
       grp(11).as("httpVersion"),
       intGrp(12).as("httpReplyCode"),
-      intGrp(13).as("replyBytes"))
+      intGrp(13).as("replyBytes")): _*)
   }
 
   /** Valid rows (reference parseLoglines, StreamingJob.scala:141–143). */
