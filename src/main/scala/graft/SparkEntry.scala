@@ -72,6 +72,7 @@ object SparkEntry {
     "q25_corpus_stats"    -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     "q26_binary_payload"  -> ((s, d) => TextAnalysis.binaryPayloadFeatures(s, d)),
     "q27_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q68_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -582,6 +583,16 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    // Incremental dedup: batch (doc_id % 10 = 9) probed against the
+    // min-doc_id-per-hash index built from the rest.
+    "q68_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
+        |           FROM documents),
+        |idx AS (SELECT content_md5, MIN(doc_id) AS dup_of FROM d WHERE doc_id % 10 <> 9 GROUP BY 1)
+        |SELECT b.doc_id, b.content_md5,
+        |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of AS dup_of
+        |FROM d b LEFT JOIN idx i USING (content_md5)
+        |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
     "q28_near_dup_jaccard" -> q28Sql,
     // Connected components over the near-dup pair graph: DuckDB computes
     // the transitive closure with a recursive CTE (min reachable doc_id =

@@ -43,6 +43,40 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("text_md5")
 
+  /** q68 — INCREMENTAL exact dedup: a new batch of documents probed
+    * against the already-deduplicated corpus index, the pattern that keeps
+    * dedup tractable on a growing 100 TB corpus — the daily batch (≪ the
+    * corpus) is hashed and joined against the index; the corpus itself is
+    * never re-scanned per batch in production (here both sides derive from
+    * the one test table, split by a pure function of doc_id: batch =
+    * `doc_id % 10 = 9`, index = the rest, keeper = min doc_id per hash —
+    * q27's canonical-representative rule).
+    *
+    * Scale shape: the index groupBy and the probe join key on the SAME
+    * 16-byte digest, so the join reuses the aggregation's partitioning
+    * (one effective shuffle of the index + one of the small batch). In
+    * production the index lives as a table bucketed by `content_md5` (the
+    * q46 layout): the per-batch probe then shuffles ONLY the new batch,
+    * and appending the batch's novel hashes preserves the bucketing.
+    * Output is per-batch-document: kept or dropped, with the canonical
+    * duplicate target for lineage. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 9
+    val index = hashed.where(!isBatch)
+      .groupBy("content_md5").agg(min(col("doc_id")).as("dup_of"))
+    hashed.where(isBatch)
+      .join(index, Seq("content_md5"), "left")
+      .select(
+        col("doc_id"),
+        col("content_md5"),
+        when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** Word-3-gram shingles per document (with duplicates). */
   private def rawShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

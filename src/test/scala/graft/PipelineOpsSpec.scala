@@ -34,6 +34,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q68: batch rows match a driver-side recomputation of the index probe") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val index = docs.filter(_._1 % 10 != 9).groupBy(_._2)
+      .map { case (norm, xs) => norm -> xs.map(_._1).min }
+    val out = graft.operators.Dedup.incrementalDedup(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSet === docs.map(_._1).filter(_ % 10 == 9).toSet)
+    val normById = docs.toMap
+    out.foreach { r =>
+      val (id, status) = (r.getLong(0), r.getString(2))
+      index.get(normById(id)) match {
+        case Some(keeper) => assert(status === "dup" && r.getLong(3) === keeper)
+        case None         => assert(status === "new" && r.isNullAt(3))
+      }
+    }
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
