@@ -138,10 +138,12 @@ object Dedup {
     * cluster). Component id = min doc_id in the component, the canonical
     * keeper.
     *
-    * Distributed min-label propagation: labels start as self; each round
-    * every vertex takes the min label across its neighbors (one
-    * edges⋈labels shuffle + a groupBy — both keyed the same way), until a
-    * fixpoint. Rounds ≤ graph diameter, and near-dup components are
+    * Distributed min-label propagation: labels seed at min(self, min
+    * neighbor) — round 1's fixpoint, free in the init aggregate — then
+    * each round every vertex takes the min label across its neighbors
+    * (one edges⋈labels join + a groupBy, both keyed the same way; the
+    * edge list is persisted pre-partitioned on `src`, so per round only
+    * the far smaller label table moves), until a fixpoint. Rounds ≤ graph diameter, and near-dup components are
     * shallow (stars around a template); the hard cap [[MaxCcIters]] plus
     * a `converged` sanity column guard a pathological chain. The label
     * table holds only PAIRED docs (tiny vs the corpus — the pair graph is
@@ -169,8 +171,11 @@ object Dedup {
     * both directions present). Returns the (`id`,`comp`) label table and
     * whether a fixpoint was reached within `maxIters` rounds. */
   private[graft] def connectedComponents(edges: DataFrame, maxIters: Int): (DataFrame, Boolean) = {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // Seed each vertex with min(self, min neighbor) — the fixpoint of
+    // round 1 — so propagation starts one round ahead (star components,
+    // the near-dup common case, converge immediately).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("comp")).localCheckpoint(true)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -191,8 +196,12 @@ object Dedup {
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
+    // Hash-partition the persisted edge list by src ONCE: every
+    // propagation round joins on src, so the cached relation's
+    // partitioning satisfies the join's requirement and only the (far
+    // smaller) label table moves per round.
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").repartition(col("src")).persist()
     val (labels, _) = connectedComponents(edges, MaxCcIters)
     edges.unpersist()
     labels
