@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder2"),
       (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_longest_run"),
+      new ExpressionInfo(classOf[LongestRun].getName, "graft_longest_run"),
+      (children: Seq[Expression]) => LongestRun(children.head)))
   }
 }

@@ -201,25 +201,19 @@ object TextAnalysis {
     * published Gopher heuristics, adapted to token streams): top token
     * ≤ 20% of tokens, top bigram ≤ 10% of bigrams, ≥ 20 tokens. */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
-    // longest run in a sorted array: state = (prev, run, best_cnt, best_tok)
-    def longestRun(sortedArr: String): String =
-      s"""aggregate(
-         |  $sortedArr,
-         |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best_cnt, CAST(NULL AS STRING) AS best_tok),
-         |  (s, t) -> CASE WHEN s.prev IS NOT NULL AND t = s.prev
-         |    THEN struct(t AS prev, s.run + 1L AS run,
-         |                IF(s.run + 1L > s.best_cnt, s.run + 1L, s.best_cnt) AS best_cnt,
-         |                IF(s.run + 1L > s.best_cnt, t, s.best_tok) AS best_tok)
-         |    ELSE struct(t AS prev, 1L AS run,
-         |                IF(1L > s.best_cnt, 1L, s.best_cnt) AS best_cnt,
-         |                IF(1L > s.best_cnt, t, s.best_tok) AS best_tok) END,
-         |  s -> struct(s.best_cnt, s.best_tok))""".stripMargin
+    // most-frequent element via the native sort+scan kernel
+    // (graft.functions.LongestRun — bit-identical to the former
+    // aggregate(array_sort(...)) struct fold, which spent its time in
+    // ~300 interpreted lambda invocations per document)
+    import org.apache.spark.sql.graft.ColumnBridge
+    def longestRun(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.of(graft.functions.LongestRun(ColumnBridge.expr(arr)))
     Tables.documents(spark, dir)
       .withColumn("tks", expr(toksExpr))
       .withColumn("bgs", expr(
         "transform(slice(tks, 1, greatest(size(tks) - 1, 0)), (t, i) -> concat(t, ' ', tks[i + 1]))"))
-      .withColumn("u", expr(longestRun("array_sort(tks)")))
-      .withColumn("b", expr(longestRun("array_sort(bgs)")))
+      .withColumn("u", longestRun(col("tks")))
+      .withColumn("b", longestRun(col("bgs")))
       .select(
         col("doc_id"),
         size(col("tks")).cast("long").as("n_tokens"),

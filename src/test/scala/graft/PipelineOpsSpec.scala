@@ -52,6 +52,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("longest_run expression is bit-identical to the HOF struct fold") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hof =
+      """aggregate(
+        |  array_sort(a),
+        |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best_cnt, CAST(NULL AS STRING) AS best_tok),
+        |  (s, t) -> CASE WHEN s.prev IS NOT NULL AND t = s.prev
+        |    THEN struct(t AS prev, s.run + 1L AS run,
+        |                IF(s.run + 1L > s.best_cnt, s.run + 1L, s.best_cnt) AS best_cnt,
+        |                IF(s.run + 1L > s.best_cnt, t, s.best_tok) AS best_tok)
+        |    ELSE struct(t AS prev, 1L AS run,
+        |                IF(1L > s.best_cnt, 1L, s.best_cnt) AS best_cnt,
+        |                IF(1L > s.best_cnt, t, s.best_tok) AS best_tok) END,
+        |  s -> struct(s.best_cnt, s.best_tok))""".stripMargin
+    val hand = Seq(
+      Seq.empty[String],                 // -> (0, null)
+      Seq("x"),                          // -> (1, x)
+      Seq("b", "a", "b", "a"),           // tie -> lexicographically smallest: (2, a)
+      Seq("z", "z", "z", "a", "a"))      // -> (3, z)
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+      .select(split(col("text"), "\\s+").as("a"))
+      .union(hand.toDF("a"))
+    val both = corpus.select(
+      ColumnBridge.of(graft.functions.LongestRun(ColumnBridge.expr(col("a")))).as("native"),
+      expr(hof).as("fold"))
+    assert(both.count() === corpus.count())
+    assert(both.where(not(col("native") <=> col("fold"))).count() === 0L)
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
