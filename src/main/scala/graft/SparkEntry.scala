@@ -48,6 +48,8 @@ object SparkEntry {
     "q65_eval_contamination" -> ((s, d) => TextAnalysis.evalContamination(s, d)),
     "q66_pii_redaction"   -> ((s, d) => TextAnalysis.piiRedaction(s, d)),
     "q67_snapshot_diff"   -> ((s, d) => Snapshot.snapshotDiff(s, d)),
+    "q69_mixture_sample"  -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "q70_frequency_quality" -> ((s, d) => TextAnalysis.frequencyQuality(s, d)),
     "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
     "q48_asof_join"       -> ((s, d) => Temporal.asofLatestOrder(s, d)),
     "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
@@ -369,6 +371,25 @@ object SparkEntry {
         |WHERE n.new_type IS NULL OR p.old_type IS NULL
         |   OR p.old_value <> n.new_value OR p.old_type <> n.new_type
         |ORDER BY event_id""".stripMargin,
+    // Stratified mixture sampling: per-lang rate CASE, q69's hash cut.
+    "q69_mixture_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 100 <
+        |  CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 80 ELSE 60 END
+        |ORDER BY doc_id""".stripMargin,
+    // Token-df model from the train split scores every doc; df is unique
+    // per token so the scoring join cannot amplify.
+    "q70_frequency_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |tr AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok
+        |       WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |sc AS (SELECT k.doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(CASE WHEN COALESCE(tr.df, 0) < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(SUM(COALESCE(tr.df, 0)) AS BIGINT) AS sum_df
+        |       FROM tok k LEFT JOIN tr USING (t) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov, sum_df,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // Same rows as the bucketed-layout join (bucketing is physical only).
     "q46_bucketed_join" ->
       """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,

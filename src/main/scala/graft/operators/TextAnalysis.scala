@@ -320,6 +320,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q69 — stratified mixture sampling: rebalance the language mix with
+    * per-stratum target rates (downsample the dominant 'en', keep most of
+    * the rare 'zh'), the mixture-construction step of every published
+    * pre-training data recipe.
+    *
+    * The keep decision is a pure function of (doc_id, lang) — a
+    * multiplicative-hash cut against the stratum's rate — so the sample
+    * is reproducible, cluster-size independent, and engine-independent
+    * (the oracle re-derives it in SQL). A different multiplier than
+    * q43's split hash keeps the two samples decorrelated.
+    *
+    * Scale shape: map-side filter, zero shuffles before the oracle sort;
+    * the rate table is a literal CASE (in production a broadcast config).
+    * Achieved-vs-target rate auditing is one groupBy away (spec'd). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 30)
+      .when(col("lang") === "zh", 80)
+      .otherwise(60)
+    Tables.documents(spark, dir)
+      .where(pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(100)) < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Minimum train-split document frequency for a token to count as
+    * in-vocabulary in [[frequencyQuality]]. */
+  val MinDf = 2
+
+  /** q70 — corpus-frequency quality scoring: a token-df model trained on
+    * the train split (q43's hash cut) scores EVERY document by how much
+    * of it is out-of-vocabulary — the cheap LM-free novelty/garbage
+    * signal (high oov_ratio = gibberish or contamination candidates;
+    * integer-exact df sums keep it portable, no log-probabilities).
+    * Second train-then-apply instance on the surface (with q60's
+    * k-means): the model is a TABLE, the apply is a join.
+    *
+    * Scale shape: explode → ONE shuffle keyed on token for the df join
+    * (df is unique per token, so the left join cannot amplify — the q65
+    * argument), then one re-agg keyed on doc_id. The df model is bounded
+    * by vocabulary size, not corpus size; at 100 TB it lives as a table
+    * bucketed by token and the scoring join is shuffle-free on the model
+    * side. oov_ratio is an exact-int division — bit-identical cross-
+    * engine, no rounding. */
+  def frequencyQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+    val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
+    val df = toks.where(isTrain).select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    toks.join(df, Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(coalesce(col("df"), lit(0L)) < MinDf, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("df"), lit(0L))).as("sum_df"))
+      .withColumn("oov_ratio", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

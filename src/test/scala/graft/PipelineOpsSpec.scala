@@ -82,6 +82,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(both.where(not(col("native") <=> col("fold"))).count() === 0L)
   }
 
+  test("q69: achieved per-stratum counts match a driver-side recompute of the hash cut") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    def rate(lang: String) = lang match { case "en" => 30; case "zh" => 80; case _ => 60 }
+    val expected = docs.filter { case (id, l) => (id * 1103515245L + 12345L) % 100 < rate(l) }
+      .map(_._1).toSet
+    val got = graft.operators.TextAnalysis.mixtureSample(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length) // actually sampled, not all/none
+  }
+
+  test("q70: oov flags agree with a driver-side token-df model") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val df = docs.filter { case (id, _) => (id * 2654435761L) % 100 >= 20 }
+      .flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+    val expected = docs.map { case (id, ts) =>
+      id -> (ts.size.toLong,
+        ts.count(t => df.getOrElse(t, 0L) < graft.operators.TextAnalysis.MinDf).toLong,
+        ts.map(t => df.getOrElse(t, 0L)).sum)
+    }.toMap
+    val out = graft.operators.TextAnalysis.frequencyQuality(spark, sf0001).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (n, oov, s) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, oov, s)))
+      assert(r.getDouble(4) === oov.toDouble / n)
+    }
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
