@@ -108,6 +108,21 @@ object StreamingAnalytics {
       }
   }
 
+  /** Streaming incremental dedup — the stream twin of the batch
+    * incremental-dedup operator (q68, `Dedup.incrementalDedup`): a
+    * document stream keyed on the normalized content hash emits only the
+    * FIRST arrival per hash; later copies are dropped by the state store.
+    * Against an in-order replay of a corpus this converges to exactly the
+    * batch min-doc_id-keeper table (spec'd in StreamingSpec). Unbounded
+    * state like the reference's filterWithState; at 100 TB stream volume
+    * bound it with a watermark + dropDuplicatesWithinWatermark, accepting
+    * re-admits past the horizon (the same trade documented on
+    * [[firstEventPerUserBounded]]). */
+  def firstSeenContent(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+      .dropDuplicates("content_md5")
+
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
     *

@@ -234,6 +234,24 @@ class StreamingSpec extends SparkSpec {
       "within-horizon duplicate suppressed; post-horizon re-appearance re-emitted (bounded state)")
   }
 
+  test("streaming incremental dedup converges to the batch keeper table on in-order replay") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingAnalytics.firstSeenContent(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("first_seen").outputMode("append").start()
+    // two batches, in doc_id order: first-arrival == min doc_id per hash
+    input.addData(docs.take(docs.length / 2).toSeq); q.processAllAvailable()
+    input.addData(docs.drop(docs.length / 2).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("first_seen").collect()
+      .map(r => r.getAs[String]("content_md5") -> r.getAs[Long]("doc_id")).toMap
+    val batchKept = graft.operators.Dedup.exactDedup(spark, sf0001).collect()
+      .map(r => r.getAs[String]("text_md5") -> r.getAs[Long]("keep_doc_id")).toMap
+    assert(streamKept === batchKept)
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
