@@ -50,6 +50,7 @@ object SparkEntry {
     "q67_snapshot_diff"   -> ((s, d) => Snapshot.snapshotDiff(s, d)),
     "q69_mixture_sample"  -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "q70_frequency_quality" -> ((s, d) => TextAnalysis.frequencyQuality(s, d)),
+    "q71_sequence_packing" -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "q46_bucketed_join"   -> ((s, d) => graft.sources.Bucketing.bucketedOrderRevenue(s, d)),
     "q48_asof_join"       -> ((s, d) => Temporal.asofLatestOrder(s, d)),
     "q49_range_join"      -> ((s, d) => Temporal.eventNeighborCounts(s, d)),
@@ -390,6 +391,20 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_oov, sum_df,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Sequence packing: the oracle computes the global running token count
+    // directly; the Spark side derives the identical sum via the two-phase
+    // (bucket-local + offsets) scan.
+    "q71_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Same rows as the bucketed-layout join (bucketing is physical only).
     "q46_bucketed_join" ->
       """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,

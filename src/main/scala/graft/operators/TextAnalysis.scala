@@ -379,6 +379,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token budget per packed training sequence in [[sequencePacking]]. */
+  val PackBudget = 512L
+
+  /** Bucket width (in doc_ids) for the two-phase prefix sum — each bucket
+    * is one unit of parallel within-bucket work; the cross-bucket offset
+    * table has corpus_size / BucketWidth rows. */
+  val PackBucket = 1000L
+
+  /** q71 — sequence packing: assign documents (in doc_id order) to fixed
+    * token-budget training sequences — the batch-construction step that
+    * turns a filtered corpus into packed pretraining samples. `pack_id =
+    * floor(start_offset / budget)` over the running token count, i.e.
+    * greedy contiguous packing.
+    *
+    * The running count is a GLOBAL prefix sum, which naive
+    * `Window.orderBy` computes on ONE partition — the anti-pattern this
+    * operator exists to avoid. Two-phase scan instead:
+    * (1) within-bucket cumsum, windows partitioned by `floor(doc_id /
+    * [[PackBucket]])` — fully parallel;
+    * (2) bucket TOTALS get their own cumsum — the only single-partition
+    * window, over corpus/[[PackBucket]] rows (100 TB / 1000-doc buckets ≈
+    * millions of rows of (bucket, total): still one task, but bounded and
+    * independent of document width; stack another bucketing level if even
+    * that grows too large);
+    * (3) broadcast-join the offsets back and add.
+    * All integer arithmetic — the oracle is DuckDB's native
+    * `SUM() OVER (ORDER BY doc_id)` and must hash-match exactly. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
+        floor(col("doc_id") / PackBucket).as("bkt"))
+    val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = docs.withColumn("local_cum", sum(col("n_tokens")).over(inBkt))
+    val offsets = withLocal.groupBy("bkt").agg(max(col("local_cum")).as("bkt_total"))
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_total")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "bkt_offset")
+    withLocal.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_tokens", col("bkt_offset") + col("local_cum"))
+      .withColumn("pack_id", floor((col("cum_tokens") - col("n_tokens")) / PackBudget))
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

@@ -114,6 +114,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q71: two-phase prefix sum equals the naive global cumsum; packs are contiguous") {
+    val out = graft.operators.TextAnalysis.sequencePacking(spark, sf0001).collect()
+    // naive driver-side scan
+    var cum = 0L
+    val sorted = out.sortBy(_.getLong(0))
+    sorted.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) === cum, s"cum mismatch at doc ${r.getLong(0)}")
+      assert(r.getLong(3) === (cum - r.getLong(1)) / graft.operators.TextAnalysis.PackBudget)
+    }
+    // pack ids are non-decreasing in doc order and start at 0
+    assert(sorted.head.getLong(3) === 0L)
+    assert(sorted.sliding(2).forall(w => w(0).getLong(3) <= w(1).getLong(3)))
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
