@@ -414,7 +414,10 @@ object TextAnalysis {
     val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = docs.withColumn("local_cum", sum(col("n_tokens")).over(inBkt))
-    val offsets = withLocal.groupBy("bkt").agg(max(col("local_cum")).as("bkt_total"))
+    // bucket totals via plain partial-aggregation (NOT max(local_cum) off
+    // the windowed frame — that re-evaluates the whole window a second
+    // time in the un-reused offsets branch)
+    val offsets = docs.groupBy("bkt").agg(sum(col("n_tokens")).as("bkt_total"))
       .withColumn("bkt_offset",
         coalesce(sum(col("bkt_total")).over(
           Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
