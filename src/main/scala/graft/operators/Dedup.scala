@@ -138,72 +138,98 @@ object Dedup {
     * cluster). Component id = min doc_id in the component, the canonical
     * keeper.
     *
-    * Distributed min-label propagation: labels seed at min(self, min
-    * neighbor) — round 1's fixpoint, free in the init aggregate — then
-    * each round every vertex takes the min label across its neighbors
-    * (one edges⋈labels join + a groupBy, both keyed the same way; the
-    * edge list is persisted pre-partitioned on `src`, so per round only
-    * the far smaller label table moves), until a fixpoint. Rounds ≤ graph diameter, and near-dup components are
-    * shallow (stars around a template); the hard cap [[MaxCcIters]] plus
-    * a `converged` sanity column guard a pathological chain. The label
-    * table holds only PAIRED docs (tiny vs the corpus — the pair graph is
-    * already df-cutoff- and bucket-capped), and each round materializes
-    * via localCheckpoint so lineage stays O(1) instead of O(rounds) —
-    * the iterative-algorithm pattern (same shape as PageRank/CC on
-    * GraphX, composed from DataFrame ops so Catalyst keeps optimizing
-    * each round).
+    * Alternating LARGE-STAR / SMALL-STAR contraction (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): each round rewrites the edge set so every node
+    * hooks onto the minimum of its neighborhood —
+    *   large-star: per node u, connect every neighbor v > u to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star: per node u (edges oriented large→small), connect u and
+    *     all its smaller neighbors to their minimum.
+    * Components contract to stars rooted at their global minimum in
+    * O(log n) rounds — vs O(diameter) for naive min-label propagation,
+    * whose worst case (a path-shaped duplicate chain) degrades to one
+    * sequential shuffle round per hop. DedupSimilaritySpec drives a
+    * 200-vertex path through in ≤ 12 rounds.
     *
-    * ONE Spark job per round: the per-vertex `chg` flag (did my label
-    * shrink?) is computed inside the propagation select, the round's
-    * localCheckpoint is LAZY, and the `sum(chg)` convergence probe is the
-    * action that materializes it — propagation, checkpoint and
-    * changed-count all ride the same job (previously a separate
-    * next⋈labels + count() doubled the per-round job count).
-    *
-    * Durability: `localCheckpoint` stores blocks on executors only — fast,
-    * but an executor loss mid-computation fails the query. On a real
-    * cluster where that matters, swap in `checkpoint()` against a
-    * replicated checkpoint dir (same O(1)-lineage contract, +HDFS write
-    * per round). */
+    * Both star operations are a single `Window.partitionBy(src)` min —
+    * no collect_list, no driver data. ONE Spark job per round: the
+    * round's localCheckpoint is LAZY and the exact fixpoint probe (the
+    * algorithm's fixpoints are precisely star forests, so converged ⇔
+    * zero src-repeats and zero src∩dst vertices — no confirm round, no
+    * checksum race) is the action that materializes it. Lineage stays
+    * O(1) across rounds via localCheckpoint — on a cluster where executor
+    * loss matters, swap in `checkpoint()` against a replicated dir (same
+    * contract, +1 HDFS write per round). */
   val MaxCcIters = 20
 
-  /** Min-label propagation over an undirected edge list (`src`,`dst`;
-    * both directions present). Returns the (`id`,`comp`) label table and
-    * whether a fixpoint was reached within `maxIters` rounds. */
-  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int): (DataFrame, Boolean) = {
-    // Seed each vertex with min(self, min neighbor) — the fixpoint of
-    // round 1 — so propagation starts one round ahead (star components,
-    // the near-dup common case, converge immediately).
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(col("id"), min(col("dst"))).as("comp")).localCheckpoint(true)
-    var changed = 1L
+  /** Connected components over an undirected edge list (`src`,`dst`;
+    * either or both directions, self-loops ignored). Returns the
+    * (`id`,`comp`) label table (comp = component min at convergence),
+    * whether the star fixpoint was reached within `maxIters` rounds, and
+    * the rounds used. */
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int): (DataFrame, Boolean, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical large→small orientation, deduped — the small-star input shape
+    var e = edges.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    // vertex set off the CHECKPOINTED init, not the input lineage — the
+    // pair-generation upstream (the expensive part) runs exactly once.
+    // (Vertices appearing only in self-loops are singletons and drop out.)
+    val verts = e
+      .select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    // Fixpoint test, exact and single-round: the alternating algorithm's
+    // fixpoints are precisely STAR FORESTS (a chain v→u→m never survives
+    // large-star), and a deduped edge set is a star forest iff no vertex
+    // appears both as src and dst and no src repeats. Counting those
+    // violations rides the SAME action that materializes the round — no
+    // checksum-vs-last-round job and no extra confirm round.
+    def starViolations(df: DataFrame): Long =
+      df.select(explode(array(
+          struct(col("src").as("v"), lit(1L).as("s")),
+          struct(col("dst").as("v"), lit(0L).as("s")))).as("p"))
+        .groupBy(col("p.v"))
+        .agg(sum(col("p.s")).as("ns"), sum(lit(1L) - col("p.s")).as("nd"))
+        .agg(coalesce(sum(when(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0), 1L)
+          .otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp")).cast("long").as("chg"))
-        .localCheckpoint(false) // lazy: materialized by the sum(chg) action
-      val row = next.agg(coalesce(sum(col("chg")), lit(0L))).first()
-      changed = row.getLong(0)
-      labels = next.select(col("id"), col("comp"))
+    while (!converged && iters < maxIters) {
+      val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val large = undirected
+        .withColumn("m", least(min(col("dst")).over(Window.partitionBy("src")), col("src")))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // large-star output is already oriented src > dst (dst = a group
+      // minimum ≤ that group's key < the emitted src), so small-star
+      // needs no re-orientation pass
+      val small = large
+        .withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
+        .select(explode(array(
+          struct(col("src").as("a"), col("m").as("b")),
+          struct(col("dst").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .where(col("src") =!= col("dst"))
+      val next = small.distinct().localCheckpoint(false) // lazy: the fixpoint probe materializes it
+      converged = starViolations(next) == 0L
+      e = next
       iters += 1
     }
-    (labels, changed == 0)
+    // at the fixpoint every non-root points straight at its component
+    // min; min(dst) keeps labels deterministic mid-contraction too
+    val labels = verts
+      .join(e.groupBy(col("src").as("nid")).agg(min(col("dst")).as("root")),
+        col("id") === col("nid"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+    (labels, converged, iters)
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
-    // Hash-partition the persisted edge list by src ONCE: every
-    // propagation round joins on src, so the cached relation's
-    // partitioning satisfies the join's requirement and only the (far
-    // smaller) label table moves per round.
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").repartition(col("src")).persist()
-    val (labels, _) = connectedComponents(edges, MaxCcIters)
-    edges.unpersist()
+    val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
     labels
       .select(col("id").as("doc_id"), col("comp").as("comp_id"))
       .withColumn("n_members", count(lit(1)).over(

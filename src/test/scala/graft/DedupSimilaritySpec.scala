@@ -88,19 +88,48 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size} below 0.6 (theory: ~0.9 at cos=0.4)")
   }
 
-  test("connected components: chain longer than the iteration cap surfaces converged=false") {
+  test("connected components: a 200-deep chain converges in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
-    // a path graph 0-1-2-...-30: min-label propagation moves the 0 label
-    // one hop per round, so depth 30 needs 30 rounds
-    val chain = (0L until 30L).map(i => (i, i + 1))
+    // a path graph 0-1-2-...-200: min-label propagation needed one round
+    // per hop (200 rounds — it could only surface converged=false inside
+    // MaxCcIters=20); star contraction must finish well inside the cap
+    val chain = (0L until 200L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
-    val (_, convergedCapped) = graft.operators.Dedup.connectedComponents(edges, 5)
-    assert(!convergedCapped, "5 rounds cannot converge a depth-30 chain")
-    val (labels, converged) = graft.operators.Dedup.connectedComponents(edges, 40)
-    assert(converged)
+    val (_, convergedCapped, _) =
+      graft.operators.Dedup.connectedComponents(edges, 2)
+    assert(!convergedCapped, "2 rounds cannot converge a depth-200 chain")
+    val (labels, converged, rounds) =
+      graft.operators.Dedup.connectedComponents(edges, graft.operators.Dedup.MaxCcIters)
+    assert(converged, s"depth-200 chain must converge within MaxCcIters (took $rounds)")
+    assert(rounds <= 12, s"star contraction should be ~log2(200)+1 rounds, took $rounds")
     val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps.size === 31 && comps.values.forall(_ === 0L),
+    assert(comps.size === 201 && comps.values.forall(_ === 0L),
       "all chain vertices must label to the min id 0")
+  }
+
+  test("connected components: random multi-component graph labels every vertex to its component min") {
+    import spark.implicits._
+    // 3 components with shuffled ids + 2 singleton-free isolated pairs;
+    // deterministic edge set, compared against a driver-side union-find
+    val comps = Seq(
+      Seq(7L, 3L, 99L, 42L, 15L, 8L),
+      Seq(100L, 205L, 101L, 150L),
+      Seq(500L, 501L),
+      Seq(777L, 9L, 888L))
+    val rng = new scala.util.Random(42)
+    val edges = comps.flatMap { vs =>
+      // random spanning path + a few chords
+      val sh = rng.shuffle(vs)
+      val path = sh.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      val chords = if (vs.size > 3) Seq((sh.head, sh.last)) else Nil
+      path ++ chords
+    }
+    val (labels, converged, _) =
+      graft.operators.Dedup.connectedComponents(edges.toDF("src", "dst"), graft.operators.Dedup.MaxCcIters)
+    assert(converged)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = comps.flatMap(vs => vs.map(_ -> vs.min)).toMap
+    assert(got === want)
   }
 
   test("q34 audit slice is constant-size at any corpus scale") {
