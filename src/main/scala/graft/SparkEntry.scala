@@ -76,6 +76,7 @@ object SparkEntry {
     "q26_binary_payload"  -> ((s, d) => TextAnalysis.binaryPayloadFeatures(s, d)),
     "q27_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
     "q68_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q72_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -629,6 +630,61 @@ object SparkEntry {
         |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of AS dup_of
         |FROM d b LEFT JOIN idx i USING (content_md5)
         |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
+    // Incremental NEAR-dup: the q29c signature/band machinery, but the
+    // bucket table is built from the corpus split only (doc_id % 10 <> 9,
+    // capped at MaxBucket smallest doc_ids per bucket — singleton buckets
+    // kept: a batch doc joining one IS a candidate pair) and probed by the
+    // batch split; per batch doc the best estimate wins (ties: smallest
+    // corpus doc_id). Mirrors Dedup.incrementalNearDup, where the corpus
+    // side is the PERSISTED bucketed index table.
+    "q72_incremental_neardup" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks),
+        |hx AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |         )) AS BIGINT) AS x
+        |       FROM sh),
+        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN((PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) % 4294967291) AS sig_value
+        |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+        |        GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, CAST((perm_idx - 1) // 4 AS BIGINT) AS band_idx,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 0 THEN sig_value END) AS s0,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 1 THEN sig_value END) AS s1,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 2 THEN sig_value END) AS s2,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 3 THEN sig_value END) AS s3
+        |       FROM sig GROUP BY 1, 2),
+        |bkey AS (SELECT doc_id, band_idx,
+        |           ((((((s0 % 1000000007) * 1000003 + (s1 % 1000000007)) % 1000000007)
+        |               * 1000003 + (s2 % 1000000007)) % 1000000007)
+        |               * 1000003 + (s3 % 1000000007)) % 1000000007 AS band_key
+        |         FROM bk),
+        |mem AS (SELECT doc_id, band_idx, band_key,
+        |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+        |        FROM bkey WHERE doc_id % 10 <> 9),
+        |idx AS (SELECT doc_id, band_idx, band_key FROM mem WHERE rn <= ${operators.Dedup.MaxBucket}),
+        |cand AS (SELECT DISTINCT b.doc_id AS bd, i.doc_id AS cd
+        |         FROM bkey b JOIN idx i USING (band_idx, band_key)
+        |         WHERE b.doc_id % 10 = 9),
+        |est AS (SELECT bd, cd,
+        |          ROUND(CAST(SUM(CASE WHEN s1.sig_value = s2.sig_value THEN 1 ELSE 0 END) AS DOUBLE)/64, 6) AS est_jaccard
+        |        FROM cand
+        |        JOIN sig s1 ON s1.doc_id = bd
+        |        JOIN sig s2 ON s2.doc_id = cd AND s2.perm_idx = s1.perm_idx
+        |        GROUP BY 1, 2),
+        |hit AS (SELECT bd, cd, est_jaccard,
+        |          ROW_NUMBER() OVER (PARTITION BY bd ORDER BY est_jaccard DESC, cd ASC) AS rk
+        |        FROM est WHERE est_jaccard >= 0.5)
+        |SELECT d.doc_id,
+        |  CASE WHEN h.cd IS NULL THEN 'new' ELSE 'dup' END AS status,
+        |  h.cd AS dup_of, h.est_jaccard AS est_jaccard
+        |FROM documents d LEFT JOIN (SELECT * FROM hit WHERE rk = 1) h ON h.bd = d.doc_id
+        |WHERE d.doc_id % 10 = 9 ORDER BY d.doc_id""".stripMargin
+        .replace("PERMA", graft.operators.Dedup.permALiteral)
+        .replace("PERMB", graft.operators.Dedup.permBLiteral)),
     "q28_near_dup_jaccard" -> q28Sql,
     // Connected components over the near-dup pair graph: DuckDB computes
     // the transitive closure with a recursive CTE (min reachable doc_id =
@@ -683,7 +739,7 @@ object SparkEntry {
         |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
         |         )) AS BIGINT) AS x
         |       FROM sh),
-        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN(PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) AS sig_value
+        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN((PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) % 4294967291) AS sig_value
         |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
         |        GROUP BY 1, 2)
         |SELECT doc_id, perm_idx, CAST(sig_value AS BIGINT) AS sig_value
@@ -706,7 +762,7 @@ object SparkEntry {
         |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
         |         )) AS BIGINT) AS x
         |       FROM sh),
-        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN(PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) AS sig_value
+        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN((PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) % 4294967291) AS sig_value
         |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
         |        GROUP BY 1, 2),
         |bk AS (SELECT doc_id, CAST((perm_idx - 1) // 4 AS BIGINT) AS band_idx,

@@ -78,12 +78,15 @@ object Dedup {
   }
 
   /** Word-3-gram shingles per document (with duplicates). */
-  private def rawShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def rawShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("tks"))
       .where(size(col("tks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(tks)-3), i -> concat_ws(' ', tks[i], tks[i+1], tks[i+2]))")).as("sh"))
+
+  private def rawShingles(spark: SparkSession, dir: String): DataFrame =
+    rawShinglesOf(Tables.documents(spark, dir))
 
   /** Distinct word-3-gram shingles per document (set semantics for the
     * inverted-index Jaccard join). */
@@ -245,10 +248,15 @@ object Dedup {
       .where(col("df") > MaxShingleDf)
       .orderBy(col("df").desc, col("sh"))
 
-  /** MinHash parameters: 64 permutations h_i(x) = a_i*x + b_i over
-    * 32-bit-reduced shingle hashes, banded 16×4 for LSH.
+  /** MinHash parameters: 64 permutations h_i(x) = (a_i*x + b_i) mod P32
+    * over 32-bit-reduced shingle hashes, banded 16×4 for LSH.
     * a_i < 2^30 and x < 2^32 keep every product under 2^62 — no long
     * overflow, so the math is safe under Spark 4's default ANSI mode.
+    * The mod-P32 reduction is what makes each h_i an actual permutation
+    * (without it, min(a_i*x + b_i) is won by the smallest x for EVERY i
+    * and the 64-permutation sketch degenerates to a single min-hash whose
+    * pairwise estimate is always 0 or 1 — a bug this engine shipped with
+    * until round 6, caught by a j≈0.9 pair matching 0/64 positions).
     * Constants come from a fixed LCG: reproducible, no runtime
     * randomness. */
   private val NumPerm = 64
@@ -262,8 +270,8 @@ object Dedup {
   private val permB: Array[Long] = lcgStream(0x87654321L).map(_ >>> 34).take(NumPerm).toArray
 
   /** 64-long MinHash signature per doc over a caller-chosen shingle-hash
-    * column, as 64 DECLARATIVE min() aggregates (min(a_i*x + b_i) per
-    * permutation).
+    * column, as 64 DECLARATIVE min() aggregates (min((a_i*x + b_i) mod
+    * P32) per permutation).
     *
     * This replaced round 1's collect_set + native tight-loop expression:
     * min() is algebraic, so Spark runs a map-side partial aggregate and
@@ -275,7 +283,7 @@ object Dedup {
     * codegen'd multiply-add-min inside HashAggregate. */
   private def signaturesFromHash(sh: DataFrame, hashCol: org.apache.spark.sql.Column): DataFrame = {
     val h = col("h")
-    val mins = (0 until NumPerm).map(i => min(h * permA(i) + permB(i)).as(s"_s$i"))
+    val mins = (0 until NumPerm).map(i => min(pmod(h * permA(i) + permB(i), lit(P32))).as(s"_s$i"))
     sh.select(col("doc_id"), hashCol.as("h"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -289,13 +297,28 @@ object Dedup {
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFromHash(rawShingles(spark, dir), pmod(xxhash64(col("sh")), lit(P32)))
 
-  /** Oracle-portable signatures: the shingle hash is the first 8 hex
-    * chars of md5 (reproducible in DuckDB). Raw (non-distinct) shingles:
-    * min() is duplicate-insensitive, so the distinct() exchange the
-    * Jaccard path needs would be a wasted shuffle here too. */
+  /** Oracle-portable shingle hash: the first 8 hex chars of md5
+    * (reproducible in DuckDB). */
+  private val portableShingleHash = "CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Oracle-portable signatures: md5-based shingle hashes. Raw
+    * (non-distinct) shingles: min() is duplicate-insensitive, so the
+    * distinct() exchange the Jaccard path needs would be a wasted shuffle
+    * here too. */
   private def portableSignatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesFromHash(rawShingles(spark, dir),
-      expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
+    portableSignaturesOf(Tables.documents(spark, dir))
+
+  private def portableSignaturesOf(docs: DataFrame): DataFrame =
+    signaturesFromHash(rawShinglesOf(docs), expr(portableShingleHash))
+
+  /** (doc_id, sig, band_idx, band_key) — the 16×4 polynomial band fold of
+    * a signature table (shared by the all-pairs LSH path and the
+    * incremental index). */
+  private def bandKeysOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> aggregate(slice(sig, b*$RowsPerBand + 1, $RowsPerBand), 0L, (acc, x) -> (acc * 1000003L + pmod(x, 1000000007L)) % 1000000007L))"
+      )).as(Seq("band_idx", "band_key")))
 
   /** LSH banding + bucket-capped pair expansion + signature-estimated
     * Jaccard, shared by the production and oracle-portable paths.
@@ -309,10 +332,7 @@ object Dedup {
     * surfaced as an `observe` metric (`overflow_members_dropped`) so a
     * duplicate-heavy corpus is visible instead of a straggler task. */
   private def lshPairsFromSignatures(sig: DataFrame, obsName: String): DataFrame = {
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> aggregate(slice(sig, b*$RowsPerBand + 1, $RowsPerBand), 0L, (acc, x) -> (acc * 1000003L + pmod(x, 1000000007L)) % 1000000007L))"
-      )).as(Seq("band_idx", "band_key")))
+    val banded = bandKeysOf(sig)
     val buckets = banded
       .groupBy(col("band_idx"), col("band_key"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("all_members"))
@@ -373,6 +393,138 @@ object Dedup {
     * DuckDB oracle. */
   def permALiteral: String = permA.mkString("[", ", ", "]")
   def permBLiteral: String = permB.mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------------
+  // q72 — INCREMENTAL near-dup dedup: a PERSISTED LSH band-bucket index
+  // makes near-dup detection incremental the way q68 made exact dedup
+  // incremental. The corpus's (band_idx, band_key) → member rows live as
+  // a parquet table BUCKETED on the band key; the daily batch computes
+  // its own signatures, probes the index with one equi-join that
+  // shuffles ONLY the batch (the index side reads pre-hash-distributed —
+  // no Exchange), and verdicts come from the signature-estimated
+  // Jaccard. After the verdicts, [[appendNovelBatchBuckets]] appends the
+  // batch's previously-unseen buckets so tomorrow's batch probes an
+  // up-to-date index — the full index is never rebuilt, and the append
+  // preserves the bucketed layout.
+  // ------------------------------------------------------------------
+
+  private val IndexDb = "graft_lsh"
+  private val Warehouse = "/tmp/graft_warehouse"
+  private val batchPredicate = pmod(col("doc_id"), lit(10)) === 9
+
+  /** One-time build of the corpus band-bucket index (corpus = the q68
+    * split's non-batch docs). One row per (band_idx, band_key, doc_id)
+    * with the member's full signature inlined so probe-side verification
+    * is local to the join. Buckets keep their [[MaxBucket]] smallest
+    * doc_ids (the q29c cap — bounds any probe row's fanout). The table
+    * name carries the source content fingerprint (same invalidation
+    * contract as [[graft.sources.Bucketing]]). */
+  private def indexBuckets(spark: SparkSession, dir: String): Int = {
+    val bytes = graft.sources.Bucketing.sourceFiles(dir, Seq("documents")).map(_.length).sum
+    math.max(spark.sparkContext.defaultParallelism,
+      math.ceil(bytes.toDouble / graft.sources.Bucketing.TargetBucketBytes).toInt)
+  }
+
+  def ensureLshBandIndex(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $IndexDb LOCATION '$Warehouse'")
+    val numBuckets = indexBuckets(spark, dir)
+    val fp = graft.sources.Bucketing.fingerprint(dir, Seq("documents"), numBuckets)
+    val table = s"$IndexDb.lsh_bands_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$fp"
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new java.io.File(Warehouse, table.stripPrefix(s"$IndexDb."))
+      if (loc.exists()) {
+        val fs = new org.apache.hadoop.fs.Path(loc.getPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(loc.getPath), true)
+      }
+      val corpus = Tables.documents(spark, dir).where(!batchPredicate)
+      bandKeysOf(portableSignaturesOf(corpus))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("band_idx", "band_key").orderBy("doc_id")))
+        .where(col("rn") <= MaxBucket).drop("rn")
+        .repartition(numBuckets, col("band_idx"), col("band_key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(numBuckets, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .saveAsTable(table)
+    }
+    table
+  }
+
+  /** Probe-side candidates: batch band rows equi-joined against the
+    * persisted index on the bucket key. The merge hint pins sort-merge so
+    * the plan demonstrates the layout: the index scan arrives
+    * pre-distributed (no Exchange on its side), the batch is the only
+    * side that shuffles — at 100 TB the daily batch is ≪ the corpus, so
+    * this is the whole point of persisting the index. est + threshold
+    * run BEFORE the cross-band distinct (q29c's prefilter trick). */
+  private[graft] def incrementalNearDupCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.table(ensureLshBandIndex(spark, dir))
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("cd"), col("sig").as("csig"))
+    val batch = Tables.documents(spark, dir).where(batchPredicate)
+    val probe = bandKeysOf(portableSignaturesOf(batch))
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("bd"), col("sig").as("bsig"))
+    probe.join(idx.hint("merge"), Seq("band_idx", "band_key"))
+      .where(col("bd") =!= col("cd")) // no-op on the q68 split; guards a post-append re-probe
+      .select(col("bd"), col("cd"),
+        round(org.apache.spark.sql.graft.ColumnBridge.of(graft.functions.LongVecEqCount(
+            org.apache.spark.sql.graft.ColumnBridge.expr(col("bsig")),
+            org.apache.spark.sql.graft.ColumnBridge.expr(col("csig")))).cast("double") / NumPerm, 6)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)
+      .distinct()
+  }
+
+  /** q72 — per-batch-document near-dup verdicts against the persisted
+    * index: `dup` with the best-estimate corpus match (ties: smallest
+    * doc_id), or `new`. Batch docs too short to shingle are `new`. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = incrementalNearDupCandidates(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bd").orderBy(col("est_jaccard").desc, col("cd").asc)))
+      .where(col("rk") === 1)
+    Tables.documents(spark, dir).where(batchPredicate)
+      .select(col("doc_id"))
+      .join(best, col("doc_id") === col("bd"), "left")
+      .select(col("doc_id"),
+        when(col("cd").isNull, lit("new")).otherwise(lit("dup")).as("status"),
+        col("cd").as("dup_of"),
+        col("est_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental index maintenance: append the batch's band buckets whose
+    * keys the index has never seen (left-anti on the bucket key), capped
+    * like the build. Append-only — the corpus index is never rebuilt —
+    * and `saveAsTable(Append)` with the matching bucket spec preserves
+    * the bucketed layout, so the next probe is still Exchange-free on
+    * the index side. Returns the number of rows appended (0 on a second
+    * call with the same batch: the keys are no longer novel). */
+  def appendNovelBatchBuckets(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val table = ensureLshBandIndex(spark, dir)
+    val batch = Tables.documents(spark, dir).where(batchPredicate)
+    val novel = bandKeysOf(portableSignaturesOf(batch))
+      .join(spark.table(table).select("band_idx", "band_key"),
+        Seq("band_idx", "band_key"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band_idx", "band_key").orderBy("doc_id")))
+      .where(col("rn") <= MaxBucket).drop("rn")
+      .select(col("doc_id"), col("sig"), col("band_idx"), col("band_key"))
+      .localCheckpoint(true) // one computation: counted AND appended
+    val n = novel.count()
+    if (n > 0) {
+      val numBuckets = indexBuckets(spark, dir)
+      novel.repartition(numBuckets, col("band_idx"), col("band_key"))
+        .write.mode("append").format("parquet")
+        .bucketBy(numBuckets, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .saveAsTable(table)
+    }
+    n
+  }
 
   /** 64-bit SimHash per document, emitted as a 16-hex-digit string.
     *

@@ -43,7 +43,7 @@ object Bucketing {
   private val Warehouse = "/tmp/graft_warehouse"
   private val Db = "graft_bucketed"
 
-  private[sources] def sourceFiles(dir: String, tables: Seq[String]): Seq[java.io.File] =
+  private[graft] def sourceFiles(dir: String, tables: Seq[String]): Seq[java.io.File] =
     tables.flatMap { t =>
       val f = new java.io.File(s"$dir/$t.parquet")
       if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
@@ -55,7 +55,7 @@ object Bucketing {
     * ('sf0.1' vs 'sf0_1') and (b) in-place source changes or a different
     * bucket sizing invalidate the cached copies instead of silently
     * serving stale rows. */
-  private[sources] def fingerprint(dir: String, tables: Seq[String], numBuckets: Int): String = {
+  private[graft] def fingerprint(dir: String, tables: Seq[String], numBuckets: Int): String = {
     val sig = sourceFiles(dir, tables)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|") + s"|b=$numBuckets"

@@ -132,6 +132,74 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("incremental near-dup: the probe shuffles ONLY the batch; index side reads bucketed") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val cand = graft.operators.Dedup.incrementalNearDupCandidates(spark, sf0001)
+    cand.collect() // finalize AQE
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case s: QueryStageExec => allNodes(s.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    def hasIndexScan(p: SparkPlan): Boolean = allNodes(p).exists {
+      case f: FileSourceScanExec =>
+        f.bucketedScan && f.tableIdentifier.exists(_.table.startsWith("lsh_bands"))
+      case _ => false
+    }
+    val join = allNodes(cand.queryExecution.executedPlan)
+      .collectFirst { case j: SortMergeJoinExec if hasIndexScan(j) => j }
+      .getOrElse(fail("expected a sort-merge probe join over the bucketed index"))
+    val (idxSide, batchSide) =
+      if (hasIndexScan(join.right)) (join.right, join.left) else (join.left, join.right)
+    assert(!allNodes(idxSide).exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "index side must consume its persisted bucketed layout with NO shuffle")
+    assert(allNodes(batchSide).exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the batch is the only side that shuffles into the join")
+  }
+
+  test("incremental near-dup verdicts match a from-scratch recompute, and cover every batch doc") {
+    val out = Dedup.incrementalNearDup(spark, sf0001).collect()
+    assert(out.length === 50, "one verdict row per batch doc (doc_id % 10 = 9)")
+    val dups = out.filter(_.getString(1) == "dup")
+    assert(dups.nonEmpty, "fixture contains near-dups across the split")
+    dups.foreach { r =>
+      assert(r.getLong(2) % 10 !== 9L, "dup_of must point into the corpus split")
+      assert(r.getDouble(3) >= 0.5)
+    }
+  }
+
+  test("incremental near-dup: novel batch buckets append once, idempotently, preserving the probe") {
+    import spark.implicits._
+    // tiny corpus: two corpus docs + one batch doc (id 9) that is a near-dup
+    // of corpus doc 1, and one batch doc (id 19) that is genuinely new
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base, "en", "t", 1L),
+      (2L, "completely different content about query planners and shuffles here", "en", "t", 1L),
+      (9L, base + " nu", "en", "t", 1L), // near-dup of 1
+      (19L, "unrelated fresh document with brand new vocabulary entirely", "en", "t", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-incnd").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val verdicts = Dedup.incrementalNearDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts === Map(9L -> "dup", 19L -> "new"))
+
+    val table = Dedup.ensureLshBandIndex(spark, dir)
+    val before = spark.table(table).count()
+    val appended = Dedup.appendNovelBatchBuckets(spark, dir)
+    assert(appended > 0, "the new batch doc's buckets must be novel")
+    assert(spark.table(table).count() === before + appended)
+    assert(Dedup.appendNovelBatchBuckets(spark, dir) === 0L,
+      "second append of the same batch must be a no-op (keys no longer novel)")
+    // the appended table still probes fine (layout preserved)
+    assert(Dedup.incrementalNearDup(spark, dir).count() === 2L)
+  }
+
   test("q34 audit slice is constant-size at any corpus scale") {
     // modulus grows linearly with n, so kept rows ~ AuditRows at any n
     assert(Similarity.auditModulus(0) === 1)
