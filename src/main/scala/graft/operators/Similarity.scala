@@ -331,11 +331,43 @@ object Similarity {
   }
 
   /** Frozen trained models, keyed by (dir, iters): train once per corpus,
-    * search many — the 100 TB shape. The cache is the "persisted model";
-    * a cold call pays 3 sample-only passes, every later query (and every
-    * bench rep after the first) is assignment-only. */
+    * search many — the 100 TB shape. Two tiers: this session-memory map,
+    * and a parquet MODEL TABLE under the warehouse (content-fingerprinted
+    * like [[graft.sources.Bucketing]]'s copies) so the model survives the
+    * session — a fresh JVM's first q60 loads k×64 doubles from parquet
+    * instead of paying the 3 sample-training passes again. */
   private val trainedCache =
     new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Double]]]
+
+  /** Test hook: forget the in-memory tier so a reload exercises the
+    * persisted model table. */
+  private[graft] def clearTrainedMemory(): Unit = trainedCache.clear()
+
+  private def modelPath(dir: String, iters: Int): String =
+    "/tmp/graft_warehouse/ivf_model_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), iters)
+
+  /** Disk tier of the model cache: (cell, centroid) rows, one file. The
+    * write is deterministic (the training itself is bit-deterministic),
+    * so a rebuild from another JVM is a cache rebuild, not a change. */
+  private def loadOrTrainPersisted(spark: SparkSession, dir: String, iters: Int)
+      (train: => Array[Array[Double]]): Array[Array[Double]] = {
+    val path = modelPath(dir, iters)
+    if (new java.io.File(path, "_SUCCESS").exists()) {
+      val cents = Array.ofDim[Array[Double]](NumCells)
+      spark.read.parquet(path).collect().foreach { r =>
+        cents(r.getInt(0)) = r.getSeq[Double](1).toArray
+      }
+      require(cents.forall(_ != null), s"model table $path is torn")
+      cents
+    } else {
+      val cents = train
+      val rows = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      spark.createDataFrame(rows.toSeq).toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      cents
+    }
+  }
 
   /** Spherical k-means training for the IVF centroids (Lloyd's
     * iterations), upgrading the fixed LCG seeds to data-adapted cells.
@@ -355,7 +387,7 @@ object Similarity {
     * the same model in DuckDB SQL. Empty cells keep their previous
     * centroid. The result is memoized in [[trainedCache]]. */
   def trainIvfCentroids(spark: SparkSession, dir: String, iters: Int = 3): Array[Array[Double]] =
-    trainedCache.getOrElseUpdate((dir, iters), {
+    trainedCache.getOrElseUpdate((dir, iters), loadOrTrainPersisted(spark, dir, iters) {
       val sample = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .where(pmod(col("vec_id") * SampleMult, lit(SampleMod.toLong)) === 0)

@@ -292,6 +292,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"k-means cells should not lose recall vs LCG seeds ($trained < $seeded)")
   }
 
+  test("k-means IVF model persists to parquet: a cold session loads it instead of retraining") {
+    val m1 = Similarity.trainIvfCentroids(spark, sf0001)
+    Similarity.clearTrainedMemory() // simulate a fresh JVM's empty memory tier
+    spark.sparkContext.setJobGroup("ivf-reload", "model reload probe", interruptOnCancel = false)
+    val m2 = try Similarity.trainIvfCentroids(spark, sf0001)
+    finally spark.sparkContext.clearJobGroup()
+    val reloadJobs = spark.sparkContext.statusTracker.getJobIdsForGroup("ivf-reload").length
+    assert(m2.map(_.toSeq).toSeq === m1.map(_.toSeq).toSeq,
+      "persisted model must round-trip bit-identically")
+    assert(reloadJobs <= 2,
+      s"reload must read the model table (1 tiny job), not retrain (3+ passes); ran $reloadJobs jobs")
+  }
+
   test("label centroids: 10 labels x 64 dims, components bounded by max component") {
     val out = Similarity.labelCentroids(spark, sf0001).collect()
     assert(out.length === 640)
