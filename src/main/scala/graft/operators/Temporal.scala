@@ -97,18 +97,17 @@ object Temporal {
         Window.partitionBy("day").orderBy("t")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // level 2: exclusive day-offsets over the DENSE day domain (tiny —
-    // one row per calendar day, the only serial window in the plan).
-    // NOTE: this .head() eagerly runs a 2-value min/max job at
-    // DataFrame-CONSTRUCTION time (the day-domain bounds parameterize the
-    // dense range below — they can't stay lazy); an empty events table
-    // short-circuits to the empty result instead of a null getLong.
-    val bounds = dist.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
-    if (bounds.isNullAt(0))
-      return ev.select(col("event_id"), lit(0L).as("n_within_1h")).limit(0)
-    val (loDay, hiDay) = (bounds.getLong(0), bounds.getLong(1))
+    // one row per calendar day, the only serial window in the plan). The
+    // domain bounds stay IN-PLAN: a one-row min/max aggregate feeds
+    // sequence()/explode for the dense days and broadcasts onto the probe
+    // rows for clamping — DataFrame construction is fully lazy (no eager
+    // bounds job), and an empty events table flows through as an empty
+    // sequence → empty result instead of needing a guard.
+    val bounds = dist.agg(
+      (min(col("day")) - 1L).as("lo"), (max(col("day")) + 1L).as("hi"))
     val dayTotals = dist.groupBy(col("day")).agg(sum(col("cnt")).as("tot"))
-    val denseDays = ev.sparkSession.range(loDay - 1, hiDay + 2)
-      .toDF("day")
+    val denseDays = bounds
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
       .join(dayTotals, Seq("day"), "left")
       .withColumn("tot", coalesce(col("tot"), lit(0L)))
       .withColumn("off", coalesce(sum(col("tot")).over(
@@ -116,17 +115,19 @@ object Temporal {
       .select(col("day"), col("off"))
 
     // data rows carry their within-day running count; probe rows (two per
-    // event, at t±w bounds, clamped into the dense day domain) resolve
-    // as-of WITHIN their day — data rows sort first at equal t, so a
-    // probe exactly on a data timestamp includes it
+    // event, at t±w bounds, clamped into the dense day domain by the
+    // broadcast one-row bounds) resolve as-of WITHIN their day — data
+    // rows sort first at equal t, so a probe exactly on a data timestamp
+    // includes it
     val dataRows = dist.select(col("day"), col("t"),
       lit(null).cast("long").as("event_id"), lit(null).cast("string").as("bound"),
       col("wcum"))
-    val probeRows = ev.select(col("event_id"), col("t"),
+    val probeRows = ev.crossJoin(broadcast(bounds)) // 1-row scalar broadcast
+      .select(col("event_id"), col("t"), col("lo"), col("hi"),
         explode(expr(s"array(named_struct('pt', t + $w, 'bound', 'hi')," +
           s" named_struct('pt', t - $w - 1, 'bound', 'lo'))")).as("p"))
       .select(
-        greatest(least(expr(s"p.pt div $day"), lit(hiDay + 1)), lit(loDay - 1)).as("day"),
+        greatest(least(expr(s"p.pt div $day"), col("hi")), col("lo")).as("day"),
         col("p.pt").as("t"), col("event_id"), col("p.bound").as("bound"),
         lit(null).cast("long").as("wcum"))
     val inDay = Window.partitionBy("day")
