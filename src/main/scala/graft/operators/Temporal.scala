@@ -97,7 +97,10 @@ object Temporal {
         Window.partitionBy("day").orderBy("t")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // level 2: exclusive day-offsets over the DENSE day domain (tiny —
-    // one row per calendar day, the only serial window in the plan). The
+    // one row per calendar day, the only serial window in the plan; its
+    // size is bounded by CALENDAR SPAN, ~37k rows for a century, never by
+    // data volume — so unlike q71's bucket totals it never needs
+    // PrefixSum.exclusive's auto-stacked levels). The
     // domain bounds stay IN-PLAN: a one-row min/max aggregate feeds
     // sequence()/explode for the dense days and broadcasts onto the probe
     // rows for clamping — DataFrame construction is fully lazy (no eager

@@ -395,33 +395,42 @@ object TextAnalysis {
     *
     * The running count is a GLOBAL prefix sum, which naive
     * `Window.orderBy` computes on ONE partition — the anti-pattern this
-    * operator exists to avoid. Two-phase scan instead:
+    * operator exists to avoid. Multi-level scan instead:
     * (1) within-bucket cumsum, windows partitioned by `floor(doc_id /
     * [[PackBucket]])` — fully parallel;
-    * (2) bucket TOTALS get their own cumsum — the only single-partition
-    * window, over corpus/[[PackBucket]] rows (100 TB / 1000-doc buckets ≈
-    * millions of rows of (bucket, total): still one task, but bounded and
-    * independent of document width; stack another bucketing level if even
-    * that grows too large);
+    * (2) bucket TOTALS get their own exclusive prefix sum via
+    * [[PrefixSum.exclusive]], which AUTO-STACKS further bucketing levels
+    * whenever a level's totals table outgrows one window partition
+    * (depth from a lazy metadata row estimate — 100 TB ≈ 10¹¹ docs means
+    * 10⁸ bucket totals, three stacked levels, never one giant task);
     * (3) broadcast-join the offsets back and add.
     * All integer arithmetic — the oracle is DuckDB's native
     * `SUM() OVER (ORDER BY doc_id)` and must hash-match exactly. */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val estDocs = math.max(1L,
+      graft.sources.Bucketing.sourceFiles(dir, Seq("documents")).map(_.length).sum / 16)
+    sequencePackingWith(spark, dir, PackBucket, estDocs)
+  }
+
+  /** [[sequencePacking]] with the bucket width and the (metadata) row
+    * estimate explicit, so a spec can drive > width² rows through two
+    * stacked offset levels without generating a million-row fixture. */
+  private[graft] def sequencePackingWith(spark: SparkSession, dir: String,
+      width: Long, estDocs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
-        floor(col("doc_id") / PackBucket).as("bkt"))
+        floor(col("doc_id") / width).as("bkt"))
     val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = docs.withColumn("local_cum", sum(col("n_tokens")).over(inBkt))
     // bucket totals via plain partial-aggregation (NOT max(local_cum) off
     // the windowed frame — that re-evaluates the whole window a second
     // time in the un-reused offsets branch)
-    val offsets = docs.groupBy("bkt").agg(sum(col("n_tokens")).as("bkt_total"))
-      .withColumn("bkt_offset",
-        coalesce(sum(col("bkt_total")).over(
-          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bkt", "bkt_offset")
+    val offsets = PrefixSum.exclusive(
+        docs.groupBy("bkt").agg(sum(col("n_tokens")).as("bkt_total")),
+        "bkt", "bkt_total", width, estDocs / width + 1)
+      .withColumnRenamed("off", "bkt_offset")
     withLocal.join(broadcast(offsets), Seq("bkt"))
       .withColumn("cum_tokens", col("bkt_offset") + col("local_cum"))
       .withColumn("pack_id", floor((col("cum_tokens") - col("n_tokens")) / PackBudget))

@@ -129,6 +129,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sorted.sliding(2).forall(w => w(0).getLong(3) <= w(1).getLong(3)))
   }
 
+  test("q71: auto-stacked prefix sum: > width^2 rows through TWO offset levels, same answer") {
+    // width 10 over 250 docs: 25 bucket totals > 10 -> a stacked level of 3
+    // super-totals -> terminal window. Same recursion shape a 100 TB corpus
+    // triggers at width 1000, without a million-row fixture.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stack").toString
+    val docs = (0L until 250L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "), "en", "t", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis
+      .sequencePackingWith(spark, dir, width = 10L, estDocs = 250L)
+      .collect().sortBy(_.getLong(0))
+    var cum = 0L
+    out.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) === cum, s"stacked cum mismatch at doc ${r.getLong(0)}")
+    }
+    assert(out.length === 250)
+    // the recursion really stacked: depth for est=250, width=10 is
+    // exclusive(26 est) -> exclusive(3 est, terminal) — two offset levels
+    assert(250L / 10L + 1 > 10L && (250L / 10L + 1) / 10L + 1 <= 10L)
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
