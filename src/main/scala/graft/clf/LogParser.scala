@@ -136,12 +136,14 @@ object LogParser {
     * valid rows flow through while an `observe` metric counts total and
     * invalid lines on the same pass (SURVEY.md §2.1 row 5). Read the
     * metric from the listener or `Observation` after an action. */
-  def validLinesObserved(lines: DataFrame): DataFrame =
+  def validLinesObserved(lines: DataFrame): DataFrame = {
+    graft.operators.Diagnostics.install(lines.sparkSession)
     parse(lines)
       .observe("clf_parse",
         count(lit(1)).as("n_lines"),
         sum(when(col("host") === "", 1L).otherwise(0L)).as("n_dead_letters"))
       .where(col("host") =!= "")
+  }
 
   /** The FIXTURES.md §A corpus, embedded so the CLF path is exercisable
     * without external files (the NASA log itself is not shipped). */

@@ -332,6 +332,7 @@ object Dedup {
     * surfaced as an `observe` metric (`overflow_members_dropped`) so a
     * duplicate-heavy corpus is visible instead of a straggler task. */
   private def lshPairsFromSignatures(sig: DataFrame, obsName: String): DataFrame = {
+    Diagnostics.install(sig.sparkSession) // overflow metric lands in Diagnostics
     val banded = bandKeysOf(sig)
     val buckets = banded
       .groupBy(col("band_idx"), col("band_key"))
@@ -545,6 +546,7 @@ object Dedup {
     * exact bit Hamming distance <= 6 of 64. Buckets capped at
     * [[MaxBucket]] like the MinHash path (mirrored in the oracle). */
   def simhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
     val sh = simhash(spark, dir).select(col("doc_id"), col("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> substr(simhash, b*4 + 1, 4))")).as(Seq("band_idx", "band_val")))

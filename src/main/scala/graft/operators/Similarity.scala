@@ -220,6 +220,7 @@ object Similarity {
     * plan contains NO nested-loop join — candidate generation is linear
     * in n, not quadratic. */
   def embeddingNearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
     val n = withNorm(spark, dir)
     val banded = n.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until NdBands).map(ndBandKey): _*)).as(Seq("band_idx", "band_key")))

@@ -65,6 +65,14 @@ class ClfParserSpec extends SparkSpec {
     val metrics = observed.queryExecution.observedMetrics("clf_parse")
     assert(metrics.getAs[Long]("n_lines") === 10L)
     assert(metrics.getAs[Long]("n_dead_letters") === 5L)
+    // the same counters reach the session-level Diagnostics capture
+    // (async listener bus — poll)
+    val deadline = System.nanoTime() + 15e9.toLong
+    def cap = graft.operators.Diagnostics.lastMetrics("clf_parse")
+    while (!cap.exists(_.get("n_dead_letters").contains(5L))
+        && System.nanoTime() < deadline) Thread.sleep(25)
+    assert(cap.exists(_.apply("n_lines") === 10L),
+      "Diagnostics must serve the dead-letter counters after the action")
   }
 
   test("avg-bytes analytics semantics on CLF: '-' bytes count 0 in numerator, 1 in denominator") {

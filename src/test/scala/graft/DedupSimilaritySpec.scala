@@ -236,6 +236,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.length === 64 * 63 / 2, s"expected capped pair count, got ${lsh.length}")
     lsh.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
 
+    // ...and the cap is OBSERVABLE: each of the 16 bands put all 1000
+    // clones in one bucket and dropped 936 — the q29_lsh_buckets metric is
+    // the operational alarm a duplicate-heavy corpus trips. Delivery is
+    // async via the listener bus, so poll.
+    val wantDropped = (1000L - Dedup.MaxBucket) * 16
+    val deadline = System.nanoTime() + 15e9.toLong
+    def metrics = graft.operators.Diagnostics.lastMetrics("q29_lsh_buckets")
+    while (!metrics.exists(_.get("overflow_members_dropped").contains(wantDropped))
+        && System.nanoTime() < deadline) Thread.sleep(25)
+    val m = metrics.getOrElse(fail("q29_lsh_buckets metric never arrived"))
+    assert(m("overflow_members_dropped") === wantDropped)
+    assert(m("n_buckets") === 16L, "only the 16 clone buckets have >= 2 members")
+    val rep = graft.operators.Diagnostics.report(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rep.contains(("q29_lsh_buckets", "overflow_members_dropped", wantDropped.toString)))
+
     // SimHash banding gets the same cap treatment.
     val sim = Dedup.simhashNearPairs(spark, dir).collect()
     assert(sim.length === 64 * 63 / 2)
