@@ -16,6 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The harness keeps only the last 2000 chars of this process's output;
+    // WindowExec's per-plan "No Partition Defined" warning (fired by the
+    // DESIGNED bounded serial windows — q71 bucket totals, q49 day
+    // offsets) repeats enough to evict the headline JSON from that
+    // window. Silence just those loggers; real warnings elsewhere stay.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.adaptive", org.apache.logging.log4j.Level.ERROR)
     // JIT/codegen warmup outside the timed region, so the alphabetically
     // first query doesn't absorb one-time JVM costs
     spark.range(100000).selectExpr("sum(id) AS s", "count(distinct id % 7) AS c")
