@@ -688,7 +688,7 @@ object SparkEntry {
     "q28_near_dup_jaccard" -> q28Sql,
     // Connected components over the near-dup pair graph: DuckDB computes
     // the transitive closure with a recursive CTE (min reachable doc_id =
-    // the component id Spark's min-label propagation converges to).
+    // the component id Spark's star-contraction CC converges to).
     "q61_dup_clusters" ->
       s"""WITH RECURSIVE
         |pairs AS ($q28Sql),
