@@ -93,6 +93,7 @@ object SparkEntry {
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "q60_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeansTopK(s, d)),
+    "q73_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
     // Multimodal codec-free decode pipeline + CLF parity fixtures
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => {
@@ -953,6 +954,7 @@ object SparkEntry {
     // SQL (3 unrolled Lloyd iterations over the deterministic 50% sample,
     // exact-decimal sums and norms), then replays the probe+rank pipeline.
     "q60_ann_ivf_kmeans" -> operators.Similarity.ivfOracleSql(iters = 3),
+    "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     "q37b_clf_parse_volume" -> clf.LogCorpus.validOracleSql,
     "q38b_clf_dead_letters_volume" -> clf.LogCorpus.deadOracleSql,
   )

@@ -475,7 +475,31 @@ object Similarity {
     * probe + rank pipeline on it (q60). Every cross-engine-sensitive step
     * (cell argmax, probe ordering, cosine) runs on decimal-exact doubles,
     * so the compare is a hash match, not a tolerance. */
-  def ivfOracleSql(iters: Int, nprobe: Int = 4, k: Int = 5): String = {
+  def ivfOracleSql(iters: Int, nprobe: Int = 4, k: Int = 5): String =
+    ivfModelPrefixSql(iters) +
+      s"""pk AS (SELECT q_id, cell AS pcell FROM (
+         |  SELECT vec_id AS q_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS prn
+         |  FROM fsc WHERE vec_id <= 4) z WHERE prn <= $nprobe),
+         |qv AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM w WHERE vec_id <= 4),
+         |u AS (SELECT pk.q_id, w.vec_id AS n_id, w.cell, qv.qn, w.nrm AS nn,
+         |  unnest(qv.qe) AS x, unnest(w.embedding) AS y
+         |  FROM pk JOIN qv ON qv.q_id = pk.q_id
+         |  JOIN w ON w.cell = pk.pcell AND w.vec_id <> pk.q_id),
+         |s2 AS (SELECT q_id, n_id, CAST(any_value(cell) AS BIGINT) AS cell,
+         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |    / (any_value(qn) * any_value(nn)) AS cos_sim
+         |  FROM u GROUP BY q_id, n_id),
+         |r AS (SELECT q_id, n_id, cell, cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank FROM s2)
+         |SELECT q_id, n_id, cell, cos_sim, rank FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Shared DuckDB WITH-chain prefix for the trained-IVF family (q47/q60
+    * replay it for ANN, q73 for semantic dedup): seeds → unrolled Lloyd
+    * iterations (when `iters > 0`) → full-corpus decimal-exact scores
+    * (`fsc`), assignments (`fas`), norms (`nr`), ending at
+    * `w(vec_id, embedding, cell, nrm)` with a trailing comma — callers
+    * append their own tail CTEs + SELECT. */
+  private def ivfModelPrefixSql(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH seeds AS (SELECT $ivfCentroidsSqlLiteral AS c),\n"
     if (iters > 0)
@@ -518,23 +542,110 @@ object Similarity {
          |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
          |w AS (SELECT e.vec_id, e.embedding, a.cell, nr.nrm
          |  FROM embeddings e JOIN fas a ON e.vec_id = a.vec_id JOIN nr ON e.vec_id = nr.vec_id),
-         |pk AS (SELECT q_id, cell AS pcell FROM (
-         |  SELECT vec_id AS q_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS prn
-         |  FROM fsc WHERE vec_id <= 4) z WHERE prn <= $nprobe),
-         |qv AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM w WHERE vec_id <= 4),
-         |u AS (SELECT pk.q_id, w.vec_id AS n_id, w.cell, qv.qn, w.nrm AS nn,
-         |  unnest(qv.qe) AS x, unnest(w.embedding) AS y
-         |  FROM pk JOIN qv ON qv.q_id = pk.q_id
-         |  JOIN w ON w.cell = pk.pcell AND w.vec_id <> pk.q_id),
-         |s2 AS (SELECT q_id, n_id, CAST(any_value(cell) AS BIGINT) AS cell,
-         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
-         |    / (any_value(qn) * any_value(nn)) AS cos_sim
-         |  FROM u GROUP BY q_id, n_id),
-         |r AS (SELECT q_id, n_id, cell, cos_sim,
-         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank FROM s2)
-         |SELECT q_id, n_id, cell, cos_sim, rank FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+         |""".stripMargin
     sb.toString
   }
+
+  /** q73 SemDeDup-style SEMANTIC dedup: cluster the embeddings with the
+    * trained IVF k-means model ([[trainIvfCentroids]] — "train once" on a
+    * sample, persisted model table), then mark a vector a semantic
+    * duplicate iff some LOWER-vec_id member of the SAME cluster has exact
+    * cosine >= `tau` to it. Emits one row per vector: its cluster, how
+    * many earlier in-cluster near-dups it has, and the keep flag a
+    * pruning pipeline would act on (keep the first occurrence, drop the
+    * rest — the same min-id keeper rule as exact dedup q27).
+    *
+    * In-cluster candidate generation reuses the q34b banded sign-LSH
+    * blocking RESTRICTED to the cluster: a pair is a candidate only when
+    * cluster AND some band key agree, so the pair space stays bucket-
+    * local (capped at [[Dedup.MaxBucket]], overflow `observe`d) instead
+    * of the O(sum n_c²) within-cluster nested loop the naive SemDeDup
+    * scan would run. Scale shape: assignment + band keys are map-side
+    * (codegen'd dots, no shuffle); ONE shuffle on (cell, band_idx,
+    * band_key); candidates dedup + exact decimal re-score touch only
+    * surviving pairs; the final left join carries (vec_id, cell) — never
+    * embeddings. At 100 TB the cell count k grows with n (k ≈ n/2²⁰ for
+    * ~1M-row cells) so both blocking keys tighten together; recall at
+    * cos = c within a cluster is the q34b band bound 1−(1−p³)⁸.
+    *
+    * Oracle-gated end-to-end: the DuckDB oracle re-derives the identical
+    * trained model ([[ivfModelPrefixSql]]), band keys (decimal-exact
+    * sign bits), cap, and cosine — hash match, no tolerance. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    Diagnostics.install(spark)
+    val cents = trainIvfCentroids(spark, dir)
+    val a = ivfAssignments(spark, dir, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val banded = a.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+      posexplode(array((0 until NdBands).map(ndBandKey): _*)).as(Seq("band_idx", "band_key")))
+    val buckets = banded
+      .groupBy(col("cell"), col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+      .observe("q73_semdedup_buckets",
+        sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"),
+        count(lit(1)).as("n_buckets"))
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('v1', x.vec_id, 'e1', x.embedding, 'n1', x.nrm,
+          |                 'v2', y.vec_id, 'e2', y.embedding, 'n2', y.nrm))))""".stripMargin)).as("p"))
+      .select(col("p.v1").as("v1"), col("p.e1").as("e1"), col("p.n1").as("n1"),
+        col("p.v2").as("v2"), col("p.e2").as("e2"), col("p.n2").as("n2"))
+      // cheap codegen'd prefilter BEFORE the distinct (q34b's trick): only
+      // plausible pairs pay the dedup shuffle and the exact decimal re-score
+      .where(fdot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= tau - 1e-6)
+      .distinct()
+      .select(col("v1"), col("v2"),
+        (expr(dotDec("e1", "e2")) / (col("n1") * col("n2"))).as("cs"))
+      .where(col("cs") >= tau)
+    val drops = pairs.groupBy(col("v2").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups_earlier"))
+    a.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups_earlier"), lit(0L)).as("n_dups_earlier"),
+        col("n_dups_earlier").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDedup]]: trained-model prefix
+    * ([[ivfModelPrefixSql]]) + band keys + capped cluster∧band candidate
+    * blocking + exact decimal cosine + the per-vector drop count. */
+  def semanticDedupOracleSql(iters: Int = 3, tau: String = "0.4"): String =
+    ivfModelPrefixSql(iters) +
+      s"""pl AS (SELECT $ndPlanesSqlLiteral AS p),
+         |bits AS (SELECT wv.vec_id, wv.cell, bb.b AS band_idx,
+         |  CAST(list_sum(list_transform(range(0, $NdPlanesPerBand), j ->
+         |    CASE WHEN CAST(ROUND(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |           CAST(CAST(wv.embedding[CAST(i AS INT)] AS DOUBLE)
+         |                * (pl.p)[CAST(bb.b*$NdPlanesPerBand + j + 1 AS INT)][CAST(i AS INT)] AS DECIMAL(18,12)))), 12) AS DOUBLE) >= 0
+         |         THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS band_key
+         |  FROM w wv CROSS JOIN pl CROSS JOIN (SELECT unnest(range(0, $NdBands)) AS b) bb),
+         |mem AS (SELECT vec_id, cell, band_idx, band_key,
+         |          ROW_NUMBER() OVER (PARTITION BY cell, band_idx, band_key ORDER BY vec_id) AS rn,
+         |          COUNT(*) OVER (PARTITION BY cell, band_idx, band_key) AS nb
+         |        FROM bits),
+         |kept AS (SELECT * FROM mem WHERE nb >= 2 AND rn <= ${Dedup.MaxBucket}),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM kept a JOIN kept b
+         |           ON a.cell = b.cell AND a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |          AND a.vec_id < b.vec_id),
+         |u2 AS (SELECT c.v1, c.v2, a.nrm AS n1, b.nrm AS n2,
+         |         unnest(a.embedding) AS x, unnest(b.embedding) AS y
+         |       FROM cand c JOIN w a ON a.vec_id = c.v1 JOIN w b ON b.vec_id = c.v2),
+         |ps AS (SELECT v1, v2,
+         |         CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |           / (any_value(n1) * any_value(n2)) AS cs
+         |       FROM u2 GROUP BY v1, v2),
+         |dr AS (SELECT v2 AS vec_id, COUNT(*) AS n_dups_earlier FROM ps WHERE cs >= $tau GROUP BY 1)
+         |SELECT wv.vec_id, CAST(wv.cell AS BIGINT) AS cell,
+         |       COALESCE(dr.n_dups_earlier, 0) AS n_dups_earlier,
+         |       dr.vec_id IS NULL AS keep
+         |FROM w wv LEFT JOIN dr ON dr.vec_id = wv.vec_id
+         |ORDER BY wv.vec_id""".stripMargin
 
   /** Array-function surface over the embedding vectors: size, extrema,
     * positive-component count, first components — pure per-row list ops

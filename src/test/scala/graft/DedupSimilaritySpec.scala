@@ -50,6 +50,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.intersect(sim).nonEmpty, "0.95-jaccard dups should be simhash-near")
   }
 
+  test("semantic dedup: keep iff no earlier in-cluster near-dup, drops are true pairs") {
+    val out = Similarity.semanticDedup(spark, sf0001).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("n_dups_earlier") == 0L))
+      assert(r.getAs[Long]("cell") >= 0L && r.getAs[Long]("cell") <= 15L)
+    }
+    val dropped = out.filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.nonEmpty, "fixture should contain in-cluster semantic dups")
+    // cluster+band blocking only ever REMOVES candidates: every drop must be
+    // the higher id of a TRUE all-pairs cos>=0.4 pair (precision = 1)
+    val truth = Similarity.embeddingNearDupPairs(spark, sf0001, every = 1)
+      .select("v2").collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(truth), s"phantom drops: ${dropped -- truth}")
+  }
+
   test("knn brute force: cosine in [-1,1], ranks 1..5 per query, no self-matches") {
     val out = Similarity.knnBrute(spark, sf0001).collect()
     assert(out.length === 25)
