@@ -77,6 +77,7 @@ object SparkEntry {
     "q27_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
     "q68_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q72_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
+    "q74_bloom_incremental_dedup" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -624,6 +625,18 @@ object SparkEntry {
     // Incremental dedup: batch (doc_id % 10 = 9) probed against the
     // min-doc_id-per-hash index built from the rest.
     "q68_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
+        |           FROM documents),
+        |idx AS (SELECT content_md5, MIN(doc_id) AS dup_of FROM d WHERE doc_id % 10 <> 9 GROUP BY 1)
+        |SELECT b.doc_id, b.content_md5,
+        |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of AS dup_of
+        |FROM d b LEFT JOIN idx i USING (content_md5)
+        |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
+    // Bloom-pruned incremental dedup: the Bloom filter changes WHICH rows
+    // pay the confirm-join shuffle, never the answer — so the oracle is
+    // the same plain batch-vs-corpus join as q68, and a bloom false
+    // negative would surface as a hash mismatch here.
+    "q74_bloom_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
         |           FROM documents),
         |idx AS (SELECT content_md5, MIN(doc_id) AS dup_of FROM d WHERE doc_id % 10 <> 9 GROUP BY 1)

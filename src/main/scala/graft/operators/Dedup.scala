@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.Simhash64
+import graft.functions.{BloomMightContain, Simhash64}
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` — the core of a training-data
@@ -75,6 +75,93 @@ object Dedup {
         when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("status"),
         col("dup_of"))
       .orderBy("doc_id")
+  }
+
+  /** Serialized Bloom filters over the corpus index's content hashes,
+    * keyed by source dir — built once per corpus ("index build" step,
+    * like [[graft.operators.Similarity.trainIvfCentroids]]'s model) and
+    * frozen into probe plans. ~1.2 bytes/key at 3% fpp, so even a 10⁹-key
+    * index is a ~1.2 GB filter; past that a production deployment shards
+    * the filter by the index's hash-bucket (one small filter per bucket,
+    * loaded by the task probing that bucket) rather than growing one
+    * monolith. */
+  private val bloomCache =
+    new scala.collection.concurrent.TrieMap[String, Array[Byte]]
+
+  /** Test hook: forget built filters so a rebuild is exercised. */
+  private[graft] def clearBloomCache(): Unit = bloomCache.clear()
+
+  private def hashedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+
+  /** Build (memoized) the corpus-index Bloom filter: distributed
+    * aggregation over the index side's distinct hashes, serialized for
+    * embedding into probe plans. Runs two actions on first call per
+    * corpus (count for sizing + the filter build) — the documented
+    * eager "index build" step, NOT part of any per-batch probe plan. */
+  def corpusBloomBytes(spark: SparkSession, dir: String): Array[Byte] =
+    bloomCache.getOrElseUpdate(dir, {
+      val index = hashedDocs(spark, dir)
+        .where(pmod(col("doc_id"), lit(10)) =!= 9)
+        .select("content_md5").distinct()
+      val n = math.max(1L, index.count())
+      val bf = index.stat.bloomFilter("content_md5", n, 0.03)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    })
+
+  /** q74 — BLOOM-PRUNED incremental exact dedup: q68's batch-vs-corpus
+    * probe, with a Bloom filter over the index's hashes deciding—on the
+    * batch's own scan, zero shuffle—which batch rows can possibly be
+    * duplicates. Bloom-negative rows are DEFINITIVELY new (no false
+    * negatives) and bypass the probe join entirely; only the bloom-hit
+    * rows (true dups + ~3% false positives) shuffle into the exact
+    * confirm join, whose left-join null handles the false positives.
+    *
+    * Same output contract as q68 — the filter changes WHICH rows pay the
+    * shuffle, never the answer — so the DuckDB oracle is the plain
+    * batch-vs-corpus join and a hash mismatch would catch a false
+    * negative end-to-end. Pruning effectiveness is surfaced through the
+    * `q74_bloom_probe` observe metrics (batch_rows / bloom_hits).
+    *
+    * Scale shape: at 100 TB with a mostly-novel daily batch, the confirm
+    * join's probe side shrinks from |batch| to |dups| + 3% — the shuffle
+    * becomes proportional to the duplicate mass instead of the batch
+    * size. The filter broadcasts once per executor (codegen init parses
+    * it from bytes — see [[graft.functions.BloomMightContain]]). */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    val hashed = hashedDocs(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(10)) === 9
+    val index = hashed.where(!isBatch)
+      .groupBy("content_md5").agg(min(col("doc_id")).as("dup_of"))
+    val mightContain = ColumnBridge.of(BloomMightContain(
+      ColumnBridge.expr(col("content_md5")), corpusBloomBytes(spark, dir)))
+    val batch = hashed.where(isBatch)
+      .withColumn("bloom_hit", mightContain)
+    val confirmed = batch.where(col("bloom_hit"))
+      .join(index, Seq("content_md5"), "left")
+    val fresh = batch.where(!col("bloom_hit"))
+      .withColumn("dup_of", lit(null).cast("long"))
+    confirmed.unionByName(fresh)
+      .select(
+        col("doc_id"),
+        col("content_md5"),
+        col("bloom_hit"),
+        when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+      // observed ABOVE the sort, after the union: below the union the
+      // batch subtree appears in BOTH branches, and below the sort the
+      // range-partitioner's sampling pass replays the child — either
+      // placement double-counts every row
+      .observe("q74_bloom_probe",
+        count(lit(1)).as("batch_rows"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("bloom_hits"))
+      .drop("bloom_hit")
   }
 
   /** Word-3-gram shingles per document (with duplicates). */

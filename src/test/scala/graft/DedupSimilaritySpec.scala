@@ -50,6 +50,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.intersect(sim).nonEmpty, "0.95-jaccard dups should be simhash-near")
   }
 
+  test("bloom-pruned incremental dedup matches the exact probe and actually prunes") {
+    Dedup.clearBloomCache()
+    val exact = Dedup.incrementalDedup(spark, sf0001).collect()
+    val bloomed = Dedup.bloomIncrementalDedup(spark, sf0001).collect()
+    // identical answer: the filter changes WHICH rows pay the confirm
+    // join, never the result (no false negatives; FPs die in the join)
+    assert(bloomed.map(_.toString).toSeq === exact.map(_.toString).toSeq)
+
+    val nDup = exact.count(_.getAs[String]("status") == "dup").toLong
+    val nBatch = exact.length.toLong
+    val deadline = System.nanoTime() + 15e9.toLong
+    def metrics = graft.operators.Diagnostics.lastMetrics("q74_bloom_probe")
+    while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(25)
+    val m = metrics.getOrElse(fail("q74_bloom_probe metric never arrived"))
+    assert(m("batch_rows") === nBatch)
+    val hits = m("bloom_hits").asInstanceOf[Long]
+    // every true dup must bloom-hit (no false negatives) ...
+    assert(hits >= nDup, s"false negative: $hits hits < $nDup dups")
+    // ... and at 3% fpp most novel rows are pruned off the join
+    assert(hits < nBatch, s"no pruning: all $nBatch batch rows hit the filter")
+  }
+
   test("semantic dedup: keep iff no earlier in-cluster near-dup, drops are true pairs") {
     val out = Similarity.semanticDedup(spark, sf0001).collect()
     assert(out.length === 500)
