@@ -65,6 +65,8 @@ object SparkEntry {
     "q63_zorder_slice"    -> ((s, d) => graft.sources.Clustering.zorderSliceStats(s, d)),
     "q55_doc_chunks"      -> ((s, d) => TextAnalysis.documentChunks(s, d)),
     "q56_tfidf_top3"      -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "q75_bm25_search"     -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
+    "q76_repeated_spans"  -> ((s, d) => TextAnalysis.repeatedSpanCoverage(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -742,6 +744,43 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS term_rank FROM s)
         |SELECT doc_id, term_rank, term, tf, df, score
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    // BM25 in the same integer-exact arithmetic as TextAnalysis.bm25TopDocs
+    // (idf and length normalization via BIGINT integral division — `//`
+    // here, `div` in Spark — so score is exact, not a float tolerance).
+    "q75_bm25_search" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |st AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM toks),
+        |ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
+        |       WHERE term IN (${operators.TextAnalysis.Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.tf, t.dl,
+        |         ((s.n_docs + 1) * 1000000 // (d.df + 1))
+        |           * ((t.tf * 2200 * 1000) //
+        |              (1000*t.tf + 300 + (900*t.dl*1000) // (s.total_dl*1000 // s.n_docs))) AS term_score
+        |       FROM tf t JOIN dfq d USING (term) CROSS JOIN st s),
+        |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+        |          COUNT(*) AS n_terms_matched, MAX(dl) AS dl
+        |        FROM sc GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+        |SELECT rank, doc_id, score, n_terms_matched, dl FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // Cross-doc repeated 8-token spans: DuckDB's t[i:i+7] inclusive slice
+    // mirrors Spark's slice(t, i, 8); both engines md5 the identical
+    // space-joined span text.
+    "q76_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\s+')) >= 8),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(t)-6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+        |      FROM toks),
+        |own AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |r AS (SELECT g.doc_id, COUNT(*) AS total_spans,
+        |        CAST(SUM(CASE WHEN o.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS repeated_spans
+        |      FROM g JOIN own o USING (gh) GROUP BY 1)
+        |SELECT doc_id, total_spans, repeated_spans,
+        |       repeated_spans * 1000 // total_spans AS rep_permille
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q29b_minhash_sig_portable" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
         |              WHERE len(string_split_regex(text, '\s+')) >= 3),

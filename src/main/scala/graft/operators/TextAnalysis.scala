@@ -182,6 +182,106 @@ object TextAnalysis {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** The fixed retrieval query for q75 (a conjunctive-ish keyword search
+    * a corpus-exploration UI would issue). */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "window", "join")
+
+  /** q75 — BM25 ranked retrieval: top-10 documents for [[Bm25QueryTerms]]
+    * under BM25 (k1 = 1.2, b = 0.75), in INTEGER-EXACT arithmetic so the
+    * ranking is bit-deterministic cross-engine (the q56 idf trick
+    * extended to BM25's tf saturation / length normalization):
+    *
+    *   idf       = (N+1)*1e6 div (df+1)            (q56's monotone idf)
+    *   avgdl_mil = (Σ dl)*1000 div N               (avg doc length, ‰)
+    *   denom_mil = 1000*tf + 300 + 900*dl*1000 div avgdl_mil
+    *                 (= 1000*(tf + k1*(1−b) + k1*b*dl/avgdl))
+    *   score     = Σ_terms idf * (tf*2200*1000 div denom_mil)
+    *                 (2200 = 1000*(k1+1))
+    *
+    * Integral division everywhere (Spark `div` = DuckDB `//` on positive
+    * BIGINTs), so score is a BIGINT and the compare is a hash match.
+    *
+    * Scale shape: ONE tokenize pass computes dl and the exploded terms
+    * together; the `isin` filter on the query terms prunes the explode
+    * BEFORE the tf groupBy, so the shuffle carries only rows for the ≤ q
+    * query terms, not the corpus vocabulary; df and the corpus stats are
+    * broadcast scalars; the final top-10 is TakeOrderedAndProject (local
+    * top-k per partition + driver merge of 10-row heaps — no global
+    * sort). At 100 TB this is the inverted-index-free scan path; a
+    * production deployment fronts it with the q46-style bucketed layout
+    * on term postings, which changes the scan, not this plan's algebra. */
+  def bm25TopDocs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), expr(toksExpr).as("t"))
+    val stats = toks.agg(
+      sum(size(col("t"))).cast("long").as("total_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .where(col("term").isin(Bm25QueryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats)) // 1-row scalar broadcast
+      .withColumn("idf", expr("(n_docs + 1) * 1000000L div (df + 1)"))
+      .withColumn("avgdl_mil", expr("total_dl * 1000L div n_docs"))
+      .withColumn("denom_mil",
+        expr("1000L * tf + 300L + (900L * dl * 1000L) div avgdl_mil"))
+      .withColumn("term_score", expr("idf * ((tf * 2200L * 1000L) div denom_mil)"))
+    val ranked = scored
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_terms_matched"),
+        max(col("dl")).as("dl"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    // rank assignment happens on the k surviving rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    ranked
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms_matched"), col("dl"))
+      .orderBy("rank")
+  }
+
+  /** q76 — CROSS-document repeated-span coverage: for each document, the
+    * fraction of its position-indexed 8-token spans whose first corpus
+    * occurrence (min doc_id owning the span) is an EARLIER document — the
+    * per-document redundancy measure a suffix-array substring dedup
+    * ("deduplicating training data" pipelines) acts on, computed with
+    * n-gram granularity so it stays one aggregation + one join. q64's
+    * repetition metrics are WITHIN-doc; this is the cross-doc twin.
+    *
+    * Scale shape: spans are shuffled as 16-byte md5 digests, never as
+    * 8-word strings (the digest is the join key AND the groupBy key, so
+    * the two shuffles carry ~50 bytes/span instead of ~400); the
+    * first-owner aggregation is map-side-combinable min; the coverage
+    * ratio is integer permille (BIGINT `div`), keeping the output
+    * hash-portable. Span count is Σ(dl−7) ≈ corpus token count, so the
+    * shuffle volume is the same order as q28's posting lists — and unlike
+    * q28 there is NO pairwise expansion anywhere: cost is linear in
+    * corpus size at any duplication level, which is what makes this the
+    * cheap pre-screen a pipeline runs before deciding which documents
+    * need the expensive near-dup treatment. */
+  def repeatedSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .where(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))")).as("gh"))
+    val owner = spans.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    spans.join(owner, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total_spans"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("repeated_spans"))
+      .withColumn("rep_permille", expr("repeated_spans * 1000L div total_spans"))
+      .orderBy("doc_id")
+  }
+
   /** q64 — Gopher-style repetition quality metrics, fully map-side.
     *
     * The classic pre-training repetition filters (most-frequent-token

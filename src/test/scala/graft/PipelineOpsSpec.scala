@@ -152,6 +152,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(250L / 10L + 1 > 10L && (250L / 10L + 1) / 10L + 1 <= 10L)
   }
 
+  test("q75: BM25 top-10 matches a driver-side recompute of the integer scoring") {
+    val out = TextAnalysis.bm25TopDocs(spark, sf0001).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
+    val scores = out.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be non-increasing")
+    out.foreach(r => assert(
+      r.getAs[Long]("n_terms_matched") >= 1L &&
+      r.getAs[Long]("n_terms_matched") <= TextAnalysis.Bm25QueryTerms.length.toLong))
+
+    // driver-side recompute of the full ranking from raw text
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val n = docs.length.toLong
+    val totalDl = docs.map(_._2.length.toLong).sum
+    val avgdlMil = totalDl * 1000L / n
+    val terms = TextAnalysis.Bm25QueryTerms
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expect = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val ts = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = (n + 1) * 1000000L / (df(t) + 1)
+          val denom = 1000L * tf + 300L + (900L * dl * 1000L) / avgdlMil
+          Some(idf * ((tf * 2200L * 1000L) / denom))
+        }
+      }
+      if (ts.isEmpty) None else Some(id -> ts.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq === expect.toSeq)
+  }
+
+  test("q76: repeated-span coverage matches a driver-side first-owner recompute") {
+    val out = TextAnalysis.repeatedSpanCoverage(spark, sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+      .filter(_._2.length >= 8)
+    val spans = docs.flatMap { case (id, toks) =>
+      toks.sliding(8).map(g => (id, g.mkString(" "))).toSeq
+    }
+    val firstOwner = spans.groupBy(_._2).map { case (g, occ) => g -> occ.map(_._1).min }
+    val expect = spans.groupBy(_._1).map { case (id, ss) =>
+      val total = ss.length.toLong
+      val rep = ss.count { case (_, g) => firstOwner(g) < id }.toLong
+      (id, total, rep, rep * 1000L / total)
+    }.toSeq.sortBy(_._1)
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    assert(out.exists(_.getAs[Long]("repeated_spans") > 0L), "fixture should contain cross-doc spans")
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
