@@ -67,6 +67,10 @@ object SparkEntry {
     "q56_tfidf_top3"      -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "q75_bm25_search"     -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
     "q76_repeated_spans"  -> ((s, d) => TextAnalysis.repeatedSpanCoverage(s, d)),
+    "q77_hybrid_rrf"      -> ((s, d) => Similarity.hybridRrfTopDocs(s, d)),
+    "q78_heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitterTokens(s, d)),
+    "q79_source_coverage" -> ((s, d) => TextAnalysis.sourceCoverage(s, d)),
+    "q80_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -781,6 +785,79 @@ object SparkEntry {
         |SELECT doc_id, total_spans, repeated_spans,
         |       repeated_spans * 1000 // total_spans AS rep_permille
         |FROM r ORDER BY doc_id""".stripMargin,
+    // Hybrid RRF fusion: q75's integer-exact BM25 arm (depth 20) + a
+    // dense cosine arm (query = embedding 0, decimal-exact dot), fused
+    // with BIGINT floor(1e6/(60+rank)) terms so the order is hash-exact.
+    "q77_hybrid_rrf" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |st AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM toks),
+        |ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
+        |       WHERE term IN (${operators.TextAnalysis.Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.tf, t.dl,
+        |         ((s.n_docs + 1) * 1000000 // (d.df + 1))
+        |           * ((t.tf * 2200 * 1000) //
+        |              (1000*t.tf + 300 + (900*t.dl*1000) // (s.total_dl*1000 // s.n_docs))) AS term_score
+        |       FROM tf t JOIN dfq d USING (term) CROSS JOIN st s),
+        |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score FROM sc GROUP BY 1),
+        |lexr AS (SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank FROM agg),
+        |lex AS (SELECT * FROM lexr WHERE lex_rank <= ${operators.Similarity.RrfDepth}),
+        |nr AS (SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+        |       FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |q AS (SELECT e.embedding AS qe, nr.nrm AS qn FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id WHERE e.vec_id = 0),
+        |u AS (SELECT e.vec_id, nr.nrm AS nn, q.qn, unnest(e.embedding) AS x, unnest(q.qe) AS y
+        |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN q WHERE e.vec_id <> 0),
+        |ds AS (SELECT vec_id,
+        |         CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+        |           / (any_value(nn) * any_value(qn)) AS cs
+        |       FROM u GROUP BY vec_id),
+        |denr AS (SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id ASC) AS dense_rank FROM ds),
+        |den AS (SELECT * FROM denr WHERE dense_rank <= ${operators.Similarity.RrfDepth}),
+        |f AS (SELECT COALESCE(l.id, d.id) AS id, l.lex_rank, d.dense_rank,
+        |        CAST(COALESCE(1000000 // (${operators.Similarity.RrfK} + l.lex_rank), 0)
+        |           + COALESCE(1000000 // (${operators.Similarity.RrfK} + d.dense_rank), 0) AS BIGINT) AS rrf_score
+        |      FROM lex l FULL JOIN den d ON l.id = d.id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id ASC) AS rank FROM f)
+        |SELECT rank, id, rrf_score, lex_rank, dense_rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // Exact heavy hitters: the two-phase MG sketch changes WHO pays for an
+    // exact count, never the answer — the oracle is the plain threshold.
+    "q78_heavy_hitters" ->
+      (s"""WITH ex AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+        |tt AS (SELECT COUNT(*) AS total FROM ex),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM ex GROUP BY 1)
+        |SELECT c.token, c.cnt, tt.total, c.cnt * 1000 // tt.total AS share_permille
+        |FROM c CROSS JOIN tt WHERE c.cnt * ${operators.TextAnalysis.HhK} > tt.total
+        |ORDER BY c.cnt DESC, c.token ASC""".stripMargin),
+    "q79_source_coverage" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |             CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS grand FROM s),
+        |r AS (SELECT s.*, g.grand,
+        |        ROW_NUMBER() OVER (ORDER BY tokens DESC, source ASC) AS rank,
+        |        CAST(SUM(tokens) OVER (ORDER BY tokens DESC, source ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000 // g.grand AS cum_permille
+        |      FROM s CROSS JOIN g)
+        |SELECT rank, source, n_docs, tokens, tokens * 1000 // grand AS share_permille, cum_permille
+        |FROM r ORDER BY rank""".stripMargin,
+    // Temperature mixture: rates derived via floor(sqrt(count)) (IEEE sqrt
+    // is correctly rounded, counts << 2^52, so both engines floor the same
+    // double), keep rule = the multiplicative hash cut at rate_permille.
+    "q80_temperature_mixture" ->
+      (s"""WITH c AS (SELECT source, COUNT(*) AS count_s FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(SUM(CAST(floor(sqrt(count_s)) AS BIGINT)) AS BIGINT) AS sum_w,
+        |             CAST(SUM(count_s) AS BIGINT) AS total FROM c),
+        |rt AS (SELECT c.source, c.count_s, CAST(floor(sqrt(c.count_s)) AS BIGINT) AS w,
+        |         LEAST(1000, (1000 * (g.total // ${operators.TextAnalysis.MixTargetDiv}) * CAST(floor(sqrt(c.count_s)) AS BIGINT))
+        |                       // (g.sum_w * c.count_s)) AS rate_permille
+        |       FROM c CROSS JOIN g)
+        |SELECT rt.source, rt.count_s, rt.w, rt.rate_permille,
+        |       COUNT(*) AS n_sampled, CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents d JOIN rt ON d.source = rt.source
+        |WHERE (d.doc_id * 2654435761 + 987654321) % 1000 < rt.rate_permille
+        |GROUP BY 1, 2, 3, 4 ORDER BY rt.source""".stripMargin),
     "q29b_minhash_sig_portable" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
         |              WHERE len(string_split_regex(text, '\s+')) >= 3),

@@ -647,6 +647,58 @@ object Similarity {
          |FROM w wv LEFT JOIN dr ON dr.vec_id = wv.vec_id
          |ORDER BY wv.vec_id""".stripMargin
 
+  /** RRF rank-smoothing constant (the standard k = 60 from Cormack et
+    * al.'s reciprocal-rank-fusion formulation) and per-list fusion depth
+    * for [[hybridRrfTopDocs]]. */
+  val RrfK = 60
+  val RrfDepth = 20
+
+  /** q77 — HYBRID retrieval via reciprocal-rank fusion: fuse the BM25
+    * lexical ranking (q75, top-[[RrfDepth]]) with a dense cosine ranking
+    * (query = embedding 0 against all others, top-[[RrfDepth]]) into one
+    * ranked list — the standard two-tower retrieval pattern (sparse +
+    * dense, RRF-fused) used to mine supervised/training examples from a
+    * corpus. `rrf = Σ_lists floor(10⁶ / (k + rank))` in BIGINT, so the
+    * fused ordering is integer-exact cross-engine; a document appearing
+    * in only one list simply contributes one term (COALESCE 0).
+    *
+    * The doc_id = vec_id identification between `documents` and
+    * `embeddings` is the fixture's correspondence (each document's
+    * embedding row shares its id).
+    *
+    * Scale shape: each arm ends in a local-top-k (TakeOrderedAndProject
+    * — per-partition heaps + driver merge of [[RrfDepth]] rows, no
+    * global sort); the fusion then full-outer-joins two ≤ RrfDepth-row
+    * lists — driver-scale regardless of corpus size. The dense arm is
+    * the brute scan here; swapping in the q60 IVF arm changes candidate
+    * generation only, not the fusion algebra. Rank windows run on the
+    * k surviving rows only (q75's pattern). */
+  def hybridRrfTopDocs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val n = withNorm(spark, dir)
+    val q = n.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val denseScored = n.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q)) // 1-row query broadcast
+      .select(col("vec_id").as("id"),
+        (expr(dotDec("embedding", "qe")) / (col("nrm") * col("qn"))).as("cs"))
+    val dense = denseScored
+      .orderBy(col("cs").desc, col("id").asc).limit(RrfDepth)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cs").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("dense_rank"))
+    val lex = TextAnalysis.bm25TopDocs(spark, dir, RrfDepth)
+      .select(col("doc_id").as("id"), col("rank").as("lex_rank"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000L div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + dense_rank)"), lit(0L)))
+      .orderBy(col("rrf_score").desc, col("id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("id").asc)).cast("long"))
+      .select(col("rank"), col("id"), col("rrf_score"), col("lex_rank"), col("dense_rank"))
+      .orderBy("rank")
+  }
+
   /** Array-function surface over the embedding vectors: size, extrema,
     * positive-component count, first components — pure per-row list ops
     * (no shuffle except the final ORDER BY). */

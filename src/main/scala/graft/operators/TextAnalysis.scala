@@ -538,6 +538,144 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heavy-hitter threshold denominator for [[heavyHitterTokens]]: report
+    * every token whose corpus frequency exceeds total/HhK. */
+  val HhK = 100
+
+  /** q78 — EXACT distributed heavy hitters (two-phase Misra–Gries): all
+    * tokens with frequency > total/[[HhK]], found without ever shuffling
+    * the full token stream.
+    *
+    * Phase 1 runs a Misra–Gries summary with [[HhK]] counters
+    * INDEPENDENTLY per input partition (a per-partition streaming fold —
+    * the canonical mergeable-summary pattern, Misra & Gries 1982). The
+    * union of per-partition candidates is a GUARANTEED superset of the
+    * global heavy hitters: freq(x) > n/K globally forces freq_p(x) >
+    * n_p/K in at least one partition p, and MG with K counters retains
+    * every item above n_p/(K+1) < n_p/K. Phase 2 broadcast-joins the
+    * candidate set (≤ K × partitions rows) back onto the token stream
+    * and counts EXACTLY — so the final `cnt > total/K` filter emits the
+    * precise answer even though phase 1's candidate set depends on
+    * partitioning. Output is deterministic; the sketch only decides who
+    * pays for an exact count.
+    *
+    * Scale shape: the full token stream is never shuffled — phase 1 is
+    * map-side-only (K counters per task), phase 2's groupBy shuffles
+    * candidate-matching rows only. On this flat synthetic vocabulary
+    * (31 tokens, near-uniform) nearly every token clears the 1%
+    * threshold, so the candidate pruning is invisible here; on a
+    * Zipf-distributed real corpus (vocab ~10⁷, heavy hitters ~10²) the
+    * phase-2 shuffle drops by the candidate:vocab ratio. The guarantee
+    * is distribution-free either way. */
+  def heavyHitterTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr(toksExpr)).as("token"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      // Misra–Gries with HhK counters: increment if present or space
+      // free, else decrement all (deleting zeros). Survivors ⊇ items
+      // with partition frequency > n_p/(HhK+1).
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t)) counts(t) += 1L
+        else if (counts.size < HhK) counts(t) = 1L
+        else {
+          val dead = List.newBuilder[String]
+          counts.keysIterator.foreach { k =>
+            val v = counts(k) - 1L
+            if (v == 0L) dead += k else counts(k) = v
+          }
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(candidates), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .where(col("cnt") * HhK > col("total"))
+      .withColumn("share_permille", expr("cnt * 1000L div total"))
+      .select("token", "cnt", "total", "share_permille")
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /** q79 — per-source corpus coverage: document/token mass per `source`
+    * with each source's share and the CUMULATIVE share in descending
+    * token order — the "what fraction of the corpus do the top-k domains
+    * contribute" curve every corpus-curation audit starts from.
+    *
+    * Scale shape: one partial-aggregated groupBy on `source` (domain
+    * cardinality ~10⁶ at web scale — still tiny next to the corpus);
+    * the rank/cumulative windows then run over the AGGREGATED table
+    * only, so the unpartitioned window is bounded by domain count,
+    * never corpus size (same bounded-serial argument as q71's offset
+    * table; auto-stack via PrefixSum if domains outgrow one task).
+    * Shares in integer permille (BIGINT div) for the hash gate. */
+  def sourceCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), size(expr(toksExpr)).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val ord = Window.orderBy(col("tokens").desc, col("source").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bySrc
+      .crossJoin(broadcast(bySrc.agg(sum(col("tokens")).as("grand")))) // 1-row scalar
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("share_permille", expr("tokens * 1000L div grand"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(cum))
+      .withColumn("cum_permille", expr("cum_tokens * 1000L div grand"))
+      .select("rank", "source", "n_docs", "tokens", "share_permille", "cum_permille")
+      .orderBy("rank")
+  }
+
+  /** Temperature exponent numerator/denominator for [[temperatureMixture]]
+    * (α = 1/2, i.e. sqrt reweighting) and the overall sample target
+    * (corpus/5 = 20%). */
+  val MixTargetDiv = 5L
+
+  /** q80 — temperature-reweighted mixture sampling (α = 0.5): per-source
+    * sampling rates ∝ count^α instead of count — the standard rebalancing
+    * that UP-weights small sources and DOWN-weights dominant ones when
+    * drawing a fixed token budget from a skewed corpus (multilingual /
+    * multi-domain pretraining mixtures). q69 is the fixed-rate-table
+    * version; this one DERIVES the rates from the corpus itself:
+    *
+    *   w_s            = floor(sqrt(count_s))        (count^α, integer)
+    *   target m       = total div [[MixTargetDiv]]
+    *   rate_permille  = min(1000, (1000·m·w_s) div (Σw · count_s))
+    *
+    * floor(sqrt(bigint)) is portable: IEEE-754 sqrt is correctly rounded
+    * and counts ≪ 2^52, so Spark and DuckDB floor the same double. The
+    * per-row keep decision is the q43/q69 multiplicative hash cut
+    * against rate_permille, so membership is deterministic and
+    * cluster-size independent.
+    *
+    * Scale shape: the rate table is one tiny groupBy (bounded by source
+    * cardinality) broadcast back onto the corpus scan — the apply side
+    * is a map-side filter, zero shuffle; the output re-agg is one
+    * partial-aggregated groupBy on source. Train-then-apply where the
+    * model is a broadcast table (q70's pattern with derived rates). */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("count_s"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(
+        sum(expr("cast(floor(sqrt(count_s)) as bigint)")).as("sum_w"),
+        sum(col("count_s")).as("total")))) // 1-row scalar broadcast
+      .withColumn("w", expr("cast(floor(sqrt(count_s)) as bigint)"))
+      .withColumn("rate_permille", least(lit(1000L),
+        expr(s"(1000L * (total div $MixTargetDiv) * w) div (sum_w * count_s)")))
+    docs
+      .join(broadcast(rates.select("source", "count_s", "w", "rate_permille")), Seq("source"))
+      .where(pmod(col("doc_id") * lit(2654435761L) + lit(987654321L), lit(1000)) <
+        col("rate_permille"))
+      .groupBy(col("source"), col("count_s"), col("w"), col("rate_permille"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy("source")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

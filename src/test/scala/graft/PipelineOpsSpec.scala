@@ -206,6 +206,121 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("repeated_spans") > 0L), "fixture should contain cross-doc spans")
   }
 
+  test("q77: RRF fusion matches a driver-side recompute of both arms") {
+    import graft.operators.Similarity
+    val out = Similarity.hybridRrfTopDocs(spark, sf0001).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
+    // lexical arm: the q75 ranking at fusion depth
+    val lex = TextAnalysis.bm25TopDocs(spark, sf0001, Similarity.RrfDepth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    // dense arm: exact-decimal cosine vs embedding 0, recomputed with the
+    // same DECIMAL(18,12) fold as dotDec (per-product round to 12 dp, sum)
+    def dotDec(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble * y.toDouble).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q0 = embs.find(_._1 == 0L).get._2
+    val qn = math.sqrt(dotDec(q0, q0).toDouble)
+    val dense = embs.filter(_._1 != 0L)
+      .map { case (id, e) =>
+        id -> dotDec(e, q0).toDouble / (math.sqrt(dotDec(e, e).toDouble) * qn)
+      }
+      .sortBy { case (id, cs) => (-cs, id) }.take(Similarity.RrfDepth)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L) +
+        dense.get(id).map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_score"))).toSeq
+    assert(got === expect.toSeq)
+    // per-row consistency: the fused score is exactly the sum of its terms
+    out.foreach { r =>
+      val l = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val d = Option(r.getAs[java.lang.Long]("dense_rank")).map(_.toLong)
+      assert(l.isDefined || d.isDefined)
+      val s = l.map(x => 1000000L / (Similarity.RrfK + x)).getOrElse(0L) +
+        d.map(x => 1000000L / (Similarity.RrfK + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_score") === s)
+      l.foreach(x => assert(lex(r.getAs[Long]("id")) === x))
+      d.foreach(x => assert(dense(r.getAs[Long]("id")) === x))
+    }
+  }
+
+  test("q78: two-phase heavy hitters equals the naive exact threshold count") {
+    val out = TextAnalysis.heavyHitterTokens(spark, sf0001).collect()
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select("text").collect().flatMap(_.getString(0).split("\\s+"))
+    val total = toks.length.toLong
+    val expect = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter { case (_, c) => c * TextAnalysis.HhK > total }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val got = out.map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSeq
+    assert(got === expect.map { case (t, c) => (t, c) })
+    out.foreach { r =>
+      assert(r.getAs[Long]("total") === total)
+      assert(r.getAs[Long]("share_permille") === r.getAs[Long]("cnt") * 1000L / total)
+    }
+    // the sketch must never lose a true heavy hitter (distribution-free
+    // guarantee): equality above proves it on this corpus; non-emptiness
+    // keeps the test honest if the fixture changes
+    assert(out.nonEmpty)
+  }
+
+  test("q79: coverage curve matches a driver recompute; cumulative share is monotone to ~1000") {
+    val out = TextAnalysis.sourceCoverage(spark, sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").length.toLong))
+    val bySrc = docs.groupBy(_._1).map { case (s, v) => (s, v.length.toLong, v.map(_._2).sum) }
+      .toSeq.sortBy { case (s, _, t) => (-t, s) }
+    val grand = bySrc.map(_._3).sum
+    var cum = 0L
+    bySrc.zipWithIndex.foreach { case ((src, nd, tk), i) =>
+      cum += tk
+      val r = out(i)
+      assert(r.getAs[Long]("rank") === i + 1L)
+      assert(r.getAs[String]("source") === src)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("tokens") === tk)
+      assert(r.getAs[Long]("share_permille") === tk * 1000L / grand)
+      assert(r.getAs[Long]("cum_permille") === cum * 1000L / grand)
+    }
+    assert(out.last.getAs[Long]("cum_permille") === 1000L)
+  }
+
+  test("q80: derived temperature rates and sampled mass match a driver recompute") {
+    val out = TextAnalysis.temperatureMixture(spark, sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sumW = counts.values.map(c => math.sqrt(c.toDouble).toLong).sum
+    val total = counts.values.sum
+    val m = total / TextAnalysis.MixTargetDiv
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val c = counts(src)
+      val w = math.sqrt(c.toDouble).toLong
+      val rate = math.min(1000L, 1000L * m * w / (sumW * c))
+      assert(r.getAs[Long]("count_s") === c)
+      assert(r.getAs[Long]("w") === w)
+      assert(r.getAs[Long]("rate_permille") === rate)
+      val kept = docs.filter(d => d._2 == src &&
+        java.lang.Math.floorMod(d._1 * 2654435761L + 987654321L, 1000L) < rate)
+      assert(r.getAs[Long]("n_sampled") === kept.length.toLong)
+      assert(r.getAs[Long]("sampled_chars") === kept.map(_._3).sum)
+    }
+    // the α=0.5 reweighting must land the aggregate near the 20% target
+    val sampled = out.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(sampled / total > 0.1 && sampled / total < 0.35,
+      s"sampled fraction ${sampled / total} drifted far from the 20% target")
+  }
+
   test("q67: diff classifies inserts/deletes/updates and drops unchanged rows") {
     val rows = Snapshot.snapshotDiff(spark, sf0001).collect()
     val ids = graft.sources.Tables.events(spark, sf0001)
