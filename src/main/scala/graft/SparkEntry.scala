@@ -101,6 +101,7 @@ object SparkEntry {
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "q60_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeansTopK(s, d)),
     "q73_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q81_quantized_ann"   -> ((s, d) => Similarity.quantizedAnnTopK(s, d)),
     // Multimodal codec-free decode pipeline + CLF parity fixtures
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => {
@@ -1084,6 +1085,38 @@ object SparkEntry {
     // exact-decimal sums and norms), then replays the probe+rank pipeline.
     "q60_ann_ivf_kmeans" -> operators.Similarity.ivfOracleSql(iters = 3),
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
+    // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
+    // global scale 127): integer code dots approximate 127^2*cosine
+    // (BIGINT, no float ties); only the audit cosine routes through
+    // decimals. The norm is the exact-decimal one all cosine oracles use.
+    "q81_quantized_ann" ->
+      """WITH nr AS (SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+        |       FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |qz AS (SELECT e.vec_id, e.embedding,
+        |         list_transform(range(1, 65), i ->
+        |           CASE WHEN nr.nrm = 0.0 THEN 0
+        |                ELSE CAST(FLOOR((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / nr.nrm) * 127.0 + 0.5) AS INT)
+        |           END) AS qv
+        |       FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+        |q AS (SELECT vec_id AS q_id, qv AS qqv FROM qz WHERE vec_id <= 4),
+        |sc AS (SELECT q.q_id, c.vec_id AS n_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
+        |           CAST(qqv[CAST(i AS INT)] AS BIGINT) * CAST(c.qv[CAST(i AS INT)] AS BIGINT))) AS BIGINT) AS approx_dot
+        |       FROM qz c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |r AS (SELECT q_id, n_id, approx_dot,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dot DESC, n_id ASC) AS rank
+        |      FROM sc),
+        |top AS (SELECT * FROM r WHERE rank <= 5),
+        |u AS (SELECT t.q_id, t.n_id, t.approx_dot, t.rank, a.nrm AS qn, b.nrm AS nn,
+        |        unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        |      FROM top t
+        |      JOIN embeddings ea ON ea.vec_id = t.q_id JOIN embeddings eb ON eb.vec_id = t.n_id
+        |      JOIN nr a ON a.vec_id = t.q_id JOIN nr b ON b.vec_id = t.n_id),
+        |f AS (SELECT q_id, n_id, any_value(approx_dot) AS approx_dot, any_value(rank) AS rank,
+        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+        |          / (any_value(qn) * any_value(nn)) AS cos_exact
+        |      FROM u GROUP BY q_id, n_id)
+        |SELECT q_id, n_id, approx_dot, rank, cos_exact FROM f ORDER BY q_id, rank""".stripMargin,
     "q37b_clf_parse_volume" -> clf.LogCorpus.validOracleSql,
     "q38b_clf_dead_letters_volume" -> clf.LogCorpus.deadOracleSql,
   )

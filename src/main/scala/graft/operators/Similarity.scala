@@ -647,6 +647,53 @@ object Similarity {
          |FROM w wv LEFT JOIN dr ON dr.vec_id = wv.vec_id
          |ORDER BY wv.vec_id""".stripMargin
 
+  /** q81 — scalar-quantized (int8) ANN, FAISS-SQ8 style: L2-normalize
+    * each vector, then symmetric signed int8 codes `round(127·x/‖x‖)` —
+    * the integer code dot is then ≈ 127²·cosine, so ranking on it is a
+    * faithful cosine proxy (a min/max PER-DIMENSION affine quantizer is
+    * NOT: its additive shifts dominate the code dot — found by the recall
+    * spec, kept here as a warning). This is the embedding-compression
+    * path a 100 TB vector corpus takes: 64 B codes vs 256 B floats = 4×
+    * smaller scan/shuffle, SIMD-friendly integer dot in the hot loop.
+    * Top-k per query by quantized dot, with the EXACT decimal cosine
+    * re-scored on the ≤ k survivors as the quality audit column.
+    *
+    * Everything is hash-portable: ‖x‖ is the exact-decimal norm (the
+    * dotDec routing all cosine queries share), the quantizer is one IEEE
+    * double expression mirrored verbatim in the oracle, codes are INTs
+    * and the ranking dot a BIGINT sum (no float ties anywhere); only the
+    * audit column touches decimals.
+    *
+    * Scale shape: quantization is map-side (no corpus stats pass at all
+    * — the scale is per-row); the scored join broadcasts the 5-query
+    * side; ranking windows per query; exact re-score only on survivors.
+    * In a real deployment the codes are WRITTEN as the search table (the
+    * 4× I/O win); here both live in one plan to stay self-contained. */
+  def quantizedAnnTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qz = withNorm(spark, dir)
+      .withColumn("qv", expr(
+        """transform(embedding, x ->
+          |  CASE WHEN nrm = 0.0D THEN 0
+          |       ELSE CAST(floor((CAST(x AS DOUBLE) / nrm) * 127.0D + 0.5D) AS INT) END)""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("qv"))
+    val q = qz.where(col("vec_id") <= 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("qv").as("qqv"))
+    val scored = qz.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qe"), col("qn"),
+        col("embedding").as("ne"), col("nrm").as("nn"),
+        expr("""aggregate(zip_with(qqv, qv, (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+               |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("approx_dot"))
+    val byDot = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(byDot).cast("long"))
+      .where(col("rank") <= k)
+      // exact decimal re-score on the <= 5k surviving rows only
+      .select(col("q_id"), col("n_id"), col("approx_dot"), col("rank"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_exact"))
+      .orderBy("q_id", "rank")
+  }
+
   /** RRF rank-smoothing constant (the standard k = 60 from Cormack et
     * al.'s reciprocal-rank-fusion formulation) and per-list fusion depth
     * for [[hybridRrfTopDocs]]. */

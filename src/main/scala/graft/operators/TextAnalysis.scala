@@ -571,12 +571,19 @@ object TextAnalysis {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(expr(toksExpr)).as("token"))
-    val candidates = toks.as[String].mapPartitions { it =>
+    // ONE pass emits the MG candidates AND the partition's token total
+    // (is_total = true rows), so the exact phase is the only other corpus
+    // scan — two passes total, the theoretical minimum for exact heavy
+    // hitters. The summary is ≤ (HhK+1) × partitions rows; persist so its
+    // two consumers don't re-run the scan.
+    val summary = toks.as[String].mapPartitions { it =>
       // Misra–Gries with HhK counters: increment if present or space
       // free, else decrement all (deleting zeros). Survivors ⊇ items
       // with partition frequency > n_p/(HhK+1).
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { t =>
+        n += 1L
         if (counts.contains(t)) counts(t) += 1L
         else if (counts.size < HhK) counts(t) = 1L
         else {
@@ -588,9 +595,10 @@ object TextAnalysis {
           dead.result().foreach(counts.remove)
         }
       }
-      counts.keysIterator
-    }.toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).as("total"))
+      counts.keysIterator.map(t => (false, t, 0L)) ++ Iterator((true, "", n))
+    }.toDF("is_total", "token", "n").persist()
+    val candidates = summary.where(!col("is_total")).select("token").distinct()
+    val total = summary.where(col("is_total")).agg(sum(col("n")).as("total"))
     toks.join(broadcast(candidates), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total)) // 1-row scalar broadcast
@@ -620,11 +628,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
     val ord = Window.orderBy(col("tokens").desc, col("source").asc)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // grand total via an unbounded frame over the SAME bounded window as
+    // the cumulative sum — not a second aggregation branch, which would
+    // re-run the corpus scan (the groupBy fan-out re-reads its child)
     bySrc
-      .crossJoin(broadcast(bySrc.agg(sum(col("tokens")).as("grand")))) // 1-row scalar
       .withColumn("rank", row_number().over(ord).cast("long"))
-      .withColumn("share_permille", expr("tokens * 1000L div grand"))
       .withColumn("cum_tokens", sum(col("tokens")).over(cum))
+      .withColumn("grand",
+        sum(col("tokens")).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("share_permille", expr("tokens * 1000L div grand"))
       .withColumn("cum_permille", expr("cum_tokens * 1000L div grand"))
       .select("rank", "source", "n_docs", "tokens", "share_permille", "cum_permille")
       .orderBy("rank")
@@ -658,13 +670,17 @@ object TextAnalysis {
     * partial-aggregated groupBy on source. Train-then-apply where the
     * model is a broadcast table (q70's pattern with derived rates). */
   def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("count_s"))
+    // normalizers via an unbounded window over the (source-cardinality-
+    // bounded) rate table, not a second aggregation branch — the training
+    // side reads the corpus exactly once
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = counts
-      .crossJoin(broadcast(counts.agg(
-        sum(expr("cast(floor(sqrt(count_s)) as bigint)")).as("sum_w"),
-        sum(col("count_s")).as("total")))) // 1-row scalar broadcast
       .withColumn("w", expr("cast(floor(sqrt(count_s)) as bigint)"))
+      .withColumn("sum_w", sum(col("w")).over(whole))
+      .withColumn("total", sum(col("count_s")).over(whole))
       .withColumn("rate_permille", least(lit(1000L),
         expr(s"(1000L * (total div $MixTargetDiv) * w) div (sum_w * count_s)")))
     docs

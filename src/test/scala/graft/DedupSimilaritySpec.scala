@@ -34,6 +34,43 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q81: quantized ranking matches a driver-side int8 recompute; codes stay in [0,127]") {
+    val out = Similarity.quantizedAnnTopK(spark, sf0001).collect()
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // the decimal-exact norm all cosine queries share (per-product round
+    // to 12 dp, exact sum, round, sqrt)
+    def normDec(v: Array[Float]): Double = math.sqrt(
+      v.map(x => BigDecimal(x.toDouble * x.toDouble).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def quant(v: Array[Float]): Array[Int] = {
+      val n = normDec(v)
+      v.map(x => if (n == 0.0) 0 else math.floor((x.toDouble / n) * 127.0 + 0.5).toInt)
+    }
+    val codes = embs.map { case (id, v) => id -> quant(v) }.toMap
+    codes.values.foreach(_.foreach(c => assert(c >= -127 && c <= 127)))
+    val expect = (0L to 4L).flatMap { qid =>
+      embs.filter(_._1 != qid).map { case (nid, _) =>
+        val d = codes(qid).zip(codes(nid)).map { case (a, b) => a.toLong * b }.sum
+        (qid, nid, d)
+      }.sortBy { case (_, nid, d) => (-d, nid) }.take(5)
+        .zipWithIndex.map { case ((q, n, d), i) => (q, n, d, i + 1L) }
+    }
+    val got = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+      r.getAs[Long]("approx_dot"), r.getAs[Long]("rank"))).toSeq
+    assert(got === expect)
+    // quality audit: quantized top-5 should mostly agree with the exact
+    // top-5 (int8 on 64 dims loses little); require >= 3/5 overlap per query
+    val brute = Similarity.knnBrute(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val overlap = rs.map(_.getAs[Long]("n_id")).toSet.intersect(brute(q)).size
+      assert(overlap >= 3, s"query $q: quantized/exact overlap $overlap < 3")
+    }
+  }
+
   test("simhash is 16 lowercase hex chars and identical docs collide") {
     val out = Dedup.simhash(spark, sf0001).collect()
     assert(out.length === 500)
