@@ -71,6 +71,11 @@ object SparkEntry {
     "q78_heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitterTokens(s, d)),
     "q79_source_coverage" -> ((s, d) => TextAnalysis.sourceCoverage(s, d)),
     "q80_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
+    "q82_leakage_safe_split" -> ((s, d) => TextAnalysis.leakageSafeSplit(s, d)),
+    "q83_shard_manifest"  -> ((s, d) => TextAnalysis.shardManifest(s, d)),
+    "q84_token_budget_quota" -> ((s, d) => TextAnalysis.tokenBudgetQuota(s, d)),
+    "q85_lm_surprisal"    -> ((s, d) => TextAnalysis.lmSurprisal(s, d)),
+    "q86_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -859,6 +864,65 @@ object SparkEntry {
         |FROM documents d JOIN rt ON d.source = rt.source
         |WHERE (d.doc_id * 2654435761 + 987654321) % 1000 < rt.rate_permille
         |GROUP BY 1, 2, 3, 4 ORDER BY rt.source""".stripMargin),
+    // Leakage-safe split: the split hashes the CONTENT digest (first 8 md5
+    // hex digits as an integer — Spark conv(,16,10), here a positional
+    // digit fold), so identical documents always share a split.
+    "q82_leakage_safe_split" ->
+      """WITH d AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
+        |           FROM documents),
+        |h AS (SELECT doc_id, content_md5,
+        |        CAST(list_sum(list_transform(range(1, 9), i ->
+        |          (strpos('0123456789abcdef', substr(content_md5, CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |        )) AS BIGINT) AS hv
+        |      FROM d)
+        |SELECT doc_id, content_md5,
+        |  CASE WHEN hv % 100 < 80 THEN 'train' WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // Deterministic shuffle/shard: position is a pure function of the
+    // multiplicative-hash key within the hash-assigned shard.
+    "q83_shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |    (doc_id * 48271 + 11) % 999983 AS skey
+        |  FROM documents)
+        |SELECT skey % ${operators.TextAnalysis.NumShards} AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % ${operators.TextAnalysis.NumShards}
+        |    ORDER BY skey, doc_id) AS BIGINT) AS pos,
+        |  doc_id, skey, n_tokens
+        |FROM d ORDER BY shard, pos""".stripMargin,
+    // Token-budget quota: greedy prefix (in hash order) per source until
+    // the running token sum exceeds the budget.
+    "q84_token_budget_quota" ->
+      s"""WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |    (doc_id * 69621 + 3) % 999959 AS hkey
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, hkey, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT source, doc_id, hkey, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= ${operators.TextAnalysis.QuotaTokens}
+        |ORDER BY source, cum_tokens""".stripMargin,
+    // Unigram LM surprisal in WHOLE BITS: floor(log2 x) = len(bin(x)) - 1
+    // exactly on both engines, so no float log anywhere; OOV pays the
+    // ceiling cost bits_total (cnt -> 1).
+    "q85_lm_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |model AS (SELECT t, COUNT(*) AS cnt FROM toks
+        |          WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM model),
+        |scored AS (SELECT doc_id,
+        |             bits_total - (length(bin(COALESCE(cnt, 1))) - 1) AS bits,
+        |             CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS oov
+        |           FROM toks LEFT JOIN model USING (t) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  (100 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS bits_x100
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Random sign projection: the oracle regenerates the hashed +-1 matrix
+    // positionally and folds each output component in exact decimal.
+    "q86_random_projection" -> operators.Similarity.randomProjectionOracleSql(),
     "q29b_minhash_sig_portable" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
         |              WHERE len(string_split_regex(text, '\s+')) >= 3),

@@ -806,4 +806,64 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("bucket"), col("cos_sim"), col("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** Output dimensionality for [[randomProjection]]. */
+  val ProjDims = 16
+
+  /** Sign of projection-matrix entry (i, j): parity of a multiplicative
+    * hash of the flattened index — deterministic, engine-independent, and
+    * never materialized (the "matrix" is an expression). */
+  private def projSign(j: Int): String =
+    s"((i * ${ProjDims}L + ${j}L) * 2654435761L) % 1000000007L % 2L = 0L"
+
+  /** One output component: exact-decimal sum of ±embedding[i] under the
+    * [[projSign]] pattern — the dotDec discipline, so the result is
+    * bit-identical cross-engine. */
+  private def projDec(j: Int): String =
+    s"""CAST(ROUND(aggregate(
+       |  transform(embedding, (v, i) -> CAST(CASE WHEN ${projSign(j)}
+       |    THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS DECIMAL(18,12))),
+       |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
+
+  /** q86 — random sign projection (Achlioptas 2001): 64-dim float
+    * embeddings down to [[ProjDims]] dims via a ±1 projection matrix whose
+    * entries are a pure hash of (row, col) — the Johnson–Lindenstrauss
+    * dimensionality reduction every large-scale vector pipeline runs
+    * before LSH/clustering to cut index width (here 4×). A hashed matrix
+    * means NO materialized model, no broadcast, no training pass: any
+    * executor (or engine — the oracle re-derives it) regenerates any
+    * entry on demand.
+    *
+    * Projected dot products concentrate around scaled originals (JL
+    * lemma; the spec pins cosine-sign agreement against the exact
+    * kernel), so downstream q34b/q35-style bucketing works on the
+    * narrow vectors.
+    *
+    * Scale shape: strictly map-side — 16 per-row HOF folds, zero
+    * shuffles, no explode (the posexplode formulation would 64× the row
+    * count through a shuffle for the same answer); exact decimal keeps
+    * the gate honest. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val outCols = (0 until ProjDims).map(j => expr(projDec(j)).as(f"p$j%02d"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: outCols: _*)
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[randomProjection]] — re-derives the hashed sign
+    * matrix positionally (1-based list indexing i ↦ i-1). */
+  def randomProjectionOracleSql(): String = {
+    val comps = (0 until ProjDims).map { j =>
+      s"""  CAST(ROUND(SUM(CASE WHEN (((i - 1) * $ProjDims + $j) * 2654435761) % 1000000007 % 2 = 0
+         |    THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))
+         |    ELSE CAST(-CAST(x AS DOUBLE) AS DECIMAL(18,12)) END), 12) AS DOUBLE) AS p${"%02d".format(j)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS i, embedding
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, i, embedding[CAST(i AS INT)] AS x FROM u)
+       |SELECT vec_id,
+       |$comps
+       |FROM v GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 }

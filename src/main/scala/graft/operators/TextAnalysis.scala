@@ -692,6 +692,138 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q82 — leakage-safe train/val/test split: the split decision hashes
+    * the normalized CONTENT digest, not the doc_id, so byte-identical
+    * documents (after whitespace/case normalization — q27's key) can
+    * never straddle a split boundary. Hashing row ids leaks eval answers
+    * into training whenever the corpus holds duplicates; hashing content
+    * makes the guarantee structural — no dedup pass required first.
+    *
+    * The hash value is the first 8 hex digits of the md5 read as an
+    * integer (uniform on [0, 2^32); both engines agree: Spark via
+    * conv(hex, 16, 10), DuckDB via a positional digit fold), cut
+    * 80/10/10. Scale shape: pure map-side expression, zero shuffles
+    * before the oracle sort — splits a 100 TB corpus in one pass.
+    * Near-dup leakage (distinct bytes, same meaning) needs q61/q73
+    * cluster keepers as the hash key instead — same operator, different
+    * key column. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+      .withColumn("hv", conv(substring(col("content_md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("split",
+        when(pmod(col("hv"), lit(100)) < 80, "train")
+          .when(pmod(col("hv"), lit(100)) < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "content_md5", "split")
+      .orderBy("doc_id")
+
+  /** Shard count for [[shardManifest]] — data-parallel reader count in a
+    * training job; at real scale this is the number of input workers. */
+  val NumShards = 8L
+
+  /** q83 — deterministic global shuffle + shard manifest: every epoch of
+    * training wants the corpus in a random-but-reproducible order, split
+    * into equal shards that N data-loader workers can read independently.
+    * A true global sort-by-random is one giant total-order shuffle; this
+    * operator instead keys each doc with a multiplicative hash (the
+    * shuffle "seed"), routes it to shard = key mod [[NumShards]], and
+    * numbers rows WITHIN each shard by (key, doc_id) — so the order is a
+    * pure function of doc_id, identical across engines, runs, and
+    * cluster sizes, and no total order ever materializes.
+    *
+    * Scale shape: ONE hash shuffle into shards, then row_number windows
+    * partitioned by shard run in parallel (each shard sorts only its own
+    * slice — corpus/N rows, spillable); never a single-partition window.
+    * At 100 TB the same plan writes shard-partitioned files and the
+    * manifest is the per-shard (pos → doc) index. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
+        pmod(col("doc_id") * lit(48271L) + lit(11L), lit(999983L)).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(NumShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("shard", "pos", "doc_id", "skey", "n_tokens")
+      .orderBy("shard", "pos")
+  }
+
+  /** Per-source token budget for [[tokenBudgetQuota]]. */
+  val QuotaTokens = 400L
+
+  /** q84 — token-budget quota sampling: take documents per source, in
+    * deterministic hash order, until each source's TOKEN budget is
+    * exhausted — the budget-constrained cousin of q69/q80 (which sample
+    * by rate: a rate cut can't promise "at most B tokens from domain X",
+    * this can). Greedy prefix-by-budget is how fixed-size curated subsets
+    * (eval suites, ablation corpora) are actually drawn.
+    *
+    * The hash order makes the kept prefix a pure function of the data:
+    * cum_tokens = running sum over (hkey, doc_id) within the source,
+    * keep while cum_tokens ≤ [[QuotaTokens]] (first doc always fits its
+    * own budget check — a doc larger than the whole budget is dropped,
+    * documented edge).
+    *
+    * Scale shape: windows partitioned by source — one hash shuffle on
+    * source, fully parallel across domains (~10⁶ at web scale); a
+    * pathologically large single domain is the q42 salting case, or
+    * PrefixSum-bucketed within the domain. */
+  def tokenBudgetQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
+        pmod(col("doc_id") * lit(69621L) + lit(3L), lit(999959L)).as("hkey"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= QuotaTokens)
+      .select("source", "doc_id", "hkey", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
+  /** q85 — unigram LM surprisal scoring: train a unigram language model
+    * on the hash train split (q70's split), then score every document by
+    * its total surprisal under that model — the classic LM-based quality
+    * filter (high bits/token = unlike the training distribution:
+    * gibberish, wrong language, boilerplate soup).
+    *
+    * Portability is the hard part: -log2 P(t) in floats diverges across
+    * engines, so surprisal is computed in WHOLE BITS using the exact
+    * integer identity floor(log2 x) = length(bin(x)) - 1 (both engines
+    * print minimal binary): bits(t) = floor(log2 N) - floor(log2 cnt_t),
+    * OOV tokens take the ceiling cost floor(log2 N) (cnt→1). Whole-bit
+    * granularity is coarse per token but discriminates fine at document
+    * sum level — and it is bit-identical cross-engine BY CONSTRUCTION,
+    * no epsilon anywhere.
+    *
+    * Scale shape: q70's train-then-apply — the model is a vocab-bounded
+    * table (persisted; at 100 TB it lives as a parquet model table like
+    * q60's centroids), the apply is ONE token-keyed join that cannot
+    * amplify (cnt is unique per token) plus a doc-keyed re-agg; the
+    * model total rides in as a 1-row scalar broadcast. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+    val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
+    // vocab-bounded; persist so the scalar-total branch doesn't re-scan
+    // the corpus (same justification as q78's summary)
+    val model = toks.where(isTrain).groupBy("t").agg(count(lit(1)).as("cnt")).persist()
+    val total = model.agg(sum(col("cnt")).as("n_train"))
+      .select((length(bin(col("n_train"))) - 1).cast("long").as("bits_total"))
+    toks.join(model, Seq("t"), "left")
+      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("doc_id"),
+        (col("bits_total") - (length(bin(coalesce(col("cnt"), lit(1L)))) - 1)).cast("long").as("bits"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("bits_x100", expr("(100L * sum_bits) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

@@ -341,4 +341,104 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q82: split is a pure function of content; duplicates never straddle splits") {
+    val out = TextAnalysis.leakageSafeSplit(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // structural guarantee: one split per content digest
+    out.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(2)).distinct.length === 1)
+    }
+    // the Spark conv(hex,16,10) path agrees with a JVM recompute of the cut
+    out.foreach { r =>
+      val hv = java.lang.Long.parseLong(r.getString(1).take(8), 16)
+      val expected =
+        if (hv % 100 < 80) "train" else if (hv % 100 < 90) "val" else "test"
+      assert(r.getString(2) === expected, s"doc ${r.getLong(0)}")
+    }
+    val counts = out.groupBy(_.getString(2)).map { case (k, v) => k -> v.length }
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("q83: shards partition the corpus and pos is dense 1..n within each shard") {
+    val out = TextAnalysis.shardManifest(spark, sf0001).collect()
+    val n = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(out.length.toLong === n)
+    assert(out.map(_.getLong(2)).distinct.length.toLong === n) // every doc exactly once
+    out.foreach { r =>
+      assert(r.getLong(0) === r.getLong(3) % TextAnalysis.NumShards) // shard = skey mod N
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length.toLong))
+      // within a shard, pos order is (skey, doc_id) order
+      val byPos = rs.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2)))
+      assert(byPos.toSeq === byPos.sortBy(identity).toSeq)
+    }
+  }
+
+  test("q84: kept set is the maximal greedy prefix under the per-source token budget") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split("\\s+").length.toLong))
+    // greedy prefix in hash order: running sum, keep while cum <= budget
+    // (cum is monotone, so the kept set IS a prefix)
+    val strict = docs.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      val ordered = ds.toSeq.sortBy { case (_, id, _) => ((id * 69621L + 3L) % 999959L, id) }
+      val cums = ordered.scanLeft(0L) { case (acc, (_, _, nt)) => acc + nt }.tail
+      ordered.zip(cums).filter(_._2 <= TextAnalysis.QuotaTokens).map(_._1._2)
+    }.toSet
+    val got = TextAnalysis.tokenBudgetQuota(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === strict)
+    assert(got.nonEmpty && got.size < docs.length) // the budget actually cut something
+  }
+
+  test("q85: whole-bit surprisal matches a driver-side unigram model") {
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val train = docs.filter { case (id, _) => (id * 2654435761L) % 100 >= 20 }
+    val cnt = train.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val bitsTotal = bits(cnt.values.sum)
+    val out = TextAnalysis.lmSurprisal(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === docs.length)
+    docs.foreach { case (id, toks) =>
+      val expBits = toks.map(t => bitsTotal - bits(cnt.getOrElse(t, 1L))).sum
+      val expOov = toks.count(t => !cnt.contains(t)).toLong
+      val r = out(id)
+      assert(r.getLong(1) === toks.length.toLong)
+      assert(r.getLong(2) === expOov)
+      assert(r.getLong(3) === expBits, s"doc $id")
+      assert(r.getLong(4) === 100L * expBits / toks.length)
+    }
+  }
+
+  test("q86: hashed sign projection matches an exact-decimal driver recompute") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val out = graft.operators.Similarity.randomProjection(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === embs.length)
+    embs.foreach { case (id, e) =>
+      val r = out(id)
+      (0 until graft.operators.Similarity.ProjDims).foreach { j =>
+        val sum = e.zipWithIndex.foldLeft(JBD.ZERO) { case (acc, (v, i)) =>
+          val sign =
+            if (((i.toLong * 16L + j) * 2654435761L) % 1000000007L % 2L == 0L) 1 else -1
+          acc.add(new JBD(v.toDouble * sign).setScale(12, RoundingMode.HALF_UP))
+        }
+        val expected = sum.setScale(12, RoundingMode.HALF_UP).doubleValue
+        assert(r.getDouble(1 + j) === expected, s"vec $id dim $j")
+      }
+    }
+    // the projection is non-degenerate: every output dim varies across rows
+    (0 until graft.operators.Similarity.ProjDims).foreach { j =>
+      assert(out.values.map(_.getDouble(1 + j)).toSet.size > 1)
+    }
+  }
 }
