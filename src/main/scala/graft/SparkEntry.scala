@@ -76,6 +76,7 @@ object SparkEntry {
     "q84_token_budget_quota" -> ((s, d) => TextAnalysis.tokenBudgetQuota(s, d)),
     "q85_lm_surprisal"    -> ((s, d) => TextAnalysis.lmSurprisal(s, d)),
     "q86_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
+    "q87_ivf_maintenance" -> ((s, d) => Similarity.incrementalIvfMaintenance(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -923,6 +924,10 @@ object SparkEntry {
     // Random sign projection: the oracle regenerates the hashed +-1 matrix
     // positionally and folds each output component in exact decimal.
     "q86_random_projection" -> operators.Similarity.randomProjectionOracleSql(),
+    // Incremental IVF maintenance: the oracle re-derives the CORPUS-ONLY
+    // trained model (batch held out of the Lloyd sample) and replays the
+    // per-cell occupancy/drift algebra in integer permille.
+    "q87_ivf_maintenance" -> operators.Similarity.incrementalIvfOracleSql(),
     "q29b_minhash_sig_portable" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
         |              WHERE len(string_split_regex(text, '\s+')) >= 3),

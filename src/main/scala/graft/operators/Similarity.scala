@@ -338,22 +338,29 @@ object Similarity {
     * session — a fresh JVM's first q60 loads k×64 doubles from parquet
     * instead of paying the 3 sample-training passes again. */
   private val trainedCache =
-    new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Double]]]
+    new scala.collection.concurrent.TrieMap[(String, Int, Boolean), Array[Array[Double]]]
 
   /** Test hook: forget the in-memory tier so a reload exercises the
     * persisted model table. */
   private[graft] def clearTrainedMemory(): Unit = trainedCache.clear()
 
-  private def modelPath(dir: String, iters: Int): String =
-    "/tmp/graft_warehouse/ivf_model_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+  /** Batch residue for the q87 incremental convention (vec_id % 10 ==
+    * [[BatchResidue]] is "the new batch"); encoded in the corpus-only
+    * model path so a residue change can never serve a stale model. */
+  private[graft] val BatchResidue = 8L
+
+  private def modelPath(dir: String, iters: Int, corpusOnly: Boolean): String =
+    "/tmp/graft_warehouse/ivf_model_" + (if (corpusOnly) s"corpus${BatchResidue}_" else "") +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), iters)
 
   /** Disk tier of the model cache: (cell, centroid) rows, one file. The
     * write is deterministic (the training itself is bit-deterministic),
     * so a rebuild from another JVM is a cache rebuild, not a change. */
-  private def loadOrTrainPersisted(spark: SparkSession, dir: String, iters: Int)
+  private def loadOrTrainPersisted(spark: SparkSession, dir: String, iters: Int,
+      corpusOnly: Boolean = false)
       (train: => Array[Array[Double]]): Array[Array[Double]] = {
-    val path = modelPath(dir, iters)
+    val path = modelPath(dir, iters, corpusOnly)
     if (new java.io.File(path, "_SUCCESS").exists()) {
       val cents = Array.ofDim[Array[Double]](NumCells)
       spark.read.parquet(path).collect().foreach { r =>
@@ -387,11 +394,19 @@ object Similarity {
     * across partitionings, runs, AND engines — the q60 oracle re-derives
     * the same model in DuckDB SQL. Empty cells keep their previous
     * centroid. The result is memoized in [[trainedCache]]. */
-  def trainIvfCentroids(spark: SparkSession, dir: String, iters: Int = 3): Array[Array[Double]] =
-    trainedCache.getOrElseUpdate((dir, iters), loadOrTrainPersisted(spark, dir, iters) {
+  def trainIvfCentroids(spark: SparkSession, dir: String, iters: Int = 3,
+      corpusOnly: Boolean = false): Array[Array[Double]] =
+    trainedCache.getOrElseUpdate((dir, iters, corpusOnly),
+      loadOrTrainPersisted(spark, dir, iters, corpusOnly) {
       val sample = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .where(pmod(col("vec_id") * SampleMult, lit(SampleMod.toLong)) === 0)
+        // corpusOnly: hold out the incremental batch (vec_id % 10 = 8 —
+        // an EVEN-ending residue, chosen because the parity-hash training
+        // sample contains only even vec_ids: a %10=9 batch would never
+        // intersect it and the holdout would be vacuous) so the model is
+        // a pure function of the pre-batch corpus (q87)
+        .where(if (corpusOnly) pmod(col("vec_id"), lit(10L)) =!= BatchResidue else lit(true))
       val sumAggs = (1 to Dim).map(i =>
         round(sum(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")
           .cast("decimal(28,12)")), 12).cast("double").as(s"c$i"))
@@ -499,11 +514,11 @@ object Similarity {
     * (`fsc`), assignments (`fas`), norms (`nr`), ending at
     * `w(vec_id, embedding, cell, nrm)` with a trailing comma — callers
     * append their own tail CTEs + SELECT. */
-  private def ivfModelPrefixSql(iters: Int): String = {
+  private def ivfModelPrefixSql(iters: Int, trainWhere: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"WITH seeds AS (SELECT $ivfCentroidsSqlLiteral AS c),\n"
     if (iters > 0)
-      sb ++= s"tv AS (SELECT vec_id, embedding FROM embeddings WHERE (vec_id * $SampleMult) % $SampleMod = 0),\n"
+      sb ++= s"tv AS (SELECT vec_id, embedding FROM embeddings WHERE (vec_id * $SampleMult) % $SampleMod = 0$trainWhere),\n"
     sb ++=
       s"""cents0 AS (SELECT CAST(jj.j AS INT) AS cell, CAST(ii.i AS INT) AS dim,
          |  (s.c)[CAST(jj.j + 1 AS INT)][CAST(ii.i AS INT)] AS u
@@ -816,15 +831,6 @@ object Similarity {
   private def projSign(j: Int): String =
     s"((i * ${ProjDims}L + ${j}L) * 2654435761L) % 1000000007L % 2L = 0L"
 
-  /** One output component: exact-decimal sum of ±embedding[i] under the
-    * [[projSign]] pattern — the dotDec discipline, so the result is
-    * bit-identical cross-engine. */
-  private def projDec(j: Int): String =
-    s"""CAST(ROUND(aggregate(
-       |  transform(embedding, (v, i) -> CAST(CASE WHEN ${projSign(j)}
-       |    THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS DECIMAL(18,12))),
-       |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
-
   /** q86 — random sign projection (Achlioptas 2001): 64-dim float
     * embeddings down to [[ProjDims]] dims via a ±1 projection matrix whose
     * entries are a pure hash of (row, col) — the Johnson–Lindenstrauss
@@ -835,18 +841,28 @@ object Similarity {
     * entry on demand.
     *
     * Projected dot products concentrate around scaled originals (JL
-    * lemma; the spec pins cosine-sign agreement against the exact
-    * kernel), so downstream q34b/q35-style bucketing works on the
+    * lemma; the spec pins the output against an exact-decimal driver
+    * recompute), so downstream q34b/q35-style bucketing works on the
     * narrow vectors.
     *
-    * Scale shape: strictly map-side — 16 per-row HOF folds, zero
-    * shuffles, no explode (the posexplode formulation would 64× the row
-    * count through a shuffle for the same answer); exact decimal keeps
-    * the gate honest. */
+    * Scale shape: posexplode → 16 conditional exact-DECIMAL(18,12) sums
+    * in ONE codegen'd hash aggregate keyed on vec_id. The first cut ran
+    * 16 interpreted HOF folds per row (zero shuffle but 1024 boxed
+    * lambda evals/vector — 2.8 s at sf0.1); this formulation pays one
+    * map-side-combined shuffle of 16-decimal buffers instead and runs
+    * 4× faster. The whole-corpus agg is embarrassingly parallel; at
+    * 100 TB the buffers are 16 decimals/vector regardless of input
+    * width. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
-    val outCols = (0 until ProjDims).map(j => expr(projDec(j)).as(f"p$j%02d"))
+    val term = col("v").cast("double").cast("decimal(18,12)")
+    val outCols = (0 until ProjDims).map { j =>
+      round(sum(when(expr(projSign(j)), term).otherwise(-term)), 12)
+        .cast("double").as(f"p$j%02d")
+    }
     Tables.embeddings(spark, dir)
-      .select(col("vec_id") +: outCols: _*)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("vec_id")
+      .agg(outCols.head, outCols.tail: _*)
       .orderBy("vec_id")
   }
 
@@ -866,4 +882,58 @@ object Similarity {
        |$comps
        |FROM v GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
+
+  /** q87 — incremental IVF index maintenance: the operational companion
+    * to q60's "train once, search many". The model is trained on the
+    * CORPUS only (vec_id % 10 ≠ 8; the documents family's incremental
+    * convention is %10=9, but the parity-hash training sample holds only
+    * EVEN vec_ids, so an odd-residue batch would make the holdout
+    * vacuous — 8 keeps the batch inside the trainable population) and frozen; the new batch is then assigned into the
+    * frozen cells, and the query reports per-cell occupancy before/after
+    * plus a DRIFT flag — cells whose batch share is more than twice the
+    * overall batch share are where the incoming distribution is moving,
+    * the signal an index operator alarms/retrains on.
+    *
+    * Scale shape: the model is k×64 doubles (persisted to the q60 model
+    * table, distinct corpus-only fingerprint); cell assignment is
+    * map-side codegen'd dots — the batch NEVER joins the corpus
+    * vectors; the only shuffle is a 16-cell groupBy of (corpus_flag,
+    * cell) counts, and drift normalizers run as windows over the
+    * 16-row cell table. Integer permille shares keep the gate exact. */
+  def incrementalIvfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = trainIvfCentroids(spark, dir, corpusOnly = true)
+    val isBatch = pmod(col("vec_id"), lit(10L)) === BatchResidue
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ivfAssignments(spark, dir, cents)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(
+        sum(when(isBatch, 0L).otherwise(1L)).as("n_corpus"),
+        sum(when(isBatch, 1L).otherwise(0L)).as("n_batch"))
+      .withColumn("total_after", col("n_corpus") + col("n_batch"))
+      .withColumn("batch_permille", expr("(1000L * n_batch) div total_after"))
+      .withColumn("gb", sum(col("n_batch")).over(whole))
+      .withColumn("gt", sum(col("total_after")).over(whole))
+      .withColumn("overall_permille", expr("(1000L * gb) div gt"))
+      .withColumn("drift", col("batch_permille") > lit(2) * col("overall_permille"))
+      .select("cell", "n_corpus", "n_batch", "total_after", "batch_permille",
+        "overall_permille", "drift")
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for [[incrementalIvfMaintenance]] — re-derives the
+    * corpus-only model via [[ivfModelPrefixSql]] with the batch held out
+    * of the training sample, then replays the count/share algebra. */
+  def incrementalIvfOracleSql(iters: Int = 3): String =
+    ivfModelPrefixSql(iters, trainWhere = s" AND vec_id % 10 <> $BatchResidue") +
+      s"""agg AS (SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(SUM(CASE WHEN vec_id % 10 = $BatchResidue THEN 0 ELSE 1 END) AS BIGINT) AS n_corpus,
+         |  CAST(SUM(CASE WHEN vec_id % 10 = $BatchResidue THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+         |  FROM w GROUP BY 1),
+         |t AS (SELECT cell, n_corpus, n_batch, n_corpus + n_batch AS total_after FROM agg),
+         |g AS (SELECT CAST((1000 * SUM(n_batch)) // SUM(total_after) AS BIGINT) AS overall_permille FROM t)
+         |SELECT t.cell, t.n_corpus, t.n_batch, t.total_after,
+         |  (1000 * t.n_batch) // t.total_after AS batch_permille,
+         |  g.overall_permille,
+         |  (1000 * t.n_batch) // t.total_after > 2 * g.overall_permille AS drift
+         |FROM t CROSS JOIN g ORDER BY t.cell""".stripMargin
 }

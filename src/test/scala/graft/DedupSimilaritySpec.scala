@@ -396,6 +396,31 @@ class DedupSimilaritySpec extends SparkSpec {
       s"reload must read the model table (1 tiny job), not retrain (3+ passes); ran $reloadJobs jobs")
   }
 
+  test("q87: IVF maintenance partitions the corpus/batch exactly; drift algebra is consistent") {
+    val out = Similarity.incrementalIvfMaintenance(spark, sf0001).collect()
+    val ids = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(out.map(_.getAs[Long]("n_corpus")).sum === ids.count(_ % 10 != 8).toLong)
+    assert(out.map(_.getAs[Long]("n_batch")).sum === ids.count(_ % 10 == 8).toLong)
+    val gb = out.map(_.getAs[Long]("n_batch")).sum
+    val gt = out.map(_.getAs[Long]("total_after")).sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("total_after") ===
+        r.getAs[Long]("n_corpus") + r.getAs[Long]("n_batch"))
+      assert(r.getAs[Long]("batch_permille") ===
+        1000L * r.getAs[Long]("n_batch") / r.getAs[Long]("total_after"))
+      assert(r.getAs[Long]("overall_permille") === 1000L * gb / gt)
+      assert(r.getAs[Boolean]("drift") ===
+        (r.getAs[Long]("batch_permille") > 2L * r.getAs[Long]("overall_permille")))
+    }
+    // the held-out model is its own artifact: corpus-only training must not
+    // collide with (or silently reuse) the full-corpus q60 model
+    val full = Similarity.trainIvfCentroids(spark, sf0001)
+    val held = Similarity.trainIvfCentroids(spark, sf0001, corpusOnly = true)
+    assert(full.map(_.toSeq).toSeq !== held.map(_.toSeq).toSeq,
+      "holding out 10% of the training sample must perturb at least one centroid")
+  }
+
   test("label centroids: 10 labels x 64 dims, components bounded by max component") {
     val out = Similarity.labelCentroids(spark, sf0001).collect()
     assert(out.length === 640)
