@@ -547,10 +547,17 @@ object Dedup {
     * side that shuffles — at 100 TB the daily batch is ≪ the corpus, so
     * this is the whole point of persisting the index. est + threshold
     * run BEFORE the cross-band distinct (q29c's prefilter trick). */
-  private[graft] def incrementalNearDupCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def incrementalNearDupCandidates(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupCandidatesOf(spark, dir,
+      Tables.documents(spark, dir).where(batchPredicate))
+
+  /** The probe for an ARBITRARY batch of documents (doc_id, text) —
+    * shared by q72 and its streaming twin (each micro-batch probes the
+    * same persisted index via foreachBatch). */
+  private[graft] def incrementalNearDupCandidatesOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
     val idx = spark.table(ensureLshBandIndex(spark, dir))
       .select(col("band_idx"), col("band_key"), col("doc_id").as("cd"), col("sig").as("csig"))
-    val batch = Tables.documents(spark, dir).where(batchPredicate)
     val probe = bandKeysOf(portableSignaturesOf(batch))
       .select(col("band_idx"), col("band_key"), col("doc_id").as("bd"), col("sig").as("bsig"))
     probe.join(idx.hint("merge"), Seq("band_idx", "band_key"))
@@ -567,13 +574,20 @@ object Dedup {
   /** q72 — per-batch-document near-dup verdicts against the persisted
     * index: `dup` with the best-estimate corpus match (ties: smallest
     * doc_id), or `new`. Batch docs too short to shingle are `new`. */
-  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupOf(spark, dir, Tables.documents(spark, dir).where(batchPredicate))
+
+  /** Verdicts for an arbitrary batch (doc_id, text) against the persisted
+    * index — the kernel [[incrementalNearDup]] and the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.nearDupVerdictsPerBatch]])
+    * share. */
+  def incrementalNearDupOf(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val best = incrementalNearDupCandidates(spark, dir)
+    val best = incrementalNearDupCandidatesOf(spark, dir, batch)
       .withColumn("rk", row_number().over(
         Window.partitionBy("bd").orderBy(col("est_jaccard").desc, col("cd").asc)))
       .where(col("rk") === 1)
-    Tables.documents(spark, dir).where(batchPredicate)
+    batch
       .select(col("doc_id"))
       .join(best, col("doc_id") === col("bd"), "left")
       .select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -122,6 +122,25 @@ object StreamingAnalytics {
     docs.select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
       .dropDuplicates("content_md5")
+
+  /** Streaming incremental NEAR-dup — the stream twin of q72
+    * (`Dedup.incrementalNearDup`): a document stream is probed micro-batch
+    * by micro-batch against the PERSISTED corpus LSH band-bucket index via
+    * `foreachBatch`, the shape a production ingest pipeline runs (the
+    * index is the durable state; the stream only ever shuffles the
+    * micro-batch). Verdicts are handed to `sink` per batch; because batch
+    * documents are judged against the CORPUS index only (q72 semantics —
+    * batch docs never index each other until [[Dedup.appendNovelBatchBuckets]]
+    * runs), any partition of the batch into micro-batches yields exactly
+    * the batch operator's verdict table (spec'd in StreamingSpec). */
+  def nearDupVerdictsPerBatch(spark: SparkSession, dir: String, docs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.incrementalNearDupOf(spark, dir, batch))
+      }
+      .start()
 
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
