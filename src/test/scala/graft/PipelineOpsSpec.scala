@@ -375,6 +375,11 @@ class PipelineOpsSpec extends SparkSpec {
       val byPos = rs.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(2)))
       assert(byPos.toSeq === byPos.sortBy(identity).toSeq)
     }
+    // the row_number window must run per-shard (parallel), never globally
+    val plan = TextAnalysis.shardManifest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      "shard window must partition by shard, not run on one task")
   }
 
   test("q84: kept set is the maximal greedy prefix under the per-source token budget") {
@@ -392,6 +397,11 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === strict)
     assert(got.nonEmpty && got.size < docs.length) // the budget actually cut something
+    // the running-sum window must run per-source (parallel across domains)
+    val plan = TextAnalysis.tokenBudgetQuota(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      "quota window must partition by source, not run on one task")
   }
 
   test("q85: whole-bit surprisal matches a driver-side unigram model") {
