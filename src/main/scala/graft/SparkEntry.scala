@@ -77,6 +77,7 @@ object SparkEntry {
     "q85_lm_surprisal"    -> ((s, d) => TextAnalysis.lmSurprisal(s, d)),
     "q86_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
     "q87_ivf_maintenance" -> ((s, d) => Similarity.incrementalIvfMaintenance(s, d)),
+    "q88_source_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -928,6 +929,25 @@ object SparkEntry {
     // trained model (batch held out of the Lloyd sample) and replays the
     // per-cell occupancy/drift algebra in integer permille.
     "q87_ivf_maintenance" -> operators.Similarity.incrementalIvfOracleSql(),
+    // Cross-source span-overlap matrix: distinct (source, span-digest)
+    // pairs, per-span source lists capped (boilerplate cut), pairwise
+    // shared-span counts normalized by the smaller source's vocabulary.
+    "q88_source_contamination" ->
+      s"""WITH toks AS (SELECT source, string_split_regex(text, '\\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\\s+')) >= 8),
+        |g AS (SELECT DISTINCT source,
+        |        unnest(list_transform(range(1, len(t)-6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+        |      FROM toks),
+        |cap AS (SELECT gh FROM g GROUP BY 1
+        |        HAVING COUNT(*) BETWEEN 2 AND ${operators.TextAnalysis.MaxSpanSources}),
+        |k AS (SELECT g.source, g.gh FROM g JOIN cap USING (gh)),
+        |bs AS (SELECT source, COUNT(*) AS n_spans FROM g GROUP BY 1),
+        |pr AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared_spans
+        |       FROM k a JOIN k b ON a.gh = b.gh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT pr.s1, pr.s2, pr.shared_spans, x.n_spans AS n_spans_s1, y.n_spans AS n_spans_s2,
+        |  (1000 * pr.shared_spans) // LEAST(x.n_spans, y.n_spans) AS overlap_permille
+        |FROM pr JOIN bs x ON pr.s1 = x.source JOIN bs y ON pr.s2 = y.source
+        |ORDER BY pr.s1, pr.s2""".stripMargin,
     "q29b_minhash_sig_portable" ->
       ("""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
         |              WHERE len(string_split_regex(text, '\s+')) >= 3),

@@ -824,6 +824,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sources-per-span cap for [[crossSourceContamination]]: a span found
+    * in more than this many sources is ubiquitous boilerplate — it says
+    * nothing about pairwise leakage and would expand O(k²) pairs
+    * (the [[graft.operators.Dedup.MaxShingleDf]] argument at source
+    * granularity). */
+  val MaxSpanSources = 10
+
+  /** q88 — cross-source contamination matrix: for every pair of sources,
+    * how many distinct 8-token spans they share, normalized by the
+    * smaller source's span vocabulary (integer permille). The
+    * dataset-level audit run before mixing corpora: a high cell means two
+    * "independent" sources are actually mirrors / scrapes of each other
+    * (so their mixture weights double-count), or that an eval set leaked
+    * into a training source (q65 is the doc-level variant of the same
+    * question; q76 the within-corpus screen).
+    *
+    * Scale shape: spans travel as 16-byte digests; one shuffle dedups
+    * (source, span); the per-span source list is capped at
+    * [[MaxSpanSources]] so pair expansion is bounded per span — the q28
+    * posting-list pattern at source granularity, where the "vocabulary"
+    * (source pairs) is tiny by construction. The normalizer join
+    * broadcasts the per-source spancounts (cardinality = #sources). */
+  def crossSourceContamination(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("source"), expr(toksExpr).as("t"))
+      .where(size(col("t")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))")).as("gh"))
+      .distinct()
+    val bySrc = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    val pairs = spans.groupBy("gh")
+      .agg(array_sort(collect_list(col("source"))).as("ss"))
+      .where(size(col("ss")).between(2, MaxSpanSources))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y -> named_struct('s1', x, 's2', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("shared_spans"))
+    pairs
+      .join(broadcast(bySrc.select(col("source").as("s1"), col("n_spans").as("n_spans_s1"))), Seq("s1"))
+      .join(broadcast(bySrc.select(col("source").as("s2"), col("n_spans").as("n_spans_s2"))), Seq("s2"))
+      .withColumn("overlap_permille",
+        expr("(1000L * shared_spans) div least(n_spans_s1, n_spans_s2)"))
+      .select("s1", "s2", "shared_spans", "n_spans_s1", "n_spans_s2", "overlap_permille")
+      .orderBy("s1", "s2")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

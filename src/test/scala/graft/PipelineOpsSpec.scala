@@ -426,6 +426,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q88: contamination matrix matches a driver-side recompute with the source cap") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").toSeq))
+    val spanSources = docs.toSeq
+      .flatMap { case (src, toks) =>
+        if (toks.length < 8) Nil
+        else toks.sliding(8).map(w => (src, w.mkString(" "))).toSeq
+      }.distinct
+    val nSpans = spanSources.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val expected = spanSources.groupBy(_._2).values
+      .map(_.map(_._1).sorted)
+      .filter(ss => ss.length >= 2 && ss.length <= TextAnalysis.MaxSpanSources)
+      .flatMap(ss => ss.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val out = TextAnalysis.crossSourceContamination(spark, sf0001).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet === expected.keySet)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("shared_spans") === expected(key))
+      assert(r.getAs[Long]("n_spans_s1") === nSpans(r.getString(0)))
+      assert(r.getAs[Long]("n_spans_s2") === nSpans(r.getString(1)))
+      assert(r.getAs[Long]("overlap_permille") ===
+        1000L * expected(key) / math.min(nSpans(r.getString(0)), nSpans(r.getString(1))))
+    }
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
