@@ -78,6 +78,7 @@ object SparkEntry {
     "q86_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
     "q87_ivf_maintenance" -> ((s, d) => Similarity.incrementalIvfMaintenance(s, d)),
     "q88_source_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(s, d)),
+    "q89_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -729,6 +730,33 @@ object SparkEntry {
         |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1)
         |SELECT doc_id, comp_id, COUNT(*) OVER (PARTITION BY comp_id) AS n_members
         |FROM comps ORDER BY doc_id""".stripMargin,
+    // Cluster-aware split: near-dup clusters (the q61 recursive closure)
+    // are keyed on their root; unclustered docs fall back to q82's
+    // content-hash rule exactly.
+    "q89_cluster_safe_split" ->
+      s"""WITH RECURSIVE
+        |pairs AS ($q28Sql),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |d AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+        |      FROM documents),
+        |h AS (SELECT doc_id, content_md5,
+        |        CAST(list_sum(list_transform(range(1, 9), i ->
+        |          (strpos('0123456789abcdef', substr(content_md5, CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |        )) AS BIGINT) AS hv_md5
+        |      FROM d),
+        |j AS (SELECT h.doc_id, c.comp_id,
+        |        CASE WHEN c.comp_id IS NOT NULL THEN (c.comp_id * 2654435761 + 17) % 100
+        |             ELSE hv_md5 % 100 END AS hv
+        |      FROM h LEFT JOIN comps c ON h.doc_id = c.doc_id)
+        |SELECT doc_id, comp_id,
+        |  CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM j ORDER BY doc_id""".stripMargin,
     // Overlapping 32-token windows every 24 tokens; tails shorter than
     // the 8-token overlap drop unless they're the only chunk. DuckDB
     // lambda indexes are 1-based (Spark's are 0-based) — hence i = 1 /

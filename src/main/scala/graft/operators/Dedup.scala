@@ -327,6 +327,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q89 — cluster-aware leakage-safe split: the full-strength version of
+    * q82. q82 keys the train/val/test cut on the exact content digest, so
+    * byte-identical documents stay together; NEAR-duplicates (j ≥ 0.6)
+    * can still straddle splits and leak eval content into training. Here
+    * every document in a near-dup cluster ([[nearDupClusters]]'s
+    * connected components) is keyed on its CLUSTER ROOT, so whole
+    * clusters move as one unit; unclustered documents fall back to
+    * exactly q82's content-hash rule (spec-pinned: they receive the SAME
+    * split q82 assigns them).
+    *
+    * Scale shape: pair generation + O(log n) star contraction are the
+    * q28/q61 machinery (df-capped posting lists, label-only shuffles);
+    * the label table is a fraction of the corpus (clustered docs only),
+    * so the final left join broadcasts in practice and the split itself
+    * stays map-side. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
+    val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
+    val comp = labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("hv", when(col("comp_id").isNotNull,
+          pmod(col("comp_id") * lit(2654435761L) + lit(17L), lit(100)))
+        .otherwise(pmod(conv(substring(col("content_md5"), 1, 8), 16, 10).cast("long"), lit(100))))
+      .withColumn("split",
+        when(col("hv") < 80, "train").when(col("hv") < 90, "val").otherwise("test"))
+      .select("doc_id", "comp_id", "split")
+      .orderBy("doc_id")
+  }
+
   /** Diagnostic: the stop-shingles [[nearDupJaccard]]'s df cutoff drops
     * (shingle + its document frequency). Empty on clean corpora. */
   def hotShingles(spark: SparkSession, dir: String): DataFrame =

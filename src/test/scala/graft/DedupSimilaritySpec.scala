@@ -421,6 +421,21 @@ class DedupSimilaritySpec extends SparkSpec {
       "holding out 10% of the training sample must perturb at least one centroid")
   }
 
+  test("q89: near-dup clusters never straddle splits; unclustered docs match q82") {
+    val out = graft.operators.Dedup.clusterSafeSplit(spark, sf0001).collect()
+    assert(out.exists(!_.isNullAt(1)), "fixture must contain near-dup clusters")
+    out.filter(!_.isNullAt(1)).groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(2)).distinct.length === 1,
+        "every member of a near-dup cluster must share one split")
+    }
+    val q82 = graft.operators.TextAnalysis.leakageSafeSplit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.filter(_.isNullAt(1)).foreach { r =>
+      assert(r.getString(2) === q82(r.getLong(0)),
+        "unclustered docs must fall back to exactly the q82 rule")
+    }
+  }
+
   test("label centroids: 10 labels x 64 dims, components bounded by max component") {
     val out = Similarity.labelCentroids(spark, sf0001).collect()
     assert(out.length === 640)
