@@ -79,6 +79,7 @@ object SparkEntry {
     "q87_ivf_maintenance" -> ((s, d) => Similarity.incrementalIvfMaintenance(s, d)),
     "q88_source_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(s, d)),
     "q89_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
+    "q90_curation_gate"   -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -953,6 +954,34 @@ object SparkEntry {
     // Random sign projection: the oracle regenerates the hashed +-1 matrix
     // positionally and folds each output component in exact decimal.
     "q86_random_projection" -> operators.Similarity.randomProjectionOracleSql(),
+    // Composite curation gate: four integer-exact signals (length, q64's
+    // top-token rule via MAX(count), q70's df-model OOV rate, q85's
+    // whole-bit surprisal) folded into a fail bitmask + keep verdict.
+    "q90_curation_gate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+        |model AS (SELECT t, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM toks
+        |          WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM model),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(CASE WHEN COALESCE(df, 0) < ${operators.TextAnalysis.MinDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(SUM(bits_total - (length(bin(COALESCE(cnt, 1))) - 1)) AS BIGINT) AS sum_bits
+        |       FROM toks LEFT JOIN model USING (t) CROSS JOIN tot GROUP BY 1),
+        |tc AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM
+        |         (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT s.doc_id, s.n_tokens, tc.top_tok_cnt,
+        |        (1000 * s.n_oov) // s.n_tokens AS oov_permille,
+        |        (100 * s.sum_bits) // s.n_tokens AS bits_x100
+        |      FROM sc s JOIN tc ON s.doc_id = tc.doc_id)
+        |SELECT doc_id, n_tokens, CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt, oov_permille, bits_x100,
+        |  CAST(CASE WHEN n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
+        |     + CASE WHEN top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > n_tokens THEN 2 ELSE 0 END
+        |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
+        |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END AS BIGINT) AS fail_mask,
+        |  (CASE WHEN n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
+        |     + CASE WHEN top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > n_tokens THEN 2 ELSE 0 END
+        |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
+        |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END) = 0 AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
     // Incremental IVF maintenance: the oracle re-derives the CORPUS-ONLY
     // trained model (batch held out of the Lloyd sample) and replays the
     // per-cell occupancy/drift algebra in integer permille.

@@ -824,6 +824,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[curationGate]] thresholds: minimum tokens, top-token share divisor
+    * (5 ⇒ ≤ 20%), OOV permille ceiling, surprisal ceiling (whole-bit
+    * ×100). */
+  val GateMinTokens = 20L
+  val GateTopTokenDiv = 5L
+  val GateMaxOovPermille = 200L
+  val GateMaxBitsX100 = 520L
+
+  /** q90 — composite curation gate: the end-to-end keep/drop verdict a
+    * curation pipeline actually emits, combining four independent
+    * integer-exact signals per document —
+    *   R1 (mask 1): length  — n_tokens ≥ [[GateMinTokens]];
+    *   R2 (mask 2): repetition — top-token count ≤ n_tokens /
+    *       [[GateTopTokenDiv]] (q64's Gopher rule, native LongestRun);
+    *   R3 (mask 4): OOV rate — ≤ [[GateMaxOovPermille]]‰ tokens with
+    *       train-split df < [[MinDf]] (q70's model);
+    *   R4 (mask 8): LM surprisal — bits_x100 ≤ [[GateMaxBitsX100]]
+    *       (q85's whole-bit unigram model).
+    * `fail_mask` says WHICH rules failed (the per-reason drop accounting
+    * a pipeline reports), `keep` = mask 0. Everything is BIGINT, so the
+    * verdict is hash-exact cross-engine.
+    *
+    * Scale shape: ONE token-keyed model join (cnt and df come from the
+    * same vocab-bounded model table — one aggregation, one join, no
+    * amplification), one doc-keyed re-agg, the repetition signal
+    * map-side (native kernel, no extra shuffle), the model total a 1-row
+    * scalar broadcast. Two corpus scans total (train pass + score pass),
+    * exactly q70/q85's shape — composing four signals costs no extra
+    * pass. */
+  def curationGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+    val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
+    // one vocab-bounded model with BOTH signals (occurrence count for
+    // surprisal, document frequency for OOV); persisted like q78/q85 so
+    // the scalar-total branch doesn't re-scan the corpus
+    val model = toks.where(isTrain).groupBy("t")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .persist()
+    val total = model.agg(sum(col("cnt")).as("n_train"))
+      .select((length(bin(col("n_train"))) - 1).cast("long").as("bits_total"))
+    val scored = toks.join(model, Seq("t"), "left")
+      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(coalesce(col("df"), lit(0L)) < MinDf, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("bits_total") - (length(bin(coalesce(col("cnt"), lit(1L)))) - 1)).as("sum_bits"))
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ColumnBridge.of(graft.functions.LongestRun(
+          ColumnBridge.expr(expr(toksExpr)))).getField("best_cnt").as("top_tok_cnt"))
+    scored.join(top, Seq("doc_id"))
+      .withColumn("oov_permille", expr("(1000L * n_oov) div n_tokens"))
+      .withColumn("bits_x100", expr("(100L * sum_bits) div n_tokens"))
+      .withColumn("fail_mask", (
+        when(col("n_tokens") < GateMinTokens, 1L).otherwise(0L) +
+        when(col("top_tok_cnt") * GateTopTokenDiv > col("n_tokens"), 2L).otherwise(0L) +
+        when(col("oov_permille") > GateMaxOovPermille, 4L).otherwise(0L) +
+        when(col("bits_x100") > GateMaxBitsX100, 8L).otherwise(0L)).cast("long"))
+      .withColumn("keep", col("fail_mask") === 0L)
+      .select("doc_id", "n_tokens", "top_tok_cnt", "oov_permille", "bits_x100",
+        "fail_mask", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Sources-per-span cap for [[crossSourceContamination]]: a span found
     * in more than this many sources is ubiquitous boilerplate — it says
     * nothing about pairwise leakage and would expand O(k²) pairs

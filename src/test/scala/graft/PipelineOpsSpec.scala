@@ -453,6 +453,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q90: gate verdicts match a driver-side recompute of all four signals") {
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val train = docs.filter { case (id, _) => (id * 2654435761L) % 100 >= 20 }
+    val cnt = train.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val df = train.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.length.toLong }
+    val bitsTotal = bits(cnt.values.sum)
+    val out = TextAnalysis.curationGate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === docs.length)
+    docs.foreach { case (id, toks) =>
+      val n = toks.length.toLong
+      val topCnt = toks.groupBy(identity).values.map(_.size).max.toLong
+      val oovPm = 1000L * toks.count(t => df.getOrElse(t, 0L) < TextAnalysis.MinDf) / n
+      val bitsX100 = 100L * toks.map(t => bitsTotal - bits(cnt.getOrElse(t, 1L))).sum / n
+      val mask = (if (n < TextAnalysis.GateMinTokens) 1L else 0L) +
+        (if (topCnt * TextAnalysis.GateTopTokenDiv > n) 2L else 0L) +
+        (if (oovPm > TextAnalysis.GateMaxOovPermille) 4L else 0L) +
+        (if (bitsX100 > TextAnalysis.GateMaxBitsX100) 8L else 0L)
+      val r = out(id)
+      assert(r.getLong(2) === topCnt, s"doc $id top")
+      assert(r.getLong(5) === mask, s"doc $id mask")
+      assert(r.getBoolean(6) === (mask == 0L))
+    }
+    val verdicts = out.values.map(_.getBoolean(6)).toSeq
+    assert(verdicts.contains(true) && verdicts.contains(false),
+      "the gate must actually discriminate on the fixture")
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
