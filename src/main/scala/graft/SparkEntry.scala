@@ -80,6 +80,7 @@ object SparkEntry {
     "q88_source_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(s, d)),
     "q89_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
     "q90_curation_gate"   -> ((s, d) => TextAnalysis.curationGate(s, d)),
+    "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -982,6 +983,20 @@ object SparkEntry {
         |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
         |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END) = 0 AS keep
         |FROM j ORDER BY doc_id""".stripMargin,
+    // BPE first merge: top adjacent char pair within words (tie-break
+    // cnt desc, pair asc), applied left-to-right non-overlapping via
+    // replace() length arithmetic on both engines.
+    "q91_bpe_first_merge" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w WHERE length(w) >= 2)),
+        |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1),
+        |top AS (SELECT pair AS top_pair, cnt AS pair_cnt FROM c ORDER BY cnt DESC, pair ASC LIMIT 1)
+        |SELECT d.doc_id, t.top_pair, t.pair_cnt,
+        |  CAST(length(d.text) - length(replace(d.text, t.top_pair, '·')) AS BIGINT) AS n_merges,
+        |  CAST(length(d.text) AS BIGINT) AS n_chars_before,
+        |  CAST(length(replace(d.text, t.top_pair, '·')) AS BIGINT) AS n_chars_after
+        |FROM documents d CROSS JOIN top t ORDER BY d.doc_id""".stripMargin,
     // Incremental IVF maintenance: the oracle re-derives the CORPUS-ONLY
     // trained model (batch held out of the Lloyd sample) and replays the
     // per-cell occupancy/drift algebra in integer permille.

@@ -891,6 +891,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q91 — distributed BPE pair statistics + first merge: the first
+    * iteration of byte-pair-encoding tokenizer TRAINING, run as a
+    * corpus-scale aggregation. Phase 1 counts every adjacent character
+    * pair inside whitespace tokens (the BPE unit) across the corpus and
+    * learns the top pair (deterministic tie-break: count desc, pair
+    * asc). Phase 2 applies the merge to every document and reports how
+    * many merge sites it had — left-to-right non-overlapping, exactly
+    * `replace()`'s semantics on BOTH engines, so `n_merges = (len(text)
+    * − len(replace(text, pair, '·')))` is integer-exact (each site
+    * removes exactly one character).
+    *
+    * A full tokenizer iterates this to a vocab budget with the pair
+    * table kept as a running model (the q70/q85 train-then-apply
+    * pattern); one iteration exercises the whole distributed shape.
+    *
+    * Scale shape: phase 1 is explode → ONE pair-keyed partial-aggregated
+    * groupBy (pair vocabulary is bounded by charset², tiny) → a 1-row
+    * top-1 broadcast; phase 2 is strictly map-side expression work. Two
+    * corpus scans, no doc-keyed shuffle at all. */
+  def bpeFirstMerge(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(expr(toksExpr)).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val top = pairs
+      .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("top_pair"), col("cnt").as("pair_cnt"))
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(top)) // 1-row learned-merge broadcast
+      .select(col("doc_id"), col("top_pair"), col("pair_cnt"),
+        (length(col("text")) -
+          length(expr("replace(text, top_pair, '·')"))).cast("long").as("n_merges"),
+        length(col("text")).cast("long").as("n_chars_before"))
+      .withColumn("n_chars_after", col("n_chars_before") - col("n_merges"))
+      .orderBy("doc_id")
+  }
+
   /** Sources-per-span cap for [[crossSourceContamination]]: a span found
     * in more than this many sources is ubiquitous boilerplate — it says
     * nothing about pairwise leakage and would expand O(k²) pairs

@@ -485,6 +485,35 @@ class PipelineOpsSpec extends SparkSpec {
       "the gate must actually discriminate on the fixture")
   }
 
+  test("q91: learned pair and merge counts match a driver-side BPE recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairCounts = docs.flatMap(_._2.split("\\s+"))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val (topPair, topCnt) = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    def nonOverlapMerges(s: String): Long = {
+      var i = 0; var n = 0L
+      while (i >= 0) {
+        i = s.indexOf(topPair, i)
+        if (i >= 0) { n += 1; i += 2 } // left-to-right, non-overlapping
+      }
+      n
+    }
+    val out = TextAnalysis.bpeFirstMerge(spark, sf0001).collect()
+    assert(out.length === docs.length)
+    out.foreach { r =>
+      assert(r.getString(1) === topPair)
+      assert(r.getLong(2) === topCnt)
+      val text = docs.find(_._1 == r.getLong(0)).get._2
+      assert(r.getLong(3) === nonOverlapMerges(text), s"doc ${r.getLong(0)}")
+      assert(r.getLong(5) === text.length.toLong - r.getLong(3))
+    }
+    assert(out.exists(_.getLong(3) > 0), "the learned pair must occur somewhere")
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
