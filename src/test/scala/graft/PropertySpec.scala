@@ -65,4 +65,42 @@ object PropertySpec extends Properties("graft") {
         off.forall(o => o >= 0 && o < math.max(n, 1)) &&
         off.sliding(2).forall { case Array(a, b) => a < b; case _ => true }
     }
+
+  // q91's merge-count identity: replacing a 2-char pair with a 1-char
+  // placeholder removes exactly one char per LEFT-TO-RIGHT NON-OVERLAPPING
+  // site, so the length delta IS the merge count (what the oracle and the
+  // Spark side both rely on). Alphabet kept tiny so pairs actually occur
+  // and overlaps ("aaa" with pair "aa") are exercised.
+  private val genTinyText = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+  private val genPair = for { x <- Gen.oneOf('a', 'b', 'c'); y <- Gen.oneOf('a', 'b', 'c') } yield s"$x$y"
+
+  property("BPE merge count = length delta of non-overlapping replace (q91 identity)") =
+    forAll(genTinyText, genPair) { (s, pair) =>
+      var i = 0; var n = 0
+      while (i >= 0) {
+        i = s.indexOf(pair, i)
+        if (i >= 0) { n += 1; i += 2 }
+      }
+      s.length - s.replace(pair, "·").length == n
+    }
+
+  property("whole-bit log2 identity: len(bin(x)) - 1 = floor(log2 x) (q85 portability)") =
+    forAll(Gen.choose(1L, Long.MaxValue)) { x =>
+      val viaBin = java.lang.Long.toBinaryString(x).length - 1
+      val viaNlz = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      // the mathematical floor(log2) via bit position, and the identity
+      // both engines' bin()/length() reproduce
+      // upper-bound check skipped at viaBin = 62: x < 2^63 is vacuous for
+      // positive longs and 1L << 63 wraps negative
+      viaBin == viaNlz && (1L << viaBin) <= x &&
+        (viaBin >= 62 || x < (1L << (viaBin + 1)))
+    }
+
+  property("surprisal is nonnegative and bounded by bits_total (q85 invariant)") =
+    forAll(Gen.choose(1L, 1L << 40), Gen.choose(1L, 1L << 40)) { (a, b) =>
+      val n = math.max(a, b); val cnt = math.min(a, b) // cnt <= N always
+      def bits(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val s = bits(n) - bits(cnt)
+      s >= 0 && s <= bits(n)
+    }
 }
