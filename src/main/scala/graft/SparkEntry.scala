@@ -81,6 +81,8 @@ object SparkEntry {
     "q89_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
     "q90_curation_gate"   -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
+    "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
+    "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -997,6 +999,50 @@ object SparkEntry {
         |  CAST(length(d.text) AS BIGINT) AS n_chars_before,
         |  CAST(length(replace(d.text, t.top_pair, '·')) AS BIGINT) AS n_chars_after
         |FROM documents d CROSS JOIN top t ORDER BY d.doc_id""".stripMargin,
+    // Exact-count stratified sample: k per language by hash rank.
+    "q92_stratified_topk" ->
+      s"""WITH d AS (SELECT lang, doc_id, source,
+        |    (doc_id * 1664525 + 1013904223) % 999979 AS hkey FROM documents),
+        |r AS (SELECT lang, doc_id, source, hkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS BIGINT) AS rk
+        |  FROM d)
+        |SELECT lang, rk, doc_id, source, hkey FROM r
+        |WHERE rk <= ${operators.TextAnalysis.StratifiedK} ORDER BY lang, rk""".stripMargin,
+    // Training manifest: q82's split rule x q90's gate x embedding
+    // presence (doc_id = vec_id), trainable = keep AND train AND has_emb.
+    "q93_training_manifest" ->
+      s"""WITH dd AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+        |            FROM documents),
+        |hh AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef', substr(content_md5, CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |         )) AS BIGINT) AS hv
+        |       FROM dd),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN hv % 100 < 80 THEN 'train' WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |       FROM hh),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+        |model AS (SELECT t, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM toks
+        |          WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM model),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(CASE WHEN COALESCE(df, 0) < ${operators.TextAnalysis.MinDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(SUM(bits_total - (length(bin(COALESCE(cnt, 1))) - 1)) AS BIGINT) AS sum_bits
+        |       FROM toks LEFT JOIN model USING (t) CROSS JOIN tot GROUP BY 1),
+        |tc AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM
+        |         (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
+        |gate AS (SELECT s.doc_id,
+        |           CAST(CASE WHEN s.n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
+        |              + CASE WHEN tc.top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > s.n_tokens THEN 2 ELSE 0 END
+        |              + CASE WHEN (1000 * s.n_oov) // s.n_tokens > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
+        |              + CASE WHEN (100 * s.sum_bits) // s.n_tokens > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END AS BIGINT) AS fail_mask
+        |         FROM sc s JOIN tc ON s.doc_id = tc.doc_id)
+        |SELECT sp.doc_id, sp.split, g.fail_mask, g.fail_mask = 0 AS keep,
+        |  e.vec_id IS NOT NULL AS has_embedding,
+        |  (g.fail_mask = 0 AND sp.split = 'train' AND e.vec_id IS NOT NULL) AS trainable
+        |FROM sp JOIN gate g ON sp.doc_id = g.doc_id
+        |LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON e.vec_id = sp.doc_id
+        |ORDER BY sp.doc_id""".stripMargin,
     // Incremental IVF maintenance: the oracle re-derives the CORPUS-ONLY
     // trained model (batch held out of the Lloyd sample) and replays the
     // per-cell occupancy/drift algebra in integer permille.

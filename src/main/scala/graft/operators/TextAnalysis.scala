@@ -891,6 +891,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Docs kept per stratum in [[stratifiedTopK]]. */
+  val StratifiedK = 10L
+
+  /** q92 — exact-count stratified sampling: EXACTLY [[StratifiedK]]
+    * documents per language (or all of them if the stratum is smaller),
+    * chosen by deterministic hash rank — the eval-set construction
+    * primitive. Completes the sampler family: q69 samples by RATE, q80
+    * by temperature-derived rate, q84 by token BUDGET; none can promise
+    * an exact per-stratum count, this one does.
+    *
+    * Scale shape: one hash shuffle on the stratum key, then per-stratum
+    * row_number windows in parallel (the q83 argument); the rank cut is
+    * k per stratum so output is bounded by k × #strata regardless of
+    * corpus size. A stratum big enough to make its window a straggler
+    * gets the two-phase top-k treatment (q47's salted pattern) — at k
+    * this small the plain window wins. */
+  def stratifiedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("source"),
+        pmod(col("doc_id") * lit(1664525L) + lit(1013904223L), lit(999979L)).as("hkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= StratifiedK)
+      .select("lang", "rk", "doc_id", "source", "hkey")
+      .orderBy("lang", "rk")
+  }
+
   /** q91 — distributed BPE pair statistics + first merge: the first
     * iteration of byte-pair-encoding tokenizer TRAINING, run as a
     * corpus-scale aggregation. Phase 1 counts every adjacent character
@@ -927,6 +955,34 @@ object TextAnalysis {
           length(expr("replace(text, top_pair, '·')"))).cast("long").as("n_merges"),
         length(col("text")).cast("long").as("n_chars_before"))
       .withColumn("n_chars_after", col("n_chars_before") - col("n_merges"))
+      .orderBy("doc_id")
+  }
+
+  /** q93 — training-manifest assembly: the LAST pipeline stage, joining
+    * the per-doc verdicts the earlier stages produced into the record
+    * table a training job actually reads — split assignment (q82's
+    * content-hash rule), the q90 curation verdict, and whether the doc's
+    * embedding row exists (doc_id = vec_id is the fixture's
+    * correspondence; a production pipeline joins its feature stores the
+    * same way). `trainable` = keep ∧ split='train' ∧ has_embedding: the
+    * rows that ship.
+    *
+    * Scale shape: split is map-side; the gate reuses its two-scan shape;
+    * the embedding-presence join is a doc-keyed equi-join against a
+    * key-projected scan (at 100 TB both sides bucketed by the key —
+    * shuffle-free, the q67 CDC argument). Composing three stages adds
+    * ONE join to the gate's plan. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val split = leakageSafeSplit(spark, dir).select(col("doc_id"), col("split"))
+    val gate = curationGate(spark, dir).select(col("doc_id"), col("fail_mask"), col("keep"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit(true).as("has_embedding"))
+    split.join(gate, Seq("doc_id"))
+      .join(emb, Seq("doc_id"), "left")
+      .withColumn("has_embedding", coalesce(col("has_embedding"), lit(false)))
+      .withColumn("trainable",
+        col("keep") && col("split") === "train" && col("has_embedding"))
+      .select("doc_id", "split", "fail_mask", "keep", "has_embedding", "trainable")
       .orderBy("doc_id")
   }
 

@@ -514,6 +514,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) > 0), "the learned pair must occur somewhere")
   }
 
+  test("q92: exactly k per stratum (or the whole stratum), in hash order") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val out = TextAnalysis.stratifiedTopK(spark, sf0001).collect()
+    val byLang = docs.groupBy(_._1)
+    out.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val stratum = byLang(lang).map(_._2)
+      assert(rs.length.toLong === math.min(TextAnalysis.StratifiedK, stratum.length.toLong))
+      val expected = stratum
+        .sortBy(id => ((id * 1664525L + 1013904223L) % 999979L, id))
+        .take(TextAnalysis.StratifiedK.toInt).toSeq
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq === expected)
+    }
+    assert(out.groupBy(_.getString(0)).keySet === byLang.keySet)
+  }
+
+  test("q93: manifest rows are the conjunction of split, gate, and embedding presence") {
+    val split = TextAnalysis.leakageSafeSplit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val gate = TextAnalysis.curationGate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getBoolean(6))).toMap
+    val embIds = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val out = TextAnalysis.trainingManifest(spark, sf0001).collect()
+    assert(out.length === split.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === split(id))
+      assert((r.getLong(2), r.getBoolean(3)) === gate(id))
+      assert(r.getBoolean(4) === embIds.contains(id))
+      assert(r.getBoolean(5) ===
+        (gate(id)._2 && split(id) == "train" && embIds.contains(id)))
+    }
+    // the manifest must actually partition: some trainable, some not
+    assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)))
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
