@@ -106,8 +106,13 @@ object Dedup {
       val index = hashedDocs(spark, dir)
         .where(pmod(col("doc_id"), lit(10)) =!= 9)
         .select("content_md5").distinct()
-      val n = math.max(1L, index.count())
-      val bf = index.stat.bloomFilter("content_md5", n, 0.03)
+      val n = index.count()
+      // empty corpus: stat.bloomFilter aggregates zero rows into a filter
+      // with a null bit buffer (writeTo NPEs); an explicit 1-capacity
+      // filter with nothing inserted says "definitively new" for every
+      // probe — exactly the right verdict against an empty index
+      val bf = if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, 0.03)
+        else index.stat.bloomFilter("content_md5", n, 0.03)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray

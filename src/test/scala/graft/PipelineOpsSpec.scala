@@ -552,6 +552,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)))
   }
 
+  test("document/embedding pipeline ops tolerate an empty corpus (no eager throws)") {
+    // the ADVICE-flagged failure class: operators that run driver-side
+    // setup (model training, filter builds, bounds collection) must
+    // degrade to an empty result, not throw, on an empty table
+    val dest = java.nio.file.Files.createTempDirectory("graft_empty").toFile
+    def writeEmpty(t: String, src: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = new java.io.File(dest, t + "_tmp")
+      src.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(dest, t + ".parquet").toPath)
+    }
+    writeEmpty("documents", graft.sources.Tables.documents(spark, sf0001))
+    writeEmpty("embeddings", graft.sources.Tables.embeddings(spark, sf0001))
+    val ops = Seq(
+      "q82_leakage_safe_split", "q83_shard_manifest", "q84_token_budget_quota",
+      "q85_lm_surprisal", "q86_random_projection", "q87_ivf_maintenance",
+      "q88_source_contamination", "q89_cluster_safe_split", "q90_curation_gate",
+      "q91_bpe_first_merge", "q92_stratified_topk", "q93_training_manifest",
+      "q72_incremental_neardup", "q73_semantic_dedup",
+      "q74_bloom_incremental_dedup") // q74 NPE'd here before the empty-filter guard
+    ops.foreach { n =>
+      assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
+    }
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
