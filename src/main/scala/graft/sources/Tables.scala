@@ -43,6 +43,12 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // an events table written back by another engine (DuckDB, plain
+      // Spark writes) may carry TIMESTAMP_NTZ; normalize to an instant so
+      // downstream unix_micros()/watermarks type-check. Session TZ is
+      // pinned to UTC, so the cast is exact, not a guess.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
