@@ -853,15 +853,25 @@ object TextAnalysis {
     * scalar broadcast. Two corpus scans total (train pass + score pass),
     * exactly q70/q85's shape — composing four signals costs no extra
     * pass. */
-  def curationGate(spark: SparkSession, dir: String): DataFrame = {
+  def curationGate(spark: SparkSession, dir: String): DataFrame =
+    curationGateOf(spark, dir, Tables.documents(spark, dir))
+
+  /** [[curationGate]] over an ARBITRARY batch of documents, scored with
+    * the model trained on `dir`'s hash train split — the frozen-model
+    * apply-side the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.gateVerdictsPerBatch]]) runs
+    * per micro-batch. Batch-decomposable by construction: the model is a
+    * pure function of the CORPUS, every signal per-doc. */
+  def curationGateOf(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val toks = Tables.documents(spark, dir)
+    val corpusToks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+    val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("t"))
     val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
     // one vocab-bounded model with BOTH signals (occurrence count for
     // surprisal, document frequency for OOV); persisted like q78/q85 so
     // the scalar-total branch doesn't re-scan the corpus
-    val model = toks.where(isTrain).groupBy("t")
+    val model = corpusToks.where(isTrain).groupBy("t")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
       .persist()
     val total = model.agg(sum(col("cnt")).as("n_train"))
@@ -873,7 +883,7 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(when(coalesce(col("df"), lit(0L)) < MinDf, 1L).otherwise(0L)).as("n_oov"),
         sum(col("bits_total") - (length(bin(coalesce(col("cnt"), lit(1L)))) - 1)).as("sum_bits"))
-    val top = Tables.documents(spark, dir)
+    val top = docs
       .select(col("doc_id"),
         ColumnBridge.of(graft.functions.LongestRun(
           ColumnBridge.expr(expr(toksExpr)))).getField("best_cnt").as("top_tok_cnt"))

@@ -142,6 +142,24 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming curation gate — the stream twin of q90
+    * (`TextAnalysis.curationGate`): the quality model (token counts +
+    * document frequencies) is trained ONCE on the corpus's hash train
+    * split and FROZEN; each document micro-batch is then scored against
+    * it via `foreachBatch` — the model-frozen ingest-scoring shape
+    * (retraining cadence is an offline decision, q87's drift signal the
+    * trigger). Verdicts per batch go to `sink`; every signal is per-doc
+    * and the model batch-independent, so any micro-batching reproduces
+    * the batch verdict table exactly (spec'd in StreamingSpec). */
+  def gateVerdictsPerBatch(spark: SparkSession, dir: String, docs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.TextAnalysis.curationGateOf(spark, dir, batch))
+      }
+      .start()
+
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
     *

@@ -285,6 +285,26 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === batchDocs.length)
   }
 
+  test("streaming curation gate reproduces the batch q90 verdicts under any micro-batching") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingAnalytics.gateVerdictsPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "text")) { verdicts =>
+      collected ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("fail_mask"), r.getAs[Boolean]("keep")))
+    }
+    input.addData(docs.take(7).toSeq); q.processAllAvailable()
+    input.addData(docs.drop(7).toSeq); q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.curationGate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("fail_mask"), r.getAs[Boolean]("keep"))).toSet
+    assert(collected.toSet === batch)
+    assert(collected.size === docs.length)
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
