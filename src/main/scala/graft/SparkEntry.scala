@@ -83,6 +83,8 @@ object SparkEntry {
     "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
+    "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
+    "q95_label_consistency" -> ((s, d) => TextAnalysis.labelConsistency(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -999,6 +1001,38 @@ object SparkEntry {
         |  CAST(length(d.text) AS BIGINT) AS n_chars_before,
         |  CAST(length(replace(d.text, t.top_pair, '·')) AS BIGINT) AS n_chars_after
         |FROM documents d CROSS JOIN top t ORDER BY d.doc_id""".stripMargin,
+    // Threshold-calibration sweep: q85's scoring bucketed, with the
+    // cumulative keep rate per candidate threshold.
+    "q94_surprisal_sweep" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+        |model AS (SELECT t, COUNT(*) AS cnt FROM toks
+        |          WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM model),
+        |scored AS (SELECT doc_id, bits_total - (length(bin(COALESCE(cnt, 1))) - 1) AS bits
+        |           FROM toks LEFT JOIN model USING (t) CROSS JOIN tot),
+        |per_doc AS (SELECT doc_id,
+        |              (100 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS bits_x100
+        |            FROM scored GROUP BY 1),
+        |hist AS (SELECT (bits_x100 // ${operators.TextAnalysis.SweepBucket}) * ${operators.TextAnalysis.SweepBucket} AS bucket_lo,
+        |           COUNT(*) AS n_docs FROM per_doc GROUP BY 1),
+        |c AS (SELECT bucket_lo, n_docs,
+        |        CAST(SUM(n_docs) OVER (ORDER BY bucket_lo
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |        CAST(SUM(n_docs) OVER () AS BIGINT) AS total
+        |      FROM hist)
+        |SELECT bucket_lo, n_docs, cum_docs, (1000 * cum_docs) // total AS keep_rate_permille
+        |FROM c ORDER BY bucket_lo""".stripMargin,
+    // Label-consistency audit: duplicate-content groups with conflicting
+    // lang/source labels.
+    "q95_label_consistency" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5,
+        |  COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  MIN(doc_id) AS first_doc_id
+        |FROM documents GROUP BY 1
+        |HAVING COUNT(*) >= 2 AND (COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1)
+        |ORDER BY content_md5""".stripMargin,
     // Exact-count stratified sample: k per language by hash rank.
     "q92_stratified_topk" ->
       s"""WITH d AS (SELECT lang, doc_id, source,

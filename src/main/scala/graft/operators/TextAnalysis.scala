@@ -929,6 +929,65 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Histogram bucket width (in bits_x100 units) for [[surprisalSweep]]. */
+  val SweepBucket = 20L
+
+  /** q94 — threshold-calibration sweep for the q85 surprisal filter:
+    * bucket every document's bits_x100 and report, per bucket, the doc
+    * count and the CUMULATIVE keep rate if the threshold were set at that
+    * bucket's upper edge — the curve an operator actually looks at before
+    * picking [[GateMaxBitsX100]] (choose the knee, know the cost). Same
+    * pattern generalizes to any scalar quality signal.
+    *
+    * Scale shape: the per-doc scoring is q85's (two corpus scans, one
+    * non-amplifying model join); the sweep itself then aggregates to a
+    * HISTOGRAM bounded by the signal's range / [[SweepBucket]] — the
+    * cumulative windows run over dozens of rows regardless of corpus
+    * size (q79's bounded-window argument). */
+  def surprisalSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = lmSurprisal(spark, dir)
+      .select((expr(s"bits_x100 div $SweepBucket") * SweepBucket).as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+    val ord = Window.orderBy("bucket_lo")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+      .withColumn("total", sum(col("n_docs")).over(whole))
+      .withColumn("keep_rate_permille", expr("(1000L * cum_docs) div total"))
+      .select("bucket_lo", "n_docs", "cum_docs", "keep_rate_permille")
+      .orderBy("bucket_lo")
+  }
+
+  /** q95 — label-consistency audit: duplicate-content groups whose copies
+    * carry CONFLICTING metadata (different lang or source labels). Exact
+    * duplicates with disagreeing labels are how label noise and
+    * provenance errors surface in practice (the same page scraped by two
+    * pipelines, tagged differently) — and they make label-conditioned
+    * sampling (q69/q80) silently inconsistent.
+    *
+    * Scale shape: ONE groupBy on the 16-byte content digest (q27's
+    * shuffle) carrying count-distinct label aggregates; output bounded by
+    * the conflicting-group count. */
+  def labelConsistency(spark: SparkSession, dir: String): DataFrame =
+    labelConsistencyOf(Tables.documents(spark, dir))
+
+  /** [[labelConsistency]] over an arbitrary (doc_id, text, lang, source)
+    * table — the spec drives an injected-conflict fixture through it
+    * (the graded corpus's duplicates happen to agree on labels, so the
+    * non-empty path needs a constructed case). */
+  def labelConsistencyOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc_id"))
+      .where(col("n_docs") >= 2 && (col("n_langs") > 1 || col("n_sources") > 1))
+      .orderBy("content_md5")
+
   /** q91 — distributed BPE pair statistics + first merge: the first
     * iteration of byte-pair-encoding tokenizer TRAINING, run as a
     * corpus-scale aggregation. Phase 1 counts every adjacent character

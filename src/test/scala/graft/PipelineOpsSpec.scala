@@ -577,6 +577,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q94: sweep histogram matches a recompute from the per-doc scores; rates are cumulative") {
+    val perDoc = TextAnalysis.lmSurprisal(spark, sf0001).collect()
+      .map(_.getAs[Long]("bits_x100"))
+    val expected = perDoc.groupBy(b => b / TextAnalysis.SweepBucket * TextAnalysis.SweepBucket)
+      .map { case (lo, xs) => lo -> xs.length.toLong }
+    val out = TextAnalysis.surprisalSweep(spark, sf0001).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    val sorted = out.sortBy(_.getLong(0))
+    val cums = sorted.map(_.getLong(1)).scanLeft(0L)(_ + _).tail
+    sorted.zip(cums).foreach { case (r, c) =>
+      assert(r.getLong(2) === c)
+      assert(r.getLong(3) === 1000L * c / perDoc.length)
+    }
+    assert(sorted.last.getLong(3) === 1000L) // the last bucket keeps everything
+  }
+
+  test("q95: conflicting labels on duplicate content are flagged; agreeing ones are not") {
+    import spark.implicits._
+    val agree = Seq(
+      (1L, "same words here", "en", "srcA"),
+      (2L, "same  words here", "en", "srcA"), // whitespace-normalized dup, same labels
+      (3L, "unique words", "de", "srcB"))
+    val conflict = agree ++ Seq(
+      (4L, "same words here", "fr", "srcA"),  // lang conflict
+      (5L, "other shared text", "en", "srcC"),
+      (6L, "other shared text", "en", "srcD")) // source conflict
+    val none = TextAnalysis.labelConsistencyOf(
+      agree.toDF("doc_id", "text", "lang", "source")).collect()
+    assert(none.isEmpty, "agreeing duplicate labels must not be flagged")
+    val got = TextAnalysis.labelConsistencyOf(
+      conflict.toDF("doc_id", "text", "lang", "source")).collect()
+    assert(got.length === 2)
+    val byFirst = got.map(r => r.getAs[Long]("first_doc_id") -> r).toMap
+    assert(byFirst(1L).getAs[Long]("n_docs") === 3L) // docs 1, 2, 4
+    assert(byFirst(1L).getAs[Long]("n_langs") === 2L)
+    assert(byFirst(5L).getAs[Long]("n_sources") === 2L)
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
