@@ -118,6 +118,7 @@ object SparkEntry {
     "q81_quantized_ann"   -> ((s, d) => Similarity.quantizedAnnTopK(s, d)),
     // Multimodal codec-free decode pipeline + CLF parity fixtures
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "q96_media_thumbnails" -> ((s, d) => Multimodal.mediaThumbnails(s, d)),
     "q37_clf_parse"       -> ((s, _) => {
       import s.implicits._
       graft.clf.LogParser.validLines(s.createDataset(graft.clf.LogParser.FixtureLines).toDF("value"))
@@ -639,6 +640,25 @@ object SparkEntry {
         |  CAST(least(nf,5) AS BIGINT)
         |FROM p WHERE fmt_i = 2
         |ORDER BY doc_id""".stripMargin,
+    // Media resize: the oracle re-derives the 8x8 nearest-neighbor gray
+    // thumbnail from the synthetic pixel generator — thumb cell t maps to
+    // source pixel (ty*h//8, tx*w//8), channel value (doc_id*131 +
+    // i*7919)%256 at logical index i = pixel*3 + c (all integer div).
+    "q96_media_thumbnails" ->
+      """WITH p AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id, w, h,
+        |        list_transform(range(0, 64), t ->
+        |          ( (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+        |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+        |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+        |      FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+        |  CAST(list_sum(gr) // 64 AS BIGINT) AS thumb_mean,
+        |  CAST(list_min(gr) AS BIGINT) AS thumb_min,
+        |  CAST(list_max(gr) AS BIGINT) AS thumb_max,
+        |  CAST(list_sum(list_transform(range(0, 64), t -> (t+1)*gr[CAST(t+1 AS INT)])) AS BIGINT) AS thumb_checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q27_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies

@@ -161,6 +161,63 @@ object Multimodal {
     else if (nFrames <= k) Array.range(0, nFrames)
     else Array.tabulate(k)(i => i * nFrames / k)
 
+  /** Thumbnail edge for [[mediaThumbnails]] (8×8 grayscale). */
+  val ThumbEdge = 8
+
+  /** Typed output row of the resize kernel. `thumb_checksum` is the
+    * order-weighted Σ (t+1)·gray(t) over the ThumbEdge² grid, the q36
+    * gate pattern. */
+  case class ThumbRow(doc_id: Long, src_w: Long, src_h: Long, thumb_mean: Long,
+                      thumb_min: Long, thumb_max: Long, thumb_checksum: Long)
+
+  /** Nearest-neighbor grayscale resize of one decoded BMP to
+    * [[ThumbEdge]]² — source pixel for thumb cell (ty, tx) is
+    * (ty·H div E, tx·W div E), the [[frameOffsets]] mapping in 2-D;
+    * gray = (R+G+B) div 3, all integer. */
+  private[graft] def resizeBmpGray(docId: Long, payload: Array[Byte]): ThumbRow = {
+    val (w, h) = MediaCodecs.bmpDims(payload)
+    val vals = new Array[Int](w * h * 3)
+    var i = 0
+    MediaCodecs.decodeBmp(payload) { v => vals(i) = v; i += 1 }
+    val e = ThumbEdge
+    var t = 0; var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var cks = 0L
+    while (t < e * e) {
+      val ty = t / e; val tx = t % e
+      val sy = ty * h / e; val sx = tx * w / e
+      val p = (sy * w + sx) * 3
+      val gray = (vals(p) + vals(p + 1) + vals(p + 2)) / 3L
+      sum += gray; if (gray < mn) mn = gray; if (gray > mx) mx = gray
+      cks += (t + 1) * gray
+      t += 1
+    }
+    ThumbRow(docId, w.toLong, h.toLong, sum / (e * e), mn, mx, cks)
+  }
+
+  /** q96 — media RESIZE: every BMP document decoded and downsampled to a
+    * fixed [[ThumbEdge]]² grayscale thumbnail inside the same typed
+    * `mapPartitions` batch-kernel shape as [[extractFeatures]] — the
+    * image-normalization step (fixed input geometry) a multimodal
+    * training pipeline runs between decode and feature extraction. The
+    * nearest-neighbor map is [[frameOffsets]]'s integer sampling in 2-D,
+    * so resize and frame-sampling share one portability argument; the
+    * DuckDB oracle re-derives the sampled grid from the synthetic pixel
+    * generator exactly (integer div everywhere, no float filtering).
+    *
+    * Scale shape: per-row kernel work bounded by source geometry, output
+    * a constant ThumbEdge²-fold summary per image; plan stays
+    * scan → typed MapPartitions → sort, no shuffle before the gate. */
+  def mediaThumbnails(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthesizeMedia(spark, dir)
+      .where(col("meta.format") === "bmp")
+      .select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.map(m => resizeBmpGray(m.doc_id, Option(m.payload).getOrElse(Array.emptyByteArray)))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** End-to-end media pipeline over documents: synthesize real-format
     * payloads → parse → features, ordered for the hash gate (q36). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -239,6 +296,12 @@ object MediaCodecs {
   /** Parse a 24-bpp BMP and emit the logical top-down RGB value stream
     * (each value 0–255) in order — un-padding rows, flipping the
     * bottom-up layout and un-swizzling BGR. */
+  /** Parsed (width, height) of a BMP payload (validated magic/header). */
+  def bmpDims(b: Array[Byte]): (Int, Int) = {
+    check(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "BMP: bad magic/short header")
+    (readLE32(b, 18), readLE32(b, 22))
+  }
+
   def decodeBmp(b: Array[Byte])(emit: Int => Unit): Unit = {
     check(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "BMP: bad magic/short header")
     val off = readLE32(b, 10)

@@ -142,4 +142,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameOffsets(3, 5).toSeq === Seq(0, 1, 2))
     assert(Multimodal.frameOffsets(30, 5).toSeq === Seq(0, 6, 12, 18, 24))
   }
+
+  test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {
+    val out = Multimodal.mediaThumbnails(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 === 0) // BMP docs only
+      val w = Multimodal.imgW(id); val h = Multimodal.imgH(id)
+      assert(r.getLong(1) === w.toLong && r.getLong(2) === h.toLong)
+      // recompute the 8x8 nearest-neighbor gray grid straight from the
+      // pixel generator (bypassing the byte path the kernel exercises)
+      val grays = (0 until 64).map { t =>
+        val sy = (t / 8) * h / 8; val sx = (t % 8) * w / 8
+        val p = (sy * w + sx) * 3
+        (0 until 3).map(c => Multimodal.imgVal(id, p + c).toLong).sum / 3
+      }
+      assert(r.getAs[Long]("thumb_mean") === grays.sum / 64)
+      assert(r.getAs[Long]("thumb_min") === grays.min)
+      assert(r.getAs[Long]("thumb_max") === grays.max)
+      assert(r.getAs[Long]("thumb_checksum") ===
+        grays.zipWithIndex.map { case (g, t) => (t + 1) * g }.sum)
+    }
+  }
 }
