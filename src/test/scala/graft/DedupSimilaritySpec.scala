@@ -339,6 +339,25 @@ class DedupSimilaritySpec extends SparkSpec {
     val hot = Dedup.hotShingles(spark, dir).collect()
     assert(hot.nonEmpty && hot.forall(_.getAs[Long]("df") === 1000L))
     assert(Dedup.exactDedup(spark, dir).count() === 3L) // clone group + 2 singletons
+
+    // q76 span screen: every clone's spans are first-owned by doc 0 —
+    // rep_permille pegs at 1000 with no pairwise expansion anywhere
+    val spans = graft.operators.TextAnalysis.repeatedSpanCoverage(spark, dir).collect()
+    assert(spans.filter(r => r.getLong(0) > 0 && r.getLong(0) < 1000)
+      .forall(_.getAs[Long]("rep_permille") === 1000L))
+    assert(spans.find(_.getLong(0) == 0L).get.getAs[Long]("repeated_spans") === 0L)
+
+    // q88 matrix: a single-source corpus has no cross-source pairs, and
+    // the per-span source lists stay bounded by #sources regardless of
+    // the 1000-fold duplication
+    assert(graft.operators.TextAnalysis.crossSourceContamination(spark, dir).collect().isEmpty)
+
+    // q89 split safety at stress scale: the clones' shingles are df-cut
+    // (no near-dup cluster forms), so all 1000 byte-identical copies ride
+    // the md5 fallback — and still land in exactly ONE split
+    val splits = Dedup.clusterSafeSplit(spark, dir).collect()
+      .filter(_.getLong(0) < 1000).map(_.getString(2)).distinct
+    assert(splits.length === 1, s"clones straddled splits: ${splits.mkString(",")}")
   }
 
   test("IVF ANN with full probe reproduces the brute-force ranking exactly") {
