@@ -85,6 +85,7 @@ object SparkEntry {
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
     "q95_label_consistency" -> ((s, d) => TextAnalysis.labelConsistency(s, d)),
+    "q97_winnowing_fingerprints" -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "q44_union_parties"   -> ((s, d) => Relational.activeParties(s, d)),
     "q45_embedding_array_stats" -> ((s, d) => Similarity.embeddingArrayStats(s, d)),
     // LLM-pipeline text ops (documents table)
@@ -1053,6 +1054,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1
         |HAVING COUNT(*) >= 2 AND (COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1)
         |ORDER BY content_md5""".stripMargin,
+    // Winnowing fingerprints: the oracle recomputes the direct polynomial
+    // per position; the Spark side's rolling kernel must match exactly.
+    "q97_winnowing_fingerprints" -> operators.TextAnalysis.winnowingOracleSql(),
     // Exact-count stratified sample: k per language by hash rank.
     "q92_stratified_topk" ->
       s"""WITH d AS (SELECT lang, doc_id, source,

@@ -69,3 +69,64 @@ case class LongestRun(child: Expression) extends UnaryExpression with CodegenFal
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** karp_rabin(s): Karp–Rabin ROLLING hashes of every K-byte window of a
+  * string, as array<bigint> — the q97 fingerprinting kernel.
+  *
+  * h(i) = Σ_{j<K} byte(i+j) · (B^{K−1−j} mod P) mod P, computed with the
+  * O(1)-per-position rolling update h(i+1) = ((h(i) − byte(i)·B^{K−1}) · B
+  * + byte(i+K)) mod P — one pass over the document instead of O(K) work
+  * per position. All arithmetic stays below 2^63 (P·B ≈ 2.6e11) and every
+  * intermediate is reduced mod P, so the values equal the direct
+  * per-position formula exactly — the DuckDB oracle and the HOF twin
+  * compute that direct form and must match bit-for-bit. Bytes are the
+  * UTF-8 encoding (≡ code points on the ASCII corpus; documented).
+  * Strings shorter than K yield an empty array. */
+case class KarpRabin(child: Expression) extends UnaryExpression with CodegenFallback {
+  import KarpRabin._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_karp_rabin"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_karp_rabin expects string, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < K) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - K + 1)
+    var h = 0L
+    var j = 0
+    while (j < K) { h = (h * B + (bytes(j) & 0xFF)) % P; j += 1 }
+    out(0) = h
+    var i = 1
+    while (i <= n - K) {
+      // subtract the outgoing byte's contribution, shift, add the incoming
+      h = java.lang.Math.floorMod(h - (bytes(i - 1) & 0xFF) * PowTop % P, P)
+      h = (h * B + (bytes(i + K - 1) & 0xFF)) % P
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KarpRabin {
+  /** Window length in bytes, hash base, modulus, and B^(K-1) mod P. */
+  val K = 8
+  val B = 257L
+  val P = 1000000007L
+  val PowTop: Long = {
+    var p = 1L; var i = 0
+    while (i < K - 1) { p = p * B % P; i += 1 }
+    p
+  }
+}

@@ -1055,6 +1055,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing window (picks the min rolling hash of every
+    * [[WinnowWindow]] consecutive positions) for [[winnowingFingerprints]]. */
+  val WinnowWindow = 4
+
+  /** q97 — winnowing fingerprints over a Karp–Rabin ROLLING hash
+    * (Schleimer/Wilkerson/Aiken's MOSS scheme): every K-byte window of
+    * the document gets an O(1)-per-position rolling hash (the native
+    * [[graft.functions.KarpRabin]] kernel — q24's digests fingerprint
+    * whole documents; this fingerprints LOCAL windows, the primitive
+    * under substring-level plagiarism/copy detection), then winnowing
+    * keeps the minimum of every [[WinnowWindow]] consecutive hashes —
+    * guaranteeing any shared substring of length K+W−1 contributes at
+    * least one IDENTICAL fingerprint to both documents while storing only
+    * ~1/W of the positions.
+    *
+    * Scale shape: strictly map-side (kernel + HOF min-windows per row,
+    * no shuffle before the gate); the DuckDB oracle recomputes the
+    * DIRECT per-position polynomial (no rolling) and must hash-match,
+    * proving the rolling update exact. */
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hs = ColumnBridge.of(graft.functions.KarpRabin(ColumnBridge.expr(col("text"))))
+    Tables.documents(spark, dir)
+      .withColumn("hs", hs)
+      .where(size(col("hs")) >= WinnowWindow)
+      .withColumn("picks", expr(
+        s"transform(sequence(1, size(hs) - ${WinnowWindow - 1}), s -> array_min(slice(hs, s, $WinnowWindow)))"))
+      .withColumn("fps", expr("array_sort(array_distinct(picks))"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_hashes"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        expr("element_at(fps, 1)").as("fp_min"),
+        expr("element_at(fps, -1)").as("fp_max"),
+        expr("aggregate(transform(fps, (v, i) -> (i + 1L) * v), 0L, (a, x) -> a + x)").as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[winnowingFingerprints]] — recomputes the direct
+    * per-position polynomial hash (the rolling kernel must match it
+    * exactly) and replays the winnowing min-window selection. */
+  def winnowingOracleSql(): String = {
+    import graft.functions.KarpRabin.{K, B, P}
+    val pows = (0 until K).map { j => // B^(K-1-j) mod P
+      var p = 1L; (0 until (K - 1 - j)).foreach(_ => p = p * B % P); p
+    }
+    val terms = (0 until K).map(j =>
+      s"CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}").mkString("\n       + ")
+    // n_hashes = len - K + 1 >= WinnowWindow  <=>  len >= K + WinnowWindow - 1
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE length(text) >= ${K + WinnowWindow - 1}),
+       |hs AS (SELECT doc_id, list_transform(range(1, length(text) - ${K - 2}), i ->
+       |        ($terms) % $P) AS hs
+       |       FROM d),
+       |pk AS (SELECT doc_id, hs,
+       |         list_sort(list_distinct(list_transform(range(1, len(hs) - ${WinnowWindow - 2}), s ->
+       |           list_min(hs[CAST(s AS INT):CAST(s + ${WinnowWindow - 1} AS INT)])))) AS fps
+       |       FROM hs)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_hashes,
+       |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |  fps[1] AS fp_min, fps[-1] AS fp_max,
+       |  CAST(list_sum(list_transform(range(1, len(fps) + 1), i -> i * fps[CAST(i AS INT)])) AS BIGINT) AS fp_checksum
+       |FROM pk ORDER BY doc_id""".stripMargin
+  }
+
   /** Sources-per-span cap for [[crossSourceContamination]]: a span found
     * in more than this many sources is ubiquitous boilerplate — it says
     * nothing about pairwise leakage and would expand O(k²) pairs

@@ -615,6 +615,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byFirst(5L).getAs[Long]("n_sources") === 2L)
   }
 
+  test("q97: rolling Karp-Rabin kernel is bit-identical to the direct polynomial") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.KarpRabin.{K, B, P}
+    val pows = (0 until K).map { j =>
+      var p = 1L; (0 until (K - 1 - j)).foreach(_ => p = p * B % P); p
+    }
+    val direct = (0 until K).map(j =>
+      s"CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}L").mkString(" + ")
+    val both = graft.sources.Tables.documents(spark, sf0001)
+      .where(length(col("text")) >= K)
+      .select(
+        ColumnBridge.of(graft.functions.KarpRabin(ColumnBridge.expr(col("text")))).as("rolled"),
+        expr(s"transform(sequence(1, length(text) - ${K - 1}), i -> ($direct) % ${P}L)").as("direct"))
+    assert(both.count() > 0)
+    assert(both.where(not(col("rolled") <=> col("direct"))).count() === 0L,
+      "rolling update must equal the direct per-position polynomial")
+  }
+
+  test("q97: winnowing guarantees a shared fingerprint for a shared K+W-1 substring") {
+    import spark.implicits._
+    // two documents sharing an 11-char substring (K=8, W=4 -> guarantee
+    // threshold K+W-1 = 11), embedded in otherwise different text
+    val shared = "abcdefghijk"
+    val docs = Seq(
+      (1L, s"xxxxyyyyzzzz$shared@@@@####"),
+      (2L, s"totally other prefix $shared and suffix"),
+      (3L, "no overlap with anything else at all here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    docs.map { case (id, t) => (id, t, "en", "w", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // recompute fingerprint SETS driver-side from the kernel's own math
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ColumnBridge.of(graft.functions.KarpRabin(ColumnBridge.expr(col("text")))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def fps(hs: Seq[Long]): Set[Long] =
+      hs.sliding(graft.operators.TextAnalysis.WinnowWindow).map(_.min).toSet
+    assert((fps(rows(1L)) intersect fps(rows(2L))).nonEmpty,
+      "MOSS guarantee: an 11-char shared substring must yield a shared fingerprint")
+    assert((fps(rows(1L)) intersect fps(rows(3L))).isEmpty ||
+      (fps(rows(2L)) intersect fps(rows(3L))).isEmpty,
+      "unrelated text should not collide with both (sanity, not a hard guarantee)")
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
