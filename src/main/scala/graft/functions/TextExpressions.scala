@@ -130,3 +130,42 @@ object KarpRabin {
     p
   }
 }
+
+/** winnow_min(arr, w): minimum of every `w` consecutive elements of an
+  * array<bigint>, as array<bigint> of length n−w+1 (empty if n < w) —
+  * the winnowing selection of q97, natively. Bit-identical to the HOF
+  * `transform(sequence(1, n−w+1), s -> array_min(slice(arr, s, w)))`
+  * (spec'd); W is small and constant, so the plain O(n·w) scan beats a
+  * deque's bookkeeping. */
+case class WinnowMin(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_min"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if w >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_min expects array<bigint> and w >= 1, got $t / w=$w")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - w + 1)
+    var s = 0
+    while (s <= n - w) {
+      var m = arr.getLong(s)
+      var j = 1
+      while (j < w) { val v = arr.getLong(s + j); if (v < m) m = v; j += 1 }
+      out(s) = m
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1080,8 +1080,11 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .withColumn("hs", hs)
       .where(size(col("hs")) >= WinnowWindow)
-      .withColumn("picks", expr(
-        s"transform(sequence(1, size(hs) - ${WinnowWindow - 1}), s -> array_min(slice(hs, s, $WinnowWindow)))"))
+      // native min-window selection (the HOF slice/array_min chain ran
+      // interpreted per window — 2.35 s at sf0.1; the kernel form is
+      // spec'd bit-equal)
+      .withColumn("picks", ColumnBridge.of(graft.functions.WinnowMin(
+        ColumnBridge.expr(col("hs")), WinnowWindow)))
       .withColumn("fps", expr("array_sort(array_distinct(picks))"))
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_hashes"),

@@ -631,6 +631,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(both.count() > 0)
     assert(both.where(not(col("rolled") <=> col("direct"))).count() === 0L,
       "rolling update must equal the direct per-position polynomial")
+    // the native winnowing selection is bit-equal to the HOF min-window
+    val w = TextAnalysis.WinnowWindow
+    val winBoth = graft.sources.Tables.documents(spark, sf0001)
+      .select(ColumnBridge.of(graft.functions.KarpRabin(ColumnBridge.expr(col("text")))).as("hs"))
+      .where(size(col("hs")) >= w)
+      .select(
+        ColumnBridge.of(graft.functions.WinnowMin(ColumnBridge.expr(col("hs")), w)).as("native"),
+        expr(s"transform(sequence(1, size(hs) - ${w - 1}), s -> array_min(slice(hs, s, $w)))").as("hof"))
+    assert(winBoth.where(not(col("native") <=> col("hof"))).count() === 0L)
   }
 
   test("q97: winnowing guarantees a shared fingerprint for a shared K+W-1 substring") {
