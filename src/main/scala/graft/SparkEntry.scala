@@ -104,6 +104,8 @@ object SparkEntry {
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q29b_minhash_sig_portable" -> ((s, d) => Dedup.minhashSignaturesPortable(s, d)),
     "q29c_minhash_lsh_portable" -> ((s, d) => Dedup.minhashLshPairsPortable(s, d)),
+    "q98_dedup_funnel"    -> ((s, d) => Dedup.dedupFunnel(s, d)),
+    "q99_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -154,6 +156,52 @@ object SparkEntry {
       |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
       |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
       |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin
+
+  /** The q29c portable-MinHash CTE chain (shingles → md5 hashes → 64
+    * permutation minima → 16×4 band keys → capped buckets → candidate
+    * pairs → signature-estimated Jaccard in `est`), shared by the q29c
+    * oracle and q99's calibration oracle. */
+  private val q29cCtes: String =
+    (s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks),
+      |hx AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(1, 9), i ->
+      |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+      |         )) AS BIGINT) AS x
+      |       FROM sh),
+      |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN((PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) % 4294967291) AS sig_value
+      |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+      |        GROUP BY 1, 2),
+      |bk AS (SELECT doc_id, CAST((perm_idx - 1) // 4 AS BIGINT) AS band_idx,
+      |         MIN(CASE WHEN (perm_idx - 1) % 4 = 0 THEN sig_value END) AS s0,
+      |         MIN(CASE WHEN (perm_idx - 1) % 4 = 1 THEN sig_value END) AS s1,
+      |         MIN(CASE WHEN (perm_idx - 1) % 4 = 2 THEN sig_value END) AS s2,
+      |         MIN(CASE WHEN (perm_idx - 1) % 4 = 3 THEN sig_value END) AS s3
+      |       FROM sig GROUP BY 1, 2),
+      |bkey AS (SELECT doc_id, band_idx,
+      |           ((((((s0 % 1000000007) * 1000003 + (s1 % 1000000007)) % 1000000007)
+      |               * 1000003 + (s2 % 1000000007)) % 1000000007)
+      |               * 1000003 + (s3 % 1000000007)) % 1000000007 AS band_key
+      |         FROM bk),
+      |mem AS (SELECT doc_id, band_idx, band_key,
+      |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY band_idx, band_key) AS n
+      |        FROM bkey),
+      |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM kept a JOIN kept b
+      |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |est AS (SELECT d1, d2,
+      |          ROUND(CAST(SUM(CASE WHEN s1.sig_value = s2.sig_value THEN 1 ELSE 0 END) AS DOUBLE)/64, 6) AS est_jaccard
+      |        FROM cand
+      |        JOIN sig s1 ON s1.doc_id = d1
+      |        JOIN sig s2 ON s2.doc_id = d2 AND s2.perm_idx = s1.perm_idx
+      |        GROUP BY 1, 2)""".stripMargin
+      .replace("PERMA", graft.operators.Dedup.permALiteral)
+      .replace("PERMB", graft.operators.Dedup.permBLiteral))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -784,6 +832,54 @@ object SparkEntry {
         |SELECT doc_id, comp_id,
         |  CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
         |FROM j ORDER BY doc_id""".stripMargin,
+    // Dedup funnel: q27's keeper rule + the q61 recursive closure
+    // (cluster-root keeper) + q76's span coverage under the 500-permille
+    // screen, folded into four survival rows.
+    "q98_dedup_funnel" ->
+      s"""WITH RECURSIVE
+        |pairs AS ($q28Sql),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |d AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks,
+        |        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+        |      FROM documents),
+        |ek AS (SELECT content_md5, MIN(doc_id) AS keep_id FROM d GROUP BY 1),
+        |toks8 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |          WHERE len(string_split_regex(text, '\\s+')) >= 8),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(t)-6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+        |      FROM toks8),
+        |own AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |rep AS (SELECT g.doc_id,
+        |          CAST(SUM(CASE WHEN o.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS rep_permille
+        |        FROM g JOIN own o USING (gh) GROUP BY 1),
+        |f AS (SELECT d.n_toks,
+        |        (d.doc_id = ek.keep_id) AS s2,
+        |        (d.doc_id = ek.keep_id AND (c.comp_id IS NULL OR c.comp_id = d.doc_id)) AS s3,
+        |        (d.doc_id = ek.keep_id AND (c.comp_id IS NULL OR c.comp_id = d.doc_id)
+        |         AND COALESCE(rep.rep_permille < ${operators.Dedup.SpanScreenPermille}, TRUE)) AS s4
+        |      FROM d JOIN ek USING (content_md5)
+        |      LEFT JOIN comps c ON c.doc_id = d.doc_id
+        |      LEFT JOIN rep ON rep.doc_id = d.doc_id),
+        |a AS (SELECT COUNT(*) AS d1, CAST(SUM(n_toks) AS BIGINT) AS t1,
+        |        CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |        CAST(SUM(CASE WHEN s2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+        |        CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |        CAST(SUM(CASE WHEN s3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+        |        CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |        CAST(SUM(CASE WHEN s4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4
+        |      FROM f)
+        |SELECT 1 AS stage_ord, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens,
+        |       d1 * 1000 // NULLIF(d1, 0) AS retained_docs_permille FROM a
+        |UNION ALL SELECT 2, 'exact', d2, t2, d2 * 1000 // NULLIF(d1, 0) FROM a
+        |UNION ALL SELECT 3, 'near_dup', d3, t3, d3 * 1000 // NULLIF(d1, 0) FROM a
+        |UNION ALL SELECT 4, 'span_screen', d4, t4, d4 * 1000 // NULLIF(d1, 0) FROM a
+        |ORDER BY stage_ord""".stripMargin,
     // Overlapping 32-token windows every 24 tokens; tails shorter than
     // the 8-token overlap drop unless they're the only chunk. DuckDB
     // lambda indexes are 1-based (Spark's are 0-based) — hence i = 1 /
@@ -1148,47 +1244,31 @@ object SparkEntry {
     // signature-estimated Jaccard >= 0.5. Mirrors
     // Dedup.minhashLshPairsPortable exactly.
     "q29c_minhash_lsh_portable" ->
-      (s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
-        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |       FROM toks),
-        |hx AS (SELECT doc_id,
-        |         CAST(list_sum(list_transform(range(1, 9), i ->
-        |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
-        |         )) AS BIGINT) AS x
-        |       FROM sh),
-        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN((PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) % 4294967291) AS sig_value
-        |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-        |        GROUP BY 1, 2),
-        |bk AS (SELECT doc_id, CAST((perm_idx - 1) // 4 AS BIGINT) AS band_idx,
-        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 0 THEN sig_value END) AS s0,
-        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 1 THEN sig_value END) AS s1,
-        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 2 THEN sig_value END) AS s2,
-        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 3 THEN sig_value END) AS s3
-        |       FROM sig GROUP BY 1, 2),
-        |bkey AS (SELECT doc_id, band_idx,
-        |           ((((((s0 % 1000000007) * 1000003 + (s1 % 1000000007)) % 1000000007)
-        |               * 1000003 + (s2 % 1000000007)) % 1000000007)
-        |               * 1000003 + (s3 % 1000000007)) % 1000000007 AS band_key
-        |         FROM bk),
-        |mem AS (SELECT doc_id, band_idx, band_key,
-        |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn,
-        |          COUNT(*) OVER (PARTITION BY band_idx, band_key) AS n
-        |        FROM bkey),
-        |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM kept a JOIN kept b
-        |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |est AS (SELECT d1, d2,
-        |          ROUND(CAST(SUM(CASE WHEN s1.sig_value = s2.sig_value THEN 1 ELSE 0 END) AS DOUBLE)/64, 6) AS est_jaccard
-        |        FROM cand
-        |        JOIN sig s1 ON s1.doc_id = d1
-        |        JOIN sig s2 ON s2.doc_id = d2 AND s2.perm_idx = s1.perm_idx
-        |        GROUP BY 1, 2)
-        |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
-        .replace("PERMA", graft.operators.Dedup.permALiteral)
-        .replace("PERMB", graft.operators.Dedup.permBLiteral)),
+      s"""WITH $q29cCtes
+        |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // MinHash calibration audit: q29c's pair + estimate machinery as-is,
+    // then the exact Jaccard over the SAME distinct raw shingle sets the
+    // sketch estimates (no df cutoff), banded on |est − exact| permille.
+    "q99_minhash_calibration" ->
+      s"""WITH $q29cCtes,
+        |p AS (SELECT d1, d2, CAST(ROUND(est_jaccard * 64) AS BIGINT) AS matches
+        |      FROM est WHERE est_jaccard >= 0.5),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |xi AS (SELECT p.d1 AS d1, p.d2 AS d2, COUNT(*) AS inter
+        |       FROM p JOIN sh a ON a.doc_id = p.d1
+        |              JOIN sh b ON b.doc_id = p.d2 AND b.s = a.s
+        |       GROUP BY 1, 2),
+        |m AS (SELECT p.matches, COALESCE(xi.inter, 0) AS inter,
+        |        s1.n + s2.n - COALESCE(xi.inter, 0) AS uni
+        |      FROM p LEFT JOIN xi ON xi.d1 = p.d1 AND xi.d2 = p.d2
+        |      JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id),
+        |e AS (SELECT matches * 1000 // 64 AS est_permille,
+        |        inter * 1000 // uni AS exact_permille FROM m)
+        |SELECT ABS(est_permille - exact_permille) // 50 * 50 AS err_band_lo_permille,
+        |  COUNT(*) AS n_pairs,
+        |  MIN(exact_permille) AS min_exact_permille,
+        |  MAX(exact_permille) AS max_exact_permille
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS m FROM tok),

@@ -732,4 +732,120 @@ object Dedup {
       .distinct()
       .orderBy("d1", "d2")
   }
+
+  /** Span-screen cutoff for [[dedupFunnel]]'s final stage: documents
+    * whose cross-document repeated-8-token-span coverage
+    * ([[TextAnalysis.spanCoverage]]) reaches this permille are dropped —
+    * mostly-boilerplate documents that survived document-level dedup. */
+  val SpanScreenPermille = 500
+
+  /** q98 — dedup FUNNEL: the stage-by-stage survival report a curation
+    * pipeline publishes with every corpus release — how many documents
+    * and tokens survive raw → exact dedup ([[exactDedup]]'s min-doc_id
+    * keeper rule) → near-dup clustering (cluster root only, from the
+    * persisted [[nearDupLabels]] table) → span screen (cross-doc
+    * repeated-span coverage < [[SpanScreenPermille]]). Stages nest: each
+    * keeps a subset of the previous (exact duplicates share a cluster
+    * with their keeper, so the cluster root IS an exact keeper), making
+    * the four rows a true funnel.
+    *
+    * Scale shape: ONE pass over `documents` computes per-doc tokens +
+    * digest; the three keep-flags come from (a) a min-per-digest
+    * aggregate joined back on the 16-byte digest, (b) the persisted
+    * cluster-label table (a left-join against a table that is a small
+    * fraction of the corpus — broadcastable in practice), (c) the span
+    * screen's linear posting-list aggregation (no pairwise expansion,
+    * [[TextAnalysis.spanCoverage]]). All four stage aggregates fold into
+    * a SINGLE map-side-combinable aggregation over the flagged rows
+    * (8 sums, one 1-row result), then explode to the 4 report rows — no
+    * window, no driver-side data, no repeated corpus scans per stage. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_toks"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
+    val exactKeep = docs.groupBy(col("content_md5")).agg(min(col("doc_id")).as("keep_id"))
+    val labels = nearDupLabels(spark, dir)
+    val spans = TextAnalysis.spanCoverage(spark, dir).select(col("doc_id"), col("rep_permille"))
+    val flags = docs
+      .join(exactKeep, Seq("content_md5"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        (col("doc_id") === col("keep_id")).as("s2"),
+        (col("doc_id") === col("keep_id") &&
+          (col("comp_id").isNull || col("comp_id") === col("doc_id"))).as("s3"),
+        // docs shorter than 8 tokens have no spans → pass the screen
+        coalesce(col("rep_permille") < SpanScreenPermille, lit(true)).as("spanOk"))
+      .withColumn("s4", col("s3") && col("spanOk"))
+    val a = flags.agg(
+      count(lit(1)).as("d1"), sum(col("n_toks")).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("s2"), col("n_toks")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("s3"), col("n_toks")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+      sum(when(col("s4"), col("n_toks")).otherwise(0L)).as("t4"))
+    a.select(explode(expr(
+      """array(
+        |  named_struct('stage_ord', 1, 'stage', 'raw',
+        |    'n_docs', d1, 'n_tokens', t1, 'retained_docs_permille', d1 * 1000 div nullif(d1, 0)),
+        |  named_struct('stage_ord', 2, 'stage', 'exact',
+        |    'n_docs', d2, 'n_tokens', t2, 'retained_docs_permille', d2 * 1000 div nullif(d1, 0)),
+        |  named_struct('stage_ord', 3, 'stage', 'near_dup',
+        |    'n_docs', d3, 'n_tokens', t3, 'retained_docs_permille', d3 * 1000 div nullif(d1, 0)),
+        |  named_struct('stage_ord', 4, 'stage', 'span_screen',
+        |    'n_docs', d4, 'n_tokens', t4, 'retained_docs_permille', d4 * 1000 div nullif(d1, 0)))""".stripMargin)).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage_ord")
+  }
+
+  /** q99 — MinHash estimator CALIBRATION audit: for every candidate pair
+    * the portable LSH path emits ([[minhashLshPairsPortable]], estimate
+    * ≥ 0.5), recompute the EXACT Jaccard over the distinct raw shingle
+    * sets (the quantity the 64-permutation sketch estimates — NO df
+    * cutoff here, unlike [[nearDupJaccard]]'s filtered representation)
+    * and report the |estimate − exact| error distribution in 50-permille
+    * bands. This is the audit that justifies trusting the sketch at
+    * 100 TB, where running the exact join corpus-wide is not an option:
+    * the error histogram over the (small) candidate set bounds the
+    * estimator's bias where it matters — at the decision threshold.
+    *
+    * All arithmetic is integer-exact end-to-end: the estimate is
+    * recovered as its matching-position count (est · 64 is exact — the
+    * stored estimate is k/64, a dyadic rational with ≤ 6 decimals),
+    * both sides become permille via BIGINT `div`, and the band is a
+    * permille floor — nothing floating-point reaches the output, so the
+    * report is hash-portable.
+    *
+    * Scale shape: the candidate pairs are the tiny side (LSH survivors)
+    * and broadcast onto the shingle table; the intersection count
+    * shuffles only shingles of candidate docs, keyed (doc, shingle); set
+    * sizes are a map-side-combinable count joined back. Cost is
+    * O(shingles of candidate docs), never all-pairs. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val p = minhashLshPairsPortable(spark, dir)
+      .select(col("d1"), col("d2"), round(col("est_jaccard") * 64).cast("long").as("matches"))
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    p.join(inter, Seq("d1", "d2"), "left")
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("matches"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("s1.n") + col("s2.n") - coalesce(col("inter"), lit(0L))).as("uni"))
+      .select(expr("matches * 1000 div 64").as("est_permille"),
+        expr("inter * 1000 div uni").as("exact_permille"))
+      .select(expr("abs(est_permille - exact_permille) div 50 * 50").as("err_band_lo_permille"),
+        col("exact_permille"))
+      .groupBy(col("err_band_lo_permille"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("exact_permille")).as("min_exact_permille"),
+        max(col("exact_permille")).as("max_exact_permille"))
+      .orderBy("err_band_lo_permille")
+  }
 }

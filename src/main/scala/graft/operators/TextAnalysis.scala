@@ -266,7 +266,13 @@ object TextAnalysis {
     * corpus size at any duplication level, which is what makes this the
     * cheap pre-screen a pipeline runs before deciding which documents
     * need the expensive near-dup treatment. */
-  def repeatedSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def repeatedSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverage(spark, dir).orderBy("doc_id")
+
+  /** [[repeatedSpanCoverage]] without the oracle-determinism sort — the
+    * reusable core (q98's funnel aggregates it; a sort below an
+    * aggregate would be dead weight). */
+  private[operators] def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
     val spans = Tables.documents(spark, dir)
       .select(col("doc_id"), expr(toksExpr).as("t"))
       .where(size(col("t")) >= 8)
@@ -279,7 +285,6 @@ object TextAnalysis {
         count(lit(1)).as("total_spans"),
         sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("repeated_spans"))
       .withColumn("rep_permille", expr("repeated_spans * 1000L div total_spans"))
-      .orderBy("doc_id")
   }
 
   /** q64 — Gopher-style repetition quality metrics, fully map-side.

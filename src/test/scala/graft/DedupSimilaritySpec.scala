@@ -23,6 +23,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
 
+  test("q98 funnel: stages nest monotonically, raw row matches the corpus, exact row matches q27") {
+    val rows = Dedup.dedupFunnel(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("raw", "exact", "near_dup", "span_screen"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, docs.toSeq)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq)
+    assert(docs(0) === 500L)
+    assert(rows(0).getAs[Long]("retained_docs_permille") === 1000L)
+    val exactKeepers = Dedup.exactDedup(spark, sf0001).count()
+    assert(docs(1) === exactKeepers)
+    // near-dup stage keeps exactly one doc per q61 cluster
+    val clusters = Dedup.nearDupClusters(spark, sf0001)
+    val clusteredDrops = clusters.where(col("doc_id") =!= col("comp_id")).count()
+    assert(docs(2) === docs(1) - clusteredDrops)
+  }
+
+  test("q99 calibration: bands partition the q29c pairs; all integer-permille, 50-aligned") {
+    val out = Dedup.minhashCalibration(spark, sf0001).collect()
+    assert(out.nonEmpty, "fixture near-dups should yield LSH pairs to calibrate")
+    val nPairs = Dedup.minhashLshPairsPortable(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    out.foreach { r =>
+      val lo = r.getAs[Long]("err_band_lo_permille")
+      assert(lo >= 0L && lo % 50 === 0L, s"band lo $lo")
+      val (mn, mx) = (r.getAs[Long]("min_exact_permille"), r.getAs[Long]("max_exact_permille"))
+      assert(mn >= 0L && mx <= 1000L && mn <= mx, s"exact permille range [$mn,$mx]")
+    }
+  }
+
   test("minhash signature similarity estimates true jaccard within 0.2 for near-dups") {
     val joined = Dedup.nearDupJaccard(spark, sf0001).as("e")
       .join(Dedup.minhashLshPairs(spark, sf0001).as("m"), Seq("d1", "d2"))
