@@ -824,9 +824,21 @@ object Dedup {
     * sizes are a map-side-combinable count joined back. Cost is
     * O(shingles of candidate docs), never all-pairs. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // the pair set feeds THREE consumers (candidate-doc filter,
+    // intersection join, final estimate join); without materialization
+    // each consumer would replay the whole signature+banding pipeline —
+    // localCheckpoint runs it once and the consumers read the (tiny)
+    // survivor pairs
     val p = minhashLshPairsPortable(spark, dir)
       .select(col("d1"), col("d2"), round(col("est_jaccard") * 64).cast("long").as("matches"))
-    val sh = shingles(spark, dir)
+      .localCheckpoint(true)
+    // confine the exact-set work to candidate docs BEFORE any (doc,
+    // shingle) shuffle: the broadcast semi-join prunes the corpus-wide
+    // shingle table at the scan, so the intersection join and the size
+    // aggregate shuffle O(shingles of candidate docs), not O(corpus)
+    val candDocs = p.select(col("d1").as("doc_id"))
+      .union(p.select(col("d2").as("doc_id"))).distinct()
+    val sh = shingles(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = p
       .join(sh.as("a"), col("d1") === col("a.doc_id"))
