@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses this process's stdout for a bare JSON
+// headline line; sbt's default LoggedOutput re-logs every forked line with
+// an "[info] " prefix, which broke the driver's extractor two rounds
+// running (BENCH_r05/r06 parsed:null). StdoutOutput inherits the parent
+// streams instead — forked output passes through byte-for-byte.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

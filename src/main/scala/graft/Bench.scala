@@ -25,6 +25,12 @@ object Bench {
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.adaptive", org.apache.logging.log4j.Level.ERROR)
+    // "Asked to cache already cached data": fired once per bench rep by
+    // the memoized model tables (same logical plan re-persisted is a
+    // deliberate no-op, not a defect) — enough repeats to evict the
+    // headline JSON from the harness's 2000-char tail window
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager", org.apache.logging.log4j.Level.ERROR)
     // JIT/codegen warmup outside the timed region, so the alphabetically
     // first query doesn't absorb one-time JVM costs
     spark.range(100000).selectExpr("sum(id) AS s", "count(distinct id % 7) AS c")
@@ -83,7 +89,14 @@ object Bench {
     val resMap = results.toMap
     val hq = headline.flatMap(k => resMap.get(k).map(rs => "\"" + k + "\":" + r3(rs.min)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    val headlineJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(headlineJson)
     spark.stop()
+    // emit the headline a SECOND time as the very last line before exit:
+    // spark.stop() logs a shutdown epilogue that can land between the
+    // first print and process exit, and the harness only keeps the tail
+    println(headlineJson)
+    System.out.flush()
   }
 }

@@ -137,7 +137,20 @@ object Dedup {
     * becomes proportional to the duplicate mass instead of the batch
     * size. The filter broadcasts once per executor (codegen init parses
     * it from bytes — see [[graft.functions.BloomMightContain]]). */
-  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    bloomIncrementalDedup(spark, dir, None)
+
+  /** [[bloomIncrementalDedup]] with an optional caller-owned
+    * [[org.apache.spark.sql.Observation]] attached to the probe metrics.
+    * The global `q74_bloom_probe` capture in [[Diagnostics]] is a
+    * last-value-per-NAME map — fine for a production health report, but
+    * two concurrent invocations (e.g. parallel test suites, one of them
+    * on an empty corpus) race on the name and a reader can see the OTHER
+    * run's counters. An `Observation` is bound to this one Dataset and
+    * its `get` blocks until the owning action delivers, so a caller that
+    * needs ITS run's numbers passes one here and reads it race-free. */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String,
+      probe: Option[org.apache.spark.sql.Observation]): DataFrame = {
     Diagnostics.install(spark)
     val hashed = hashedDocs(spark, dir)
     val isBatch = pmod(col("doc_id"), lit(10)) === 9
@@ -151,7 +164,7 @@ object Dedup {
       .join(index, Seq("content_md5"), "left")
     val fresh = batch.where(!col("bloom_hit"))
       .withColumn("dup_of", lit(null).cast("long"))
-    confirmed.unionByName(fresh)
+    val ordered = confirmed.unionByName(fresh)
       .select(
         col("doc_id"),
         col("content_md5"),
@@ -159,14 +172,18 @@ object Dedup {
         when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("status"),
         col("dup_of"))
       .orderBy("doc_id")
-      // observed ABOVE the sort, after the union: below the union the
-      // batch subtree appears in BOTH branches, and below the sort the
-      // range-partitioner's sampling pass replays the child — either
-      // placement double-counts every row
-      .observe("q74_bloom_probe",
-        count(lit(1)).as("batch_rows"),
-        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("bloom_hits"))
-      .drop("bloom_hit")
+    // observed ABOVE the sort, after the union: below the union the
+    // batch subtree appears in BOTH branches, and below the sort the
+    // range-partitioner's sampling pass replays the child — either
+    // placement double-counts every row
+    val probeAggs = Seq(
+      count(lit(1)).as("batch_rows"),
+      sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("bloom_hits"))
+    val observed = probe match {
+      case Some(o) => ordered.observe(o, probeAggs.head, probeAggs.tail: _*)
+      case None    => ordered.observe("q74_bloom_probe", probeAggs.head, probeAggs.tail: _*)
+    }
+    observed.drop("bloom_hit")
   }
 
   /** Word-3-gram shingles per document (with duplicates). */

@@ -22,6 +22,29 @@ object TextAnalysis {
     * keeps the operator honest on real text. */
   private val toksExpr = "split(text, '\\\\s+')"
 
+  /** Session-scoped memo of persisted MODEL tables (unigram counts, df
+    * model, Misra–Gries summaries). Train-then-apply operators persist
+    * their vocab-bounded model so the scalar-total branch doesn't re-scan
+    * the corpus; without memoization every invocation (bench reps,
+    * streaming foreachBatch) re-persisted a fresh copy — either a
+    * CacheManager "already cached" warning (equal plans) or an unbounded
+    * pile of cached DataFrames (closures make mapPartitions plans unequal
+    * per call). One persisted model per (session, key); entries die with
+    * the session (keys hold the session reference only as cache identity,
+    * mirroring [[Diagnostics]]'s installed-set). */
+  private val persistedModels =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    persistedModels.getOrElseUpdate((spark, key), build.persist())
+
+  /** Test hook: unpersist and forget every memoized model (e.g. to prove
+    * re-derivation works, or to bound test-session storage). */
+  private[graft] def clearModelCache(): Unit = {
+    persistedModels.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    persistedModels.clear()
+  }
+
   /** Per-document quality metrics: token count, mean token length,
     * stopword ratio, vocabulary diversity, composite score. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
@@ -269,21 +292,54 @@ object TextAnalysis {
   def repeatedSpanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverage(spark, dir).orderBy("doc_id")
 
+  /** Persisted 8-token span-digest table — ONE span explosion per corpus
+    * content-fingerprint, shared by every span consumer on the surface
+    * (q76 repeated-span coverage, q88 cross-source contamination, q98's
+    * funnel span screen). Each previously re-exploded the same spans from
+    * scratch (~11 s of the round-6 bench between them); now the explosion
+    * + per-doc aggregation runs once and lands as parquet with the same
+    * invalidation contract as the LSH index / cluster labels / IVF model
+    * ([[graft.sources.Bucketing.fingerprint]]: source bytes change ⇒ new
+    * path ⇒ rebuild).
+    *
+    * One row per DISTINCT (doc_id, span) with its in-doc occurrence count
+    * — total span positions are recoverable as sum(cnt), so consumers
+    * lose nothing while the table dedups within-doc repetition. Digests
+    * stored as 16-byte BINARY (`unhex(md5)`) — half the shuffle/storage
+    * width of the hex string, and injective over it, so every count
+    * downstream is unchanged. At 100 TB this table is the corpus-sized
+    * artifact you'd bucket by digest; here it is a plain parquet dir. */
+  private[graft] def spanDigests(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_warehouse/span_digests_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), SpanWidth)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), expr(toksExpr).as("t"))
+        .where(size(col("t")) >= SpanWidth)
+        .select(col("doc_id"), col("source"), explode(expr(
+          s"transform(sequence(1, size(t) - ${SpanWidth - 1}), i -> unhex(md5(concat_ws(' ', slice(t, i, $SpanWidth)))))")).as("gh"))
+        .groupBy("doc_id", "source", "gh").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Span width for the shared digest table (8-token spans — the
+    * published decontamination/boilerplate-screen shingle size). */
+  val SpanWidth = 8
+
   /** [[repeatedSpanCoverage]] without the oracle-determinism sort — the
     * reusable core (q98's funnel aggregates it; a sort below an
-    * aggregate would be dead weight). */
+    * aggregate would be dead weight). Reads the persisted
+    * [[spanDigests]] table; position totals come back as sum(cnt). */
   private[operators] def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(toksExpr).as("t"))
-      .where(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))")).as("gh"))
+    val spans = spanDigests(spark, dir)
     val owner = spans.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
     spans.join(owner, "gh")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("total_spans"),
-        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("repeated_spans"))
+        sum(col("cnt")).as("total_spans"),
+        sum(when(col("first_doc") < col("doc_id"), col("cnt")).otherwise(0L)).as("repeated_spans"))
       .withColumn("rep_permille", expr("repeated_spans * 1000L div total_spans"))
   }
 
@@ -579,9 +635,12 @@ object TextAnalysis {
     // ONE pass emits the MG candidates AND the partition's token total
     // (is_total = true rows), so the exact phase is the only other corpus
     // scan — two passes total, the theoretical minimum for exact heavy
-    // hitters. The summary is ≤ (HhK+1) × partitions rows; persist so its
-    // two consumers don't re-run the scan.
-    val summary = toks.as[String].mapPartitions { it =>
+    // hitters. The summary is ≤ (HhK+1) × partitions rows; persisted once
+    // per (session, corpus) so its two consumers don't re-run the scan
+    // and repeat calls don't stack fresh cache entries (each call's
+    // mapPartitions closure is a distinct plan — unmemoized, every bench
+    // rep added one more cached copy).
+    val summary = memoPersist(spark, s"mg_summary:$dir") { toks.as[String].mapPartitions { it =>
       // Misra–Gries with HhK counters: increment if present or space
       // free, else decrement all (deleting zeros). Survivors ⊇ items
       // with partition frequency > n_p/(HhK+1).
@@ -601,7 +660,7 @@ object TextAnalysis {
         }
       }
       counts.keysIterator.map(t => (false, t, 0L)) ++ Iterator((true, "", n))
-    }.toDF("is_total", "token", "n").persist()
+    }.toDF("is_total", "token", "n") }
     val candidates = summary.where(!col("is_total")).select("token").distinct()
     val total = summary.where(col("is_total")).agg(sum(col("n")).as("total"))
     toks.join(broadcast(candidates), Seq("token"))
@@ -812,9 +871,12 @@ object TextAnalysis {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
     val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
-    // vocab-bounded; persist so the scalar-total branch doesn't re-scan
-    // the corpus (same justification as q78's summary)
-    val model = toks.where(isTrain).groupBy("t").agg(count(lit(1)).as("cnt")).persist()
+    // vocab-bounded; persisted ONCE per (session, corpus) so the
+    // scalar-total branch doesn't re-scan the corpus and repeat callers
+    // (q85 reps, q94's sweep) reuse the same cached model
+    val model = memoPersist(spark, s"lm_unigram:$dir") {
+      toks.where(isTrain).groupBy("t").agg(count(lit(1)).as("cnt"))
+    }
     val total = model.agg(sum(col("cnt")).as("n_train"))
       .select((length(bin(col("n_train"))) - 1).cast("long").as("bits_total"))
     toks.join(model, Seq("t"), "left")
@@ -874,11 +936,14 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("t"))
     val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
     // one vocab-bounded model with BOTH signals (occurrence count for
-    // surprisal, document frequency for OOV); persisted like q78/q85 so
-    // the scalar-total branch doesn't re-scan the corpus
-    val model = corpusToks.where(isTrain).groupBy("t")
-      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
-      .persist()
+    // surprisal, document frequency for OOV); persisted ONCE per
+    // (session, corpus) — the frozen-model contract the streaming twin
+    // depends on: every micro-batch scores against THIS cached table
+    // instead of retraining and re-persisting per batch
+    val model = memoPersist(spark, s"gate_model:$dir") {
+      corpusToks.where(isTrain).groupBy("t")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+    }
     val total = model.agg(sum(col("cnt")).as("n_train"))
       .select((length(bin(col("n_train"))) - 1).cast("long").as("bits_total"))
     val scored = toks.join(model, Seq("t"), "left")
@@ -1150,11 +1215,11 @@ object TextAnalysis {
     * (source pairs) is tiny by construction. The normalizer join
     * broadcasts the per-source spancounts (cardinality = #sources). */
   def crossSourceContamination(spark: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.documents(spark, dir)
-      .select(col("source"), expr(toksExpr).as("t"))
-      .where(size(col("t")) >= 8)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))")).as("gh"))
+    // the persisted span-digest table replaces the per-query explosion
+    // (one span scan per corpus fingerprint — see [[spanDigests]]); the
+    // source-level distinct over it is exactly the old explode+distinct
+    val spans = spanDigests(spark, dir)
+      .select(col("source"), col("gh"))
       .distinct()
     val bySrc = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
     val pairs = spans.groupBy("gh")

@@ -121,17 +121,18 @@ class DedupSimilaritySpec extends SparkSpec {
   test("bloom-pruned incremental dedup matches the exact probe and actually prunes") {
     Dedup.clearBloomCache()
     val exact = Dedup.incrementalDedup(spark, sf0001).collect()
-    val bloomed = Dedup.bloomIncrementalDedup(spark, sf0001).collect()
+    // a caller-owned Observation binds the probe metrics to THIS action:
+    // the global Diagnostics name-keyed capture can race with a parallel
+    // suite running q74 on an empty corpus (same observation name)
+    val obs = org.apache.spark.sql.Observation()
+    val bloomed = Dedup.bloomIncrementalDedup(spark, sf0001, Some(obs)).collect()
     // identical answer: the filter changes WHICH rows pay the confirm
     // join, never the result (no false negatives; FPs die in the join)
     assert(bloomed.map(_.toString).toSeq === exact.map(_.toString).toSeq)
 
     val nDup = exact.count(_.getAs[String]("status") == "dup").toLong
     val nBatch = exact.length.toLong
-    val deadline = System.nanoTime() + 15e9.toLong
-    def metrics = graft.operators.Diagnostics.lastMetrics("q74_bloom_probe")
-    while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(25)
-    val m = metrics.getOrElse(fail("q74_bloom_probe metric never arrived"))
+    val m = obs.get
     assert(m("batch_rows") === nBatch)
     val hits = m("bloom_hits").asInstanceOf[Long]
     // every true dup must bloom-hit (no false negatives) ...

@@ -206,6 +206,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("repeated_spans") > 0L), "fixture should contain cross-doc spans")
   }
 
+  test("q76/q88 read the ONE persisted span-digest table, never re-exploding the corpus") {
+    // force the build once; afterwards every span consumer's plan must
+    // scan the fingerprinted digest table instead of documents.parquet
+    // (the compute-once contract that saves the duplicated span explosion
+    // q76/q88/q98 each paid before round 7)
+    assert(TextAnalysis.spanDigests(spark, sf0001).count() > 0L)
+    for (df <- Seq(TextAnalysis.repeatedSpanCoverage(spark, sf0001),
+                   TextAnalysis.crossSourceContamination(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("span_digests_"), "span consumer must read the persisted digest table")
+      assert(!plan.contains("documents.parquet"), "span consumer must not re-explode the corpus")
+    }
+  }
+
   test("q77: RRF fusion matches a driver-side recompute of both arms") {
     import graft.operators.Similarity
     val out = Similarity.hybridRrfTopDocs(spark, sf0001).collect()
