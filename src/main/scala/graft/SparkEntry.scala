@@ -136,6 +136,9 @@ object SparkEntry {
     // against DuckDB's regexp engine running the same 13-group pattern.
     "q37b_clf_parse_volume" -> ((s, _) => graft.clf.LogCorpus.parsedValidVolume(s)),
     "q38b_clf_dead_letters_volume" -> ((s, _) => graft.clf.LogCorpus.deadLettersVolume(s)),
+    // SQL-text reachability for the pipeline surface: pure spark.sql
+    // over temp views of the flagship LLM ops (q59's contract extended)
+    "q100_sql_pipeline_report" -> ((s, d) => PipelineSql.curationReport(s, d)),
   )
 
   /** Jaccard over df-filtered shingle sets (shared by q28 and the q61
@@ -1269,6 +1272,63 @@ object SparkEntry {
         |  MIN(exact_permille) AS min_exact_permille,
         |  MAX(exact_permille) AS max_exact_permille
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL-text pipeline report: re-derives all four composed operators
+    // from scratch — q27's exact keeper, q29c's portable LSH candidates
+    // (the shared CTE block), q75's integer BM25 top-10, q90's 4-signal
+    // gate — then replays the per-source fold. Gate/BM25 CTEs carry g_/b_
+    // prefixes because q29cCtes already owns the bare `toks` name.
+    "q100_sql_pipeline_report" ->
+      s"""WITH $q29cCtes,
+        |lshdup AS (SELECT DISTINCT d2 AS doc_id FROM est WHERE est_jaccard >= 0.5),
+        |xd AS (SELECT doc_id, source,
+        |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+        |       FROM documents),
+        |ek AS (SELECT content_md5, MIN(doc_id) AS keep_doc_id FROM xd GROUP BY 1),
+        |g_toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+        |g_model AS (SELECT t, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM g_toks
+        |            WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |g_tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM g_model),
+        |g_sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |           CAST(SUM(CASE WHEN COALESCE(df, 0) < ${operators.TextAnalysis.MinDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |           CAST(SUM(bits_total - (length(bin(COALESCE(cnt, 1))) - 1)) AS BIGINT) AS sum_bits
+        |         FROM g_toks LEFT JOIN g_model USING (t) CROSS JOIN g_tot GROUP BY 1),
+        |g_tc AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM
+        |           (SELECT doc_id, t, COUNT(*) AS c FROM g_toks GROUP BY 1, 2) GROUP BY 1),
+        |gate AS (SELECT s.doc_id,
+        |           (CASE WHEN s.n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
+        |            + CASE WHEN tc.top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > s.n_tokens THEN 2 ELSE 0 END
+        |            + CASE WHEN (1000 * s.n_oov) // s.n_tokens > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
+        |            + CASE WHEN (100 * s.sum_bits) // s.n_tokens > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END) = 0 AS keep
+        |         FROM g_sc s JOIN g_tc tc ON s.doc_id = tc.doc_id),
+        |b_toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |b_st AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM b_toks),
+        |b_ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM b_toks),
+        |b_tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM b_ex
+        |         WHERE term IN (${operators.TextAnalysis.Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |         GROUP BY 1, 2),
+        |b_dfq AS (SELECT term, COUNT(*) AS df FROM b_tf GROUP BY 1),
+        |b_sc AS (SELECT t.doc_id, t.tf, t.dl,
+        |           ((s.n_docs + 1) * 1000000 // (d.df + 1))
+        |             * ((t.tf * 2200 * 1000) //
+        |                (1000*t.tf + 300 + (900*t.dl*1000) // (s.total_dl*1000 // s.n_docs))) AS term_score
+        |         FROM b_tf t JOIN b_dfq d USING (term) CROSS JOIN b_st s),
+        |b_agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score FROM b_sc GROUP BY 1),
+        |b_r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM b_agg),
+        |bm AS (SELECT DISTINCT doc_id FROM b_r WHERE rank <= 10)
+        |SELECT xd.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN xd.doc_id <> ek.keep_doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dupes,
+        |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_flagged,
+        |  CAST(SUM(CASE WHEN gate.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_keep,
+        |  CAST(SUM(CASE WHEN bm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bm25_top10,
+        |  CAST(SUM(CASE WHEN xd.doc_id = ek.keep_doc_id AND l.doc_id IS NULL AND gate.keep
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_final_keep
+        |FROM xd
+        |JOIN ek USING (content_md5)
+        |LEFT JOIN lshdup l ON l.doc_id = xd.doc_id
+        |LEFT JOIN bm ON bm.doc_id = xd.doc_id
+        |JOIN gate ON gate.doc_id = xd.doc_id
+        |GROUP BY xd.source ORDER BY xd.source""".stripMargin,
     "q30_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS m FROM tok),

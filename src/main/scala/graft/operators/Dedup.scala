@@ -674,10 +674,27 @@ object Dedup {
     * the bucketed layout, so the next probe is still Exchange-free on
     * the index side. Returns the number of rows appended (0 on a second
     * call with the same batch: the keys are no longer novel). */
-  def appendNovelBatchBuckets(spark: SparkSession, dir: String): Long = {
+  def appendNovelBatchBuckets(spark: SparkSession, dir: String): Long =
+    appendNovelBatchBucketsOf(spark, dir,
+      Tables.documents(spark, dir).where(batchPredicate))
+
+  /** [[appendNovelBatchBuckets]] for an ARBITRARY batch of documents
+    * (doc_id, text) — the maintenance half the streaming twin runs per
+    * micro-batch ([[graft.streaming.StreamingAnalytics.nearDupProbeAndAppendPerBatch]]).
+    * Idempotent per content: a replayed micro-batch (foreachBatch is
+    * at-least-once on crash recovery) finds its keys no longer novel and
+    * appends nothing — which is what makes restart-safety free here. */
+  def appendNovelBatchBucketsOf(spark: SparkSession, dir: String, batch: DataFrame): Long = {
     import org.apache.spark.sql.expressions.Window
     val table = ensureLshBandIndex(spark, dir)
-    val batch = Tables.documents(spark, dir).where(batchPredicate)
+    // `batch` may belong to a foreachBatch CLONED session: its write
+    // refreshes only the CLONE's relation cache, so without an explicit
+    // refresh the caller session keeps a stale file listing — appends
+    // land on disk but stay invisible here, and the next micro-batch's
+    // left-anti re-treats already-appended keys as novel. Refresh BEFORE
+    // the novelty read (see appends by earlier micro-batches) and after
+    // the write (make this append visible to the caller's next read).
+    spark.catalog.refreshTable(table)
     val novel = bandKeysOf(portableSignaturesOf(batch))
       .join(spark.table(table).select("band_idx", "band_key"),
         Seq("band_idx", "band_key"), "left_anti")
@@ -694,6 +711,7 @@ object Dedup {
         .bucketBy(numBuckets, "band_idx", "band_key")
         .sortBy("band_idx", "band_key")
         .saveAsTable(table)
+      spark.catalog.refreshTable(table) // caller-session visibility (clone writes)
     }
     n
   }

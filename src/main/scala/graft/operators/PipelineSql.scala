@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** SQL-text reachability for the LLM-pipeline surface.
+  *
+  * Every pipeline operator on the surface is a DataFrame function; a
+  * user who lives in `spark.sql` couldn't call any of it until this
+  * object. [[registerPipelineViews]] exposes the corpus tables AND the
+  * flagship pipeline operators (exact dedup, portable LSH candidates,
+  * BM25 retrieval, the curation gate) as temp views, and
+  * [[curationReport]] (q100) is the proof query: its Spark side is ONE
+  * `spark.sql` text composing those views — no DataFrame combinators —
+  * and it is hash-gated against a DuckDB oracle that re-derives all
+  * four operators from scratch.
+  *
+  * This is the same reachability contract q59 established for the
+  * relational surface (reference StreamingJob.scala has no SQL API at
+  * all — its one job is hard-coded): views make the operator outputs
+  * addressable by name, and Catalyst plans the composed SQL exactly as
+  * it plans the DataFrame form (same pushdowns, same broadcasts — the
+  * view boundary is dissolved at analysis time, so there is no
+  * performance cliff between the two APIs).
+  *
+  * Scale shape: inherited wholesale from the composed operators — the
+  * report adds two non-amplifying per-doc joins (exact keeper on the
+  * 16-byte digest, gate verdict on doc_id), two broadcast-sized left
+  * joins (LSH-flagged docs, BM25 top-10), and one final groupBy on
+  * `source` (domain cardinality). Nothing here introduces a new
+  * shuffle class beyond what q27/q29c/q75/q90 already pay.
+  */
+object PipelineSql {
+
+  /** Register the corpus tables and flagship pipeline operators as temp
+    * views — the `spark.sql` entry point to the pipeline surface.
+    * Idempotent per session (createOrReplace); the expensive artifacts
+    * behind the views (persisted span/label/model tables) keep their
+    * own fingerprint-cached lifecycles. */
+  def registerPipelineViews(spark: SparkSession, dir: String): Unit = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
+    Dedup.exactDedup(spark, dir).createOrReplaceTempView("exact_dedup_v")
+    Dedup.minhashLshPairsPortable(spark, dir).createOrReplaceTempView("lsh_candidates_v")
+    TextAnalysis.bm25TopDocs(spark, dir).createOrReplaceTempView("bm25_top_v")
+    TextAnalysis.curationGate(spark, dir).createOrReplaceTempView("curation_gate_v")
+  }
+
+  /** q100 — per-source curation decision report, written as PURE SQL
+    * TEXT over the registered pipeline views: how many documents each
+    * source contributes, how many are exact duplicates (non-keepers
+    * under q27's min-doc_id rule), how many are flagged by the LSH
+    * near-dup candidates (appear as the LATER doc of a candidate pair —
+    * q73's "has an earlier near-dup" convention), how many pass the
+    * 4-signal curation gate, how many land in the BM25 top-10 for the
+    * standing query, and the final keep count (exact keeper ∧ not
+    * LSH-flagged ∧ gate-pass). All counts are BIGINT — hash-exact. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    registerPipelineViews(spark, dir)
+    spark.sql(
+      """SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN d.doc_id <> e.keep_doc_id THEN 1 ELSE 0 END) AS n_exact_dupes,
+        |  SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_lsh_flagged,
+        |  SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS n_gate_keep,
+        |  SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_bm25_top10,
+        |  SUM(CASE WHEN d.doc_id = e.keep_doc_id AND c.doc_id IS NULL AND g.keep
+        |      THEN 1 ELSE 0 END) AS n_final_keep
+        |FROM documents_v d
+        |JOIN exact_dedup_v e
+        |  ON md5(lower(regexp_replace(d.text, '\\s+', ' '))) = e.text_md5
+        |LEFT JOIN (SELECT DISTINCT d2 AS doc_id FROM lsh_candidates_v) c
+        |  ON c.doc_id = d.doc_id
+        |LEFT JOIN (SELECT DISTINCT doc_id FROM bm25_top_v) b
+        |  ON b.doc_id = d.doc_id
+        |JOIN curation_gate_v g
+        |  ON g.doc_id = d.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin)
+  }
+}

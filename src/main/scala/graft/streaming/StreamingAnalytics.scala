@@ -142,6 +142,31 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming incremental near-dup with INDEX MAINTENANCE — the full
+    * production ingest loop: each micro-batch (a) probes the persisted
+    * corpus LSH index for verdicts ([[nearDupVerdictsPerBatch]]'s probe),
+    * then (b) appends its previously-unseen band buckets
+    * ([[graft.operators.Dedup.appendNovelBatchBucketsOf]]) so later
+    * batches probe an up-to-date index. The index is the durable state;
+    * `checkpointLocation` makes the SOURCE durable too, so a query
+    * killed mid-stream restarts exactly where it stopped. Restart
+    * safety: foreachBatch replays the last uncommitted batch
+    * (at-least-once), and the append is content-idempotent (a replayed
+    * batch's keys are no longer novel — left-anti finds nothing), so the
+    * index converges to the same no-duplicate/no-missing bucket set as a
+    * single-shot batch append (spec'd in StreamingSpec, kill + restart). */
+  def nearDupProbeAndAppendPerBatch(spark: SparkSession, dir: String, docs: DataFrame,
+      checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.incrementalNearDupOf(spark, dir, batch))
+        graft.operators.Dedup.appendNovelBatchBucketsOf(spark, dir, batch): Unit
+      }
+      .start()
+
   /** Streaming curation gate — the stream twin of q90
     * (`TextAnalysis.curationGate`): the quality model (token counts +
     * document frequencies) is trained ONCE on the corpus's hash train

@@ -285,6 +285,70 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === batchDocs.length)
   }
 
+  test("near-dup probe+append restarts from the checkpoint: verdicts match batch q72, index has no duplicate or missing buckets") {
+    import spark.implicits._
+    // own fixture dir so no other test's appends pollute the index; batch
+    // docs are pairwise unrelated, so interleaved per-micro-batch appends
+    // cannot change any later verdict (q72 judges against the corpus)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", "t", 1L),
+      (2L, "query planners and shuffle exchanges dominate distributed execution cost", "en", "t", 1L),
+      (3L, "vectors centroids clusters probes residuals quantizers codebooks training", "en", "t", 1L))
+    val batch = Seq(
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu", "en", "t", 1L), // near-dup of 1
+      (19L, "unrelated fresh document with brand new vocabulary entirely present", "en", "t", 1L),
+      (29L, "query planners and shuffle exchanges dominate distributed execution time", "en", "t", 1L), // near-dup of 2
+      (39L, "totally novel sentences mentioning gardens rivers mountains and weather", "en", "t", 1L))
+    def writeFixture(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ndrestart").toString
+      (corpus ++ batch).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dir = writeFixture()
+    val batchDf = batch.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // q72 reference verdicts: whole batch against the PRE-append index
+    val expected = graft.operators.Dedup.incrementalNearDupOf(spark, dir, batchDf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(expected === Map(9L -> "dup", 19L -> "new", 29L -> "dup", 39L -> "new"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ndrestart-ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = StreamingAnalytics.nearDupProbeAndAppendPerBatch(
+      spark, dir, input.toDF().toDF("doc_id", "text"), ckpt) { verdicts =>
+      collected ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    // micro-batch 1, then KILL the query
+    val q1 = start()
+    input.addData(batch.take(2).map(d => (d._1, d._2))); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, s"q1 died: ${q1.exception}")
+    q1.stop()
+    // rows arriving while the query is down; restart picks them up
+    input.addData(batch.drop(2).map(d => (d._1, d._2)))
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"q2 died: ${q2.exception}")
+    q2.stop()
+
+    // verdicts: every batch doc judged exactly as batch q72 judged it
+    // (dedupe by doc_id — a crash-replayed micro-batch may re-emit rows)
+    assert(collected.toMap === expected)
+    // index integrity vs a single-shot whole-batch append on an identical
+    // corpus: same bucket membership — nothing duplicated, nothing missing
+    val shot = writeFixture()
+    graft.operators.Dedup.appendNovelBatchBucketsOf(spark, shot, batchDf)
+    def members(d: String) = spark.table(graft.operators.Dedup.ensureLshBandIndex(spark, d))
+      .select("band_idx", "band_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val got = members(dir)
+    assert(got.length === got.distinct.length, "no duplicate index rows after restart")
+    assert(got.toSet === members(shot).toSet,
+      "streamed appends must converge to the single-shot batch append")
+    // replaying the whole batch once more appends nothing (idempotence)
+    assert(graft.operators.Dedup.appendNovelBatchBucketsOf(spark, dir, batchDf) === 0L)
+  }
+
   test("streaming curation gate reproduces the batch q90 verdicts under any micro-batching") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
