@@ -347,7 +347,15 @@ object Dedup {
     * and the IVF model tables ([[graft.sources.Bucketing.fingerprint]]:
     * source bytes change ⇒ new path ⇒ rebuild). The build cost shows in
     * a query's COLD rep (BENCH_FULL `cold`); warm reps price the read,
-    * which is what a 100 TB deployment pays per downstream consumer. */
+    * which is what a 100 TB deployment pays per downstream consumer.
+    *
+    * SINGLE-WRITER assumption (shared with the LSH/IVF/span caches): the
+    * `_SUCCESS` probe is a java.io check-then-write — two sessions racing
+    * the same fingerprint may both build (wasted work, not wrong answers:
+    * the build is bit-deterministic, so both write the same bytes) and
+    * the probe sees local filesystems only. A multi-writer object-store
+    * deployment routes existence through the Hadoop FileSystem API and
+    * serializes builders on a lock/manifest service instead. */
   private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
     val path = Warehouse + "/neardup_labels_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxCcIters)

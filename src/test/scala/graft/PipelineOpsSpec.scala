@@ -206,6 +206,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("repeated_spans") > 0L), "fixture should contain cross-doc spans")
   }
 
+  test("q100: SQL-text pipeline report is consistent with the DataFrame ops its views wrap") {
+    import graft.operators.PipelineSql
+    val out = PipelineSql.curationReport(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 500L, "every document lands in exactly one source row")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_final_keep") <= r.getAs[Long]("n_gate_keep"),
+        "final keep is gated, so it can never exceed the gate-pass count")
+      assert(r.getAs[Long]("n_final_keep") <= r.getAs[Long]("n_docs") - r.getAs[Long]("n_exact_dupes"),
+        "final keepers are exact keepers")
+    }
+    // the BM25 arm contributes exactly the top-10 across all sources
+    assert(out.map(_.getAs[Long]("n_bm25_top10")).sum === 10L)
+    // per-source gate tallies re-derive from the DataFrame-side operator
+    val gateKeep = TextAnalysis.curationGate(spark, sf0001).where(col("keep")).count()
+    assert(out.map(_.getAs[Long]("n_gate_keep")).sum === gateKeep)
+  }
+
   test("q76/q88 read the ONE persisted span-digest table, never re-exploding the corpus") {
     // force the build once; afterwards every span consumer's plan must
     // scan the fingerprinted digest table instead of documents.parquet
