@@ -541,9 +541,29 @@ object Dedup {
   /** Oracle-checked MinHash-LSH end-to-end: same banding, bucket cap, and
     * estimate as [[minhashLshPairs]], over md5-portable shingle hashes —
     * the whole LSH path (signatures → bands → capped buckets → pairs →
-    * estimate → threshold) is reproduced in DuckDB SQL. */
-  def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame =
-    lshPairsFromSignatures(portableSignatures(spark, dir), "q29c_lsh_buckets")
+    * estimate → threshold) is reproduced in DuckDB SQL.
+    *
+    * PERSISTED per corpus fingerprint like the span digests and cluster
+    * labels: the candidate-pair set is the expensive shared artifact
+    * three consumers re-derived independently (q29c itself, q99's
+    * calibration audit, q100's SQL view) — now the signature+banding
+    * pipeline runs once per corpus content and everyone reads the (tiny)
+    * survivor table. The DuckDB oracle still re-derives the whole path
+    * from scratch every round, so the artifact's correctness is
+    * re-gated on every verify run, not frozen at build time. The
+    * overflow observe metric fires on the build pass (where the drop
+    * happens); [[minhashLshPairs]] (xxhash production twin) stays fully
+    * live per call and carries the always-on metric. Same single-writer
+    * check-then-write contract as [[nearDupLabels]]. */
+  def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/lsh_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), NumPerm * 1000 + MaxBucket)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      lshPairsFromSignatures(portableSignatures(spark, dir), "q29c_lsh_buckets")
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path).orderBy("d1", "d2")
+  }
 
   /** Oracle-checkable MinHash signatures: the portable signatures
     * exploded to one row per (doc, permutation). Proves the signature
@@ -868,13 +888,13 @@ object Dedup {
     * O(shingles of candidate docs), never all-pairs. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     // the pair set feeds THREE consumers (candidate-doc filter,
-    // intersection join, final estimate join); without materialization
-    // each consumer would replay the whole signature+banding pipeline —
-    // localCheckpoint runs it once and the consumers read the (tiny)
-    // survivor pairs
+    // intersection join, final estimate join); since round 7 the pairs
+    // are a persisted parquet artifact ([[minhashLshPairsPortable]]), so
+    // each consumer is a cheap re-scan of the tiny survivor table — the
+    // localCheckpoint that used to stop the signature pipeline replaying
+    // is dead weight now
     val p = minhashLshPairsPortable(spark, dir)
       .select(col("d1"), col("d2"), round(col("est_jaccard") * 64).cast("long").as("matches"))
-      .localCheckpoint(true)
     // confine the exact-set work to candidate docs BEFORE any (doc,
     // shingle) shuffle: the broadcast semi-join prunes the corpus-wide
     // shingle table at the scan, so the intersection join and the size

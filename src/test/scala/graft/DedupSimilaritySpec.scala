@@ -41,6 +41,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(docs(2) === docs(1) - clusteredDrops)
   }
 
+  test("q29c reads the ONE persisted LSH pair table, never re-deriving signatures warm") {
+    // force the build once; the warm plan must scan the fingerprinted
+    // pair table instead of re-running shingles → signatures → banding
+    assert(Dedup.minhashLshPairsPortable(spark, sf0001).count() > 0L)
+    val plan = Dedup.minhashLshPairsPortable(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("lsh_pairs_"), "q29c must read the persisted pair table")
+    assert(!plan.contains("documents.parquet"), "warm q29c must not re-scan the corpus")
+  }
+
   test("q99 calibration: bands partition the q29c pairs; all integer-permille, 50-aligned") {
     val out = Dedup.minhashCalibration(spark, sf0001).collect()
     assert(out.nonEmpty, "fixture near-dups should yield LSH pairs to calibrate")
