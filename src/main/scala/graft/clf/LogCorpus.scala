@@ -65,7 +65,7 @@ object LogCorpus {
     * whose long shared prefixes (`hostNNN.example.com - - [...`) make
     * string comparisons worst-case. */
   def ensure(spark: SparkSession): String = {
-    if (!new java.io.File(Path, "_SUCCESS").exists())
+    if (!graft.sources.Artifacts.isBuilt(spark, Path))
       spark.range(NumLines).select(col("id").as("line_id"), lineCol.as("value"))
         .write.mode("overwrite").parquet(Path)
     Path

@@ -349,17 +349,18 @@ object Dedup {
     * a query's COLD rep (BENCH_FULL `cold`); warm reps price the read,
     * which is what a 100 TB deployment pays per downstream consumer.
     *
-    * SINGLE-WRITER assumption (shared with the LSH/IVF/span caches): the
-    * `_SUCCESS` probe is a java.io check-then-write — two sessions racing
-    * the same fingerprint may both build (wasted work, not wrong answers:
-    * the build is bit-deterministic, so both write the same bytes) and
-    * the probe sees local filesystems only. A multi-writer object-store
-    * deployment routes existence through the Hadoop FileSystem API and
-    * serializes builders on a lock/manifest service instead. */
+    * SINGLE-WRITER assumption (shared with the LSH/IVF/span caches):
+    * check-then-write via [[graft.sources.Artifacts.isBuilt]] — two
+    * sessions racing the same fingerprint may both build (wasted work,
+    * not wrong answers: the build is bit-deterministic, so both write
+    * the same bytes). The probe resolves through the Hadoop FileSystem
+    * API, so it sees object-store warehouses too; a multi-writer
+    * deployment would additionally serialize builders on a
+    * lock/manifest service. */
   private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {
     val path = Warehouse + "/neardup_labels_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxCcIters)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
       val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
       val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
       labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
@@ -558,7 +559,7 @@ object Dedup {
   def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame = {
     val path = Warehouse + "/lsh_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), NumPerm * 1000 + MaxBucket)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
       lshPairsFromSignatures(portableSignatures(spark, dir), "q29c_lsh_buckets")
         .write.mode("overwrite").parquet(path)
     }

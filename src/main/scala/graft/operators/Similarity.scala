@@ -361,7 +361,7 @@ object Similarity {
       corpusOnly: Boolean = false)
       (train: => Array[Array[Double]]): Array[Array[Double]] = {
     val path = modelPath(dir, iters, corpusOnly)
-    if (new java.io.File(path, "_SUCCESS").exists()) {
+    if (graft.sources.Artifacts.isBuilt(spark, path)) {
       val cents = Array.ofDim[Array[Double]](NumCells)
       spark.read.parquet(path).collect().foreach { r =>
         cents(r.getInt(0)) = r.getSeq[Double](1).toArray

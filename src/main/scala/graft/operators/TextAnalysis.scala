@@ -312,7 +312,7 @@ object TextAnalysis {
   private[graft] def spanDigests(spark: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_warehouse/span_digests_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), SpanWidth)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), expr(toksExpr).as("t"))
         .where(size(col("t")) >= SpanWidth)

@@ -126,7 +126,7 @@ object Clustering {
   def ensureRangeClustered(spark: SparkSession, dir: String): String = {
     val n = numFilesFor(spark, dir, Seq("lineitem"))
     val path = loc("by_shipdate", dir, n)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!Artifacts.isBuilt(spark, path))
       writeClustered(
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -143,7 +143,7 @@ object Clustering {
   def ensureZOrdered(spark: SparkSession, dir: String): String = {
     val n = numFilesFor(spark, dir, Seq("lineitem"))
     val path = loc("zorder", dir, n)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!Artifacts.isBuilt(spark, path)) {
       val zv = zorderScaledCol(Tables.lineitem(spark, dir), "l_partkey", "l_suppkey")
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),

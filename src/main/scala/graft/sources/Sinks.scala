@@ -30,7 +30,7 @@ object Sinks {
     * rebuild. A `_SUCCESS` marker gates reuse so a torn write rebuilds. */
   def ensurePartitionedEvents(spark: SparkSession, dir: String): String = {
     val path = loc(dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!Artifacts.isBuilt(spark, path)) {
       Tables.events(spark, dir)
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("event_date"))

@@ -2,9 +2,20 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Sinks, Tables}
+import graft.sources.{Artifacts, Sinks, Tables}
 
 class SinksSpec extends SparkSpec {
+
+  test("Artifacts.isBuilt: absent → false, committed write → true, torn write (no _SUCCESS) → false") {
+    val base = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
+    val path = base + "/a"
+    assert(!Artifacts.isBuilt(spark, path), "unbuilt path must probe false")
+    spark.range(3).write.mode("overwrite").parquet(path)
+    assert(Artifacts.isBuilt(spark, path), "committed parquet dir must probe true")
+    // simulate a torn write: data files present, committer marker gone
+    assert(new java.io.File(path, "_SUCCESS").delete())
+    assert(!Artifacts.isBuilt(spark, path), "torn write must probe false (rebuild)")
+  }
 
   test("date-partitioned read is partition-pruned to the one requested directory") {
     val df = Sinks.dailyActivity(spark, sf0001, "2024-01-15")
