@@ -30,5 +30,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_longest_run"),
       new ExpressionInfo(classOf[LongestRun].getName, "graft_longest_run"),
       (children: Seq[Expression]) => LongestRun(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_karp_rabin"),
+      new ExpressionInfo(classOf[KarpRabin].getName, "graft_karp_rabin"),
+      (children: Seq[Expression]) => KarpRabin(children.head)))
+    // winnow_min's window is a plan-time constant: require a foldable
+    // integer literal so the generated code can embed it.
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_min"),
+      new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow_min"),
+      (children: Seq[Expression]) => {
+        val w = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_winnow_min: window must be an integer literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"graft_winnow_min: window must be a foldable literal, got $e")
+        }
+        WinnowMin(children.head, w)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_eqcount"),
+      new ExpressionInfo(classOf[LongVecEqCount].getName, "graft_eqcount"),
+      (children: Seq[Expression]) => LongVecEqCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hexhamming"),
+      new ExpressionInfo(classOf[HexHamming64].getName, "graft_hexhamming"),
+      (children: Seq[Expression]) => HexHamming64(children(0), children(1))))
   }
 }

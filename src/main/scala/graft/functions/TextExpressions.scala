@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,8 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics: ties resolve to the lexicographically SMALLEST element
   * (ascending order + strictly-greater-replaces). Empty array →
   * (0, null), mirroring the fold's init state. Sort order is
-  * UTF8String binary order — exactly `array_sort`'s. */
-case class LongestRun(child: Expression) extends UnaryExpression with CodegenFallback {
+  * UTF8String binary order — exactly `array_sort`'s.
+  *
+  * Codegen'd as a static call into [[LongestRun.run]] (the
+  * [[HexHamming64]] pattern): the sort+scan kernel is compiled JVM code
+  * either way, but a CodegenFallback would force the enclosing
+  * WholeStageCodegen stage to materialize an InternalRow per document
+  * just to re-enter the interpreted expression tree. */
+case class LongestRun(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("best_cnt", LongType, nullable = false),
@@ -42,8 +48,20 @@ case class LongestRun(child: Expression) extends UnaryExpression with CodegenFal
           s"graft_longest_run expects array<string>, got $t")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    LongestRun.run(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LongestRun.run($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LongestRun {
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def run(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     if (n == 0) InternalRow(0L, null)
     else {
@@ -65,9 +83,6 @@ case class LongestRun(child: Expression) extends UnaryExpression with CodegenFal
       InternalRow(bestCnt, bestTok.copy())
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** karp_rabin(s): Karp–Rabin ROLLING hashes of every K-byte window of a
@@ -81,9 +96,11 @@ case class LongestRun(child: Expression) extends UnaryExpression with CodegenFal
   * per-position formula exactly — the DuckDB oracle and the HOF twin
   * compute that direct form and must match bit-for-bit. Bytes are the
   * UTF-8 encoding (≡ code points on the ASCII corpus; documented).
-  * Strings shorter than K yield an empty array. */
-case class KarpRabin(child: Expression) extends UnaryExpression with CodegenFallback {
-  import KarpRabin._
+  * Strings shorter than K yield an empty array.
+  *
+  * Codegen'd as a static call into [[KarpRabin.hashes]] — same rationale
+  * as [[LongestRun]]: keep the enclosing stage row-free. */
+case class KarpRabin(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_karp_rabin"
@@ -95,8 +112,31 @@ case class KarpRabin(child: Expression) extends UnaryExpression with CodegenFall
         s"graft_karp_rabin expects string, got $t")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    KarpRabin.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KarpRabin.hashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KarpRabin {
+  /** Window length in bytes, hash base, modulus, and B^(K-1) mod P. */
+  val K = 8
+  val B = 257L
+  val P = 1000000007L
+  val PowTop: Long = {
+    var p = 1L; var i = 0
+    while (i < K - 1) { p = p * B % P; i += 1 }
+    p
+  }
+
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def hashes(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
     val n = bytes.length
     if (n < K) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n - K + 1)
@@ -114,21 +154,6 @@ case class KarpRabin(child: Expression) extends UnaryExpression with CodegenFall
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object KarpRabin {
-  /** Window length in bytes, hash base, modulus, and B^(K-1) mod P. */
-  val K = 8
-  val B = 257L
-  val P = 1000000007L
-  val PowTop: Long = {
-    var p = 1L; var i = 0
-    while (i < K - 1) { p = p * B % P; i += 1 }
-    p
-  }
 }
 
 /** winnow_min(arr, w): minimum of every `w` consecutive elements of an
@@ -136,8 +161,9 @@ object KarpRabin {
   * the winnowing selection of q97, natively. Bit-identical to the HOF
   * `transform(sequence(1, n−w+1), s -> array_min(slice(arr, s, w)))`
   * (spec'd); W is small and constant, so the plain O(n·w) scan beats a
-  * deque's bookkeeping. */
-case class WinnowMin(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+  * deque's bookkeeping. Codegen'd as a static call into
+  * [[WinnowMin.mins]] with the constant window embedded as a literal. */
+case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow_min"
@@ -150,8 +176,20 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression with Cod
         s"graft_winnow_min expects array<bigint> and w >= 1, got $t / w=$w")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowMin.mins(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowMin.mins($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMin {
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def mins(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n - w + 1)
@@ -165,7 +203,4 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression with Cod
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

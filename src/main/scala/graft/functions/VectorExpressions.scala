@@ -87,17 +87,35 @@ case class FloatVecDot(left: Expression, right: Expression)
 /** 64-bit SimHash over an array<string> of tokens, emitted as 16 lowercase
   * hex chars. Exact same construction as the portable HOF/oracle version:
   * md5 hex per token (multiplicity counts), hex digit p carries bits
-  * 4p..4p+3, bit = (±1 vote sum >= 0). Eval-only (md5 dominates; codegen
-  * would not help). */
-case class Simhash64(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  * 4p..4p+3, bit = (±1 vote sum >= 0). md5 dominates the cost either
+  * way, but codegen as a static call into [[Simhash64.sketch]] keeps the
+  * enclosing WholeStageCodegen stage row-free (a CodegenFallback would
+  * force an InternalRow materialization per document to re-enter the
+  * interpreted tree). */
+case class Simhash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
-    val md = Simhash64.digest.get()
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash64.sketch(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Simhash64.sketch($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  private val HexChars: Array[Byte] = "0123456789abcdef".getBytes
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def sketch(tokens: ArrayData): UTF8String = {
+    val md = digest.get()
     val counts = new Array[Int](64)
     var t = 0
     val n = tokens.numElements()
@@ -131,20 +149,11 @@ case class Simhash64(child: Expression) extends UnaryExpression
         if (counts(p * 4 + b) >= 0) d |= (1 << b)
         b += 1
       }
-      out(p) = Simhash64.HexChars(d)
+      out(p) = HexChars(d)
       p += 1
     }
     UTF8String.fromBytes(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object Simhash64 {
-  private val HexChars: Array[Byte] = "0123456789abcdef".getBytes
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 /** Count of positions where two array<bigint> values are equal — the

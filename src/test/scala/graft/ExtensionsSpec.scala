@@ -36,6 +36,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).sorted.toSeq === Seq(6.0, 7.0, 10.0, 15.0, 22.0))
   }
 
+  // '*(n)' prefixes mark operators inside a WholeStageCodegen stage. Every
+  // native expression must keep its enclosing projection inside one — a
+  // CodegenFallback regression would drop the '*' and re-enter the
+  // interpreted tree with a per-row InternalRow materialization.
+  private def assertCodegendProject(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), plan)
+  }
+
+  test("formerly-fallback text kernels participate in whole-stage codegen") {
+    val runs = spark.sql(
+      "SELECT graft_longest_run(array(CAST(id AS STRING), 'x', 'x')) AS r FROM range(5)")
+    assertCodegendProject(runs)
+    assert(runs.collect().forall(_.getStruct(0).getLong(0) === 2L))
+
+    val kr = spark.sql(
+      "SELECT graft_karp_rabin(concat('abcdefgh-', CAST(id AS STRING))) AS h FROM range(5)")
+    assertCodegendProject(kr)
+    assert(kr.collect().forall(_.getSeq[Long](0).nonEmpty))
+
+    val wm = spark.sql(
+      "SELECT graft_winnow_min(graft_karp_rabin(concat('abcdefghij-', CAST(id AS STRING))), 3) AS m FROM range(5)")
+    assertCodegendProject(wm)
+    assert(wm.collect().forall(_.getSeq[Long](0).nonEmpty))
+
+    val sh = spark.sql(
+      "SELECT graft_simhash64(array(CAST(id AS STRING), 'tok')) AS h FROM range(5)")
+    assertCodegendProject(sh)
+    assert(sh.collect().forall(_.getString(0).matches("[0-9a-f]{16}")))
+  }
+
+  test("generated and interpreted paths of the native kernels are bit-identical") {
+    val q =
+      """SELECT graft_longest_run(array(CAST(id AS STRING), 'x', 'x', CAST(id % 3 AS STRING))) AS r,
+        |       graft_karp_rabin(concat('the quick brown fox ', CAST(id AS STRING))) AS h,
+        |       graft_winnow_min(graft_karp_rabin(concat('the quick brown fox ', CAST(id AS STRING))), 4) AS m,
+        |       graft_simhash64(array(CAST(id AS STRING), 'tok', CAST(id % 7 AS STRING))) AS s
+        |FROM range(50)""".stripMargin
+    val gen = spark.sql(q).collect()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = spark.sql(q).collect()
+      assert(gen.toSeq === interp.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("graft_eqcount and graft_hexhamming are callable from SQL") {
+    val eq = spark.sql(
+      "SELECT graft_eqcount(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS c").head().getInt(0)
+    assert(eq === 3)
+    val hd = spark.sql(
+      "SELECT graft_hexhamming('00000000000000ff', '0000000000000000') AS d").head().getInt(0)
+    assert(hd === 8)
+  }
+
   test("bounded-state streaming dedup emits first event per user") {
     val input = MemoryStream[Ev](spark)
     input.addData(Seq(
