@@ -139,6 +139,7 @@ object SparkEntry {
     // SQL-text reachability for the pipeline surface: pure spark.sql
     // over temp views of the flagship LLM ops (q59's contract extended)
     "q100_sql_pipeline_report" -> ((s, d) => PipelineSql.curationReport(s, d)),
+    "q101_sql_simhash_pairs" -> ((s, d) => PipelineSql.sqlSimhashNearPairs(s, d)),
   )
 
   /** Jaccard over df-filtered shingle sets (shared by q28 and the q61
@@ -205,6 +206,38 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  /** Shared oracle for q31 (DataFrame API) and q101 (pure spark.sql text
+    * over the registered native functions) — identical output contract,
+    * one definition. Banded Hamming pairs with the same MaxBucket cap as
+    * the Spark side: buckets keep their MaxBucket smallest doc_ids. */
+  private val simhashPairsOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+      |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+      |bits AS (
+      |  SELECT doc_id, pp.p AS p, bb.b AS b,
+      |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, CAST(pp.p AS INT), 1)) - 1)
+      |                             // (1 << CAST(bb.b AS INT))) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) pp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+      |  GROUP BY 1, 2, 3),
+      |digits AS (SELECT doc_id, p, CAST(SUM(bit * (1 << CAST(b AS INT))) AS INT) AS d FROM bits GROUP BY 1, 2),
+      |sh AS (SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
+      |       FROM digits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, simhash, bb.b AS band_idx, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) AS band_val,
+      |             ROW_NUMBER() OVER (PARTITION BY bb.b, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) ORDER BY doc_id) AS rn,
+      |             COUNT(*) OVER (PARTITION BY bb.b, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4)) AS n
+      |           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+      |kept AS (SELECT * FROM banded WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, a.simhash AS h1, b2.simhash AS h2
+      |         FROM kept a JOIN kept b2
+      |           ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id),
+      |ham AS (SELECT d1, d2,
+      |  CAST(list_sum(list_transform(range(1, 17), p -> bit_count(xor(
+      |      strpos('0123456789abcdef', substr(h1, CAST(p AS INT), 1)) - 1,
+      |      strpos('0123456789abcdef', substr(h2, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
+      |  FROM cand)
+      |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1343,34 +1376,11 @@ object SparkEntry {
         |SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
         |FROM digits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Banded Hamming pairs with the same MaxBucket cap as the Spark side:
-    // buckets keep their MaxBucket smallest doc_ids.
-    "q31_simhash_pairs" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
-        |h AS (SELECT doc_id, md5(t) AS m FROM tok),
-        |bits AS (
-        |  SELECT doc_id, pp.p AS p, bb.b AS b,
-        |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, CAST(pp.p AS INT), 1)) - 1)
-        |                             // (1 << CAST(bb.b AS INT))) % 2 = 1 THEN 1 ELSE -1 END) >= 0
-        |         THEN 1 ELSE 0 END AS bit
-        |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) pp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
-        |  GROUP BY 1, 2, 3),
-        |digits AS (SELECT doc_id, p, CAST(SUM(bit * (1 << CAST(b AS INT))) AS INT) AS d FROM bits GROUP BY 1, 2),
-        |sh AS (SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
-        |       FROM digits GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, bb.b AS band_idx, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) AS band_val,
-        |             ROW_NUMBER() OVER (PARTITION BY bb.b, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4) ORDER BY doc_id) AS rn,
-        |             COUNT(*) OVER (PARTITION BY bb.b, substr(simhash, CAST(bb.b*4 + 1 AS INT), 4)) AS n
-        |           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
-        |kept AS (SELECT * FROM banded WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, a.simhash AS h1, b2.simhash AS h2
-        |         FROM kept a JOIN kept b2
-        |           ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id),
-        |ham AS (SELECT d1, d2,
-        |  CAST(list_sum(list_transform(range(1, 17), p -> bit_count(xor(
-        |      strpos('0123456789abcdef', substr(h1, CAST(p AS INT), 1)) - 1,
-        |      strpos('0123456789abcdef', substr(h2, CAST(p AS INT), 1)) - 1)))) AS BIGINT) AS hamming
-        |  FROM cand)
-        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin,
+    // buckets keep their MaxBucket smallest doc_ids. q101 runs the same
+    // pipeline as pure spark.sql text over the registered native
+    // functions — one oracle definition, two API surfaces.
+    "q31_simhash_pairs" -> simhashPairsOracleSql,
+    "q101_sql_simhash_pairs" -> simhashPairsOracleSql,
     "q32_label_centroids" ->
       """SELECT label, dim,
         |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)/COUNT(*) AS centroid

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -11,33 +11,39 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql("SELECT graft_fdot(a.embedding, b.embedding) ...")
   * }}}
   *
-  * (Scala callers can bypass registration via ColumnBridge.) */
+  * (Scala callers can bypass registration via ColumnBridge. Sessions
+  * built elsewhere can be retrofitted with
+  * [[GraftExtensions.ensureRegistered]].) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_fdot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The full native-function surface, one entry per expression —
+    * shared by the builder-time injection path ([[GraftExtensions]])
+    * and the post-hoc [[ensureRegistered]] path so the two can never
+    * drift. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_fdot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_fdot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash64"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
-      (children: Seq[Expression]) => Simhash64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_zorder2"),
+      (children: Seq[Expression]) => Simhash64(children.head)),
+    (FunctionIdentifier("graft_zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder2"),
-      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_longest_run"),
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1))),
+    (FunctionIdentifier("graft_longest_run"),
       new ExpressionInfo(classOf[LongestRun].getName, "graft_longest_run"),
-      (children: Seq[Expression]) => LongestRun(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_karp_rabin"),
+      (children: Seq[Expression]) => LongestRun(children.head)),
+    (FunctionIdentifier("graft_karp_rabin"),
       new ExpressionInfo(classOf[KarpRabin].getName, "graft_karp_rabin"),
-      (children: Seq[Expression]) => KarpRabin(children.head)))
+      (children: Seq[Expression]) => KarpRabin(children.head)),
     // winnow_min's window is a plan-time constant: require a foldable
     // integer literal so the generated code can embed it.
-    ext.injectFunction((
-      FunctionIdentifier("graft_winnow_min"),
+    (FunctionIdentifier("graft_winnow_min"),
       new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow_min"),
       (children: Seq[Expression]) => {
         val w = children(1) match {
@@ -51,14 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_winnow_min: window must be a foldable literal, got $e")
         }
         WinnowMin(children.head, w)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_eqcount"),
+      }),
+    (FunctionIdentifier("graft_eqcount"),
       new ExpressionInfo(classOf[LongVecEqCount].getName, "graft_eqcount"),
-      (children: Seq[Expression]) => LongVecEqCount(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_hexhamming"),
+      (children: Seq[Expression]) => LongVecEqCount(children(0), children(1))),
+    (FunctionIdentifier("graft_hexhamming"),
       new ExpressionInfo(classOf[HexHamming64].getName, "graft_hexhamming"),
       (children: Seq[Expression]) => HexHamming64(children(0), children(1))))
-  }
+
+  /** Register the native functions on an ALREADY-BUILT session (the
+    * builder-time `.withExtensions` hook is unreachable once a session
+    * exists — e.g. a harness-owned SparkSession). Overwrites are
+    * idempotent: the builders are pure constructors. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -79,4 +79,46 @@ object PipelineSql {
         |GROUP BY d.source
         |ORDER BY d.source""".stripMargin)
   }
+
+  /** q101 — the q31 SimHash near-pair pipeline written as PURE SQL TEXT
+    * over the REGISTERED native functions (`graft_simhash64`,
+    * `graft_hexhamming`): sketch → 4-digit bands → capped buckets →
+    * in-bucket pair expansion → exact bit-Hamming verify ≤ 6. Same
+    * output contract as q31 (shared DuckDB oracle), so the gate proves
+    * the SparkSessionExtensions registration path end-to-end — the
+    * codegen'd expressions resolve by NAME inside `spark.sql` text and
+    * produce the byte-identical pair set the DataFrame form does.
+    *
+    * [[graft.functions.GraftExtensions.ensureRegistered]] retrofits
+    * sessions built without `.withExtensions` (harness-owned sessions);
+    * idempotent. Scale shape: identical to q31 — one sketch pass,
+    * bucket-local expansion bounded by MaxBucket², distinct only over
+    * surviving near-pairs. */
+  def sqlSimhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      s"""WITH sh AS (
+        |  SELECT doc_id, graft_simhash64(split(text, '\\\\s+')) AS simhash FROM documents_v),
+        |banded AS (
+        |  SELECT doc_id, simhash, band_idx, substr(simhash, band_idx * 4 + 1, 4) AS band_val
+        |  FROM sh LATERAL VIEW explode(sequence(0, 3)) t AS band_idx),
+        |bucketed AS (
+        |  SELECT band_idx, band_val,
+        |         array_sort(collect_list(struct(doc_id, simhash))) AS all_members
+        |  FROM banded GROUP BY band_idx, band_val),
+        |buckets AS (
+        |  SELECT slice(all_members, 1, ${Dedup.MaxBucket}) AS members
+        |  FROM bucketed WHERE size(all_members) >= 2),
+        |pairs AS (
+        |  SELECT explode(flatten(transform(members, (x, i) ->
+        |           transform(slice(members, i + 2, size(members)), y ->
+        |             named_struct('d1', x.doc_id, 'h1', x.simhash,
+        |                          'd2', y.doc_id, 'h2', y.simhash))))) AS p
+        |  FROM buckets)
+        |SELECT DISTINCT p.d1 AS d1, p.d2 AS d2,
+        |       CAST(graft_hexhamming(p.h1, p.h2) AS BIGINT) AS hamming
+        |FROM pairs WHERE graft_hexhamming(p.h1, p.h2) <= 6
+        |ORDER BY d1, d2""".stripMargin)
+  }
 }

@@ -224,6 +224,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_gate_keep")).sum === gateKeep)
   }
 
+  test("q101: SQL-text simhash pairs equal the DataFrame form row-for-row") {
+    import graft.operators.{Dedup, PipelineSql}
+    val viaSql = PipelineSql.sqlSimhashNearPairs(spark, sf0001).collect().toSeq
+    val viaDf = Dedup.simhashNearPairs(spark, sf0001)
+      .select("d1", "d2", "hamming").collect().toSeq
+    assert(viaSql === viaDf)
+    assert(viaSql.nonEmpty, "fixture should contain hamming-near pairs")
+  }
+
   test("q76/q88 read the ONE persisted span-digest table, never re-exploding the corpus") {
     // force the build once; afterwards every span consumer's plan must
     // scan the fingerprinted digest table instead of documents.parquet
