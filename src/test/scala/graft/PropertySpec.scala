@@ -103,4 +103,54 @@ object PropertySpec extends Properties("graft") {
       val s = bits(n) - bits(cnt)
       s >= 0 && s <= bits(n)
     }
+
+  // The native-expression static kernels (round 7: hoisted out of the
+  // expression classes for codegen) are plain functions over catalyst
+  // value types — no session needed, so the whole input space is open
+  // to scalacheck, not just the corpus fixtures the specs pin.
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.{KarpRabin, LongestRun, Simhash64, WinnowMin}
+
+  property("Karp–Rabin rolling hashes equal the direct polynomial at every position") =
+    forAll(Gen.asciiPrintableStr, Gen.listOf(Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString)) { (a, b) =>
+      val s = a + b // mixed ASCII + multi-byte: the kernel is byte-defined
+      val u = UTF8String.fromString(s)
+      val bytes = u.getBytes
+      val out = KarpRabin.hashes(u).toLongArray().toSeq
+      val expect = (0 to bytes.length - KarpRabin.K).map { i =>
+        (0 until KarpRabin.K).foldLeft(0L)((h, j) =>
+          (h * KarpRabin.B + (bytes(i + j) & 0xFF)) % KarpRabin.P)
+      }
+      out == expect
+    }
+
+  property("winnow-min equals the naive sliding-window minimum") =
+    forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)), Gen.choose(1, 8)) { (xs, w) =>
+      val out = WinnowMin.mins(new GenericArrayData(xs.toArray), w).toLongArray().toSeq
+      val expect = if (xs.length < w) Seq.empty[Long] else xs.sliding(w).map(_.min).toSeq
+      out == expect
+    }
+
+  property("longest-run equals the naive mode with smallest-token tie-break") =
+    forAll(Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(4)))) { toks =>
+      val row = LongestRun.run(new GenericArrayData(toks.map(UTF8String.fromString).toArray))
+      if (toks.isEmpty) row.getLong(0) == 0L && row.isNullAt(1)
+      else {
+        val counts = toks.groupBy(identity).view.mapValues(_.size)
+        val bestCnt = counts.values.max
+        // ASCII-only tokens: String order == UTF8String byte order
+        val bestTok = counts.collect { case (t, c) if c == bestCnt => t }.min
+        row.getLong(0) == bestCnt.toLong && row.getUTF8String(1).toString == bestTok
+      }
+    }
+
+  property("simhash is token-order invariant (±1 vote sums commute) and 16 hex digits") =
+    forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)))) { toks =>
+      def sk(ts: Seq[String]) =
+        Simhash64.sketch(new GenericArrayData(ts.map(UTF8String.fromString).toArray)).toString
+      val h = sk(toks)
+      h.matches("[0-9a-f]{16}") && h == sk(toks.reverse) && h == sk(scala.util.Random.shuffle(toks))
+    }
 }
