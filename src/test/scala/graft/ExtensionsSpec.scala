@@ -75,15 +75,13 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_simhash64(array(CAST(id AS STRING), 'tok', CAST(id % 7 AS STRING))) AS s
         |FROM range(50)""".stripMargin
     val gen = spark.sql(q).collect()
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
-      val interp = spark.sql(q).collect()
-      assert(gen.toSeq === interp.toSeq)
-    } finally {
-      spark.conf.unset("spark.sql.codegen.factoryMode")
-      spark.conf.unset("spark.sql.codegen.wholeStage")
-    }
+    // isolated session: suites share one SparkSession and run in
+    // parallel, so codegen confs must never mutate the shared state
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = interpSession.sql(q).collect()
+    assert(gen.toSeq === interp.toSeq)
   }
 
   test("graft_eqcount and graft_hexhamming are callable from SQL") {

@@ -19,6 +19,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the automatic half of q42's salting)") {
+    // q42 documents manual salting as the explicit tool for extreme skew;
+    // this pins the AUTOMATIC path the scaladoc points to: with AQE skew
+    // handling on, a hot join key is split across reducers at runtime
+    // with no query rewrite. Isolated session — suites share one
+    // SparkSession in parallel, so thresholds must not leak.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    // one hot key (0) carrying 200k of 201k fact rows against a 1001-row dim
+    val fact = s.range(200000).selectExpr("0L AS k", "id AS v")
+      .union(s.range(1000).selectExpr("id + 1 AS k", "id AS v"))
+    val dim = s.range(1001).selectExpr("id AS k", "id * 7 AS w")
+    val joined = fact.join(dim, "k")
+    // execute THIS dataframe's queryExecution (count() would plan a
+    // separate query and leave joined's adaptive plan unfinalized)
+    assert(joined.collect().length === 201000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("skewed"),
+      s"expected a runtime skew-split join in:\n${plan.take(4000)}")
+    // and the split is semantics-invisible: totals match the closed form
+    // (every fact row joins exactly one dim row; w = 7k)
+    val agg = joined.groupBy().sum("v", "w").head()
+    assert(agg.getLong(0) === (0L until 200000L).sum + (0L until 1000L).sum)
+    assert(agg.getLong(1) === 7L * (1L to 1000L).sum)
+  }
+
   test("q11 plan: lineitem pre-aggregates before the join, no expand for countDistinct") {
     val df = Relational.revenueByNation(spark, sf0001)
     df.collect()
