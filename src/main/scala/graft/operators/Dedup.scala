@@ -753,10 +753,16 @@ object Dedup {
     * unset) is >= 0. Token multiplicity counts (true SimHash weighting).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashUnordered(spark, dir).orderBy("doc_id")
+
+  /** [[simhash]] without the presentation sort — the form pipelines
+    * compose ([[simhashNearPairs]]): the q30 output contract orders by
+    * doc_id, but a consumer that immediately re-shuffles (band groupBy)
+    * must not pay a full range exchange for cosmetic order first. */
+  private def simhashUnordered(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         ColumnBridge.of(Simhash64(ColumnBridge.expr(split(col("text"), "\\s+")))).as("simhash"))
-      .orderBy("doc_id")
 
   /** Hamming-near SimHash pairs: block the 16 hex digits into 4 bands of
     * 4 digits; candidates share a band (pigeonhole: any pair within
@@ -765,7 +771,7 @@ object Dedup {
     * [[MaxBucket]] like the MinHash path (mirrored in the oracle). */
   def simhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
     Diagnostics.install(spark)
-    val sh = simhash(spark, dir).select(col("doc_id"), col("simhash"))
+    val sh = simhashUnordered(spark, dir)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> substr(simhash, b*4 + 1, 4))")).as(Seq("band_idx", "band_val")))
     // native codegen'd hex-Hamming (bit-identical to the instr/bit_count

@@ -224,13 +224,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_gate_keep")).sum === gateKeep)
   }
 
-  test("q101: SQL-text simhash pairs equal the DataFrame form row-for-row") {
+  test("q101: SQL-text simhash pairs equal the DataFrame form row-for-row, at the same plan cost") {
     import graft.operators.{Dedup, PipelineSql}
-    val viaSql = PipelineSql.sqlSimhashNearPairs(spark, sf0001).collect().toSeq
-    val viaDf = Dedup.simhashNearPairs(spark, sf0001)
-      .select("d1", "d2", "hamming").collect().toSeq
+    val sqlDf = PipelineSql.sqlSimhashNearPairs(spark, sf0001)
+    val dfDf = Dedup.simhashNearPairs(spark, sf0001).select("d1", "d2", "hamming")
+    val viaSql = sqlDf.collect().toSeq
+    val viaDf = dfDf.collect().toSeq
     assert(viaSql === viaDf)
     assert(viaSql.nonEmpty, "fixture should contain hamming-near pairs")
+    // the view/SQL boundary dissolves at analysis time: the text form must
+    // not pay any exchange the DataFrame form doesn't (bucket groupBy,
+    // pair distinct, final sort — and nothing else)
+    def nExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange"))
+    assert(nExchanges(sqlDf) === nExchanges(dfDf))
   }
 
   test("q76/q88 read the ONE persisted span-digest table, never re-exploding the corpus") {
@@ -612,7 +619,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q88_source_contamination", "q89_cluster_safe_split", "q90_curation_gate",
       "q91_bpe_first_merge", "q92_stratified_topk", "q93_training_manifest",
       "q72_incremental_neardup", "q73_semantic_dedup",
-      "q74_bloom_incremental_dedup") // q74 NPE'd here before the empty-filter guard
+      "q74_bloom_incremental_dedup", // q74 NPE'd here before the empty-filter guard
+      "q100_sql_pipeline_report", "q101_sql_simhash_pairs") // SQL-text surface
     ops.foreach { n =>
       assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
     }
