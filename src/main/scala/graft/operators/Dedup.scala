@@ -36,12 +36,18 @@ object Dedup {
     * as the canonical representative (deterministic, unlike
     * dropDuplicates). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupUnordered(spark, dir).orderBy("text_md5")
+
+  /** [[exactDedup]] without the presentation sort — for composition
+    * (q100's view joins on the digest and re-shuffles anyway; the
+    * ordered form is q27's verify contract, positional against the
+    * oracle's ORDER BY). */
+  private[graft] def exactDedupUnordered(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("text_md5"))
       .agg(
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
-      .orderBy("text_md5")
 
   /** q68 — INCREMENTAL exact dedup: a new batch of documents probed
     * against the already-deduplicated corpus index, the pattern that keeps
@@ -217,7 +223,14 @@ object Dedup {
     * (doc, shingle) postings by shingle; lists with df > [[MaxShingleDf]]
     * are dropped (stop-phrases — they would expand O(df²) pairs and carry
     * no near-dup signal); pairs expand in-array, bounded per shingle. */
-  def nearDupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupJaccard(spark: SparkSession, dir: String): DataFrame =
+    nearDupJaccardUnordered(spark, dir).orderBy("d1", "d2")
+
+  /** [[nearDupJaccard]] without the presentation sort (q28's positional
+    * verify contract) — [[nearDupLabels]] feeds the pair graph straight
+    * into CC rounds that re-shuffle it, so a range exchange of every
+    * pair first would be pure waste. */
+  private def nearDupJaccardUnordered(spark: SparkSession, dir: String): DataFrame = {
     val postings = shingles(spark, dir)
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
@@ -241,7 +254,6 @@ object Dedup {
         (col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter"))).as("j"))
       .where(col("j") >= 0.6)
       .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** Near-dup CLUSTERS: connected components over the [[nearDupJaccard]]
@@ -361,7 +373,7 @@ object Dedup {
     val path = Warehouse + "/neardup_labels_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxCcIters)
     if (!graft.sources.Artifacts.isBuilt(spark, path)) {
-      val pairs = nearDupJaccard(spark, dir).select(col("d1"), col("d2"))
+      val pairs = nearDupJaccardUnordered(spark, dir).select(col("d1"), col("d2"))
       val (labels, _, _) = connectedComponents(pairs.toDF("src", "dst"), MaxCcIters)
       labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
         .write.mode("overwrite").parquet(path)
@@ -556,14 +568,21 @@ object Dedup {
     * happens); [[minhashLshPairs]] (xxhash production twin) stays fully
     * live per call and carries the always-on metric. Same single-writer
     * check-then-write contract as [[nearDupLabels]]. */
-  def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame =
+    lshPairsTable(spark, dir).orderBy("d1", "d2")
+
+  /** The persisted survivor-pair artifact, read WITHOUT q29c's
+    * presentation sort — the composition form ([[minhashCalibration]]
+    * re-aggregates the pairs; q100's view joins them) must not pay a
+    * range exchange of the pair set first. */
+  private[graft] def lshPairsTable(spark: SparkSession, dir: String): DataFrame = {
     val path = Warehouse + "/lsh_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), NumPerm * 1000 + MaxBucket)
     if (!graft.sources.Artifacts.isBuilt(spark, path)) {
       lshPairsFromSignatures(portableSignatures(spark, dir), "q29c_lsh_buckets")
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path).orderBy("d1", "d2")
+    spark.read.parquet(path)
   }
 
   /** Oracle-checkable MinHash signatures: the portable signatures
@@ -900,7 +919,7 @@ object Dedup {
     // each consumer is a cheap re-scan of the tiny survivor table — the
     // localCheckpoint that used to stop the signature pipeline replaying
     // is dead weight now
-    val p = minhashLshPairsPortable(spark, dir)
+    val p = lshPairsTable(spark, dir)
       .select(col("d1"), col("d2"), round(col("est_jaccard") * 64).cast("long").as("matches"))
     // confine the exact-set work to candidate docs BEFORE any (doc,
     // shingle) shuffle: the broadcast semi-join prunes the corpus-wide

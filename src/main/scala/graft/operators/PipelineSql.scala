@@ -41,10 +41,14 @@ object PipelineSql {
   def registerPipelineViews(spark: SparkSession, dir: String): Unit = {
     Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
-    Dedup.exactDedup(spark, dir).createOrReplaceTempView("exact_dedup_v")
-    Dedup.minhashLshPairsPortable(spark, dir).createOrReplaceTempView("lsh_candidates_v")
+    // unordered composition forms: a view consumed by joins/aggregates
+    // must not carry its query's presentation sort (the positional
+    // verify contracts live on the qNN entries, not here)
+    Dedup.exactDedupUnordered(spark, dir).createOrReplaceTempView("exact_dedup_v")
+    Dedup.lshPairsTable(spark, dir).createOrReplaceTempView("lsh_candidates_v")
     TextAnalysis.bm25TopDocs(spark, dir).createOrReplaceTempView("bm25_top_v")
-    TextAnalysis.curationGate(spark, dir).createOrReplaceTempView("curation_gate_v")
+    TextAnalysis.curationGateOf(spark, dir, Tables.documents(spark, dir))
+      .createOrReplaceTempView("curation_gate_v")
   }
 
   /** q100 — per-source curation decision report, written as PURE SQL

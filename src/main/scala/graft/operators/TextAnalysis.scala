@@ -772,6 +772,12 @@ object TextAnalysis {
     * cluster keepers as the hash key instead — same operator, different
     * key column. */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitUnordered(spark, dir).orderBy("doc_id")
+
+  /** [[leakageSafeSplit]] without the presentation sort — the
+    * composition form ([[trainingManifest]] joins it on doc_id and
+    * re-shuffles). */
+  private[graft] def leakageSafeSplitUnordered(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
@@ -781,7 +787,6 @@ object TextAnalysis {
           .when(pmod(col("hv"), lit(100)) < 90, "val")
           .otherwise("test"))
       .select("doc_id", "content_md5", "split")
-      .orderBy("doc_id")
 
   /** Shard count for [[shardManifest]] — data-parallel reader count in a
     * training job; at real scale this is the number of input workers. */
@@ -867,7 +872,13 @@ object TextAnalysis {
     * q60's centroids), the apply is ONE token-keyed join that cannot
     * amplify (cnt is unique per token) plus a doc-keyed re-agg; the
     * model total rides in as a 1-row scalar broadcast. */
-  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisalUnordered(spark, dir).orderBy("doc_id")
+
+  /** [[lmSurprisal]] without the presentation sort — the composition
+    * form ([[surprisalSweep]] immediately re-aggregates the per-doc
+    * scores into a histogram). */
+  private[graft] def lmSurprisalUnordered(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
     val isTrain = pmod(col("doc_id") * lit(2654435761L), lit(100)) >= 20
@@ -888,7 +899,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
         sum(col("bits")).as("sum_bits"))
       .withColumn("bits_x100", expr("(100L * sum_bits) div n_tokens"))
-      .orderBy("doc_id")
   }
 
   /** [[curationGate]] thresholds: minimum tokens, top-token share divisor
@@ -921,14 +931,17 @@ object TextAnalysis {
     * exactly q70/q85's shape — composing four signals costs no extra
     * pass. */
   def curationGate(spark: SparkSession, dir: String): DataFrame =
-    curationGateOf(spark, dir, Tables.documents(spark, dir))
+    curationGateOf(spark, dir, Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** [[curationGate]] over an ARBITRARY batch of documents, scored with
     * the model trained on `dir`'s hash train split — the frozen-model
     * apply-side the streaming twin
     * ([[graft.streaming.StreamingAnalytics.gateVerdictsPerBatch]]) runs
     * per micro-batch. Batch-decomposable by construction: the model is a
-    * pure function of the CORPUS, every signal per-doc. */
+    * pure function of the CORPUS, every signal per-doc. UNORDERED —
+    * q90's positional verify contract lives on [[curationGate]]; the
+    * per-micro-batch and view consumers must not pay a sort they
+    * immediately destroy. */
   def curationGateOf(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val corpusToks = Tables.documents(spark, dir)
@@ -968,7 +981,6 @@ object TextAnalysis {
       .withColumn("keep", col("fail_mask") === 0L)
       .select("doc_id", "n_tokens", "top_tok_cnt", "oov_permille", "bits_x100",
         "fail_mask", "keep")
-      .orderBy("doc_id")
   }
 
   /** Docs kept per stratum in [[stratifiedTopK]]. */
@@ -1016,7 +1028,7 @@ object TextAnalysis {
     * size (q79's bounded-window argument). */
   def surprisalSweep(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = lmSurprisal(spark, dir)
+    val hist = lmSurprisalUnordered(spark, dir)
       .select((expr(s"bits_x100 div $SweepBucket") * SweepBucket).as("bucket_lo"))
       .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
     val ord = Window.orderBy("bucket_lo")
@@ -1112,8 +1124,9 @@ object TextAnalysis {
     * shuffle-free, the q67 CDC argument). Composing three stages adds
     * ONE join to the gate's plan. */
   def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
-    val split = leakageSafeSplit(spark, dir).select(col("doc_id"), col("split"))
-    val gate = curationGate(spark, dir).select(col("doc_id"), col("fail_mask"), col("keep"))
+    val split = leakageSafeSplitUnordered(spark, dir).select(col("doc_id"), col("split"))
+    val gate = curationGateOf(spark, dir, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("fail_mask"), col("keep"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), lit(true).as("has_embedding"))
     split.join(gate, Seq("doc_id"))
