@@ -204,9 +204,34 @@ object Dedup {
     rawShinglesOf(Tables.documents(spark, dir))
 
   /** Distinct word-3-gram shingles per document (set semantics for the
-    * inverted-index Jaccard join). */
+    * inverted-index Jaccard join), as 16-byte md5 DIGESTS from the
+    * persisted [[shingleDigests]] table — the q76 span-table play for
+    * the 3-gram family: q28's posting lists, the q29b/q29c signature
+    * builds, and q99's exact-Jaccard recompute all re-derived the same
+    * tokenize→3-gram explode before this table existed. Digests are
+    * md5-injective over the corpus (the [[TextAnalysis.spanDigests]]
+    * argument), so every count/equality downstream is unchanged; the
+    * DuckDB oracles keep deriving from raw text every verify run, so the
+    * artifact is re-gated, never frozen. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    rawShingles(spark, dir).distinct()
+    shingleDigests(spark, dir).select(col("doc_id"), col("gh").as("sh"))
+
+  /** The persisted distinct (doc_id, 3-gram digest) artifact. Same
+    * fingerprint + check-then-write single-writer contract as the LSH
+    * index / cluster labels / span digests (see [[nearDupLabels]]'s
+    * scaladoc for the single-writer note). At 100 TB this is the
+    * corpus-sized table you'd bucket by digest. */
+  private[graft] def shingleDigests(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/shingle_digests_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 3)
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
+      rawShingles(spark, dir)
+        .select(col("doc_id"), unhex(md5(col("sh"))).as("gh"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Document-frequency cutoff for [[nearDupJaccard]]: shingles shared by
     * more than this many documents are dropped from the representation
@@ -419,9 +444,11 @@ object Dedup {
   }
 
   /** Diagnostic: the stop-shingles [[nearDupJaccard]]'s df cutoff drops
-    * (shingle + its document frequency). Empty on clean corpora. */
+    * (shingle + its document frequency). Empty on clean corpora.
+    * Text-derived (not the digest table): the whole point is showing a
+    * human WHICH shingles are hot. */
   def hotShingles(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
+    rawShingles(spark, dir).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") > MaxShingleDf)
       .orderBy(col("df").desc, col("sh"))
@@ -479,12 +506,19 @@ object Dedup {
     * (reproducible in DuckDB). */
   private val portableShingleHash = "CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
 
-  /** Oracle-portable signatures: md5-based shingle hashes. Raw
-    * (non-distinct) shingles: min() is duplicate-insensitive, so the
-    * distinct() exchange the Jaccard path needs would be a wasted shuffle
-    * here too. */
+  /** Oracle-portable signatures for the CORPUS: hash values derived from
+    * the persisted [[shingleDigests]] table — `conv(substr(hex(gh),1,8))`
+    * equals `conv(substr(md5(sh),1,8))` by construction (the digest IS
+    * md5(sh); conv is case-insensitive), so signatures are bit-identical
+    * to the text-derived path and the q29b/q29c oracles are unchanged.
+    * min() is duplicate-insensitive, so the table's per-doc distinct is
+    * as good as raw multiplicity. Batch/streaming forms
+    * ([[portableSignaturesOf]]) stay text-derived: an arbitrary batch has
+    * no artifact. */
   private def portableSignatures(spark: SparkSession, dir: String): DataFrame =
-    portableSignaturesOf(Tables.documents(spark, dir))
+    signaturesFromHash(
+      shingleDigests(spark, dir).select(col("doc_id"), col("gh").as("sh")),
+      expr("CAST(conv(substr(hex(sh), 1, 8), 16, 10) AS BIGINT)"))
 
   private def portableSignaturesOf(docs: DataFrame): DataFrame =
     signaturesFromHash(rawShinglesOf(docs), expr(portableShingleHash))
