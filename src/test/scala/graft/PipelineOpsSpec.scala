@@ -254,6 +254,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q28/q99 read the ONE persisted shingle-digest table, never re-exploding the corpus") {
+    import graft.operators.Dedup
+    // same compute-once contract as the span table, for the 3-gram family
+    assert(Dedup.shingleDigests(spark, sf0001).count() > 0L)
+    for (df <- Seq(Dedup.nearDupJaccard(spark, sf0001),
+                   Dedup.minhashCalibration(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("shingle_digests_"), "shingle consumer must read the persisted digest table")
+      assert(!plan.contains("documents.parquet"), "shingle consumer must not re-explode the corpus")
+    }
+  }
+
   test("q77: RRF fusion matches a driver-side recompute of both arms") {
     import graft.operators.Similarity
     val out = Similarity.hybridRrfTopDocs(spark, sf0001).collect()
