@@ -84,6 +84,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(gen.toSeq === interp.toSeq)
   }
 
+  test("graft_zorder2 is callable from SQL and interleaves bits") {
+    // zorder2(1, 0) = morton(01, 00) -> x-bit in position 0 only
+    val z = spark.sql(
+      "SELECT graft_zorder2(1L, 0L) AS z, graft_zorder2(0L, 1L) AS z2, graft_zorder2(0L, 0L) AS z0").head()
+    assert(z.getLong(0) === 1L) // bit i of a -> bit 2i
+    assert(z.getLong(1) === 2L) // bit i of b -> bit 2i+1
+    assert(z.getLong(2) === 0L)
+  }
+
+  test("graft_winnow_min rejects a non-literal window at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow_min(array(1L, 2L), CAST(id AS INT)) FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("graft_eqcount and graft_hexhamming are callable from SQL") {
     val eq = spark.sql(
       "SELECT graft_eqcount(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS c").head().getInt(0)
