@@ -649,7 +649,7 @@ object Dedup {
   // ------------------------------------------------------------------
 
   private val IndexDb = "graft_lsh"
-  private val Warehouse = "/tmp/graft_warehouse"
+  private val Warehouse = graft.sources.Artifacts.Warehouse
   private val batchPredicate = pmod(col("doc_id"), lit(10)) === 9
 
   /** One-time build of the corpus band-bucket index (corpus = the q68
@@ -672,12 +672,8 @@ object Dedup {
     val fp = graft.sources.Bucketing.fingerprint(dir, Seq("documents"), numBuckets)
     val table = s"$IndexDb.lsh_bands_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$fp"
     if (!spark.catalog.tableExists(table)) {
-      val loc = new java.io.File(Warehouse, table.stripPrefix(s"$IndexDb."))
-      if (loc.exists()) {
-        val fs = new org.apache.hadoop.fs.Path(loc.getPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(loc.getPath), true)
-      }
+      graft.sources.Artifacts.deleteIfExists(
+        spark, s"$Warehouse/${table.stripPrefix(s"$IndexDb.")}")
       val corpus = Tables.documents(spark, dir).where(!batchPredicate)
       bandKeysOf(portableSignaturesOf(corpus))
         .withColumn("rn", row_number().over(

@@ -350,7 +350,7 @@ object Similarity {
   private[graft] val BatchResidue = 8L
 
   private def modelPath(dir: String, iters: Int, corpusOnly: Boolean): String =
-    "/tmp/graft_warehouse/ivf_model_" + (if (corpusOnly) s"corpus${BatchResidue}_" else "") +
+    graft.sources.Artifacts.Warehouse + "/ivf_model_" + (if (corpusOnly) s"corpus${BatchResidue}_" else "") +
       dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), iters)
 

@@ -310,7 +310,7 @@ object TextAnalysis {
     * downstream is unchanged. At 100 TB this table is the corpus-sized
     * artifact you'd bucket by digest; here it is a plain parquet dir. */
   private[graft] def spanDigests(spark: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_warehouse/span_digests_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+    val path = graft.sources.Artifacts.Warehouse + "/span_digests_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), SpanWidth)
     if (!graft.sources.Artifacts.isBuilt(spark, path)) {
       Tables.documents(spark, dir)

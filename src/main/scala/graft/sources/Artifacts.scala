@@ -34,9 +34,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Artifacts {
 
+  /** Root of every persisted derived artifact (and the `graft_*`
+    * databases' LOCATION). One definition so a deployment relocates the
+    * whole artifact tree — e.g. onto `s3a://bucket/graft` — by changing
+    * one constant; every probe/delete in this object already resolves
+    * through the owning FileSystem, so nothing else assumes local disk.
+    */
+  val Warehouse = "/tmp/graft_warehouse"
+
   /** True iff `path/_SUCCESS` exists on the FileSystem owning `path`. */
   def isBuilt(spark: SparkSession, path: String): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
+  }
+
+  /** Recursively delete `path` if present — the stale-directory sweep
+    * before a `saveAsTable` whose catalog entry is gone but whose files
+    * survived (e.g. a dropped metastore with an intact warehouse).
+    * Resolved through the owning FileSystem for the same reason as
+    * [[isBuilt]]; delete on a missing path is a no-op.
+    */
+  def deleteIfExists(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

@@ -40,7 +40,7 @@ object Bucketing {
     math.max(cores, math.ceil(bytes.toDouble / TargetBucketBytes).toInt)
   }
 
-  private val Warehouse = "/tmp/graft_warehouse"
+  private val Warehouse = Artifacts.Warehouse
   private val Db = "graft_bucketed"
 
   private[graft] def sourceFiles(dir: String, tables: Seq[String]): Seq[java.io.File] =
@@ -83,12 +83,7 @@ object Bucketing {
     val l = tname("lineitem", dir, fp)
     def write(table: String, df: => org.apache.spark.sql.DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(table)) {
-        val loc = new java.io.File(Warehouse, table.stripPrefix(s"$Db."))
-        if (loc.exists()) {
-          val fs = new org.apache.hadoop.fs.Path(loc.getPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(loc.getPath), true)
-        }
+        Artifacts.deleteIfExists(spark, s"$Warehouse/${table.stripPrefix(s"$Db.")}")
         df.repartition(numBuckets, col(key))
           .write.mode("overwrite").format("parquet")
           .bucketBy(numBuckets, key).sortBy(key)

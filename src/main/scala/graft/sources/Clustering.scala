@@ -48,7 +48,7 @@ object Clustering {
     math.max(cores, math.ceil(bytes.toDouble / TargetFileBytes).toInt)
   }
 
-  private val Warehouse = "/tmp/graft_warehouse"
+  private val Warehouse = Artifacts.Warehouse
 
   /** Layout-code version — bump when the copy's schema or sort changes
     * (the content fingerprint only tracks the SOURCE data). */

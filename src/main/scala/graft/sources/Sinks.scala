@@ -16,7 +16,7 @@ import graft.functions.Det
   * small-file explosion being the classic partitioned-sink mistake. */
 object Sinks {
 
-  private val Warehouse = "/tmp/graft_warehouse"
+  private val Warehouse = Artifacts.Warehouse
 
   /** Location keyed by the source's content fingerprint (see
     * [[Bucketing.fingerprint]]) so sanitized dir names can't collide and
