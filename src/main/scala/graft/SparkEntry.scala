@@ -140,6 +140,7 @@ object SparkEntry {
     // over temp views of the flagship LLM ops (q59's contract extended)
     "q100_sql_pipeline_report" -> ((s, d) => PipelineSql.curationReport(s, d)),
     "q101_sql_simhash_pairs" -> ((s, d) => PipelineSql.sqlSimhashNearPairs(s, d)),
+    "q102_sql_knn_brute" -> ((s, d) => PipelineSql.sqlKnnBrute(s, d)),
   )
 
   /** Jaccard over df-filtered shingle sets (shared by q28 and the q61
@@ -206,6 +207,28 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  /** Shared oracle for q33 (DataFrame API) and q102 (pure spark.sql text
+    * over embeddings_v) — brute-force cosine top-5 with the exact-decimal
+    * dot product, the ANN-baseline contract both API surfaces must hit. */
+  private val knnBruteOracleSql: String =
+    """WITH nr AS (
+      |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, nr.nrm AS qn
+      |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id WHERE e.vec_id <= 4),
+      |c AS (SELECT e.vec_id AS n_id, e.embedding AS ne, nr.nrm AS nn
+      |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+      |u AS (SELECT q_id, n_id, qn, nn, unnest(qe) AS x, unnest(ne) AS y
+      |      FROM q JOIN c ON q_id <> n_id),
+      |s AS (SELECT q_id, n_id,
+      |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+      |          / (any_value(qn) * any_value(nn)) AS cos_sim
+      |      FROM u GROUP BY q_id, n_id),
+      |r AS (SELECT q_id, n_id, cos_sim,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+      |      FROM s)
+      |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Shared oracle for q31 (DataFrame API) and q101 (pure spark.sql text
     * over the registered native functions) — identical output contract,
@@ -1393,24 +1416,11 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)/COUNT(*) AS centroid
         |FROM (SELECT label, unnest(range(1, 65)) AS dim, unnest(embedding) AS v FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
-    "q33_knn_brute" ->
-      """WITH nr AS (
-        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
-        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-        |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, nr.nrm AS qn
-        |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id WHERE e.vec_id <= 4),
-        |c AS (SELECT e.vec_id AS n_id, e.embedding AS ne, nr.nrm AS nn
-        |      FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
-        |u AS (SELECT q_id, n_id, qn, nn, unnest(qe) AS x, unnest(ne) AS y
-        |      FROM q JOIN c ON q_id <> n_id),
-        |s AS (SELECT q_id, n_id,
-        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
-        |          / (any_value(qn) * any_value(nn)) AS cos_sim
-        |      FROM u GROUP BY q_id, n_id),
-        |r AS (SELECT q_id, n_id, cos_sim,
-        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
-        |      FROM s)
-        |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q33_knn_brute" -> knnBruteOracleSql,
+    // q102: the same query as PURE spark.sql text over embeddings_v —
+    // identical dot-product fragment, identical output contract, so the
+    // oracle is shared verbatim with q33 (one definition, two APIs)
+    "q102_sql_knn_brute" -> knnBruteOracleSql,
     // Exact all-pairs baseline pinned to a CONSTANT-size audit slice:
     // vec_id % ceil(n/128) = 0 keeps ~128 rows at ANY corpus size, so the
     // O(n²) kernel never grows with the data at top level; the flagship

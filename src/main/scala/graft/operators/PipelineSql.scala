@@ -125,4 +125,34 @@ object PipelineSql {
         |FROM pairs WHERE graft_hexhamming(p.h1, p.h2) <= 6
         |ORDER BY d1, d2""".stripMargin)
   }
+
+  /** q102 — brute-force cosine top-5 (the q33 ANN baseline) as PURE SQL
+    * TEXT over `embeddings_v`: the vector arm of the SQL-reachability
+    * contract (q59 relational, q100 pipeline composition, q101 native
+    * sketch functions). The dot products are the SAME
+    * [[Similarity.dotDec]] zip_with/aggregate exact-decimal fragment the
+    * DataFrame form parses via `expr(...)`, so cos_sim is bit-identical
+    * by construction and q102 shares q33's oracle verbatim. The
+    * BROADCAST hint on the ≤5-row query side mirrors the DataFrame
+    * form's explicit `broadcast(q)` — at 100 TB the corpus side stays a
+    * map-side scan and the only shuffle is the per-query top-k window. */
+  def sqlKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      s"""WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(${Similarity.dotDec("embedding", "embedding")}) AS nrm
+        |  FROM embeddings_v),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+        |      FROM n WHERE vec_id <= 4),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(q) */ q.q_id, n.vec_id AS n_id,
+        |         ${Similarity.dotDec("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos_sim
+        |  FROM n JOIN q ON q.q_id <> n.vec_id),
+        |r AS (SELECT q_id, n_id, cos_sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS BIGINT) AS rank
+        |      FROM scored)
+        |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)
+  }
 }

@@ -34,7 +34,7 @@ object Similarity {
     * still rounds each float product deterministically on both engines.
     * The merge lambda re-casts because Spark's decimal addition widens
     * the type; the value always fits (|dot| ≤ 64). */
-  private def dotDec(a: String, b: String): String =
+  private[graft] def dotDec(a: String, b: String): String =
     s"""CAST(ROUND(aggregate(
        |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
        |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin

@@ -240,6 +240,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nExchanges(sqlDf) === nExchanges(dfDf))
   }
 
+  test("q102: SQL-text brute knn equals the DataFrame q33 row-for-row, broadcast preserved") {
+    import graft.operators.{PipelineSql, Similarity}
+    val sqlDf = PipelineSql.sqlKnnBrute(spark, sf0001)
+    val dfDf = Similarity.knnBrute(spark, sf0001)
+    val viaSql = sqlDf.collect().toSeq
+    val viaDf = dfDf.collect().toSeq
+    assert(viaSql === viaDf)
+    assert(viaSql.length === 25, "5 queries x top-5")
+    // the text form must keep the DataFrame form's physical shape: the
+    // tiny query side broadcast (never a shuffled join) and no extra
+    // exchanges beyond the top-k window + final sort
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    assert(plan(sqlDf).contains("BroadcastNestedLoopJoin") || plan(sqlDf).contains("BroadcastHashJoin"),
+      "query side must broadcast in the SQL form")
+    def nExchanges(df: org.apache.spark.sql.DataFrame) =
+      plan(df).linesIterator.count(_.contains("Exchange"))
+    assert(nExchanges(sqlDf) === nExchanges(dfDf))
+  }
+
   test("q76/q88 read the ONE persisted span-digest table, never re-exploding the corpus") {
     // force the build once; afterwards every span consumer's plan must
     // scan the fingerprinted digest table instead of documents.parquet
@@ -632,7 +651,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q91_bpe_first_merge", "q92_stratified_topk", "q93_training_manifest",
       "q72_incremental_neardup", "q73_semantic_dedup",
       "q74_bloom_incremental_dedup", // q74 NPE'd here before the empty-filter guard
-      "q100_sql_pipeline_report", "q101_sql_simhash_pairs") // SQL-text surface
+      "q100_sql_pipeline_report", "q101_sql_simhash_pairs",
+      "q102_sql_knn_brute") // SQL-text surface
     ops.foreach { n =>
       assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
     }
