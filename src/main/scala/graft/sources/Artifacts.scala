@@ -52,11 +52,12 @@ object Artifacts {
     * before a `saveAsTable` whose catalog entry is gone but whose files
     * survived (e.g. a dropped metastore with an intact warehouse).
     * Resolved through the owning FileSystem for the same reason as
-    * [[isBuilt]]; delete on a missing path is a no-op.
+    * [[isBuilt]]; `FileSystem.delete` on a missing path is already a
+    * no-op, so no existence probe (one round-trip, no check-then-act
+    * window on an object store).
     */
   def deleteIfExists(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 }

@@ -250,10 +250,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaSql.length === 25, "5 queries x top-5")
     // the text form must keep the DataFrame form's physical shape: the
     // tiny query side broadcast (never a shuffled join) and no extra
-    // exchanges beyond the top-k window + final sort
+    // exchanges beyond the top-k window + final sort. Both forms join
+    // (corpus, query) in that child order — the non-equi join plans as
+    // BroadcastNestedLoopJoin and BuildRight pins WHICH side broadcasts:
+    // the ≤5-row query set, never the corpus (the 100 TB contract; a
+    // dropped hint that let Spark broadcast the corpus side would plan
+    // BuildLeft and still pass a mere contains("BroadcastNestedLoopJoin"))
     def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
-    assert(plan(sqlDf).contains("BroadcastNestedLoopJoin") || plan(sqlDf).contains("BroadcastHashJoin"),
-      "query side must broadcast in the SQL form")
+    for (p <- Seq(plan(sqlDf), plan(dfDf)))
+      assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+        "the query side (right child) must be the broadcast build side")
     def nExchanges(df: org.apache.spark.sql.DataFrame) =
       plan(df).linesIterator.count(_.contains("Exchange"))
     assert(nExchanges(sqlDf) === nExchanges(dfDf))
