@@ -122,16 +122,8 @@ object SparkEntry {
     // Multimodal codec-free decode pipeline + CLF parity fixtures
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q96_media_thumbnails" -> ((s, d) => Multimodal.mediaThumbnails(s, d)),
-    "q37_clf_parse"       -> ((s, _) => {
-      import s.implicits._
-      graft.clf.LogParser.validLines(s.createDataset(graft.clf.LogParser.FixtureLines).toDF("value"))
-        .orderBy("raw")
-    }),
-    "q38_clf_dead_letters" -> ((s, _) => {
-      import s.implicits._
-      graft.clf.LogParser.deadLetters(s.createDataset(graft.clf.LogParser.FixtureLines).toDF("value"))
-        .orderBy("raw")
-    }),
+    "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
+    "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
     // against DuckDB's regexp engine running the same 13-group pattern.
     "q37b_clf_parse_volume" -> ((s, _) => graft.clf.LogCorpus.parsedValidVolume(s)),
@@ -1544,5 +1536,7 @@ object SparkEntry {
         |SELECT q_id, n_id, approx_dot, rank, cos_exact FROM f ORDER BY q_id, rank""".stripMargin,
     "q37b_clf_parse_volume" -> clf.LogCorpus.validOracleSql,
     "q38b_clf_dead_letters_volume" -> clf.LogCorpus.deadOracleSql,
+    "q37_clf_parse" -> clf.LogCorpus.fixtureValidOracleSql,
+    "q38_clf_dead_letters" -> clf.LogCorpus.fixtureDeadOracleSql,
   )
 }

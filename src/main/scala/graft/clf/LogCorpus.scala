@@ -117,17 +117,26 @@ object LogCorpus {
   /** The corpus as a DuckDB FROM clause. */
   private val FromCorpus = s"read_parquet('$Path/*.parquet')"
 
-  /** DuckDB twin of [[parsedValidVolume]]: the same regex (RE2 and
-    * java.util.regex agree on this pattern class). DuckDB's positional
-    * regexp_extract caps at group 9, so all 13 groups come out in one
-    * shot via the named-struct variant. */
-  def validOracleSql: String =
-    s"""WITH src AS (SELECT line_id, value,
+  /** Shared DuckDB re-expression of the 13-group parse over an arbitrary
+    * `value`-columned relation — ONE SQL text serves the 1.57M-line
+    * corpus (q37b) and the embedded 10-line fixture (q37), so the
+    * fixture gate exercises exactly the SQL the volume gate proved
+    * portable. `idCols` ride through unchanged ahead of the parsed
+    * fields; `refBuggy` additionally emits the reference's
+    * seconds-as-millis value (`ts_ref_millis` = `ts_sec` — the bug IS
+    * that the epoch-seconds number is used as a millis count, so the
+    * oracle states the equality outright; DuckDB lateral alias
+    * references make that a one-liner). */
+  private def validParseSql(relation: String, idCols: Seq[String], orderCol: String,
+      refBuggy: Boolean): String = {
+    val ids = idCols.map(_ + ", ").mkString
+    val refCol = if (refBuggy) "\n  ts_sec AS ts_ref_millis," else ""
+    s"""WITH src AS (SELECT ${ids}value,
        |    regexp_extract(value, '${LogParser.Pattern}',
        |      ['host','day','month','year','hour','minute','second','timezone',
        |       'httpMethod','ressource','httpVersion','httpReplyCode','replyBytes']) AS g
-       |  FROM $FromCorpus WHERE regexp_matches(value, '${LogParser.Pattern}')),
-       |p AS (SELECT line_id, value AS raw,
+       |  FROM $relation WHERE regexp_matches(value, '${LogParser.Pattern}')),
+       |p AS (SELECT ${ids}value AS raw,
        |  g.host AS host,
        |  CAST(g.day AS INT) AS day,
        |  g.month AS month,
@@ -139,17 +148,42 @@ object LogCorpus {
        |  CAST(FLOOR(EPOCH(strptime(
        |    g.day || '/' || g.month || '/' || g.year || ' ' ||
        |    g.hour || ':' || g.minute || ':' || g.second || ' ' || g.timezone,
-       |    '%d/%b/%Y %H:%M:%S %z'))) AS BIGINT) AS ts_sec,
+       |    '%d/%b/%Y %H:%M:%S %z'))) AS BIGINT) AS ts_sec,$refCol
        |  g.httpMethod AS httpMethod,
        |  g.ressource AS ressource,
        |  g.httpVersion AS httpVersion,
        |  CAST(g.httpReplyCode AS INT) AS httpReplyCode,
        |  TRY_CAST(g.replyBytes AS INT) AS replyBytes
        |FROM src)
-       |SELECT * FROM p ORDER BY line_id""".stripMargin
+       |SELECT * FROM p ORDER BY $orderCol""".stripMargin
+  }
+
+  /** DuckDB twin of [[parsedValidVolume]]: the same regex (RE2 and
+    * java.util.regex agree on this pattern class). DuckDB's positional
+    * regexp_extract caps at group 9, so all 13 groups come out in one
+    * shot via the named-struct variant. */
+  def validOracleSql: String =
+    validParseSql(FromCorpus, Seq("line_id"), "line_id", refBuggy = false)
 
   /** DuckDB twin of [[deadLettersVolume]]. */
   def deadOracleSql: String =
     s"""SELECT line_id, value AS raw FROM $FromCorpus
        |WHERE NOT regexp_matches(value, '${LogParser.Pattern}') ORDER BY line_id""".stripMargin
+
+  /** The FIXTURES.md §A corpus as a DuckDB VALUES relation. The lines are
+    * printable ASCII with no single quotes (ClfParserSpec pins that — the
+    * SQL embedding below is only valid under it). */
+  private val FixtureValues: String =
+    LogParser.FixtureLines.map(l => s"('$l')").mkString("(VALUES ", ", ", ") t(value)")
+
+  /** DuckDB twin of q37 (the fixture parse, [[LogParser.FixtureLines]]
+    * through the identical parse SQL as q37b, keyed by `raw` — the
+    * fixture lines are pairwise distinct). */
+  def fixtureValidOracleSql: String =
+    validParseSql(FixtureValues, Nil, "raw", refBuggy = true)
+
+  /** DuckDB twin of q38 (the fixture dead-letter stream). */
+  def fixtureDeadOracleSql: String =
+    s"""SELECT value AS raw FROM $FixtureValues
+       |WHERE NOT regexp_matches(value, '${LogParser.Pattern}') ORDER BY raw""".stripMargin
 }

@@ -145,6 +145,32 @@ object LogParser {
       .where(col("host") =!= "")
   }
 
+  /** q37: the fixture corpus through [[validLines]], projected to the
+    * hash-portable column set (timestamps as BIGINTs: `ts_sec` is the
+    * intended-semantics epoch seconds; `ts_ref_millis` is the millis
+    * count of the reference-parity `date_ref_buggy` — numerically EQUAL
+    * to `ts_sec`, which is precisely the seconds-as-millis bug, so the
+    * DuckDB twin states it as `ts_sec AS ts_ref_millis` and the hash
+    * gate pins the parity). Ordered by `raw` — the fixture lines are
+    * pairwise distinct. */
+  def fixtureValid(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    validLines(FixtureLines.toDF("value"))
+      .select(col("raw"), col("host"), col("day"), col("month"), col("year"),
+        col("hour"), col("minute"), col("second"), col("timezone"),
+        col("date").cast("long").as("ts_sec"),
+        unix_millis(col("date_ref_buggy")).as("ts_ref_millis"),
+        col("httpMethod"), col("ressource"), col("httpVersion"),
+        col("httpReplyCode"), col("replyBytes"))
+      .orderBy("raw")
+  }
+
+  /** q38: the fixture dead-letter stream, ordered by `raw`. */
+  def fixtureDead(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    deadLetters(FixtureLines.toDF("value")).orderBy("raw")
+  }
+
   /** The FIXTURES.md §A corpus, embedded so the CLF path is exercisable
     * without external files (the NASA log itself is not shipped). */
   val FixtureLines: Seq[String] = Seq(

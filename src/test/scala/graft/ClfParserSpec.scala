@@ -57,6 +57,22 @@ class ClfParserSpec extends SparkSpec {
     assert(dead.contains("not a log line at all"))
   }
 
+  test("q37/q38 fixture oracle preconditions: no single quotes, distinct lines, millis==seconds parity") {
+    // LogCorpus embeds the fixture as a SQL VALUES list in single quotes
+    // and keys the hash gate's ORDER BY on `raw` — both only sound if
+    // the lines carry no quote characters and are pairwise distinct
+    assert(LogParser.FixtureLines.forall(!_.contains("'")),
+      "fixture lines must stay single-quote-free for the VALUES embedding")
+    assert(LogParser.FixtureLines.distinct.length === LogParser.FixtureLines.length,
+      "fixture lines must stay pairwise distinct for the raw sort key")
+    val v = LogParser.fixtureValid(spark).collect()
+    assert(v.length === 5)
+    // the reference's seconds-as-millis bug, as the oracle states it:
+    // the buggy timestamp's millis count EQUALS the epoch-second count
+    v.foreach(r => assert(r.getAs[Long]("ts_ref_millis") === r.getAs[Long]("ts_sec")))
+    assert(LogParser.fixtureDead(spark).as[String].collect().length === 5)
+  }
+
   test("observe() metric counts dead letters in the same pass as valid rows") {
     val observed = LogParser.validLinesObserved(fixture)
     // collect() (not count()) so the metric lands on THIS DataFrame's own
