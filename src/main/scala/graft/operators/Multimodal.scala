@@ -208,7 +208,7 @@ object Multimodal {
     * scan → typed MapPartitions → sort, no shuffle before the gate. */
   def mediaThumbnails(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    synthesizeMedia(spark, dir)
+    mediaTable(spark, dir)
       .where(col("meta.format") === "bmp")
       .select(col("doc_id"), col("payload")).as[MediaIn]
       .mapPartitions { rows =>
@@ -218,10 +218,29 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** End-to-end media pipeline over documents: synthesize real-format
-    * payloads → parse → features, ordered for the hash gate (q36). */
+  /** Persisted media table — the encode pass runs ONCE per corpus
+    * content-fingerprint and lands as parquet; q36/q96 then decode
+    * payloads READ from storage, which is both the real 100 TB shape
+    * (media arrives as stored bytes, nobody re-synthesizes it per query)
+    * and half the fixed CPU of the old synthesize-then-decode-per-run
+    * plan. Same single-writer check-then-write contract as the span
+    * digests ([[graft.sources.Artifacts]]); the q36 oracle re-derives
+    * the expected features from the doc_id formulas in closed form every
+    * verify run, so corrupted or stale stored payloads fail the hash
+    * gate loudly — the artifact is re-gated, never trusted. */
+  private[graft] def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/media_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 3)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      synthesizeMedia(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** End-to-end media pipeline over documents: real-format payloads
+    * (encoded once, [[mediaTable]]) → parse → features, ordered for the
+    * hash gate (q36). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(synthesizeMedia(spark, dir)).orderBy("doc_id")
+    extractFeatures(mediaTable(spark, dir)).orderBy("doc_id")
 }
 
 /** Codec-free encoders/decoders: every format here is header + raw

@@ -202,16 +202,31 @@ object Relational {
   /** Shuffle (sort-merge) join, hint-forced: the strategy the optimizer
     * picks on its own when both sides are fact-sized (at 100 TB,
     * lineitem⋈orders can't broadcast). Semantically identical to the
-    * broadcast plan — only the physical exchange differs. */
-  def ordersLineitemMergeJoin(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    * broadcast plan — only the physical exchange differs.
+    *
+    * The fact side partial-aggregates per orderkey BEFORE the sort
+    * (q11's rewrite applied to the merge path): the SMJ then sorts one
+    * narrow row per order instead of every lineitem — a 4× smaller sort
+    * input at any scale — the countDistinct expand disappears (each
+    * surviving key is already unique, so `n_orders` is a plain count),
+    * and the join reuses the aggregation's hash partitioning, so the
+    * pre-agg costs no extra exchange. The per-order decimal partials
+    * re-aggregate exactly (D18_2 values are exact; the final
+    * round-then-double cast is [[Det.dsum]]'s single-rounding rule). */
+  def ordersLineitemMergeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("li_items"),
+        sum(col("l_extendedprice").cast(Det.D18_2)).as("li_price"))
+    li.join(Tables.orders(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        count(lit(1)).as("n_items"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        Det.dsum(col("l_extendedprice")).as("total_price"))
+        sum(col("li_items")).as("n_items"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("li_price")), 2).cast("double").as("total_price"))
       .orderBy("o_orderstatus")
+  }
 
   /** CUBE over two dimensions with GROUPING() sentinels — the full
     * grouping-sets lattice (rollup's sibling). */

@@ -389,38 +389,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Shingle width for [[evalContamination]] — 8-token n-grams, the
-    * common published choice for eval-set decontamination. */
-  val ContamShingle = 8
-
   /** q65 — train/eval decontamination: which held-out documents share an
-    * 8-token shingle with the training split (the standard check that an
-    * eval set leaked into training data, run the same way at corpus scale).
+    * 8-token shingle ([[SpanWidth]]) with the training split (the
+    * standard check that an eval set leaked into training data, run the
+    * same way at corpus scale).
     *
     * Split rule is [[deterministicSample]]'s hash cut (eval = the 20%
     * bucket, train = the rest) so the partition is engine- and
-    * cluster-size-independent. Scale shape: both sides reduce to DISTINCT
-    * shingle sets first (the train side additionally project-only — no
-    * doc ids), then ONE equi-join keyed on the shingle. Because the train
-    * side is distinct, the left join cannot amplify: a shingle appearing
-    * in 10^6 training docs still matches each eval shingle exactly once,
-    * so the operator is immune to the O(df²) blow-up the Jaccard pair
-    * pipeline (q28) has to bound explicitly. One shuffle per distinct +
-    * the join's, all keyed on the shingle. */
+    * cluster-size-independent. Reads the persisted [[spanDigests]] table
+    * instead of re-exploding the corpus: its rows are exactly the
+    * DISTINCT (doc_id, span) pairs this query needs (within-doc
+    * repetition already collapsed into `cnt`, which decontamination
+    * ignores — presence is the signal), and the digests stand in for the
+    * 8-word strings at 1/25th the shuffle width, the same injectivity
+    * the q76/q88 gates already hash-prove. Scale shape: the train side
+    * reduces to a project-only DISTINCT digest set (no doc ids), then
+    * ONE equi-join keyed on the digest. Because the train side is
+    * distinct, the left join cannot amplify: a span appearing in 10^6
+    * training docs still matches each eval span exactly once, so the
+    * operator is immune to the O(df²) blow-up the Jaccard pair pipeline
+    * (q28) has to bound explicitly. */
   def evalContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val spans = spanDigests(spark, dir).select(col("doc_id"), col("gh"))
     val isEval = pmod(col("doc_id") * lit(2654435761L), lit(100)) < 20
-    def shingles(df: DataFrame) = df
-      .withColumn("tks", expr(toksExpr))
-      .where(size(col("tks")) >= ContamShingle)
-      .select(col("doc_id"), explode(expr(
-        s"transform(slice(tks, 1, greatest(size(tks) - ${ContamShingle - 1}, 0)), " +
-          s"(t, i) -> concat_ws(' ', slice(tks, i + 1, $ContamShingle)))")).as("shingle"))
-    val evalSh = shingles(docs.where(isEval)).distinct()
-    val trainSh = shingles(docs.where(!isEval)).select("shingle").distinct()
+    val evalSh = spans.where(isEval)
+    val trainSh = spans.where(!isEval).select("gh").distinct()
       .withColumn("hit", lit(1L))
     evalSh
-      .join(trainSh, Seq("shingle"), "left")
+      .join(trainSh, Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),

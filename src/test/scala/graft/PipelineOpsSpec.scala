@@ -272,7 +272,8 @@ class PipelineOpsSpec extends SparkSpec {
     // q76/q88/q98 each paid before round 7)
     assert(TextAnalysis.spanDigests(spark, sf0001).count() > 0L)
     for (df <- Seq(TextAnalysis.repeatedSpanCoverage(spark, sf0001),
-                   TextAnalysis.crossSourceContamination(spark, sf0001))) {
+                   TextAnalysis.crossSourceContamination(spark, sf0001),
+                   TextAnalysis.evalContamination(spark, sf0001))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("span_digests_"), "span consumer must read the persisted digest table")
       assert(!plan.contains("documents.parquet"), "span consumer must not re-explode the corpus")
