@@ -6,16 +6,22 @@ import graft.sources.{Bucketing, Tables}
 
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed join: no hash exchange in the plan, results equal the plain join") {
+  test("bucketed join: ZERO hash exchanges (counted), results equal the plain join") {
     val df = Bucketing.bucketedOrderRevenue(spark, sf0001)
     val rows = df.collect()
 
     // AQE has finalized the plan after collect(); the only exchange allowed
-    // is the range partitioning of the final ORDER BY.
+    // is the range partitioning of the final ORDER BY. Counted over the
+    // actual exchange nodes (a substring test can't distinguish "none"
+    // from "one hidden behind a reused stage").
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join, got:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning"),
+    val shuffles = shuffleExchanges(df)
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    assert(shuffles.count(_.outputPartitioning.isInstanceOf[HashPartitioning]) === 0,
       s"bucketed join must not shuffle on the bucket key:\n$plan")
+    assert(shuffles.count(_.outputPartitioning.isInstanceOf[RangePartitioning]) === 1,
+      s"exactly the ORDER BY range exchange expected:\n$plan")
 
     // bucketing is physical layout only: same rows as the plain join
     val plain = Tables.lineitem(spark, sf0001)

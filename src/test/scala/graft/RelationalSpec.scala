@@ -51,6 +51,27 @@ class RelationalSpec extends SparkSpec {
     assert(agg.getLong(1) === 7L * (1L to 1000L).sum)
   }
 
+  test("q42 counted: salting pays exactly ONE extra exchange over the unsalted query") {
+    // Isolated session with the broadcast threshold off: at this tiny SF
+    // the planner would broadcast every join and hide the exchanges under
+    // measure — threshold -1 forces the shuffle-join shapes the queries
+    // have at 100 TB (the explicit broadcast() hints on nation/region
+    // still apply, as they would at scale). The counted claim: the whole
+    // price of salting is ONE extra exchange — the distinct-correction
+    // shuffle n_orders needs once the dim replication makes order rows
+    // non-unique downstream of the join. Any hidden extra shuffle (e.g.
+    // a repartition smuggled into the salt fanout) fails the count.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val unsalted = Relational.revenueByNation(s, sf0001)
+    val salted = Relational.revenueByNationSalted(s, sf0001)
+    val nU = shuffleExchanges(unsalted).size
+    val nS = shuffleExchanges(salted).size
+    assert(nS === nU + 1, s"salted ran $nS exchanges, unsalted $nU — want exactly +1")
+    // and salting stays semantics-invisible, same rows in the same order
+    assert(salted.collect().toSeq === unsalted.collect().toSeq)
+  }
+
   test("q11 plan: lineitem pre-aggregates before the join, no expand for countDistinct") {
     val df = Relational.revenueByNation(spark, sf0001)
     df.collect()

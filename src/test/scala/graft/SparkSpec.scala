@@ -9,6 +9,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Every physical node of a finalized plan, descending through the AQE
+    * wrapper and materialized query stages (children of those wrappers
+    * are invisible to a plain `collect` over the outer plan). */
+  protected def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allPlanNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allPlanNodes(s.plan)
+    case _ => p.children.flatMap(allPlanNodes)
+  })
+
+  /** Executes `df` (finalizing any adaptive plan) and returns the shuffle
+    * exchanges it actually ran — COUNTED plan evidence, not a substring
+    * match over the plan string. */
+  protected def shuffleExchanges(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+    df.collect()
+    allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+  }
 }
 
 object SparkSpec {
