@@ -81,6 +81,7 @@ object SparkEntry {
     "q89_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
     "q90_curation_gate"   -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
+    "q103_bpe_train"      -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1169,6 +1170,11 @@ object SparkEntry {
         |  CAST(length(d.text) AS BIGINT) AS n_chars_before,
         |  CAST(length(replace(d.text, t.top_pair, '·')) AS BIGINT) AS n_chars_after
         |FROM documents d CROSS JOIN top t ORDER BY d.doc_id""".stripMargin,
+    // Multi-iteration BPE: the q91 learn/apply step iterated; the oracle
+    // unrolls the same chain as CTEs (LIMIT-1 recount + chr(256+i) merge
+    // apply per iteration) so learned pairs, counts, and every
+    // per-iteration merge count are hash-gated.
+    "q103_bpe_train" -> operators.TextAnalysis.bpeTrainOracleSql(),
     // Threshold-calibration sweep: q85's scoring bucketed, with the
     // cumulative keep rate per candidate threshold.
     "q94_surprisal_sweep" ->

@@ -1105,6 +1105,116 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Number of merge iterations [[bpeTrain]] (q103) runs. */
+  val BpeIters = 3
+
+  /** One fresh merge symbol per iteration (U+0100, U+0101, ... — `chr(256
+    * + i)` in the DuckDB oracle). Each learned pair collapses to a single
+    * character so the NEXT iteration's pair statistics see the merged
+    * symbol as one unit — real BPE on a char-sequence representation.
+    * PipelineOpsSpec asserts the corpus is free of these code points. */
+  val BpeMergeSyms: Seq[String] = (0 until BpeIters).map(i => (0x100 + i).toChar.toString)
+
+  /** q103 — multi-iteration BPE tokenizer training: [[bpeFirstMerge]]'s
+    * single learn-then-apply step iterated to a (tiny) vocab budget.
+    * Each iteration recounts adjacent-symbol pairs inside whitespace
+    * tokens of the CURRENT working corpus (previous merges applied),
+    * learns the top pair (count desc, pair asc — a unique key, so the
+    * selection is total-order deterministic), and applies it by
+    * collapsing the pair to that iteration's fresh one-char symbol.
+    * Merge counts stay the exact `replace()` length arithmetic of q91,
+    * now chained: `n_merges_i = len(text_{i-1}) − len(text_i)`.
+    *
+    * Scale shape: the learned model is [[BpeIters]] driver-side rows (a
+    * vocab-budget merge table — the q70/q85 train-then-apply model
+    * pattern, iterated), fetched via `take(1)` on a pair-keyed
+    * partial-aggregated groupBy whose key space is bounded by charset²,
+    * never the corpus. Per iteration: ONE corpus scan with i map-side
+    * replaces applied on the fly, one tiny-vocab shuffle — job count is
+    * linear in iterations (spec-pinned). The final report is a single
+    * additional scan with the whole merge chain as map-side expressions.
+    * At 100 TB with hundreds of merges, the working corpus would be
+    * checkpointed every ~16 iterations to bound expression depth; the
+    * recount-per-merge structure is unchanged. */
+  def bpeTrain(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
+    require(iters <= BpeIters, s"at most ${BpeIters} merge symbols are reserved")
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    var cur = base.select(col("text"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    (0 until iters).foreach { i =>
+      val top = cur
+        .select(explode(expr(toksExpr)).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .take(1) // vocab-budget model update: ONE row to the driver per merge
+      // a corpus with no eligible pair stays that way (the working text is
+      // unchanged), so learning stops permanently — empty corpus safe
+      if (top.nonEmpty) {
+        learned += ((top.head.getString(0), top.head.getLong(1)))
+        cur = cur.withColumn("text",
+          replace(col("text"), lit(learned.last._1), lit(BpeMergeSyms(i))))
+      }
+    }
+    val k = learned.length
+    var out = base.withColumn("text_0", col("text"))
+    learned.zipWithIndex.foreach { case ((p, _), i) =>
+      out = out.withColumn(s"text_${i + 1}",
+        replace(col(s"text_$i"), lit(p), lit(BpeMergeSyms(i))))
+    }
+    val cols = Seq(col("doc_id")) ++
+      (0 until iters).flatMap { i =>
+        if (i < k) Seq(lit(learned(i)._1).as(s"pair_${i + 1}"),
+          lit(learned(i)._2).as(s"cnt_${i + 1}"))
+        else Seq(lit(null).cast("string").as(s"pair_${i + 1}"),
+          lit(null).cast("long").as(s"cnt_${i + 1}"))
+      } ++
+      (0 until iters).map { i =>
+        if (i < k)
+          (length(col(s"text_$i")) - length(col(s"text_${i + 1}")))
+            .cast("long").as(s"n_merges_${i + 1}")
+        else lit(null).cast("long").as(s"n_merges_${i + 1}")
+      } ++ Seq(
+        length(col("text_0")).cast("long").as("n_chars_before"),
+        length(col(s"text_$k")).cast("long").as("n_chars_after"))
+    out.select(cols: _*).orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: the same learn/apply chain unrolled
+    * as one CTE pipeline — per iteration a LIMIT-1 pair count over the
+    * previous working corpus and a `replace(..., chr(256 + i))` apply, so
+    * the hash gate covers the learned pairs, their counts, AND every
+    * per-document merge count of every iteration. */
+  def bpeTrainOracleSql(): String = {
+    val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text FROM documents)")
+    (1 to BpeIters).foreach { i =>
+      sb ++= raw""",
+        |c$i AS (SELECT pair, COUNT(*) AS cnt FROM (
+        |    SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |    FROM (SELECT w, unnest(range(1, length(w))) AS i
+        |          FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM t${i - 1})
+        |          WHERE length(w) >= 2))
+        |  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |t$i AS (SELECT doc_id, replace(text, (SELECT pair FROM c$i), chr(${255 + i})) AS text FROM t${i - 1})""".stripMargin
+    }
+    val pairCols = (1 to BpeIters).map(i =>
+      s"(SELECT pair FROM c$i) AS pair_$i, (SELECT cnt FROM c$i) AS cnt_$i").mkString(",\n  ")
+    val mergeCols = (1 to BpeIters).map(i =>
+      s"CAST(length(t${i - 1}.text) - length(t$i.text) AS BIGINT) AS n_merges_$i").mkString(",\n  ")
+    val joins = (1 to BpeIters).map(i => s"JOIN t$i USING (doc_id)").mkString(" ")
+    sb ++=
+      s"""
+        |SELECT t0.doc_id,
+        |  $pairCols,
+        |  $mergeCols,
+        |  CAST(length(t0.text) AS BIGINT) AS n_chars_before,
+        |  CAST(length(t$BpeIters.text) AS BIGINT) AS n_chars_after
+        |FROM t0 $joins ORDER BY t0.doc_id""".stripMargin
+    sb.toString
+  }
+
   /** q93 — training-manifest assembly: the LAST pipeline stage, joining
     * the per-doc verdicts the earlier stages produced into the record
     * table a training job actually reads — split assignment (q82's

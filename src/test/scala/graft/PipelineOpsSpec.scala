@@ -600,6 +600,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) > 0), "the learned pair must occur somewhere")
   }
 
+  test("q103: three-iteration BPE matches a driver-side recompute of the whole merge chain") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val syms = TextAnalysis.BpeMergeSyms
+    // precondition the merge encoding relies on: the reserved one-char
+    // symbols (U+0100..) are fresh — they appear nowhere in the corpus
+    assert(docs.forall { case (_, t) => syms.forall(s => !t.contains(s)) },
+      "corpus must not contain the reserved merge symbols")
+    var cur = docs.toMap
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val mergesPerDoc = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    (0 until TextAnalysis.BpeIters).foreach { i =>
+      val counts = cur.values.flatMap(_.split("\\s+")).filter(_.length >= 2)
+        .flatMap(w => w.sliding(2))
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val (p, c) = counts.toSeq.sortBy { case (pp, cc) => (-cc, pp) }.head
+      expected += ((p, c))
+      // java.lang.String#replace is left-to-right non-overlapping — the
+      // exact semantics the length arithmetic encodes on both engines
+      val next = cur.map { case (id, t) => id -> t.replace(p, syms(i)) }
+      mergesPerDoc += cur.map { case (id, t) => id -> (t.length - next(id).length).toLong }
+      cur = next
+    }
+    assert(expected.map(_._1).distinct.length === TextAnalysis.BpeIters,
+      "each iteration must learn a distinct pair")
+    val out = TextAnalysis.bpeTrain(spark, sf0001).collect()
+    assert(out.length === docs.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      (0 until TextAnalysis.BpeIters).foreach { i =>
+        assert(r.getString(1 + 2 * i) === expected(i)._1, s"pair_${i + 1}")
+        assert(r.getLong(2 + 2 * i) === expected(i)._2, s"cnt_${i + 1}")
+        assert(r.getLong(7 + i) === mergesPerDoc(i)(id), s"doc $id n_merges_${i + 1}")
+      }
+      assert(r.getLong(10) === docs.find(_._1 == id).get._2.length.toLong)
+      assert(r.getLong(11) === cur(id).length.toLong)
+    }
+    // the chain must actually iterate: later merges fire on the corpus too
+    assert(out.exists(_.getLong(8) > 0) && out.exists(_.getLong(9) > 0))
+  }
+
+  test("q103: recount job count is linear in iterations, and the merge order is prefix-stable") {
+    TextAnalysis.bpeTrain(spark, sf0001, iters = 1) // warm table metadata
+    def jobsFor(group: String)(body: => org.apache.spark.sql.DataFrame) = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      val df = try body finally spark.sparkContext.clearJobGroup()
+      (spark.sparkContext.statusTracker.getJobIdsForGroup(group).length, df)
+    }
+    val (j1, df1) = jobsFor("bpe-train-1")(TextAnalysis.bpeTrain(spark, sf0001, iters = 1))
+    val (j2, _) = jobsFor("bpe-train-2")(TextAnalysis.bpeTrain(spark, sf0001, iters = 2))
+    val (j3, df3) = jobsFor("bpe-train-3")(TextAnalysis.bpeTrain(spark, sf0001, iters = 3))
+    // jobs = fixed read overhead + k per iteration: the increment must be
+    // CONSTANT (a recount whose cost grew with the merge-chain depth
+    // would show a growing step) and small (scan + tiny-vocab shuffle)
+    val step = j2 - j1
+    assert(step >= 1 && step <= 3, s"one extra iteration should add 1-3 jobs, added $step")
+    assert(j3 - j2 === step,
+      s"per-iteration job count must be flat: steps ${j2 - j1} then ${j3 - j2} " +
+        s"(runs: $j1/$j2/$j3) — a superlinear recount crept in")
+    // prefix stability: a shorter budget learns the same leading merge
+    assert(df1.select("pair_1").head.getString(0) === df3.select("pair_1").head.getString(0))
+  }
+
   test("q92: exactly k per stratum (or the whole stratum), in hash order") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("lang", "doc_id").collect()
@@ -656,6 +720,7 @@ class PipelineOpsSpec extends SparkSpec {
       "q85_lm_surprisal", "q86_random_projection", "q87_ivf_maintenance",
       "q88_source_contamination", "q89_cluster_safe_split", "q90_curation_gate",
       "q91_bpe_first_merge", "q92_stratified_topk", "q93_training_manifest",
+      "q103_bpe_train", // driver-side take(1) loop must degrade, not throw
       "q72_incremental_neardup", "q73_semantic_dedup",
       "q74_bloom_incremental_dedup", // q74 NPE'd here before the empty-filter guard
       "q100_sql_pipeline_report", "q101_sql_simhash_pairs",
