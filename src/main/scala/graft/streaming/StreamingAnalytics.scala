@@ -185,6 +185,26 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** [[gateVerdictsPerBatch]] with a DURABLE source position:
+    * `checkpointLocation` makes a killed scorer restart at the exact
+    * micro-batch where it stopped, so rows that arrive while it is down
+    * are scored on restart rather than lost. foreachBatch replays the
+    * last uncommitted batch at-least-once; the model is frozen and every
+    * signal per-doc, so re-scoring a replayed row yields the IDENTICAL
+    * verdict — a sink keyed by doc_id converges to exactly the batch q90
+    * table (the q72 index-append idempotence argument, here for pure
+    * scoring). Kill + restart leg spec'd in StreamingSpec. */
+  def gateVerdictsPerBatchCheckpointed(spark: SparkSession, dir: String,
+      docs: DataFrame, checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.TextAnalysis.curationGateOf(spark, dir, batch))
+      }
+      .start()
+
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
     *
