@@ -63,7 +63,9 @@ def main():
         try:
             with open("BENCH_FULL.json") as f:
                 d = json.load(f)
-            if d.get("queries") and all(x[2]["queries"] != d["queries"] for x in snapshots):
+            if d.get("queries"):
+                # drop a committed twin so the same run isn't counted twice
+                snapshots = [x for x in snapshots if x[2]["queries"] != d["queries"]]
                 snapshots.insert(0, ("worktree", "in-flight round", d))
         except Exception:
             pass
