@@ -1086,12 +1086,16 @@ object TextAnalysis {
     * top-1 broadcast; phase 2 is strictly map-side expression work. Two
     * corpus scans, no doc-keyed shuffle at all. */
   def bpeFirstMerge(spark: SparkSession, dir: String): DataFrame = {
+    // distinct-token histogram first (map-side combined, Zipf-bounded
+    // vocabulary), then pairs once per DISTINCT token weighted by its
+    // count — see bpeTrain's recount for the row-count argument
     val pairs = Tables.documents(spark, dir)
       .select(explode(expr(toksExpr)).as("w"))
       .where(length(col("w")) >= 2)
-      .select(explode(expr(
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .groupBy("pair").agg(sum(col("wcnt")).as("cnt"))
     val top = pairs
       .orderBy(col("cnt").desc, col("pair").asc).limit(1)
       .select(col("pair").as("top_pair"), col("cnt").as("pair_cnt"))
@@ -1142,12 +1146,18 @@ object TextAnalysis {
     var cur = base.select(col("text"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     (0 until iters).foreach { i =>
+      // pair counts via the DISTINCT-token histogram: the token groupBy is
+      // map-side combined into a Zipf-bounded vocabulary, so the pair
+      // explode runs once per distinct token instead of once per token
+      // OCCURRENCE (~6x fewer materialized rows on the fixture corpus;
+      // the gap widens with corpus size since vocabulary grows sublinearly)
       val top = cur
         .select(explode(expr(toksExpr)).as("w"))
         .where(length(col("w")) >= 2)
-        .select(explode(expr(
+        .groupBy("w").agg(count(lit(1)).as("wcnt"))
+        .select(col("wcnt"), explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .groupBy("pair").agg(sum(col("wcnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .take(1) // vocab-budget model update: ONE row to the driver per merge
       // a corpus with no eligible pair stays that way (the working text is
