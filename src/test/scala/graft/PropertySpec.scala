@@ -84,6 +84,36 @@ object PropertySpec extends Properties("graft") {
       s.length - s.replace(pair, "·").length == n
     }
 
+  // q103's chained form of the same identity: applying k merges in
+  // sequence (fresh 1-char symbol per iteration, like the engine) keeps
+  // the per-iteration length delta equal to that iteration's
+  // non-overlapping site count ON THE PREVIOUSLY-MERGED TEXT, and the
+  // total shrink telescopes — the arithmetic both the Spark plan and the
+  // unrolled DuckDB CTEs rely on at every depth. Symbols come from
+  // outside the generator alphabet, mirroring the fresh-symbol
+  // precondition the corpus spec asserts.
+  property("chained BPE merges: per-iteration length deltas telescope (q103 identity)") =
+    forAll(genTinyText, genPair, genPair, genPair) { (s0, p1, p2, p3) =>
+      val syms = Seq('Ā', 'ā', 'Ă').map(_.toString)
+      def sites(s: String, pair: String): Int = {
+        var i = 0; var n = 0
+        while (i >= 0) {
+          i = s.indexOf(pair, i)
+          if (i >= 0) { n += 1; i += 2 }
+        }
+        n
+      }
+      val texts = Seq(p1, p2, p3).zip(syms).scanLeft(s0) {
+        case (t, (p, sym)) => t.replace(p, sym)
+      }
+      val deltasMatch = texts.sliding(2).zip(Seq(p1, p2, p3).iterator).forall {
+        case (Seq(prev, next), p) => prev.length - next.length == sites(prev, p)
+        case _ => true
+      }
+      deltasMatch && (s0.length - texts.last.length) ==
+        texts.sliding(2).collect { case Seq(a, b) => a.length - b.length }.sum
+    }
+
   property("whole-bit log2 identity: len(bin(x)) - 1 = floor(log2 x) (q85 portability)") =
     forAll(Gen.choose(1L, Long.MaxValue)) { x =>
       val viaBin = java.lang.Long.toBinaryString(x).length - 1
