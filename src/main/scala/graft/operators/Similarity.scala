@@ -273,13 +273,13 @@ object Similarity {
 
   /** Per-vector centroid dot scores (codegen'd native dot ×16). */
   private def cellScoresCol(centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c => fdot(col("embedding"), typedlit(c))): _*)
+    array(centroids.toIndexedSeq.map(c => fdot(col("embedding"), typedlit(c))): _*)
 
   /** Exact-decimal per-cell dot scores — the oracle-portable twin of
     * [[cellScoresCol]] (each score is the DECIMAL(18,12)-summed dot cast
     * to double, bit-identical between Spark and DuckDB). */
   private def cellScoresDecCol(centroids: Array[Array[Double]]): Column =
-    array(centroids.map(c => dotDecPlane(col("embedding"), c)): _*)
+    array(centroids.toIndexedSeq.map(c => dotDecPlane(col("embedding"), c)): _*)
 
   /** Nearest-centroid id (0-based, first-index tie-break) with the q34b
     * hybrid trick lifted from sign to argmax: the 16 codegen'd double
