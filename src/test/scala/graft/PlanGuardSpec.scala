@@ -49,6 +49,24 @@ class PlanGuardSpec extends SparkSpec {
         s"bounded-side design that must be allowlisted WITH its bound:\n${offenders.mkString("\n")}")
   }
 
+  /** Queries whose Scaladoc declares them map-side — per-row expression
+    * work with NO shuffle before the contract ORDER BY. The declaration
+    * becomes a counted assertion: exactly one shuffle exchange (the
+    * sort's range partitioning) in the executed plan. */
+  private val declaredMapSide = Seq(
+    "q21_text_quality", "q22_lang_id", "q23_token_counts", "q24_fingerprints",
+    "q26_binary_payload", "q30_simhash",
+    "q45_embedding_array_stats", "q66_pii_redaction", "q69_mixture_sample",
+    "q82_leakage_safe_split", "q97_winnowing_fingerprints")
+
+  test("declared map-side queries run exactly one exchange: the contract sort") {
+    declaredMapSide.foreach { name =>
+      val n = shuffleExchanges(SparkEntry.queries(name)(spark, sf0001)).length
+      assert(n === 1,
+        s"$name declares map-side-then-sort but ran $n shuffle exchanges")
+    }
+  }
+
   test("the allowlist carries no stale entries") {
     val stale = allowed.keySet.filterNot { name =>
       SparkEntry.queries.contains(name) &&
