@@ -1109,15 +1109,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Number of merge iterations [[bpeTrain]] (q103) runs. */
+  /** Number of merge iterations [[bpeTrain]] (q103) runs by default —
+    * the depth the DuckDB oracle unrolls and hash-gates. */
   val BpeIters = 3
+
+  /** Hard cap on merge iterations = the number of reserved fresh merge
+    * symbols. Large enough to exercise the checkpointed production path
+    * ([[BpeCheckpointEvery]] < BpeMaxIters) without reserving a whole
+    * private-use plane. */
+  val BpeMaxIters = 24
+
+  /** Training checkpoints the working corpus every this many merges:
+    * each recount replays the UNCHECKPOINTED suffix of the merge chain
+    * as stacked map-side `replace`s, so without truncation both the
+    * expression depth and the per-recount CPU grow linearly with the
+    * merge index (O(iters²) total replace applications). Checkpointing
+    * materializes the working corpus and resets the suffix to ≤ this
+    * constant — total work returns to O(iters) corpus passes. 16 keeps
+    * the default q103 run (3 iters) checkpoint-free so the oracle-gated
+    * plan is untouched. */
+  val BpeCheckpointEvery = 16
 
   /** One fresh merge symbol per iteration (U+0100, U+0101, ... — `chr(256
     * + i)` in the DuckDB oracle). Each learned pair collapses to a single
     * character so the NEXT iteration's pair statistics see the merged
     * symbol as one unit — real BPE on a char-sequence representation.
     * PipelineOpsSpec asserts the corpus is free of these code points. */
-  val BpeMergeSyms: Seq[String] = (0 until BpeIters).map(i => (0x100 + i).toChar.toString)
+  val BpeMergeSyms: Seq[String] = (0 until BpeMaxIters).map(i => (0x100 + i).toChar.toString)
 
   /** q103 — multi-iteration BPE tokenizer training: [[bpeFirstMerge]]'s
     * single learn-then-apply step iterated to a (tiny) vocab budget.
@@ -1137,13 +1155,24 @@ object TextAnalysis {
     * replaces applied on the fly, one tiny-vocab shuffle — job count is
     * linear in iterations (spec-pinned). The final report is a single
     * additional scan with the whole merge chain as map-side expressions.
-    * At 100 TB with hundreds of merges, the working corpus would be
-    * checkpointed every ~16 iterations to bound expression depth; the
-    * recount-per-merge structure is unchanged. */
-  def bpeTrain(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
-    require(iters <= BpeIters, s"at most ${BpeIters} merge symbols are reserved")
-    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    var cur = base.select(col("text"))
+    * Past [[BpeCheckpointEvery]] merges the working corpus is
+    * checkpointed ([[bpeLearn]]) so expression depth and per-recount
+    * replay cost stay bounded by a constant; the recount-per-merge
+    * structure is unchanged and PipelineOpsSpec exercises the
+    * checkpointed depth end-to-end (plan-depth + job-linearity pins). */
+  /** The training loop of [[bpeTrain]]: learns up to `iters` merges and
+    * returns them with the final working corpus (exposed so the spec can
+    * pin the checkpointed plan's expression depth). Every
+    * [[BpeCheckpointEvery]] merges the working corpus is materialized
+    * via `localCheckpoint` — truncating the stacked-`replace` lineage so
+    * each recount replays at most a constant-depth suffix instead of the
+    * whole chain (a cluster deployment would use `checkpoint()` against
+    * the reliable checkpoint dir; the truncation semantics are
+    * identical). */
+  private[graft] def bpeLearn(spark: SparkSession, dir: String,
+      iters: Int): (Seq[(String, Long)], DataFrame) = {
+    require(iters <= BpeMaxIters, s"at most ${BpeMaxIters} merge symbols are reserved")
+    var cur = Tables.documents(spark, dir).select(col("text"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     (0 until iters).foreach { i =>
       // pair counts via the DISTINCT-token histogram: the token groupBy is
@@ -1166,8 +1195,15 @@ object TextAnalysis {
         learned += ((top.head.getString(0), top.head.getLong(1)))
         cur = cur.withColumn("text",
           replace(col("text"), lit(learned.last._1), lit(BpeMergeSyms(i))))
+        if ((i + 1) % BpeCheckpointEvery == 0) cur = cur.localCheckpoint(true)
       }
     }
+    (learned.toSeq, cur)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
+    val (learned, _) = bpeLearn(spark, dir, iters)
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val k = learned.length
     var out = base.withColumn("text_0", col("text"))
     learned.zipWithIndex.foreach { case ((p, _), i) =>
@@ -1196,7 +1232,16 @@ object TextAnalysis {
     * as one CTE pipeline — per iteration a LIMIT-1 pair count over the
     * previous working corpus and a `replace(..., chr(256 + i))` apply, so
     * the hash gate covers the learned pairs, their counts, AND every
-    * per-document merge count of every iteration. */
+    * per-document merge count of every iteration.
+    *
+    * Empty-learn guard: if an iteration learns no pair, the scalar
+    * subquery `(SELECT pair FROM cN)` is NULL and an unguarded
+    * `replace(text, NULL, ...)` would NULL the whole working text —
+    * diverging from the Spark side, which leaves the corpus unchanged
+    * and emits NULL pair/cnt/n_merges for the dry iteration. The CASE
+    * guards keep the twins identical on a degenerate corpus (learning
+    * stops permanently on both engines, so dry iterations are a
+    * contiguous suffix). */
   def bpeTrainOracleSql(): String = {
     val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text FROM documents)")
     (1 to BpeIters).foreach { i =>
@@ -1207,12 +1252,14 @@ object TextAnalysis {
         |          FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM t${i - 1})
         |          WHERE length(w) >= 2))
         |  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
-        |t$i AS (SELECT doc_id, replace(text, (SELECT pair FROM c$i), chr(${255 + i})) AS text FROM t${i - 1})""".stripMargin
+        |t$i AS (SELECT doc_id, CASE WHEN (SELECT pair FROM c$i) IS NULL THEN text
+        |    ELSE replace(text, (SELECT pair FROM c$i), chr(${255 + i})) END AS text FROM t${i - 1})""".stripMargin
     }
     val pairCols = (1 to BpeIters).map(i =>
       s"(SELECT pair FROM c$i) AS pair_$i, (SELECT cnt FROM c$i) AS cnt_$i").mkString(",\n  ")
     val mergeCols = (1 to BpeIters).map(i =>
-      s"CAST(length(t${i - 1}.text) - length(t$i.text) AS BIGINT) AS n_merges_$i").mkString(",\n  ")
+      s"CASE WHEN (SELECT pair FROM c$i) IS NULL THEN NULL " +
+        s"ELSE CAST(length(t${i - 1}.text) - length(t$i.text) AS BIGINT) END AS n_merges_$i").mkString(",\n  ")
     val joins = (1 to BpeIters).map(i => s"JOIN t$i USING (doc_id)").mkString(" ")
     sb ++=
       s"""

@@ -600,7 +600,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) > 0), "the learned pair must occur somewhere")
   }
 
-  test("q103: three-iteration BPE matches a driver-side recompute of the whole merge chain") {
+  /** Shared fixture + preconditions for the q103 recompute tests. The
+    * BMP-only check makes the JVM recompute sound: with no astral-plane
+    * characters, `String#length`/`sliding(2)` (UTF-16 units) coincide
+    * with the code-point counting Spark/DuckDB `length()` uses, so the
+    * recompute can't silently diverge on a future fixture change. */
+  private def bpeDocs(): Array[(Long, String)] = {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -609,21 +614,41 @@ class PipelineOpsSpec extends SparkSpec {
     // symbols (U+0100..) are fresh — they appear nowhere in the corpus
     assert(docs.forall { case (_, t) => syms.forall(s => !t.contains(s)) },
       "corpus must not contain the reserved merge symbols")
+    assert(docs.forall { case (_, t) => t.codePointCount(0, t.length) == t.length },
+      "corpus must be BMP-only: the driver-side recompute counts UTF-16 units")
+    docs
+  }
+
+  /** Driver-side replay of the [[TextAnalysis.bpeLearn]] chain: learned
+    * (pair, count) per iteration, per-doc merge counts per iteration,
+    * and the final working corpus. Mirrors the dry-up semantics (no
+    * eligible pair → learning stops permanently). */
+  private def bpeRecompute(docs: Array[(Long, String)], iters: Int)
+      : (Seq[(String, Long)], Seq[Map[Long, Long]], Map[Long, String]) = {
+    val syms = TextAnalysis.BpeMergeSyms
     var cur = docs.toMap
     val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val mergesPerDoc = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
-    (0 until TextAnalysis.BpeIters).foreach { i =>
+    (0 until iters).foreach { i =>
       val counts = cur.values.flatMap(_.split("\\s+")).filter(_.length >= 2)
         .flatMap(w => w.sliding(2))
         .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
-      val (p, c) = counts.toSeq.sortBy { case (pp, cc) => (-cc, pp) }.head
-      expected += ((p, c))
-      // java.lang.String#replace is left-to-right non-overlapping — the
-      // exact semantics the length arithmetic encodes on both engines
-      val next = cur.map { case (id, t) => id -> t.replace(p, syms(i)) }
-      mergesPerDoc += cur.map { case (id, t) => id -> (t.length - next(id).length).toLong }
-      cur = next
+      if (counts.nonEmpty) {
+        val (p, c) = counts.toSeq.sortBy { case (pp, cc) => (-cc, pp) }.head
+        expected += ((p, c))
+        // java.lang.String#replace is left-to-right non-overlapping — the
+        // exact semantics the length arithmetic encodes on both engines
+        val next = cur.map { case (id, t) => id -> t.replace(p, syms(i)) }
+        mergesPerDoc += cur.map { case (id, t) => id -> (t.length - next(id).length).toLong }
+        cur = next
+      }
     }
+    (expected.toSeq, mergesPerDoc.toSeq, cur)
+  }
+
+  test("q103: three-iteration BPE matches a driver-side recompute of the whole merge chain") {
+    val docs = bpeDocs()
+    val (expected, mergesPerDoc, cur) = bpeRecompute(docs, TextAnalysis.BpeIters)
     assert(expected.map(_._1).distinct.length === TextAnalysis.BpeIters,
       "each iteration must learn a distinct pair")
     val out = TextAnalysis.bpeTrain(spark, sf0001).collect()
@@ -640,6 +665,52 @@ class PipelineOpsSpec extends SparkSpec {
     }
     // the chain must actually iterate: later merges fire on the corpus too
     assert(out.exists(_.getLong(8) > 0) && out.exists(_.getLong(9) > 0))
+  }
+
+  test("q103 at production depth: 18-merge checkpointed chain matches recompute, plan depth bounded, jobs stay linear") {
+    val docs = bpeDocs()
+    val deep = TextAnalysis.BpeCheckpointEvery + 2
+    val (expected, mergesPerDoc, cur) = bpeRecompute(docs, deep)
+    assert(expected.length === deep,
+      s"fixture too poor to learn $deep merges — got ${expected.length}")
+    val out = TextAnalysis.bpeTrain(spark, sf0001, iters = deep).collect()
+    assert(out.length === docs.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      (0 until deep).foreach { i =>
+        assert(r.getString(1 + 2 * i) === expected(i)._1, s"pair_${i + 1}")
+        assert(r.getLong(2 + 2 * i) === expected(i)._2, s"cnt_${i + 1}")
+        assert(r.getLong(1 + 2 * deep + i) === mergesPerDoc(i)(id), s"doc $id n_merges_${i + 1}")
+      }
+      assert(r.getLong(1 + 3 * deep) === docs.find(_._1 == id).get._2.length.toLong)
+      assert(r.getLong(2 + 3 * deep) === cur(id).length.toLong)
+    }
+    // the checkpoint must have truncated the working lineage: past the
+    // BpeCheckpointEvery boundary the plan replays only the suffix of
+    // the merge chain, not all `deep` stacked replaces
+    val (_, working) = TextAnalysis.bpeLearn(spark, sf0001, deep)
+    def replaceDepth(df: org.apache.spark.sql.DataFrame): Int =
+      "replace\\(".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(replaceDepth(working) <= deep - TextAnalysis.BpeCheckpointEvery,
+      "checkpoint did not truncate the stacked-replace lineage")
+    // control: below the checkpoint boundary the same counter sees the
+    // full chain, so the bound above is a real truncation, not a
+    // counting artifact
+    val (_, shallow) = TextAnalysis.bpeLearn(spark, sf0001, TextAnalysis.BpeIters)
+    assert(replaceDepth(shallow) === TextAnalysis.BpeIters)
+    // job linearity ACROSS the checkpoint boundary: the checkpoint adds
+    // its own job at the boundary but must not change the per-iteration
+    // increment (a recount whose cost grew with chain depth would)
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j16 = jobsFor("bpe-deep-16") { TextAnalysis.bpeLearn(spark, sf0001, deep - 2) }
+    val j17 = jobsFor("bpe-deep-17") { TextAnalysis.bpeLearn(spark, sf0001, deep - 1) }
+    val j18 = jobsFor("bpe-deep-18") { TextAnalysis.bpeLearn(spark, sf0001, deep) }
+    assert(j17 - j16 === j18 - j17,
+      s"per-iteration job count must stay flat past the checkpoint: $j16/$j17/$j18")
   }
 
   test("q103: recount job count is linear in iterations, and the merge order is prefix-stable") {
