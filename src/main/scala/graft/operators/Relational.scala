@@ -286,8 +286,17 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
-  /** Exact interpolated percentiles per group (the sketch-free baseline;
-    * approx_percentile is the 100 TB drop-in with the same call shape).
+  /** Exact interpolated percentiles per group — the sketch-free
+    * baseline, and at 100 TB a DECLARED ANTI-PATTERN: Spark's exact
+    * `percentile` buffers every value of a group on one reducer (a
+    * per-group global sort), so a skewed group's values must fit one
+    * executor. This query is kept oracle-gated for correctness at test
+    * scale; the production path is its declared sketch twin
+    * [[priceQuantilesApprox]] (q58) — the same twin pattern as
+    * q2 ↔ q2b (HLL count-distinct) and q29c ↔ q29 (xxhash LSH).
+    * Error bound of the twin: approx_percentile at accuracy 10000 lands
+    * within 1/10000 rank error — RelationalSpec's first test pins it
+    * within 1% of these exact values on the fixture.
     * Rounded to 4 digits so the one-ulp interpolation difference between
     * engines can't break the cross-engine hash. */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
@@ -304,10 +313,14 @@ object Relational {
 
   /** Sketch twin of [[priceQuantiles]]: approx_percentile (the
     * GK/KLL-style mergeable quantile summary built into Spark) — the
-    * 100 TB path where an exact percentile's global sort-by-group is
-    * unpayable. Rows-only check (sketch internals aren't oracle-
-    * reproducible); RelationalSpec bounds its error against the exact
-    * percentiles. */
+    * 100 TB path where the exact percentile's per-group value buffering
+    * is unpayable. The sketch is a bounded-size mergeable summary:
+    * map-side partial sketches combine associatively, so the shuffle
+    * carries O(accuracy) bytes per group regardless of group size, and
+    * rank error is ≤ 1/accuracy (= 1/10000 here). Rows-only check
+    * (sketch internals aren't oracle-reproducible); RelationalSpec
+    * bounds its error within 1% of the exact percentiles — the declared
+    * non-portable-twin pattern shared with q2b and q29. */
   def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
