@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Queries whose first execution provisions a persisted artifact
+    * behind the build-once gate (layout copies, digest tables, LSH
+    * index/pairs, media encode, trained IVF models). They run once
+    * UNTIMED before the timed loop — provisioning is a deployment step,
+    * not query cost — with durations recorded in BENCH_FULL.json's
+    * "setup" field. ToolingSpec pins the list: every entry must be a
+    * registered query, and the canary family (q37b/q38b) must never
+    * appear here (the canary's recorded history prices its own corpus
+    * build). */
+  private[graft] val SetupQueries = Seq(
+    "q28_near_dup_jaccard",      // shingle_digests table
+    "q29c_minhash_lsh_portable", // lsh_pairs survivor table
+    "q36_media_features",        // media encode-once table
+    "q46_bucketed_join",         // bucketed lineitem/orders copies
+    "q54_partition_pruned",      // date-partitioned events copy
+    "q60_ann_ivf_kmeans",        // trained IVF model (shared with q73)
+    "q61_dup_clusters",          // neardup_labels CC table
+    "q62_range_clustered",       // range-clustered lineitem copy
+    "q63_zorder_slice",          // z-ordered lineitem copy
+    "q65_eval_contamination",    // span_digests table
+    "q72_incremental_neardup",   // persisted LSH band index
+    "q87_ivf_maintenance")       // corpus-only IVF model
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,20 +86,7 @@ object Bench {
     // the burst). q37b/q38b stay OUT of this list deliberately: the
     // volume-corpus build belongs to the canary family's recorded
     // history and the canary must keep measuring its historical workload.
-    val setupQueries = Seq(
-      "q28_near_dup_jaccard",      // shingle_digests table
-      "q29c_minhash_lsh_portable", // lsh_pairs survivor table
-      "q36_media_features",        // media encode-once table
-      "q46_bucketed_join",         // bucketed lineitem/orders copies
-      "q54_partition_pruned",      // date-partitioned events copy
-      "q60_ann_ivf_kmeans",        // trained IVF model (shared with q73)
-      "q61_dup_clusters",          // neardup_labels CC table
-      "q62_range_clustered",       // range-clustered lineitem copy
-      "q63_zorder_slice",          // z-ordered lineitem copy
-      "q65_eval_contamination",    // span_digests table
-      "q72_incremental_neardup",   // persisted LSH band index
-      "q87_ivf_maintenance")       // corpus-only IVF model
-    val setup = setupQueries.filter(selected.contains).map { name =>
+    val setup = SetupQueries.filter(selected.contains).map { name =>
       val t0 = System.nanoTime()
       try selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] setup $name failed: ${e.getMessage}") }

@@ -36,4 +36,17 @@ class ToolingSpec extends AnyFunSuite {
         s"$r must read rig-attributed from the table:\n$out")
     }
   }
+
+  test("bench setup list: every entry is a registered query; the canary family stays timed") {
+    val qs = SparkEntry.queries.keySet
+    val stale = Bench.SetupQueries.filterNot(qs.contains)
+    assert(stale.isEmpty, s"setup entries no longer in SparkEntry.queries: $stale")
+    assert(Bench.SetupQueries.distinct === Bench.SetupQueries, "duplicate setup entries")
+    // the canary's adjudication history prices its own corpus build —
+    // provisioning it untimed would silently re-anchor the rig meter
+    val canaryFamily = Set("q37_clf_parse", "q37b_clf_parse_volume",
+      "q38_clf_dead_letters", "q38b_clf_dead_letters_volume")
+    assert(Bench.SetupQueries.forall(n => !canaryFamily.contains(n)),
+      "canary-family queries must never enter the untimed setup pass")
+  }
 }
