@@ -105,7 +105,7 @@ def main():
         is_round = subj.startswith("round ") and "verdict" in subj
         if not (is_round or h == "worktree"):
             continue
-        label = subj.split(":")[0] if is_round else "r9 (worktree)"
+        label = subj.split(":")[0] if is_round else "worktree (in-flight)"
         q = d["queries"]
         canary = q.get(CANARY)
         if canary is None:
