@@ -796,9 +796,9 @@ class PipelineOpsSpec extends SparkSpec {
       "q74_bloom_incremental_dedup", // q74 NPE'd here before the empty-filter guard
       "q100_sql_pipeline_report", "q101_sql_simhash_pairs",
       "q102_sql_knn_brute") // SQL-text surface
-    ops.foreach { n =>
+    try ops.foreach { n =>
       assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
-    }
+    } finally cleanupWarehouseFor(dest.toString)
   }
 
   test("q94: sweep histogram matches a recompute from the per-doc scores; rates are cumulative") {

@@ -38,13 +38,7 @@ class ProvisioningSpec extends SparkSpec {
         s"artifacts built OUTSIDE the setup pass — add their builder query to " +
           s"Bench.SetupQueries or the one-time cost lands in a timed rep: $leaked")
     } finally {
-      // tidy the per-run artifacts: catalog entries first (the LSH band
-      // index is a saveAsTable), then the fingerprinted paths themselves
-      spark.sql("SHOW TABLES IN graft_lsh").collect()
-        .map(_.getString(1)).filter(_.contains(sanitized.toLowerCase))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_lsh.`$t`"))
-      entries().foreach(e =>
-        graft.sources.Artifacts.deleteIfExists(spark, s"${graft.sources.Artifacts.Warehouse}/$e"))
+      cleanupWarehouseFor(dir)
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
   }

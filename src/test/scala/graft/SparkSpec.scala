@@ -30,6 +30,24 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     allPlanNodes(df.queryExecution.executedPlan)
       .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
   }
+
+  /** Deletes every build-once warehouse artifact fingerprinted to `dir`
+    * (catalog entries first — the LSH band index is a saveAsTable — then
+    * the paths). Specs that run queries against a throwaway input dir
+    * MUST call this, or each suite run leaks a fresh set of
+    * never-read-again artifacts into /tmp/graft_warehouse — exactly the
+    * accumulation the bench artifact-read adjudication watches for. */
+  protected def cleanupWarehouseFor(dir: String): Unit = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (spark.catalog.databaseExists("graft_lsh"))
+      spark.sql("SHOW TABLES IN graft_lsh").collect()
+        .map(_.getString(1)).filter(_.contains(sanitized.toLowerCase))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_lsh.`$t`"))
+    val wh = new java.io.File(graft.sources.Artifacts.Warehouse)
+    Option(wh.list()).getOrElse(Array.empty[String]).filter(_.contains(sanitized))
+      .foreach(e => graft.sources.Artifacts.deleteIfExists(
+        spark, s"${graft.sources.Artifacts.Warehouse}/$e"))
+  }
 }
 
 object SparkSpec {
