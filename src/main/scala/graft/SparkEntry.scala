@@ -82,6 +82,7 @@ object SparkEntry {
     "q90_curation_gate"   -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
     "q103_bpe_train"      -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "q104_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1175,6 +1176,11 @@ object SparkEntry {
     // apply per iteration) so learned pairs, counts, and every
     // per-iteration merge count are hash-gated.
     "q103_bpe_train" -> operators.TextAnalysis.bpeTrainOracleSql(),
+    // BPE encode: the trained merge chain applied to the corpus, reported
+    // as the encoded vocabulary-usage table (per-symbol occurrences and
+    // token-type spread, merge symbols flagged) — shares q103's unrolled
+    // CTE chain, reads only its final working corpus.
+    "q104_bpe_encode" -> operators.TextAnalysis.bpeEncodeOracleSql(),
     // Threshold-calibration sweep: q85's scoring bucketed, with the
     // cumulative keep rate per candidate threshold.
     "q94_surprisal_sweep" ->

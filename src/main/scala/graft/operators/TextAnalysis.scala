@@ -1242,9 +1242,13 @@ object TextAnalysis {
     * guards keep the twins identical on a degenerate corpus (learning
     * stops permanently on both engines, so dry iterations are a
     * contiguous suffix). */
-  def bpeTrainOracleSql(): String = {
+  /** Shared CTE prefix for the BPE oracles: `t0` = the corpus, then per
+    * iteration a LIMIT-1 pair count (`cI`) and the empty-learn-guarded
+    * replace apply (`tI`). [[bpeTrainOracleSql]] reads every stage;
+    * [[bpeEncodeOracleSql]] reads only the final working corpus. */
+  private def bpeOracleChain(iters: Int): String = {
     val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text FROM documents)")
-    (1 to BpeIters).foreach { i =>
+    (1 to iters).foreach { i =>
       sb ++= raw""",
         |c$i AS (SELECT pair, COUNT(*) AS cnt FROM (
         |    SELECT substr(w, CAST(i AS INT), 2) AS pair
@@ -1255,6 +1259,11 @@ object TextAnalysis {
         |t$i AS (SELECT doc_id, CASE WHEN (SELECT pair FROM c$i) IS NULL THEN text
         |    ELSE replace(text, (SELECT pair FROM c$i), chr(${255 + i})) END AS text FROM t${i - 1})""".stripMargin
     }
+    sb.toString
+  }
+
+  def bpeTrainOracleSql(): String = {
+    val sb = new StringBuilder(bpeOracleChain(BpeIters))
     val pairCols = (1 to BpeIters).map(i =>
       s"(SELECT pair FROM c$i) AS pair_$i, (SELECT cnt FROM c$i) AS cnt_$i").mkString(",\n  ")
     val mergeCols = (1 to BpeIters).map(i =>
@@ -1270,6 +1279,78 @@ object TextAnalysis {
         |  CAST(length(t$BpeIters.text) AS BIGINT) AS n_chars_after
         |FROM t0 $joins ORDER BY t0.doc_id""".stripMargin
     sb.toString
+  }
+
+  /** q104 — BPE encode: apply the trained merge table to the corpus and
+    * report the resulting vocabulary usage — the step a tokenizer
+    * pipeline actually runs at corpus scale once training (q103) has
+    * produced the merge table. Per symbol of the ENCODED corpus
+    * (non-whitespace, merges collapsed): total occurrences and the
+    * number of distinct whitespace-token types containing it, with
+    * learned merge symbols flagged. This is the table data-mixing reads
+    * (token frequency spectrum, merge hit rates) before a training run.
+    *
+    * Scale shape: the model is [[BpeIters]] driver-side rows broadcast
+    * into the encode pass as stacked map-side `replace`s (checkpoint-
+    * bounded past [[BpeCheckpointEvery]], same as training); the corpus
+    * is never collected. The usage stats are computed over the
+    * DISTINCT-token histogram (q103's recount structure): one
+    * map-side-combined token groupBy into a Zipf-bounded vocabulary,
+    * then a per-char explode that runs once per distinct TOKEN TYPE
+    * weighted by its count — materialized rows grow with vocabulary,
+    * not corpus — into a charset+vocab-bounded final aggregate. The
+    * `n_tok_types` distinct-count expands over (symbol, token-type)
+    * pairs, also vocabulary-bounded. In production the merge table is a
+    * persisted artifact; here the encode retrains inline so the query
+    * is self-contained end-to-end (the honest train+encode cost). */
+  def bpeEncode(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
+    val (learned, _) = bpeLearn(spark, dir, iters)
+    var cur = Tables.documents(spark, dir).select(col("text"))
+    learned.zipWithIndex.foreach { case ((p, _), i) =>
+      cur = cur.withColumn("text", replace(col("text"), lit(p), lit(BpeMergeSyms(i))))
+    }
+    val hist = cur
+      .select(explode(expr(toksExpr)).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val mergeSyms: Seq[String] = learned.indices.map(BpeMergeSyms)
+    val isMerge =
+      if (mergeSyms.isEmpty) lit(0L)
+      else when(col("sym").isin(mergeSyms: _*), 1L).otherwise(0L)
+    hist
+      .select(col("w"), col("wcnt"), explode(split(col("w"), "")).as("sym"))
+      .where(length(col("sym")) === 1)
+      .groupBy("sym")
+      .agg(
+        sum(col("wcnt")).as("n_occ"),
+        countDistinct(col("w")).as("n_tok_types"))
+      .withColumn("is_merge", isMerge)
+      .select(col("sym"), col("is_merge"), col("n_occ"), col("n_tok_types"))
+      .orderBy("sym")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the same learn/apply chain as
+    * [[bpeTrainOracleSql]] (shared CTE prefix), then the vocabulary
+    * usage computed over the per-char explode of the distinct-token
+    * histogram of the final working corpus. The merge-symbol flag tests
+    * against ALL reserved symbols `chr(256)..chr(255+iters)` — a symbol
+    * reserved for an iteration that learned nothing never occurs in the
+    * corpus, so the classification agrees with the Spark side's
+    * learned-only list on every row that exists. */
+  def bpeEncodeOracleSql(): String = {
+    val syms = (1 to BpeIters).map(i => s"chr(${255 + i})").mkString(", ")
+    bpeOracleChain(BpeIters) +
+      s"""
+        |, h AS (SELECT w, COUNT(*) AS wcnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM t$BpeIters)
+        |  WHERE length(w) >= 1 GROUP BY 1),
+        |s AS (SELECT w, wcnt, unnest(string_split_regex(w, '')) AS sym FROM h)
+        |SELECT sym,
+        |  CAST(CASE WHEN sym IN ($syms) THEN 1 ELSE 0 END AS BIGINT) AS is_merge,
+        |  CAST(SUM(wcnt) AS BIGINT) AS n_occ,
+        |  COUNT(DISTINCT w) AS n_tok_types
+        |FROM s WHERE length(sym) = 1
+        |GROUP BY 1, 2 ORDER BY sym""".stripMargin
   }
 
   /** q93 — training-manifest assembly: the LAST pipeline stage, joining

@@ -735,6 +735,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df1.select("pair_1").head.getString(0) === df3.select("pair_1").head.getString(0))
   }
 
+  test("q104: encoded vocabulary usage matches a driver-side recompute, last merge symbol fully accounted") {
+    val docs = bpeDocs()
+    val (learned, mergesPerDoc, cur) = bpeRecompute(docs, TextAnalysis.BpeIters)
+    assert(learned.length === TextAnalysis.BpeIters, "fixture must learn every iteration")
+    // driver-side vocabulary usage over the final working corpus: per
+    // symbol, total occurrences (token-histogram weighted) and distinct
+    // token types containing it — the same BMP-only precondition as the
+    // q103 recompute makes per-Char iteration sound
+    val hist = cur.values.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = hist.toSeq
+      .flatMap { case (w, wcnt) => w.map(ch => (ch.toString, w, wcnt)) }
+      .groupBy(_._1)
+      .map { case (sym, rows) =>
+        sym -> ((rows.map(_._3).sum, rows.map(_._2).distinct.size.toLong)) }
+    val out = TextAnalysis.bpeEncode(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).toSeq === expected.keys.toSeq.sorted,
+      "one row per encoded symbol, ordered by symbol")
+    val mergeSyms = TextAnalysis.BpeMergeSyms.take(learned.length).toSet
+    out.foreach { r =>
+      val sym = r.getString(0)
+      assert(r.getLong(1) === (if (mergeSyms(sym)) 1L else 0L), s"is_merge($sym)")
+      assert(r.getLong(2) === expected(sym)._1, s"n_occ($sym)")
+      assert(r.getLong(3) === expected(sym)._2, s"n_tok_types($sym)")
+    }
+    // merge accounting: every merge i produced n_merges_i occurrences of
+    // its symbol; LATER merges may consume earlier symbols (their pair can
+    // contain them), so occurrences are bounded by the merge count — and
+    // for the LAST symbol nothing can consume it, so the bound is tight
+    val occ = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    learned.indices.foreach { i =>
+      val total = mergesPerDoc(i).values.sum
+      val o = occ.getOrElse(TextAnalysis.BpeMergeSyms(i), 0L)
+      assert(o <= total, s"merge symbol $i occurs more often than it was produced")
+      if (i == learned.length - 1)
+        assert(o === total, "the final merge symbol must be fully accounted")
+    }
+    // the encode is not a no-op: merge symbols actually appear
+    assert(mergeSyms.exists(s => occ.getOrElse(s, 0L) > 0L))
+  }
+
   test("q92: exactly k per stratum (or the whole stratum), in hash order") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("lang", "doc_id").collect()
