@@ -83,6 +83,7 @@ object SparkEntry {
     "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
     "q103_bpe_train"      -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "q104_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    "q105_span_dedup_rewrite" -> ((s, d) => TextAnalysis.spanDedupRewrite(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1176,6 +1177,31 @@ object SparkEntry {
     // apply per iteration) so learned pairs, counts, and every
     // per-iteration merge count are hash-gated.
     "q103_bpe_train" -> operators.TextAnalysis.bpeTrainOracleSql(),
+    // Span-level dedup rewrite: q76's duplicated 8-token spans EXCISED
+    // from every non-owner document, the corpus rewritten; covered token
+    // positions via a left join against the per-doc covered-position set,
+    // kept text rebuilt with an ordered string_agg.
+    "q105_span_dedup_rewrite" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(t)-6)) AS s,
+        |        unnest(list_transform(range(1, len(t)-6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+        |      FROM toks WHERE len(t) >= 8),
+        |own AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |ex AS (SELECT g.doc_id, g.s FROM g JOIN own USING (gh) WHERE own.first_doc < g.doc_id),
+        |cov AS (SELECT DISTINCT doc_id, s + d AS p
+        |        FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS d)),
+        |tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS i FROM toks),
+        |kept AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
+        |           string_agg(tp.tok, ' ' ORDER BY tp.i) AS text_dedup
+        |         FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i = c.p
+        |         WHERE c.p IS NULL GROUP BY 1)
+        |SELECT tk.doc_id,
+        |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM toks tk LEFT JOIN kept k USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
     // BPE encode: the trained merge chain applied to the corpus, reported
     // as the encoded vocabulary-usage table (per-symbol occurrences and
     // token-type spread, merge symbols flagged) — shares q103's unrolled

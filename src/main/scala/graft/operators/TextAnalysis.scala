@@ -343,6 +343,79 @@ object TextAnalysis {
       .withColumn("rep_permille", expr("repeated_spans * 1000L div total_spans"))
   }
 
+  /** q105 — span-level dedup REWRITE: excise globally-duplicated
+    * [[SpanWidth]]-token spans from every document except the span's
+    * first owner, and emit the rewritten corpus — the substring-level
+    * training-data dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), approximated at fixed
+    * token-8-gram granularity instead of a suffix array. q76 REPORTS
+    * repeated-span coverage; this is the operator that acts on it.
+    *
+    * Semantics: a span is duplicated iff some earlier document (min
+    * doc_id = the keep-one owner, q76's ownership rule) contains it;
+    * every occurrence in a later document is removed — overlapping
+    * excisions merge, and the kept tokens are rejoined with single
+    * spaces. The owner keeps all its copies (in-doc repetition is q64's
+    * signal, not this operator's).
+    *
+    * Scale shape: the token stream is NEVER shuffled. Span starts are
+    * generated map-side (position + 16-byte digest), ownership comes
+    * from the persisted [[spanDigests]] table (one vocabulary-sized
+    * aggregate), and the only corpus-keyed movement is the flagged
+    * START POSITIONS: digest-keyed equi-join to the owner table, then
+    * one per-doc collect of the (typically sparse) excised starts. The
+    * rewrite itself is a map-side two-fold over each row: sorted starts
+    * → merged intervals (O(m)), intervals → kept-token slices (O(n))
+    * — no per-token × per-interval product, no window over the token
+    * stream. At 100 TB both join sides bucket by digest. */
+  def spanDedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val W = SpanWidth
+    val toks = Tables.documents(spark, dir).select(col("doc_id"), expr(toksExpr).as("t"))
+    val starts = toks.where(size(col("t")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${W - 1}), i -> named_struct(" +
+          s"'s', i, 'gh', unhex(md5(concat_ws(' ', slice(t, i, $W))))))")).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("s"), col("sp.gh").as("gh"))
+    // only spans seen in MORE THAN ONE document can excise anything
+    // (first_doc < doc_id is unsatisfiable for single-doc spans), so the
+    // join's build side shrinks from the whole span vocabulary to the
+    // duplicated minority — the rows of the persisted table are distinct
+    // (doc, source, span), so count(*) ≥ 2 ⇔ cross-doc duplication
+    val owner = spanDigests(spark, dir)
+      .groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("nd"))
+      .where(col("nd") > 1)
+      .drop("nd")
+    val excised = starts.join(owner, "gh")
+      .where(col("first_doc") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("starts"))
+    toks.join(excised, Seq("doc_id"), "left")
+      // sorted starts → merged [a, b) intervals: successive starts either
+      // extend the open interval (s < last.b; ends are monotone, so the
+      // new end is just s + W) or open a new one
+      .withColumn("merged", expr(
+        s"""aggregate(coalesce(starts, array()),
+           |  cast(array() as array<struct<a: int, b: int>>),
+           |  (acc, s) -> if(size(acc) = 0 OR s > element_at(acc, -1).b,
+           |    concat(acc, array(named_struct('a', s, 'b', s + $W))),
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('a', element_at(acc, -1).a, 'b', s + $W)))))""".stripMargin))
+      // intervals → kept tokens via gap slices: carry the next unexcised
+      // position, emit the gap before each interval, then the tail
+      .withColumn("kept", expr(
+        """aggregate(merged,
+          |  named_struct('p', 1, 'ks', cast(array() as array<string>)),
+          |  (acc, iv) -> named_struct('p', iv.b,
+          |    'ks', concat(acc.ks, slice(t, acc.p, iv.a - acc.p))),
+          |  acc -> concat(acc.ks, slice(t, acc.p, size(t) + 1 - acc.p)))""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
   /** q64 — Gopher-style repetition quality metrics, fully map-side.
     *
     * The classic pre-training repetition filters (most-frequent-token

@@ -776,6 +776,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mergeSyms.exists(s => occ.getOrElse(s, 0L) > 0L))
   }
 
+  test("q105: span-excision rewrite matches a driver-side recompute with raw-string span keys") {
+    val W = TextAnalysis.SpanWidth
+    // limit -1: Spark's split() and DuckDB's string_split_regex both KEEP
+    // trailing empty tokens; Scala's default split(limit 0) drops them
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+", -1)).toMap
+    // raw span strings as keys (not digests): if the 16-byte md5 path ever
+    // collided or mis-sliced, this recompute would diverge
+    val spans = toks.toSeq.flatMap { case (id, t) =>
+      if (t.length >= W) (0 to t.length - W).map(i => (id, i + 1, t.slice(i, i + W).mkString(" ")))
+      else Nil
+    }
+    val owner = spans.groupBy(_._3).map { case (g, xs) => g -> xs.map(_._1).min }
+    val covered: Map[Long, Set[Int]] = spans
+      .filter { case (id, _, g) => owner(g) < id }
+      .groupBy(_._1)
+      .map { case (id, xs) => id -> xs.flatMap { case (_, s, _) => s until s + W }.toSet }
+    assert(covered.nonEmpty, "fixture must exercise at least one excision")
+    val out = TextAnalysis.spanDedupRewrite(spark, sf0001).collect()
+    assert(out.length === toks.size)
+    assert(out.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq.sorted)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val t = toks(id)
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = t.zipWithIndex.collect { case (tok, i) if !cov(i + 1) => tok }
+      assert(r.getLong(1) === t.length.toLong, s"n_tokens($id)")
+      assert(r.getLong(2) === (t.length - kept.length).toLong, s"n_removed($id)")
+      assert(r.getString(3) === kept.mkString(" "), s"text_dedup($id)")
+    }
+    // the rewrite is not a report: tokens were actually removed somewhere,
+    // and untouched documents round-trip byte-identically
+    assert(out.exists(_.getLong(2) > 0))
+    out.filter(_.getLong(2) === 0L).take(5).foreach { r =>
+      assert(r.getString(3) === toks(r.getLong(0)).mkString(" "))
+    }
+  }
+
   test("q92: exactly k per stratum (or the whole stratum), in hash order") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("lang", "doc_id").collect()
