@@ -815,6 +815,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q105 counted: five shuffles at the 100 TB shape, and the token stream is not one of them") {
+    // broadcast off = the plan the query has when neither side fits an
+    // executor: expected exchanges are exactly (1) the owner aggregate on
+    // gh, (2) starts co-partitioned to gh for the join, (3) the excised
+    // per-doc collect, (4) toks co-partitioned to doc_id for the rebuild
+    // join, (5) the contract sort. The scale claim "the token stream is
+    // never shuffled" is the absence of a sixth: the documents scan
+    // feeding the rebuild ships (doc_id, t) once into (4) and the span
+    // frame reduces to starts before any exchange.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = TextAnalysis.spanDedupRewrite(s, sf0001)
+    val ex = shuffleExchanges(df)
+    assert(ex.size === 5, s"want exactly 5 shuffle exchanges, got ${ex.size}:\n${ex.mkString("\n")}")
+  }
+
   test("q92: exactly k per stratum (or the whole stratum), in hash order") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("lang", "doc_id").collect()
