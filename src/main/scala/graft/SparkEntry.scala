@@ -84,6 +84,7 @@ object SparkEntry {
     "q103_bpe_train"      -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "q104_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q105_span_dedup_rewrite" -> ((s, d) => TextAnalysis.spanDedupRewrite(s, d)),
+    "q106_span_dedup_incremental" -> ((s, d) => TextAnalysis.incrementalSpanDedup(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1201,6 +1202,33 @@ object SparkEntry {
         |  CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
         |  COALESCE(k.text_dedup, '') AS text_dedup
         |FROM toks tk LEFT JOIN kept k USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
+    // Incremental span dedup: the doc_id%10=9 batch rewritten against the
+    // history side's presence-only span set (q68's batch-vs-index split at
+    // span level); same covered-position rebuild as q105.
+    "q106_span_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bt AS (SELECT * FROM toks WHERE doc_id % 10 = 9),
+        |hist AS (SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS gh
+        |         FROM (SELECT t, unnest(range(1, len(t)-6)) AS i FROM toks
+        |               WHERE doc_id % 10 <> 9 AND len(t) >= 8)),
+        |bs AS (SELECT doc_id,
+        |         unnest(range(1, len(t)-6)) AS s,
+        |         unnest(list_transform(range(1, len(t)-6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS gh
+        |       FROM bt WHERE len(t) >= 8),
+        |ex AS (SELECT bs.doc_id, bs.s FROM bs JOIN hist USING (gh)),
+        |cov AS (SELECT DISTINCT doc_id, s + d AS p
+        |        FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS d)),
+        |tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS i FROM bt),
+        |kept AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
+        |           string_agg(tp.tok, ' ' ORDER BY tp.i) AS text_dedup
+        |         FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i = c.p
+        |         WHERE c.p IS NULL GROUP BY 1)
+        |SELECT tk.doc_id,
+        |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM bt tk LEFT JOIN kept k USING (doc_id)
         |ORDER BY tk.doc_id""".stripMargin,
     // BPE encode: the trained merge chain applied to the corpus, reported
     // as the encoded vocabulary-usage table (per-symbol occurrences and

@@ -368,30 +368,30 @@ object TextAnalysis {
     * → merged intervals (O(m)), intervals → kept-token slices (O(n))
     * — no per-token × per-interval product, no window over the token
     * stream. At 100 TB both join sides bucket by digest. */
-  def spanDedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc [[SpanWidth]]-token span starts with 16-byte digests,
+    * generated map-side — the probe frame of [[spanDedupRewrite]] /
+    * [[incrementalSpanDedup]]. `toks` must carry (doc_id, t). */
+  private def spanStarts(toks: DataFrame): DataFrame = {
     val W = SpanWidth
-    val toks = Tables.documents(spark, dir).select(col("doc_id"), expr(toksExpr).as("t"))
-    val starts = toks.where(size(col("t")) >= W)
+    toks.where(size(col("t")) >= W)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t) - ${W - 1}), i -> named_struct(" +
           s"'s', i, 'gh', unhex(md5(concat_ws(' ', slice(t, i, $W))))))")).as("sp"))
       .select(col("doc_id"), col("sp.s").as("s"), col("sp.gh").as("gh"))
-    // only spans seen in MORE THAN ONE document can excise anything
-    // (first_doc < doc_id is unsatisfiable for single-doc spans), so the
-    // join's build side shrinks from the whole span vocabulary to the
-    // duplicated minority — the rows of the persisted table are distinct
-    // (doc, source, span), so count(*) ≥ 2 ⇔ cross-doc duplication
-    val owner = spanDigests(spark, dir)
-      .groupBy(col("gh"))
-      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("nd"))
-      .where(col("nd") > 1)
-      .drop("nd")
-    val excised = starts.join(owner, "gh")
-      .where(col("first_doc") < col("doc_id"))
+  }
+
+  /** Shared rewrite core: per-doc flagged start positions → rewritten
+    * corpus. The per-row arithmetic is a two-fold — sorted starts into
+    * merged [a, b) intervals (O(m)), intervals into kept-token gap
+    * slices (O(n)) — so there is no per-token × per-interval product
+    * anywhere, and docs with no flagged starts pass through whole. */
+  private def exciseRewrite(toks: DataFrame, flagged: DataFrame): DataFrame = {
+    val W = SpanWidth
+    val excised = flagged
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("starts"))
     toks.join(excised, Seq("doc_id"), "left")
       // sorted starts → merged [a, b) intervals: successive starts either
-      // extend the open interval (s < last.b; ends are monotone, so the
+      // extend the open interval (s ≤ last.b; ends are monotone, so the
       // new end is just s + W) or open a new one
       .withColumn("merged", expr(
         s"""aggregate(coalesce(starts, array()),
@@ -414,6 +414,54 @@ object TextAnalysis {
         (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("text_dedup"))
       .orderBy("doc_id")
+  }
+
+  def spanDedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"), expr(toksExpr).as("t"))
+    // only spans seen in MORE THAN ONE document can excise anything
+    // (first_doc < doc_id is unsatisfiable for single-doc spans), so the
+    // join's build side shrinks from the whole span vocabulary to the
+    // duplicated minority — the rows of the persisted table are distinct
+    // (doc, source, span), so count(*) ≥ 2 ⇔ cross-doc duplication
+    val owner = spanDigests(spark, dir)
+      .groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("nd"))
+      .where(col("nd") > 1)
+      .drop("nd")
+    val flagged = spanStarts(toks).join(owner, "gh")
+      .where(col("first_doc") < col("doc_id"))
+      .select(col("doc_id"), col("s"))
+    exciseRewrite(toks, flagged)
+  }
+
+  /** q106 — INCREMENTAL span dedup: the new batch rewritten against the
+    * EXISTING corpus's span index — the crawl-increment path that keeps
+    * [[spanDedupRewrite]] tractable on a growing corpus (q68's
+    * batch-vs-index pattern applied at span level). Batch = `doc_id %
+    * 10 = 9` (the house incremental split), history = the rest; any
+    * batch span already present in history is excised from the batch
+    * (history owns every span it contains — ALL batch occurrences go),
+    * and history is never rewritten or re-scanned beyond its persisted
+    * digest table. Batch-INTERNAL duplication is deliberately out of
+    * scope here: that is q105 run over the batch, and the two compose.
+    *
+    * Scale shape: the history side is a presence-only DISTINCT digest
+    * projection of the persisted [[spanDigests]] table (no positions,
+    * no doc ids — the narrowest possible index); the probe shuffles
+    * ONLY the batch's span starts. At 100 TB the index is bucketed by
+    * digest and the per-batch probe cost is proportional to the BATCH,
+    * not the corpus — append the batch's novel digests and the
+    * bucketing survives for the next increment. */
+  def incrementalSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(10)) === 9
+    val toks = Tables.documents(spark, dir)
+      .where(isBatch).select(col("doc_id"), expr(toksExpr).as("t"))
+    val index = spanDigests(spark, dir)
+      .where(!isBatch).select(col("gh")).distinct()
+    val flagged = spanStarts(toks)
+      .join(index, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    exciseRewrite(toks, flagged)
   }
 
   /** q64 — Gopher-style repetition quality metrics, fully map-side.

@@ -815,6 +815,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q106: incremental span dedup recompute — batch loses exactly the history's spans, history untouched") {
+    val W = TextAnalysis.SpanWidth
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+", -1)).toMap
+    val (batch, hist) = toks.partition { case (id, _) => id % 10 == 9 }
+    val histSpans: Set[String] = hist.values
+      .filter(_.length >= W)
+      .flatMap(t => (0 to t.length - W).map(i => t.slice(i, i + W).mkString(" "))).toSet
+    val covered: Map[Long, Set[Int]] = batch.map { case (id, t) =>
+      val hits =
+        if (t.length >= W)
+          (0 to t.length - W).filter(i => histSpans(t.slice(i, i + W).mkString(" ")))
+        else Seq.empty
+      id -> hits.flatMap(i => (i + 1) until (i + 1 + W)).toSet
+    }
+    assert(covered.values.exists(_.nonEmpty), "fixture must exercise a batch-vs-history hit")
+    val out = TextAnalysis.incrementalSpanDedup(spark, sf0001).collect()
+    assert(out.length === batch.size, "only batch documents are rewritten")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val t = batch(id)
+      val kept = t.zipWithIndex.collect { case (tok, i) if !covered(id)(i + 1) => tok }
+      assert(r.getLong(1) === t.length.toLong, s"n_tokens($id)")
+      assert(r.getLong(2) === (t.length - kept.length).toLong, s"n_removed($id)")
+      assert(r.getString(3) === kept.mkString(" "), s"text_dedup($id)")
+    }
+    // NOTE deliberately NOT asserted: per-doc removal vs q105. The two
+    // differ by design — q105's min-doc ownership can let a BATCH doc own
+    // a span (keeping it there, excising it from a later history doc),
+    // while the incremental rule gives history ownership of everything it
+    // contains. Neither dominates the other per document.
+  }
+
   test("q105 counted: five shuffles at the 100 TB shape, and the token stream is not one of them") {
     // broadcast off = the plan the query has when neither side fits an
     // executor: expected exchanges are exactly (1) the owner aggregate on
