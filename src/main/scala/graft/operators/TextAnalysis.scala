@@ -385,7 +385,7 @@ object TextAnalysis {
     * merged [a, b) intervals (O(m)), intervals into kept-token gap
     * slices (O(n)) — so there is no per-token × per-interval product
     * anywhere, and docs with no flagged starts pass through whole. */
-  private def exciseRewrite(toks: DataFrame, flagged: DataFrame): DataFrame = {
+  private[graft] def exciseRewrite(toks: DataFrame, flagged: DataFrame): DataFrame = {
     val W = SpanWidth
     val excised = flagged
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("starts"))

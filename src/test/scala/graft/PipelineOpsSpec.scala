@@ -849,6 +849,46 @@ class PipelineOpsSpec extends SparkSpec {
     // contains. Neither dominates the other per document.
   }
 
+  test("excise fold: merged-interval/gap-slice rewrite equals a brute-force mask on adversarial start sets") {
+    // the fold is the riskiest arithmetic in q105/q106 — this drives it
+    // through the shapes the corpus fixture may never hit: an interval at
+    // position 1 (zero-length leading slice), at the last legal start
+    // (zero-length tail slice), exactly-adjacent intervals (s == last.b),
+    // total coverage (empty kept array), and 55 seeded-random start sets
+    val W = TextAnalysis.SpanWidth
+    val rnd = new scala.util.Random(20260814L)
+    val cases = (0 until 60).map { i =>
+      val n = W + rnd.nextInt(40)
+      val t = Array.tabulate(n)(j => s"t${j % 5}")
+      val maxS = n - W + 1
+      val starts: Seq[Int] = i match {
+        case 0 => Seq(1)
+        case 1 => Seq(maxS)
+        case 2 => (1 to maxS)
+        case 3 => Seq.empty[Int]
+        case 4 => Seq(1, 1 + W).filter(_ <= maxS)
+        case _ => rnd.shuffle((1 to maxS).toList).take(rnd.nextInt(maxS + 1)).sorted
+      }
+      (i.toLong, t, starts)
+    }
+    import spark.implicits._
+    val toks = cases.map { case (id, t, _) => (id, t.toSeq) }.toDF("doc_id", "t")
+    val flagged = cases.flatMap { case (id, _, ss) => ss.map(s => (id, s)) }.toDF("doc_id", "s")
+    val out = TextAnalysis.exciseRewrite(toks, flagged).collect()
+    val expected = cases.map { case (id, t, ss) =>
+      val cov = ss.flatMap(s => s until s + W).toSet
+      val kept = t.zipWithIndex.collect { case (tok, j) if !cov(j + 1) => tok }
+      id -> ((t.length.toLong, (t.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+    assert(out.length === cases.length)
+    out.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert(r.getLong(1) === e._1, s"n_tokens(${r.getLong(0)})")
+      assert(r.getLong(2) === e._2, s"n_removed(${r.getLong(0)})")
+      assert(r.getString(3) === e._3, s"text_dedup(${r.getLong(0)})")
+    }
+  }
+
   test("q105 counted: five shuffles at the 100 TB shape, and the token stream is not one of them") {
     // broadcast off = the plan the query has when neither side fits an
     // executor: expected exchanges are exactly (1) the owner aggregate on
