@@ -452,12 +452,21 @@ object TextAnalysis {
     * digest and the per-batch probe cost is proportional to the BATCH,
     * not the corpus — append the batch's novel digests and the
     * bucketing survives for the next increment. */
-  def incrementalSpanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val isBatch = pmod(col("doc_id"), lit(10)) === 9
-    val toks = Tables.documents(spark, dir)
-      .where(isBatch).select(col("doc_id"), expr(toksExpr).as("t"))
+  def incrementalSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalSpanDedupOf(spark, dir,
+      Tables.documents(spark, dir).where(pmod(col("doc_id"), lit(10)) === 9))
+
+  /** [[incrementalSpanDedup]] against an ARBITRARY batch frame (doc_id,
+    * text, ...) — the core the streaming twin feeds micro-batches
+    * through. The history index is frozen per corpus dir (the fixture's
+    * doc_id%10≠9 split of the persisted digest table), and every doc's
+    * rewrite depends only on itself plus that index, so ANY partition of
+    * a batch into micro-batches reproduces the batch operator's table —
+    * the q72 invariance argument, spec'd in StreamingSpec. */
+  def incrementalSpanDedupOf(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val toks = batch.select(col("doc_id"), expr(toksExpr).as("t"))
     val index = spanDigests(spark, dir)
-      .where(!isBatch).select(col("gh")).distinct()
+      .where(pmod(col("doc_id"), lit(10)) =!= 9).select(col("gh")).distinct()
     val flagged = spanStarts(toks)
       .join(index, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("s"))

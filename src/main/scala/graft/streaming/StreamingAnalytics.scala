@@ -167,6 +167,24 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming span-level dedup — the stream twin of q106
+    * (`TextAnalysis.incrementalSpanDedupOf`): each document micro-batch
+    * is rewritten against the FROZEN history span index (the persisted
+    * span-digest table — the durable state, never rewritten by the
+    * stream), excising any 8-token span history already contains. Every
+    * doc's rewrite depends only on itself + the frozen index, so any
+    * micro-batching reproduces the batch q106 table exactly (spec'd in
+    * StreamingSpec) — the ingest-side "don't re-admit boilerplate the
+    * corpus already has" scrub, run before tokenization. */
+  def spanDedupPerBatch(spark: SparkSession, dir: String, docs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.TextAnalysis.incrementalSpanDedupOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming curation gate — the stream twin of q90
     * (`TextAnalysis.curationGate`): the quality model (token counts +
     * document frequencies) is trained ONCE on the corpus's hash train

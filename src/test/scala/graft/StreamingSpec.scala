@@ -252,6 +252,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamKept === batchKept)
   }
 
+  test("streaming span dedup converges to the batch q106 rewrite under any micro-batching") {
+    // frozen history index + per-doc-only rewrite ⇒ micro-batch invariance
+    val batchDocs = graft.sources.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 9)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(batchDocs.nonEmpty)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingAnalytics.spanDedupPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "text")) { rewrites =>
+      collected ++= rewrites.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    // three uneven micro-batches
+    input.addData(batchDocs.take(3).toSeq); q.processAllAvailable()
+    input.addData(batchDocs.slice(3, 4).toSeq); q.processAllAvailable()
+    input.addData(batchDocs.drop(4).toSeq); q.processAllAvailable()
+    q.stop()
+    val batchRewrite = graft.operators.TextAnalysis.incrementalSpanDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(collected.toSet === batchRewrite)
+    assert(collected.size === batchDocs.length)
+    // the stream actually rewrote something: at least one doc lost tokens
+    assert(collected.exists(_._3 > 0L))
+  }
+
   test("streaming near-dup probe converges to the batch q72 verdicts under any micro-batching") {
     // the stream twin probes the SAME persisted corpus index per
     // micro-batch; since batch docs are judged against the corpus only,
