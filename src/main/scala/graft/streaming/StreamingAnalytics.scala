@@ -185,6 +185,25 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** [[spanDedupPerBatch]] with a DURABLE source position: a killed
+    * scrubber restarts at the exact micro-batch where it stopped, rows
+    * arriving during the outage rewritten on restart. foreachBatch
+    * replays the last uncommitted batch at-least-once; the history index
+    * is frozen and the rewrite per-doc, so a replayed row yields the
+    * IDENTICAL rewrite — a sink keyed by doc_id converges to exactly the
+    * batch q106 table (the q90-scorer idempotence argument; kill +
+    * restart leg spec'd in StreamingSpec). */
+  def spanDedupPerBatchCheckpointed(spark: SparkSession, dir: String,
+      docs: DataFrame, checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.TextAnalysis.incrementalSpanDedupOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming curation gate — the stream twin of q90
     * (`TextAnalysis.curationGate`): the quality model (token counts +
     * document frequencies) is trained ONCE on the corpus's hash train
