@@ -43,6 +43,7 @@ object SparkEntry {
     "q40_cube_orders"     -> ((s, d) => Relational.cubeOrderStats(s, d)),
     "q41_order_history"   -> ((s, d) => Relational.customerOrderHistory(s, d)),
     "q42_salted_revenue"  -> ((s, d) => Relational.revenueByNationSalted(s, d)),
+    "q107_salted_differential" -> ((s, d) => Relational.revenueByNationSaltedDifferential(s, d)),
     "q43_deterministic_sample" -> ((s, d) => TextAnalysis.deterministicSample(s, d)),
     "q64_repetition_metrics" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
     "q65_eval_contamination" -> ((s, d) => TextAnalysis.evalContamination(s, d)),
@@ -408,6 +409,19 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q42_salted_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // Differential salting: plan differs (hot minority salted, cold
+    // majority plain), result must not — same oracle as q42/q11.
+    "q107_salted_differential" ->
       """SELECT r_name, n_name,
         |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders,

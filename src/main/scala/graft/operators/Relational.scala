@@ -199,6 +199,68 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** q107 — DIFFERENTIAL salting: only keys above a hotness threshold
+    * pay the salt fanout; the cold majority takes the plain
+    * co-partitioned join. [[revenueByNationSalted]] (q42) replicates the
+    * dimension side `saltBuckets`× for EVERY key — correct, but at 100 TB
+    * that is a `saltBuckets`× shuffle tax on a skew problem a handful of
+    * keys cause. The production refinement: (1) a DETECTION pass counts
+    * fact rows per key over a deterministic 1-in-10 hash sample (at
+    * scale you never count the full fact side to find whales), (2) the
+    * hot key set — tiny by the premise of skew — broadcasts into
+    * semi/anti splits of both sides, (3) the hot slice joins salted, the
+    * cold slice joins plain, and the union feeds the same aggregate.
+    *
+    * Misclassification is SEMANTICS-INVISIBLE, which is what makes
+    * sampled detection sound: a missed hot key just rides the cold path
+    * (slower, never wrong), a false positive pays a useless fanout —
+    * RelationalSpec pins row-identity against the unsalted query. The
+    * fixture's uniform TPC-H data makes the sampled "hot" set a plain
+    * subset rather than true whales, which is exactly what the parity
+    * spec wants: BOTH paths carry real rows. Thresholds (sample rate,
+    * `hotSampleMin`) are the tuning knobs; in production hot means
+    * ≥ ~10⁶ rows/key — past one executor's share. */
+  /** The q107 detection pass: per-key counts over a 1-in-10
+    * deterministic hash sample of the fact side (map-side combined; the
+    * groupBy shuffles only the sampled minority's partial counts).
+    * Exposed so the spec can pin that the fixture exercises BOTH paths. */
+  private[graft] def sampledHotKeys(spark: SparkSession, dir: String,
+      hotSampleMin: Long): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) === 0)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_cnt"))
+      .where(col("k_cnt") >= hotSampleMin)
+      .select(col("l_orderkey").as("hk"))
+
+  def revenueByNationSaltedDifferential(spark: SparkSession, dir: String,
+      saltBuckets: Int = 8, hotSampleMin: Long = 2): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val hot = sampledHotKeys(spark, dir, hotSampleMin)
+    val o = Tables.orders(spark, dir)
+    val lHot = l.join(broadcast(hot), col("l_orderkey") === col("hk"), "left_semi")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltBuckets)))
+    val oHot = o.join(broadcast(hot), col("o_orderkey") === col("hk"), "left_semi")
+      .withColumn("salt", explode(expr(s"sequence(0L, ${saltBuckets - 1}L)")))
+    val lCold = l.join(broadcast(hot), col("l_orderkey") === col("hk"), "left_anti")
+    val oCold = o.join(broadcast(hot), col("o_orderkey") === col("hk"), "left_anti")
+    val joined =
+      lHot.join(oHot, col("l_orderkey") === col("o_orderkey") && lHot("salt") === oHot("salt"))
+        .select(col("l_extendedprice"), col("l_discount"), col("o_orderkey"), col("o_custkey"))
+        .union(
+          lCold.join(oCold, col("l_orderkey") === col("o_orderkey"))
+            .select(col("l_extendedprice"), col("l_discount"), col("o_orderkey"), col("o_custkey")))
+    joined
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), Det.D28_10).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Shuffle (sort-merge) join, hint-forced: the strategy the optimizer
     * picks on its own when both sides are fact-sized (at 100 TB,
     * lineitem⋈orders can't broadcast). Semantically identical to the

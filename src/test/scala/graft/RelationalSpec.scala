@@ -72,6 +72,24 @@ class RelationalSpec extends SparkSpec {
     assert(salted.collect().toSeq === unsalted.collect().toSeq)
   }
 
+  test("q107: differential salting is semantics-invisible and the fixture exercises both paths") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // misclassification-invisibility, made concrete: whatever the sampled
+    // hot set is, the result is row-identical to the unsalted query
+    val unsalted = Relational.revenueByNation(s, sf0001)
+    val diff = Relational.revenueByNationSaltedDifferential(s, sf0001)
+    assert(diff.collect().toSeq === unsalted.collect().toSeq)
+    // and the parity above actually tested both join paths: the sampled
+    // hot set is neither empty (salted path dead) nor all keys (cold
+    // path dead)
+    val hot = Relational.sampledHotKeys(s, sf0001, hotSampleMin = 2).count()
+    val allKeys = graft.sources.Tables.lineitem(s, sf0001)
+      .select("l_orderkey").distinct().count()
+    assert(hot > 0, "fixture produced an empty hot set — salted path untested")
+    assert(hot < allKeys, "every key classified hot — cold path untested")
+  }
+
   test("q11 plan: lineitem pre-aggregates before the join, no expand for countDistinct") {
     val df = Relational.revenueByNation(spark, sf0001)
     df.collect()
