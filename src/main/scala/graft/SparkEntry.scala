@@ -86,6 +86,9 @@ object SparkEntry {
     "q104_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q105_span_dedup_rewrite" -> ((s, d) => TextAnalysis.spanDedupRewrite(s, d)),
     "q106_span_dedup_incremental" -> ((s, d) => TextAnalysis.incrementalSpanDedup(s, d)),
+    "q108_run_collapse"   -> ((s, d) => TextAnalysis.runCollapse(s, d)),
+    "q109_column_profile" -> ((s, d) => Profiling.documentsProfile(s, d)),
+    "q110_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1249,6 +1252,86 @@ object SparkEntry {
     // token-type spread, merge symbols flagged) — shares q103's unrolled
     // CTE chain, reads only its final working corpus.
     "q104_bpe_encode" -> operators.TextAnalysis.bpeEncodeOracleSql(),
+    // Intra-doc run collapse: gaps-and-islands run ids (i - rn over
+    // (doc, tok)) → position-in-run; kept = pos ≤ 2, rebuilt with an
+    // ordered string_agg; run stats from the run-length table.
+    "q108_run_collapse" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |tp AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts)+1)) AS i FROM d),
+        |r AS (SELECT doc_id, i, tok,
+        |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+        |      FROM tp),
+        |p AS (SELECT doc_id, i, tok, grp,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id, tok, grp ORDER BY i) AS pos
+        |      FROM r),
+        |runs AS (SELECT doc_id, tok, grp, COUNT(*) AS run_len FROM p GROUP BY 1, 2, 3),
+        |ragg AS (SELECT doc_id, MAX(run_len) AS max_run,
+        |           COALESCE(SUM(CASE WHEN run_len > 2 THEN run_len - 2 END), 0) AS n_dropped,
+        |           COALESCE(SUM(CASE WHEN run_len > 2 THEN 1 END), 0) AS n_runs_collapsed
+        |         FROM runs GROUP BY 1),
+        |clean AS (SELECT doc_id, COUNT(*) AS n_tokens_clean,
+        |            string_agg(tok, ' ' ORDER BY i) AS text_clean
+        |          FROM p WHERE pos <= 2 GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(c.n_tokens_clean AS BIGINT) AS n_tokens_clean,
+        |  CAST(a.n_dropped AS BIGINT) AS n_dropped,
+        |  CAST(a.n_runs_collapsed AS BIGINT) AS n_runs_collapsed,
+        |  CAST(a.max_run AS BIGINT) AS max_run,
+        |  c.text_clean
+        |FROM d JOIN ragg a USING (doc_id) JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Column profile: per-column value histogram → one report row; modal
+    // tie-break = lexicographically/numerically LARGEST value among equal
+    // counts (cnt DESC, v DESC), matching max(struct(cnt, v)).
+    "q109_column_profile" ->
+      """WITH lh AS (SELECT lang AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |la AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+        |       FROM lh),
+        |lt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+        |       FROM lh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
+        |nh AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+        |       FROM nh),
+        |nt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+        |       FROM nh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
+        |sh AS (SELECT source AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |sa AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+        |       FROM sh),
+        |st AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+        |       FROM sh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1)
+        |SELECT 'lang' AS column_name, la.*, lt.* FROM la, lt
+        |UNION ALL SELECT 'n_chars', na.*, nt.* FROM na, nt
+        |UNION ALL SELECT 'source', sa.*, st.* FROM sa, st
+        |ORDER BY column_name""".stripMargin,
+    // Vocabulary growth: first appearance per distinct (gram, type) →
+    // decile histogram → running sum per gram (the one-scan Heaps
+    // curves, unigram + bigram).
+    "q110_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |tp AS (SELECT doc_id, 1 AS gram, unnest(ts) AS term FROM d
+        |       UNION ALL
+        |       SELECT doc_id, 2 AS gram,
+        |         unnest(list_transform(range(1, CAST(greatest(len(ts), 1) AS BIGINT)),
+        |                               i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)])) AS term
+        |       FROM d),
+        |fs AS (SELECT gram, term, MIN(doc_id) AS first_doc FROM tp GROUP BY 1, 2),
+        |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |h AS (SELECT gram, CAST(first_doc * 10 // (mx.m + 1) + 1 AS BIGINT) AS decile,
+        |        COUNT(*) AS new_types
+        |      FROM fs, mx GROUP BY 1, 2)
+        |SELECT CAST(gram AS BIGINT) AS gram, decile, CAST(new_types AS BIGINT) AS new_types,
+        |  CAST(SUM(new_types) OVER (PARTITION BY gram ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+        |FROM h ORDER BY gram, decile""".stripMargin,
     // Threshold-calibration sweep: q85's scoring bucketed, with the
     // cumulative keep rate per candidate threshold.
     "q94_surprisal_sweep" ->

@@ -1626,6 +1626,107 @@ object TextAnalysis {
       .orderBy("s1", "s2")
   }
 
+  /** Runs longer than this many repeats are truncated by [[runCollapse]]. */
+  val MaxRun = 2
+
+  /** q108 — intra-document run-collapse normalization (the
+    * RefinedWeb-style repetition CORRECTION that rewrites a document
+    * instead of dropping it, the remedial twin of q64's Gopher drop
+    * rules): every consecutive run of the same token longer than
+    * [[MaxRun]] is truncated to MaxRun occurrences, and the document is
+    * re-emitted with the excess removed.
+    *
+    * The in-document complement of q105's cross-document span excision:
+    * where q105 must shuffle a corpus-wide span-digest index to know
+    * what is duplicated, a token run is visible from the row alone — so
+    * the whole rewrite is per-row array expressions (drop mask, run-start
+    * mask, one bounded fold for the max-run stat) and the operator is
+    * ZERO-shuffle: scan → codegen'd project → contract ORDER BY. At
+    * 100 TB it costs one pass over the token stream with no exchange at
+    * any scale, and composes with q105 as the in-doc leg of the dedup
+    * funnel (q98). Truncation beats deletion for training data: the
+    * fluent prefix survives, only the degenerate tail goes.
+    *
+    * Determinism: position masks over the ORIGINAL token array (a kept
+    * token is one not preceded by MaxRun copies of itself), so the
+    * rewrite is independent of evaluation order; the DuckDB oracle
+    * derives the same masks relationally (gaps-and-islands run ids →
+    * position-in-run ≤ MaxRun). */
+  def runCollapse(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tks", expr(toksExpr))
+      // keep token i unless tokens i-1 and i-2 are the same token — i.e.
+      // truncate every run to its first MaxRun=2 occurrences
+      .withColumn("clean", expr(
+        "filter(tks, (t, i) -> i < 2 OR NOT (t = tks[i - 1] AND t = tks[i - 2]))"))
+      // one run-start per maximal run longer than MaxRun
+      .withColumn("n_runs_collapsed", expr(
+        """size(filter(tks, (t, i) -> (i = 0 OR t != tks[i - 1])
+          |  AND i + 2 < size(tks) AND t = tks[i + 1] AND t = tks[i + 2]))""".stripMargin)
+        .cast("long"))
+      // longest maximal run, via one bounded left fold (tokens/doc is
+      // bounded by the chunking layer upstream; the fold is the only
+      // non-codegen expression here and touches each token once)
+      .withColumn("max_run", expr(
+        """aggregate(tks, named_struct('prev', '', 'cur', 0, 'best', 0),
+          |  (acc, t) -> named_struct('prev', t,
+          |    'cur', IF(t = acc.prev, acc.cur + 1, 1),
+          |    'best', greatest(acc.best, IF(t = acc.prev, acc.cur + 1, 1))),
+          |  acc -> acc.best)""".stripMargin).cast("long"))
+      .select(
+        col("doc_id"),
+        size(col("tks")).cast("long").as("n_tokens"),
+        size(col("clean")).cast("long").as("n_tokens_clean"),
+        (size(col("tks")) - size(col("clean"))).cast("long").as("n_dropped"),
+        col("n_runs_collapsed"),
+        col("max_run"),
+        concat_ws(" ", col("clean")).as("text_clean"))
+      .orderBy("doc_id")
+
+  /** q110 — vocabulary-growth (Heaps'-law) curves: distinct-type count
+    * of each corpus PREFIX (docs ordered by doc_id, one checkpoint per
+    * decile), for unigram AND bigram vocabularies. The curve that
+    * decides tokenizer vocab size and flags synthetic/looping corpora
+    * (sub-Heaps growth = the generator is recycling text; the fixture
+    * itself shows it — its unigram vocabulary saturates in decile 1
+    * while bigrams keep arriving through decile 10).
+    *
+    * Naively this is 10 prefix-DISTINCT queries = 10 corpus scans; the
+    * first-appearance transform folds them into ONE: a type is in
+    * prefix p iff its FIRST appearance is ≤ p, so one min-aggregate per
+    * distinct (gram, type) (map-side partial min, the q29 signature
+    * shape), a decile histogram of those minima (tiny), and a running
+    * sum per gram give every checkpoint of both curves simultaneously.
+    * At 100 TB the only shuffle is the type-keyed min-agg, identical in
+    * shape to any distinct-count, and the windows run on ≤10 rows per
+    * gram. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // one bounded driver fetch (a single BIGINT — the q103 1-row pattern)
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val toks = docs.select(col("doc_id"), expr(toksExpr).as("tks"))
+    val uni = toks.select(col("doc_id"), lit(1L).as("gram"),
+      explode(col("tks")).as("term"))
+    val bi = toks.select(col("doc_id"), lit(2L).as("gram"),
+      explode(expr(
+        "transform(slice(tks, 1, greatest(size(tks) - 1, 0)), (t, i) -> concat(t, ' ', tks[i + 1]))"))
+        .as("term"))
+    uni.unionAll(bi)
+      .groupBy("gram", "term").agg(min("doc_id").as("first_doc"))
+      // uniform decile bins over 0-based ids: floor(10·id/(max+1)) + 1 ∈ 1..10
+      .groupBy(col("gram"),
+        (floor(col("first_doc") * 10L / lit(maxDoc + 1L)) + 1L).as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("vocab_size",
+        sum("new_types").over(Window.partitionBy("gram").orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("gram"), col("decile").cast("long").as("decile"),
+        col("new_types").cast("long").as("new_types"),
+        col("vocab_size").cast("long").as("vocab_size"))
+      .orderBy("gram", "decile")
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

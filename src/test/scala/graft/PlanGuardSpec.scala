@@ -57,7 +57,7 @@ class PlanGuardSpec extends SparkSpec {
     "q21_text_quality", "q22_lang_id", "q23_token_counts", "q24_fingerprints",
     "q26_binary_payload", "q30_simhash",
     "q45_embedding_array_stats", "q66_pii_redaction", "q69_mixture_sample",
-    "q82_leakage_safe_split", "q97_winnowing_fingerprints")
+    "q82_leakage_safe_split", "q97_winnowing_fingerprints", "q108_run_collapse")
 
   test("declared map-side queries run exactly one exchange: the contract sort") {
     declaredMapSide.foreach { name =>

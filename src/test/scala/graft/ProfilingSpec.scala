@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{Profiling, TextAnalysis}
+
+/** q108 run-collapse, q109 column profile, q110 vocabulary growth —
+  * driver-side recomputes on sf0.001 plus counted-plan shape pins (the
+  * oracle gate re-checks all three at sf0.01 against DuckDB). */
+class ProfilingSpec extends SparkSpec {
+
+  private def docTokens(): Map[Long, Array[String]] =
+    graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+", -1)).toMap
+
+  test("q108: run collapse matches a driver-side recompute; fixture exercises real runs") {
+    val toks = docTokens()
+    // driver recompute: maximal runs via consecutive grouping
+    def runs(t: Array[String]): Seq[(String, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      t.foreach { tok =>
+        if (out.nonEmpty && out.last._1 == tok) out(out.size - 1) = (tok, out.last._2 + 1)
+        else out += ((tok, 1))
+      }
+      out.toSeq
+    }
+    val out = TextAnalysis.runCollapse(spark, sf0001).collect()
+    assert(out.length === toks.size)
+    assert(out.map(_.getLong(0)).toSeq === out.map(_.getLong(0)).toSeq.sorted)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val rs = runs(toks(id))
+      val clean = rs.flatMap { case (tok, n) => Seq.fill(math.min(n, TextAnalysis.MaxRun))(tok) }
+      assert(r.getLong(1) === toks(id).length.toLong, s"n_tokens($id)")
+      assert(r.getLong(2) === clean.length.toLong, s"n_tokens_clean($id)")
+      assert(r.getLong(3) === (toks(id).length - clean.length).toLong, s"n_dropped($id)")
+      assert(r.getLong(4) === rs.count(_._2 > TextAnalysis.MaxRun).toLong, s"n_runs_collapsed($id)")
+      assert(r.getLong(5) === rs.map(_._2).max.toLong, s"max_run($id)")
+      assert(r.getString(6) === clean.mkString(" "), s"text_clean($id)")
+    }
+    // the fixture must exercise the operator, and a second application
+    // must be a fixed point (no run survives longer than MaxRun)
+    assert(out.exists(_.getLong(3) > 0), "fixture has no run > MaxRun — operator untested")
+    out.foreach(r => assert(
+      runs(r.getString(6).split("\\s+", -1)).forall(_._2 <= TextAnalysis.MaxRun),
+      s"text_clean(${r.getLong(0)}) still has a run > MaxRun"))
+  }
+
+  test("q108 counted: the rewrite is zero-shuffle — only the contract sort exchanges") {
+    val ex = shuffleExchanges(TextAnalysis.runCollapse(spark, sf0001))
+    assert(ex.size === 1, s"expected only the ORDER BY exchange, got ${ex.size}")
+    assert(ex.head.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      "the single exchange must be the contract sort, not a hash shuffle")
+  }
+
+  test("q109: column profile matches a driver-side recompute, modal tie-break largest-value") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("lang", "source", "n_chars").collect()
+    def profile[T: Ordering](vals: Seq[T]): (Long, T, T, T, Long) = {
+      val hist = vals.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val (topV, topC) = hist.toSeq.maxBy { case (v, c) => (c, v) }(
+        Ordering.Tuple2(Ordering.Long, implicitly[Ordering[T]]))
+      (hist.size.toLong, vals.min, vals.max, topV, topC)
+    }
+    val out = Profiling.documentsProfile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("lang", "n_chars", "source"))
+    val cases: Seq[(String, (Long, String, String, String, Long))] = Seq(
+      "lang" -> profile(docs.map(_.getString(0)).toSeq),
+      "source" -> profile(docs.map(_.getString(1)).toSeq),
+      "n_chars" -> {
+        val (d, mn, mx, tv, tc) = profile(docs.map(_.getLong(2)).toSeq)
+        (d, mn.toString, mx.toString, tv.toString, tc)
+      })
+    cases.foreach { case (name, (nDistinct, mn, mx, topV, topC)) =>
+      val r = out(name)
+      assert(r.getLong(1) === docs.length.toLong, s"n_rows($name)")
+      assert(r.getLong(2) === 0L, s"n_nulls($name)")
+      assert(r.getLong(3) === nDistinct, s"n_distinct($name)")
+      assert(r.getString(4) === mn, s"min_val($name)")
+      assert(r.getString(5) === mx, s"max_val($name)")
+      assert(r.getString(6) === topV, s"top_val($name)")
+      assert(r.getLong(7) === topC, s"top_cnt($name)")
+    }
+  }
+
+  test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
+    val toks = docTokens()
+    val maxDoc = toks.keys.max
+    def grams(t: Array[String], g: Int): Seq[String] =
+      if (g == 1) t.toSeq else t.toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val firstSeen: Map[(Long, String), Long] = toks.toSeq
+      .flatMap { case (id, t) => Seq(1, 2).flatMap(g => grams(t, g).map(term => (g.toLong, term) -> id)) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    val hist = firstSeen.toSeq
+      .groupBy { case ((g, _), id) => (g, id * 10 / (maxDoc + 1) + 1) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val out = TextAnalysis.vocabGrowth(spark, sf0001).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === hist.keys.toSeq.sorted)
+    Seq(1L, 2L).foreach { g =>
+      var cum = 0L
+      out.filter(_.getLong(0) == g).foreach { r =>
+        val (d, nt, vs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(nt === hist((g, d)), s"new_types($g, $d)")
+        cum += nt
+        assert(vs === cum, s"vocab_size($g, $d) not the running sum")
+      }
+      // the last checkpoint IS the corpus vocabulary — the one-scan claim
+      assert(cum === firstSeen.keys.count(_._1 == g).toLong)
+    }
+    // the fixture must exercise a real curve: bigram types keep arriving
+    // after decile 1 (the unigram curve saturating immediately is itself
+    // the looping-generator signal the operator exists to expose)
+    assert(out.count(_.getLong(0) == 2L) > 1, "bigram curve degenerate — fixture saturated")
+    // and every decile is a genuine prefix-distinct: spot-check bigrams ≤ 5
+    val prefixBigrams = toks.filter { case (id, _) => id * 10 / (maxDoc + 1) + 1 <= 5 }
+      .values.flatMap(t => grams(t, 2)).toSet.size.toLong
+    assert(out.filter(r => r.getLong(0) == 2L && r.getLong(1) <= 5L).map(_.getLong(2)).sum
+      === prefixBigrams)
+  }
+}
