@@ -63,7 +63,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => LongVecEqCount(children(0), children(1))),
     (FunctionIdentifier("graft_hexhamming"),
       new ExpressionInfo(classOf[HexHamming64].getName, "graft_hexhamming"),
-      (children: Seq[Expression]) => HexHamming64(children(0), children(1))))
+      (children: Seq[Expression]) => HexHamming64(children(0), children(1))),
+    // collapse_runs' max-run bound is a plan-time constant: require a
+    // foldable integer literal, like graft_winnow_min's window.
+    (FunctionIdentifier("graft_collapse_runs"),
+      new ExpressionInfo(classOf[CollapseRuns].getName, "graft_collapse_runs"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_collapse_runs: k must be an integer literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"graft_collapse_runs: k must be a foldable literal, got $e")
+        }
+        CollapseRuns(children.head, k)
+      }))
 
   /** Register the native functions on an ALREADY-BUILT session (the
     * builder-time `.withExtensions` hook is unreachable once a session

@@ -204,3 +204,81 @@ object WinnowMin {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** collapse_runs(arr, k): one-pass run-length normalization of an
+  * array<string> — every maximal run of the same token longer than `k`
+  * is truncated to its first `k` occurrences — as `struct(n_tokens:
+  * bigint, n_clean: bigint, n_runs_collapsed: bigint, max_run: bigint,
+  * text_clean: string)` with the kept tokens re-joined on single
+  * spaces. The q108 rewrite kernel.
+  *
+  * Replaces the three-HOF formulation (a filter drop-mask, a filter
+  * run-start mask, an aggregate fold for the max run) that walked the
+  * token array three times through interpreted lambdas with boxed
+  * struct state; the kernel is one compiled scan that emits every
+  * report field at once, including the joined output text — the
+  * enclosing stage never materializes the intermediate cleaned array.
+  * ProfilingSpec pins bit-identity against a driver-side recompute;
+  * PropertySpec fuzzes run boundaries. Empty array → (0, 0, 0, 0, "").
+  *
+  * Codegen'd as a static call into [[CollapseRuns.run]] (the
+  * [[LongestRun]] pattern). `k` is a plan-time constant, like
+  * [[WinnowMin]]'s window. */
+case class CollapseRuns(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_clean", LongType, nullable = false),
+    StructField("n_runs_collapsed", LongType, nullable = false),
+    StructField("max_run", LongType, nullable = false),
+    StructField("text_clean", StringType, nullable = false)))
+
+  override def prettyName: String = "graft_collapse_runs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_collapse_runs expects array<string> and k >= 1, got $t / k=$k")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CollapseRuns.run(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CollapseRuns.run($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CollapseRuns {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def run(arr: ArrayData, k: Int): InternalRow = {
+    val n = arr.numElements()
+    if (n == 0) return InternalRow(0L, 0L, 0L, 0L, UTF8String.EMPTY_UTF8)
+    val kept = new Array[UTF8String](n)
+    var keptLen = 0
+    var prev = arr.getUTF8String(0)
+    kept(0) = prev; keptLen = 1
+    var run = 1L
+    var maxRun = 1L
+    var nRuns = 0L
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (cur.equals(prev)) run += 1
+      else { if (run > k) nRuns += 1; run = 1L; prev = cur }
+      if (run > maxRun) maxRun = run
+      if (run <= k) { kept(keptLen) = cur; keptLen += 1 }
+      i += 1
+    }
+    if (run > k) nRuns += 1
+    val text = UTF8String.concatWs(Space, java.util.Arrays.copyOf(kept, keptLen): _*)
+    InternalRow(n.toLong, keptLen.toLong, nRuns, maxRun, text)
+  }
+}

@@ -1639,49 +1639,37 @@ object TextAnalysis {
     * The in-document complement of q105's cross-document span excision:
     * where q105 must shuffle a corpus-wide span-digest index to know
     * what is duplicated, a token run is visible from the row alone — so
-    * the whole rewrite is per-row array expressions (drop mask, run-start
-    * mask, one bounded fold for the max-run stat) and the operator is
-    * ZERO-shuffle: scan → codegen'd project → contract ORDER BY. At
-    * 100 TB it costs one pass over the token stream with no exchange at
-    * any scale, and composes with q105 as the in-doc leg of the dedup
-    * funnel (q98). Truncation beats deletion for training data: the
-    * fluent prefix survives, only the degenerate tail goes.
+    * the whole rewrite is ZERO-shuffle: scan → project → contract
+    * ORDER BY. At 100 TB it costs one pass over the token stream with
+    * no exchange at any scale, and composes with q105 as the in-doc leg
+    * of the dedup funnel (q98). Truncation beats deletion for training
+    * data: the fluent prefix survives, only the degenerate tail goes.
     *
-    * Determinism: position masks over the ORIGINAL token array (a kept
-    * token is one not preceded by MaxRun copies of itself), so the
-    * rewrite is independent of evaluation order; the DuckDB oracle
-    * derives the same masks relationally (gaps-and-islands run ids →
+    * The rewrite itself is the native [[graft.functions.CollapseRuns]]
+    * kernel — one compiled scan per document emitting every report
+    * field plus the re-joined clean text (the HOF formulation walked
+    * the array three times through interpreted lambdas), so the whole
+    * projection stays inside whole-stage codegen.
+    *
+    * Determinism: run structure is a property of the ORIGINAL token
+    * array, independent of evaluation order; the DuckDB oracle derives
+    * the same truncation relationally (gaps-and-islands run ids →
     * position-in-run ≤ MaxRun). */
-  def runCollapse(spark: SparkSession, dir: String): DataFrame =
+  def runCollapse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     Tables.documents(spark, dir)
-      .withColumn("tks", expr(toksExpr))
-      // keep token i unless tokens i-1 and i-2 are the same token — i.e.
-      // truncate every run to its first MaxRun=2 occurrences
-      .withColumn("clean", expr(
-        "filter(tks, (t, i) -> i < 2 OR NOT (t = tks[i - 1] AND t = tks[i - 2]))"))
-      // one run-start per maximal run longer than MaxRun
-      .withColumn("n_runs_collapsed", expr(
-        """size(filter(tks, (t, i) -> (i = 0 OR t != tks[i - 1])
-          |  AND i + 2 < size(tks) AND t = tks[i + 1] AND t = tks[i + 2]))""".stripMargin)
-        .cast("long"))
-      // longest maximal run, via one bounded left fold (tokens/doc is
-      // bounded by the chunking layer upstream; the fold is the only
-      // non-codegen expression here and touches each token once)
-      .withColumn("max_run", expr(
-        """aggregate(tks, named_struct('prev', '', 'cur', 0, 'best', 0),
-          |  (acc, t) -> named_struct('prev', t,
-          |    'cur', IF(t = acc.prev, acc.cur + 1, 1),
-          |    'best', greatest(acc.best, IF(t = acc.prev, acc.cur + 1, 1))),
-          |  acc -> acc.best)""".stripMargin).cast("long"))
+      .withColumn("r", ColumnBridge.of(graft.functions.CollapseRuns(
+        ColumnBridge.expr(expr(toksExpr)), MaxRun)))
       .select(
         col("doc_id"),
-        size(col("tks")).cast("long").as("n_tokens"),
-        size(col("clean")).cast("long").as("n_tokens_clean"),
-        (size(col("tks")) - size(col("clean"))).cast("long").as("n_dropped"),
-        col("n_runs_collapsed"),
-        col("max_run"),
-        concat_ws(" ", col("clean")).as("text_clean"))
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_clean").as("n_tokens_clean"),
+        (col("r.n_tokens") - col("r.n_clean")).as("n_dropped"),
+        col("r.n_runs_collapsed").as("n_runs_collapsed"),
+        col("r.max_run").as("max_run"),
+        col("r.text_clean").as("text_clean"))
       .orderBy("doc_id")
+  }
 
   /** q110 — vocabulary-growth (Heaps'-law) curves: distinct-type count
     * of each corpus PREFIX (docs ordered by doc_id, one checkpoint per

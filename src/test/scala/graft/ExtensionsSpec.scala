@@ -65,6 +65,14 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_simhash64(array(CAST(id AS STRING), 'tok')) AS h FROM range(5)")
     assertCodegendProject(sh)
     assert(sh.collect().forall(_.getString(0).matches("[0-9a-f]{16}")))
+
+    val cr = spark.sql(
+      "SELECT graft_collapse_runs(array('x', 'x', 'x', CAST(id AS STRING)), 2) AS r FROM range(5)")
+    assertCodegendProject(cr)
+    assert(cr.collect().forall { r =>
+      val s = r.getStruct(0)
+      s.getLong(0) === 4L && s.getLong(1) === 3L && s.getLong(2) === 1L && s.getLong(3) === 3L
+    })
   }
 
   test("generated and interpreted paths of the native kernels are bit-identical") {
@@ -72,7 +80,8 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT graft_longest_run(array(CAST(id AS STRING), 'x', 'x', CAST(id % 3 AS STRING))) AS r,
         |       graft_karp_rabin(concat('the quick brown fox ', CAST(id AS STRING))) AS h,
         |       graft_winnow_min(graft_karp_rabin(concat('the quick brown fox ', CAST(id AS STRING))), 4) AS m,
-        |       graft_simhash64(array(CAST(id AS STRING), 'tok', CAST(id % 7 AS STRING))) AS s
+        |       graft_simhash64(array(CAST(id AS STRING), 'tok', CAST(id % 7 AS STRING))) AS s,
+        |       graft_collapse_runs(array('x', 'x', 'x', CAST(id % 3 AS STRING), CAST(id % 3 AS STRING), CAST(id % 3 AS STRING)), 2) AS c
         |FROM range(50)""".stripMargin
     val gen = spark.sql(q).collect()
     // isolated session: suites share one SparkSession and run in

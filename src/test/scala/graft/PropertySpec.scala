@@ -141,7 +141,7 @@ object PropertySpec extends Properties("graft") {
 
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
-  import graft.functions.{KarpRabin, LongestRun, Simhash64, WinnowMin}
+  import graft.functions.{CollapseRuns, KarpRabin, LongestRun, Simhash64, WinnowMin}
 
   property("Karp–Rabin rolling hashes equal the direct polynomial at every position") =
     forAll(Gen.asciiPrintableStr, Gen.listOf(Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString)) { (a, b) =>
@@ -174,6 +174,25 @@ object PropertySpec extends Properties("graft") {
         val bestTok = counts.collect { case (t, c) if c == bestCnt => t }.min
         row.getLong(0) == bestCnt.toLong && row.getUTF8String(1).toString == bestTok
       }
+    }
+
+  property("collapse-runs equals the naive run-length truncation at any k") =
+    forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "aa", "c")), // tiny alphabet → long runs
+      Gen.choose(1, 4)) { (toks, k) =>
+      val row = CollapseRuns.run(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray), k)
+      // naive recompute: maximal runs via consecutive grouping
+      val runs = toks.foldLeft(List.empty[(String, Int)]) {
+        case ((t, c) :: rest, tok) if t == tok => (t, c + 1) :: rest
+        case (acc, tok) => (tok, 1) :: acc
+      }.reverse
+      val clean = runs.flatMap { case (t, c) => List.fill(math.min(c, k))(t) }
+      row.getLong(0) == toks.length.toLong &&
+        row.getLong(1) == clean.length.toLong &&
+        row.getLong(2) == runs.count(_._2 > k).toLong &&
+        row.getLong(3) == (if (toks.isEmpty) 0L else runs.map(_._2).max.toLong) &&
+        row.getUTF8String(4).toString == clean.mkString(" ")
     }
 
   property("simhash is token-order invariant (±1 vote sums commute) and 16 hex digits") =
