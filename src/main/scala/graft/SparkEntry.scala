@@ -89,6 +89,7 @@ object SparkEntry {
     "q108_run_collapse"   -> ((s, d) => TextAnalysis.runCollapse(s, d)),
     "q109_column_profile" -> ((s, d) => Profiling.documentsProfile(s, d)),
     "q110_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "q111_token_drift"    -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1332,6 +1333,25 @@ object SparkEntry {
         |  CAST(SUM(new_types) OVER (PARTITION BY gram ORDER BY decile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
         |FROM h ORDER BY gram, decile""".stripMargin,
+    // Token drift: batch-vs-history counts in one histogram; exact
+    // cross-multiplied rate difference in DECIMAL(38,0); top 25 with
+    // token tie-break.
+    "q111_token_drift" ->
+      """WITH tp AS (SELECT doc_id % 10 = 9 AS is_batch,
+        |              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |h AS (SELECT tok,
+        |        SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS cnt_batch,
+        |        SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS cnt_hist
+        |      FROM tp GROUP BY 1),
+        |t AS (SELECT SUM(cnt_batch) AS n_batch, SUM(cnt_hist) AS n_hist FROM h)
+        |SELECT tok, CAST(cnt_batch AS BIGINT) AS cnt_batch,
+        |  CAST(cnt_hist AS BIGINT) AS cnt_hist,
+        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
+        |  CAST(abs(CAST(cnt_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
+        |         - CAST(cnt_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
+        |       AS DECIMAL(38,0)) AS drift
+        |FROM h, t
+        |ORDER BY drift DESC, tok LIMIT 25""".stripMargin,
     // Threshold-calibration sweep: q85's scoring bucketed, with the
     // cumulative keep rate per candidate threshold.
     "q94_surprisal_sweep" ->

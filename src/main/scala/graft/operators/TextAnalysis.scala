@@ -1715,6 +1715,46 @@ object TextAnalysis {
       .orderBy("gram", "decile")
   }
 
+  /** q111 — token-distribution DRIFT between a crawl increment and the
+    * corpus history: the distribution-shift monitor a pipeline runs on
+    * every new drop before mixing it in (a vocabulary suddenly heavy in
+    * one token = a looping generator, a spam burst, or a source gone
+    * bad). Batch = `doc_id % 10 = 9` (the house incremental split),
+    * history = the rest; for every token the report carries both raw
+    * counts and the EXACT cross-multiplied rate difference
+    * `|cnt_batch·N_hist − cnt_hist·N_batch|` (the common-denominator
+    * form of |rate_b − rate_h|, kept in DECIMAL(38,0) so there is no
+    * float rounding and no BIGINT overflow at production counts), top
+    * 25 by drift with a token tie-break.
+    *
+    * Scale shape: one explode scan → ONE token-keyed shuffle carrying
+    * map-side partial (batch, hist) count pairs — drift needs no second
+    * pass because both sides aggregate in the same groupBy; the totals
+    * are a 1-row aggregate broadcast back over the vocabulary-bounded
+    * histogram (PlanGuard-allowlisted bound); the top-25 runs as
+    * TakeOrderedAndProject (per-partition heap + driver merge of 25
+    * rows), never a full sort. */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((pmod(col("doc_id"), lit(10)) === 9).as("is_batch"),
+        explode(expr(toksExpr)).as("tok"))
+    val hist = toks.groupBy("tok").agg(
+      sum(when(col("is_batch"), 1L).otherwise(0L)).as("cnt_batch"),
+      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("cnt_hist"))
+    val totals = hist.agg(
+      sum("cnt_batch").as("n_batch"), sum("cnt_hist").as("n_hist"))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("drift",
+        abs(col("cnt_batch").cast("decimal(19,0)") * col("n_hist").cast("decimal(19,0)")
+          - col("cnt_hist").cast("decimal(19,0)") * col("n_batch").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+      .orderBy(col("drift").desc, col("tok").asc)
+      .limit(25)
+      .select(col("tok"), col("cnt_batch"), col("cnt_hist"),
+        col("n_batch"), col("n_hist"), col("drift"))
+      .orderBy(col("drift").desc, col("tok").asc)
+  }
+
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

@@ -84,6 +84,32 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("q111: token drift matches an exact rational recompute of |rate_b - rate_h|") {
+    val toks = docTokens()
+    val (batch, hist) = toks.partition { case (id, _) => id % 10 == 9 }
+    val cb = batch.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val ch = hist.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val (nb, nh) = (cb.values.sum, ch.values.sum)
+    val expect = (cb.keySet ++ ch.keySet).toSeq
+      .map { t =>
+        val (b, h) = (cb.getOrElse(t, 0L), ch.getOrElse(t, 0L))
+        (t, b, h, (BigInt(b) * nh - BigInt(h) * nb).abs)
+      }
+      .sortBy { case (t, _, _, d) => (-d, t) }(Ordering.Tuple2(Ordering.BigInt, Ordering.String))
+      .take(25)
+    val out = TextAnalysis.tokenDrift(spark, sf0001).collect()
+    assert(out.length === expect.length)
+    out.zip(expect).foreach { case (r, (t, b, h, d)) =>
+      assert(r.getString(0) === t)
+      assert(r.getLong(1) === b && r.getLong(2) === h)
+      assert(r.getLong(3) === nb && r.getLong(4) === nh)
+      assert(BigInt(r.getDecimal(5).toBigInteger) === d, s"drift($t)")
+    }
+    // the statistic is a real rate comparison: a token with equal rates
+    // on both sides would score 0; the top row must score > 0
+    assert(BigInt(out.head.getDecimal(5).toBigInteger) > 0)
+  }
+
   test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
     val toks = docTokens()
     val maxDoc = toks.keys.max
