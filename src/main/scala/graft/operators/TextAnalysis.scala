@@ -1738,9 +1738,40 @@ object TextAnalysis {
     val toks = Tables.documents(spark, dir)
       .select((pmod(col("doc_id"), lit(10)) === 9).as("is_batch"),
         explode(expr(toksExpr)).as("tok"))
-    val hist = toks.groupBy("tok").agg(
+    driftTop(toks.groupBy("tok").agg(
       sum(when(col("is_batch"), 1L).otherwise(0L)).as("cnt_batch"),
-      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("cnt_hist"))
+      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("cnt_hist")))
+  }
+
+  /** [[tokenDrift]] against an ARBITRARY batch frame (doc_id, text, ...)
+    * — the incremental core the streaming monitor feeds micro-batches
+    * through (the q106-vs-q105 pairing applied to drift). The history
+    * histogram is trained ONCE per corpus dir (the doc_id%10≠9 split),
+    * persisted vocabulary-bounded, and FROZEN; each batch pays only its
+    * own histogram shuffle plus a tok-keyed full-outer join against the
+    * frozen model (full outer: a token the batch has never seen and a
+    * token history has never seen are both drift evidence). On the
+    * canonical %10=9 batch this reproduces q111's report exactly —
+    * spec'd in ProfilingSpec — while an arriving crawl increment gets
+    * the same monitor without rescanning history. */
+  def tokenDriftOf(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val hist = memoPersist(spark, s"drift_hist:$dir") {
+      Tables.documents(spark, dir)
+        .where(pmod(col("doc_id"), lit(10)) =!= 9)
+        .select(explode(expr(toksExpr)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt_hist"))
+    }
+    val b = batch.select(explode(expr(toksExpr)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt_batch"))
+    driftTop(b.join(hist, Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("cnt_batch", "cnt_hist")))
+  }
+
+  /** Shared drift tail: totals as a 1-row broadcast scalar, the exact
+    * DECIMAL(38,0) cross-multiplied rate difference, top 25 via ordered
+    * limit (TakeOrderedAndProject — no full sort). Expects columns
+    * (tok, cnt_batch, cnt_hist). */
+  private def driftTop(hist: DataFrame): DataFrame = {
     val totals = hist.agg(
       sum("cnt_batch").as("n_batch"), sum("cnt_hist").as("n_hist"))
     hist.crossJoin(broadcast(totals))

@@ -242,6 +242,26 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming drift monitor — the stream twin of q111's incremental
+    * core (`TextAnalysis.tokenDriftOf`): each document micro-batch gets
+    * its OWN drift report against the frozen history histogram (trained
+    * once per corpus dir, vocabulary-bounded, never updated by the
+    * stream). Unlike the per-doc twins above, drift is a per-BATCH
+    * aggregate by design — the report answers "does THIS increment's
+    * token distribution match the corpus?", so micro-batch granularity
+    * IS the monitoring granularity, not an implementation detail; each
+    * report is still a pure function of (batch, frozen model), so a
+    * replayed batch yields the identical report (spec'd in
+    * StreamingSpec with the per-slice recompute). */
+  def driftReportPerBatch(spark: SparkSession, dir: String, docs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.TextAnalysis.tokenDriftOf(spark, dir, batch))
+      }
+      .start()
+
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
     *

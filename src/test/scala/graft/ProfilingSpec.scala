@@ -110,6 +110,21 @@ class ProfilingSpec extends SparkSpec {
     assert(BigInt(out.head.getDecimal(5).toBigInteger) > 0)
   }
 
+  test("q111 incremental core: tokenDriftOf on the canonical batch reproduces the q111 report") {
+    val canonical = graft.sources.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 9)
+    val inc = TextAnalysis.tokenDriftOf(spark, sf0001, canonical).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        BigInt(r.getDecimal(5).toBigInteger)))
+    val batch = TextAnalysis.tokenDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        BigInt(r.getDecimal(5).toBigInteger)))
+    assert(inc.toSeq === batch.toSeq,
+      "frozen-history incremental drift must equal the one-shot q111 report")
+  }
+
   test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
     val toks = docTokens()
     val maxDoc = toks.keys.max

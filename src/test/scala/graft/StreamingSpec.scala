@@ -468,6 +468,41 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === docs.length)
   }
 
+  test("streaming drift monitor: each micro-batch's report equals the frozen-history recompute of that slice") {
+    // drift is a per-BATCH aggregate: each micro-batch gets its own
+    // report, and that report must be the pure function of (slice,
+    // frozen history histogram) — replay determinism for a monitor
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 9)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(docs.length >= 2)
+    val slices = Seq(docs.take(3), docs.drop(3))
+    val reports = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long, BigInt)]]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingAnalytics.driftReportPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "text")) { report =>
+      reports += report.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getDecimal(5).toBigInteger)))
+    }
+    slices.foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(reports.length === slices.length)
+    slices.zip(reports).foreach { case (slice, streamed) =>
+      import spark.implicits._
+      val expect = graft.operators.TextAnalysis
+        .tokenDriftOf(spark, sf0001, slice.toSeq.toDF("doc_id", "text"))
+        .collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getDecimal(5).toBigInteger)))
+      assert(streamed === expect, "micro-batch report must equal the direct recompute")
+    }
+    // the monitor sees real evidence: some batch-only or shifted token
+    // must score positive drift in at least one report
+    assert(reports.exists(_.exists(_._4 > 0)))
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
