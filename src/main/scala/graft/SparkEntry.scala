@@ -90,6 +90,7 @@ object SparkEntry {
     "q109_column_profile" -> ((s, d) => Profiling.documentsProfile(s, d)),
     "q110_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q111_token_drift"    -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
+    "q112_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1352,6 +1353,40 @@ object SparkEntry {
         |       AS DECIMAL(38,0)) AS drift
         |FROM h, t
         |ORDER BY drift DESC, tok LIMIT 25""".stripMargin,
+    // Embedding drift: per-(label, dim) count-scaled mean comparison via
+    // exact cross-multiplication (q111's statistic, dense side); values
+    // enter as fixed-point floor(v*1e12) BIGINTs (IEEE-identical on both
+    // engines — decimal CASTs round ties engine-specifically); L1 over
+    // dims + the most-shifted dim with smallest-dim tie-break.
+    "q112_embedding_drift" ->
+      """WITH e AS (SELECT is_batch, label, dim,
+        |             CAST(floor(CAST(v AS DOUBLE) * 1e12) AS BIGINT) AS vf
+        |           FROM (SELECT vec_id % 10 = 9 AS is_batch, label,
+        |                   unnest(range(1, 65)) AS dim, unnest(embedding) AS v
+        |                 FROM embeddings)),
+        |c AS (SELECT label,
+        |        SUM(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS n_batch,
+        |        SUM(CASE WHEN vec_id % 10 = 9 THEN 0 ELSE 1 END) AS n_hist
+        |      FROM embeddings GROUP BY 1),
+        |d AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |        SUM(CASE WHEN is_batch THEN vf ELSE 0 END) AS sum_b,
+        |        SUM(CASE WHEN is_batch THEN 0 ELSE vf END) AS sum_h
+        |      FROM e GROUP BY 1, 2),
+        |dr AS (SELECT d.label, d.dim,
+        |         abs(CAST(sum_b AS DECIMAL(19,0)) * CAST(n_hist AS DECIMAL(10,0))
+        |           - CAST(sum_h AS DECIMAL(19,0)) * CAST(n_batch AS DECIMAL(10,0))) AS drift_dim
+        |       FROM d JOIN c ON d.label = c.label),
+        |r AS (SELECT label, dim, drift_dim,
+        |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY drift_dim DESC, dim ASC) AS rn
+        |      FROM dr),
+        |a AS (SELECT label, SUM(drift_dim) AS l1 FROM dr GROUP BY 1)
+        |SELECT CAST(c.label AS BIGINT) AS label, CAST(c.n_batch AS BIGINT) AS n_batch,
+        |  CAST(c.n_hist AS BIGINT) AS n_hist,
+        |  CAST(a.l1 AS DECIMAL(38,0)) AS l1_drift,
+        |  CAST(r.dim AS BIGINT) AS top_dim,
+        |  CAST(r.drift_dim AS DECIMAL(38,0)) AS top_dim_drift
+        |FROM c JOIN a ON c.label = a.label JOIN r ON c.label = r.label AND r.rn = 1
+        |ORDER BY label""".stripMargin,
     // Threshold-calibration sweep: q85's scoring bucketed, with the
     // cumulative keep rate per candidate threshold.
     "q94_surprisal_sweep" ->

@@ -936,4 +936,56 @@ object Similarity {
          |  g.overall_permille,
          |  (1000 * t.n_batch) // t.total_after > 2 * g.overall_permille AS drift
          |FROM t CROSS JOIN g ORDER BY t.cell""".stripMargin
+
+  /** q112 — embedding-space DRIFT per label between a crawl increment
+    * (`vec_id % 10 = 9`) and the corpus history: the dense-side twin of
+    * q111's token drift, and the statistical upgrade of q87's IVF
+    * occupancy flags. Per (label, dim) the report compares count-scaled
+    * mean positions via the same EXACT cross-multiplication as q111 —
+    * `|sum_b·n_hist − sum_h·n_batch|` — summed over all 64 dims into an
+    * L1 drift plus the single most-shifted dim (smallest-dim
+    * tie-break). Components enter as FIXED-POINT integers
+    * `floor(v·10¹²)` over the float-widened double: every step of that
+    * encoding (float→double widen, exact-representable 10¹² multiply,
+    * floor) is IEEE-identical cross-engine, where a decimal CAST would
+    * round ties (floats whose binary expansion terminates exactly one
+    * digit past the scale) by engine-specific rules. Drift values are
+    * in 10⁻¹² units; all arithmetic after the encoding is
+    * integer/decimal-exact.
+    *
+    * Scale shape: one posexplode scan → ONE (label, dim)-keyed shuffle
+    * whose state is bounded by labels × 64 dims regardless of corpus
+    * size (map-side partial decimal sums); vector counts per label ride
+    * a broadcast; the final per-label fold runs on a labels-sized
+    * frame. An embedding drop whose label centroids moved shows up here
+    * before any ANN index degrades (q87 tells you WHERE in the index;
+    * this tells you WHAT moved in the space). */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("is_batch", pmod(col("vec_id"), lit(10)) === 9)
+    val counts = emb.groupBy("label").agg(
+      sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
+      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist"))
+    val vfix = floor(col("v").cast("double") * lit(1e12)).cast("long")
+    val dims = emb
+      .select(col("label"), col("is_batch"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(
+        sum(when(col("is_batch"), vfix).otherwise(0L)).as("sum_b"),
+        sum(when(!col("is_batch"), vfix).otherwise(0L)).as("sum_h"))
+    dims.join(broadcast(counts), Seq("label"))
+      .withColumn("drift_dim",
+        abs(col("sum_b").cast("decimal(19,0)") * col("n_hist").cast("decimal(10,0)")
+          - col("sum_h").cast("decimal(19,0)") * col("n_batch").cast("decimal(10,0)")))
+      .groupBy("label")
+      .agg(
+        max("n_batch").as("n_batch"), max("n_hist").as("n_hist"),
+        sum("drift_dim").cast("decimal(38,0)").as("l1_drift"),
+        max(struct(col("drift_dim").as("d"), (lit(0L) - col("dim")).as("negdim"))).as("t"))
+      .select(col("label").cast("long").as("label"),
+        col("n_batch"), col("n_hist"), col("l1_drift"),
+        (lit(0L) - col("t.negdim")).as("top_dim"),
+        col("t.d").cast("decimal(38,0)").as("top_dim_drift"))
+      .orderBy("label")
+  }
 }

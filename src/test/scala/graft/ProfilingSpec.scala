@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Profiling, TextAnalysis}
+import graft.operators.{Profiling, Similarity, TextAnalysis}
 
 /** q108 run-collapse, q109 column profile, q110 vocabulary growth —
   * driver-side recomputes on sf0.001 plus counted-plan shape pins (the
@@ -123,6 +123,37 @@ class ProfilingSpec extends SparkSpec {
         BigInt(r.getDecimal(5).toBigInteger)))
     assert(inc.toSeq === batch.toSeq,
       "frozen-history incremental drift must equal the one-shot q111 report")
+  }
+
+  test("q112: embedding drift matches an exact fixed-point BigInt recompute per (label, dim)") {
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // the operator's fixed-point encoding, exactly: float→double widen,
+    // exact 1e12 multiply, floor — all IEEE-deterministic
+    def fix(f: Float): BigInt = BigInt(math.floor(f.toDouble * 1e12).toLong)
+    val byLabel = rows.groupBy(_._2)
+    val expect = byLabel.toSeq.sortBy(_._1).map { case (label, vs) =>
+      val (b, h) = vs.partition(_._1 % 10 == 9)
+      val drifts = (0 until 64).map { d =>
+        val sb = b.map(v => fix(v._3(d))).sum
+        val sh = h.map(v => fix(v._3(d))).sum
+        (d + 1, (sb * h.length - sh * b.length).abs)
+      }
+      val (topDim, topDrift) = drifts.maxBy { case (d, x) => (x, -d) }
+      (label.toLong, b.length.toLong, h.length.toLong,
+        drifts.map(_._2).sum, topDim.toLong, topDrift)
+    }
+    val out = Similarity.embeddingDrift(spark, sf0001).collect()
+    assert(out.length === expect.length)
+    out.zip(expect).foreach { case (r, (label, nb, nh, l1, topDim, topDrift)) =>
+      assert(r.getLong(0) === label)
+      assert(r.getLong(1) === nb && r.getLong(2) === nh)
+      assert(BigInt(r.getDecimal(3).toBigInteger) === l1, s"l1_drift($label)")
+      assert(r.getLong(4) === topDim, s"top_dim($label)")
+      assert(BigInt(r.getDecimal(5).toBigInteger) === topDrift, s"top_dim_drift($label)")
+    }
+    assert(expect.exists(_._4 > 0), "fixture must show nonzero drift somewhere")
   }
 
   test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
