@@ -88,6 +88,7 @@ object SparkEntry {
     "q106_span_dedup_incremental" -> ((s, d) => TextAnalysis.incrementalSpanDedup(s, d)),
     "q108_run_collapse"   -> ((s, d) => TextAnalysis.runCollapse(s, d)),
     "q109_column_profile" -> ((s, d) => Profiling.documentsProfile(s, d)),
+    "q113_profile_incremental" -> ((s, d) => Profiling.documentsProfileIncremental(s, d)),
     "q110_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q111_token_drift"    -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "q112_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
@@ -209,6 +210,40 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  // Column profile (q109 + its incremental twin q113): per-column value
+  // histogram -> one report row; modal tie-break = lexicographically/
+  // numerically LARGEST value among equal counts (cnt DESC, v DESC),
+  // matching max(struct(cnt, v)).
+  private val profileOracleSql: String =
+    """WITH lh AS (SELECT lang AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |la AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+        |       FROM lh),
+        |lt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+        |       FROM lh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
+        |nh AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |na AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+        |       FROM nh),
+        |nt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+        |       FROM nh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
+        |sh AS (SELECT source AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |sa AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+        |       FROM sh),
+        |st AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+        |       FROM sh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1)
+        |SELECT 'lang' AS column_name, la.*, lt.* FROM la, lt
+        |UNION ALL SELECT 'n_chars', na.*, nt.* FROM na, nt
+        |UNION ALL SELECT 'source', sa.*, st.* FROM sa, st
+        |ORDER BY column_name""".stripMargin
 
   /** Shared oracle for q33 (DataFrame API) and q102 (pure spark.sql text
     * over embeddings_v) — brute-force cosine top-5 with the exact-decimal
@@ -1282,38 +1317,11 @@ object SparkEntry {
         |  c.text_clean
         |FROM d JOIN ragg a USING (doc_id) JOIN clean c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
-    // Column profile: per-column value histogram → one report row; modal
-    // tie-break = lexicographically/numerically LARGEST value among equal
-    // counts (cnt DESC, v DESC), matching max(struct(cnt, v)).
-    "q109_column_profile" ->
-      """WITH lh AS (SELECT lang AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
-        |la AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
-        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
-        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
-        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
-        |       FROM lh),
-        |lt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
-        |       FROM lh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
-        |nh AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
-        |na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
-        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
-        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
-        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
-        |       FROM nh),
-        |nt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
-        |       FROM nh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
-        |sh AS (SELECT source AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
-        |sa AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
-        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
-        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
-        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
-        |       FROM sh),
-        |st AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
-        |       FROM sh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1)
-        |SELECT 'lang' AS column_name, la.*, lt.* FROM la, lt
-        |UNION ALL SELECT 'n_chars', na.*, nt.* FROM na, nt
-        |UNION ALL SELECT 'source', sa.*, st.* FROM sa, st
-        |ORDER BY column_name""".stripMargin,
+    "q109_column_profile" -> profileOracleSql,
+    // q113 produces the SAME report from merged batch+history histograms
+    // (histograms are sufficient statistics; counts add) — the q57/q32
+    // shared-oracle pattern: one semantic definition, two physical shapes.
+    "q113_profile_incremental" -> profileOracleSql,
     // Vocabulary growth: first appearance per distinct (gram, type) →
     // decile histogram → running sum per gram (the one-scan Heaps
     // curves, unigram + bigram).

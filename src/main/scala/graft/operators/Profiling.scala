@@ -34,11 +34,17 @@ import graft.sources.Tables
 object Profiling {
 
   /** Single-column profile: one row with the column's report fields. */
-  private def profileOne(df: DataFrame, name: String): DataFrame = {
-    val hist = df.groupBy(df(name).as("v")).agg(count(lit(1)).as("cnt"))
+  private def profileOne(df: DataFrame, name: String): DataFrame =
+    profileHist(df.groupBy(df(name).as("v")).agg(count(lit(1)).as("cnt")), name)
+
+  /** The profile reduction over an already-built value histogram
+    * (columns `v`, `cnt`) — shared by the one-shot and incremental
+    * paths, so "merge histograms then profile" is definitionally the
+    * same report as "profile the union". */
+  private def profileHist(hist: DataFrame, name: String): DataFrame = {
     hist.agg(
       lit(name).as("column_name"),
-      sum("cnt").cast("long").as("n_rows"),
+      coalesce(sum("cnt"), lit(0L)).cast("long").as("n_rows"),
       coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).cast("long").as("n_nulls"),
       count(col("v")).cast("long").as("n_distinct"),
       min(col("v")).cast("string").as("min_val"),
@@ -51,14 +57,51 @@ object Profiling {
         col("top.cnt").cast("long").as("top_cnt"))
   }
 
+  /** The documents-metadata columns q109/q113 profile. */
+  private val ProfiledColumns = Seq("lang", "n_chars", "source")
+
   /** q109 — profile of the `documents` table's categorical + numeric
     * metadata columns (`lang`, `source`, `n_chars`), one report row per
     * column, ordered by column name. */
   def documentsProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Seq("lang", "n_chars", "source")
+    ProfiledColumns
       .map(c => profileOne(docs, c))
       .reduce(_.unionAll(_))
       .orderBy("column_name")
+  }
+
+  /** q113 — INCREMENTAL profile maintenance: q109's report produced
+    * WITHOUT rescanning history. Value histograms are sufficient
+    * statistics for every profile field (counts add; distinct, min/max
+    * and the mode are functions of the merged histogram), so the
+    * history histograms (doc_id%10≠9) are built once per corpus dir,
+    * persisted vocabulary-bounded, and FROZEN; an arriving increment
+    * pays only its own histogram shuffle plus a null-safe full-outer
+    * merge against the frozen model — the q106-vs-q105 / tokenDriftOf
+    * pairing applied to profiling. On the canonical %10=9 batch the
+    * merged report is DEFINITIONALLY the one-shot q109 (same reduction
+    * over an equal histogram), so q113 shares q109's DuckDB oracle —
+    * the q57/q32 shared-oracle pattern: one semantic definition, two
+    * physical shapes.
+    *
+    * At 100 TB: a daily drop re-profiles the whole corpus for the cost
+    * of profiling the drop — the production deployment appends the
+    * batch histogram into the stored model afterward (counts add, so
+    * the append is a histogram union, idempotent per batch id). */
+  def documentsProfileIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val batchFilter = pmod(col("doc_id"), lit(10)) === 9
+    ProfiledColumns.map { c =>
+      val hist = TextAnalysis.memoPersist(spark, s"profile_hist:$dir:$c") {
+        docs.where(!batchFilter).groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      }.select(col("v").as("hv"), col("cnt").as("hcnt"))
+      val batch = docs.where(batchFilter)
+        .groupBy(col(c).as("bv")).agg(count(lit(1)).as("bcnt"))
+      val merged = batch.join(hist, col("bv") <=> col("hv"), "full_outer")
+        .select(coalesce(col("bv"), col("hv")).as("v"),
+          (coalesce(col("bcnt"), lit(0L)) + coalesce(col("hcnt"), lit(0L))).as("cnt"))
+      profileHist(merged, c)
+    }.reduce(_.unionAll(_)).orderBy("column_name")
   }
 }

@@ -35,7 +35,7 @@ object TextAnalysis {
   private val persistedModels =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
-  private def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  private[operators] def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     persistedModels.getOrElseUpdate((spark, key), build.persist())
 
   /** Test hook: unpersist and forget every memoized model (e.g. to prove
@@ -1691,8 +1691,15 @@ object TextAnalysis {
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    // one bounded driver fetch (a single BIGINT — the q103 1-row pattern)
-    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // one bounded driver fetch (a single BIGINT — the q103 1-row pattern);
+    // empty corpus → no curve, not an NPE on the null max
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("gram", "decile", "new_types", "vocab_size")
+    }
+    val maxDoc = maxRow.getLong(0)
     val toks = docs.select(col("doc_id"), expr(toksExpr).as("tks"))
     val uni = toks.select(col("doc_id"), lit(1L).as("gram"),
       explode(col("tks")).as("term"))

@@ -965,9 +965,19 @@ class PipelineOpsSpec extends SparkSpec {
       "q72_incremental_neardup", "q73_semantic_dedup",
       "q74_bloom_incremental_dedup", // q74 NPE'd here before the empty-filter guard
       "q100_sql_pipeline_report", "q101_sql_simhash_pairs",
-      "q102_sql_knn_brute") // SQL-text surface
-    try ops.foreach { n =>
-      assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
+      "q102_sql_knn_brute", // SQL-text surface
+      "q108_run_collapse", "q110_vocab_growth", // q110's max-doc fetch NPE'd here before the null guard
+      "q111_token_drift", "q112_embedding_drift")
+    try {
+      ops.foreach { n =>
+        assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
+      }
+      // q109 is the one op whose empty-corpus answer is NOT empty: a
+      // profile of an empty table is three all-zero report rows
+      val prof = SparkEntry.queries("q109_column_profile")(spark, dest.toString).collect()
+      assert(prof.length === 3)
+      prof.foreach(r => assert(r.getLong(1) === 0L && r.getLong(3) === 0L,
+        "empty-table profile must report n_rows = n_distinct = 0"))
     } finally cleanupWarehouseFor(dest.toString)
   }
 

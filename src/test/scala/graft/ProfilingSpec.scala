@@ -125,6 +125,20 @@ class ProfilingSpec extends SparkSpec {
       "frozen-history incremental drift must equal the one-shot q111 report")
   }
 
+  test("q113: incremental profile from merged histograms equals the one-shot q109 row-for-row") {
+    val oneShot = Profiling.documentsProfile(spark, sf0001).collect().map(_.toSeq)
+    val incremental = Profiling.documentsProfileIncremental(spark, sf0001).collect().map(_.toSeq)
+    assert(incremental.toSeq === oneShot.toSeq,
+      "merged batch+history histograms must profile identically to the union scan")
+    // the parity is non-vacuous: the canonical batch is non-empty, so the
+    // merge genuinely combined two sides
+    val nBatch = graft.sources.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 9).count()
+    assert(nBatch > 0)
+  }
+
   test("q112: embedding drift matches an exact fixed-point BigInt recompute per (label, dim)") {
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select("vec_id", "label", "embedding").collect()
