@@ -87,6 +87,7 @@ object SparkEntry {
     "q105_span_dedup_rewrite" -> ((s, d) => TextAnalysis.spanDedupRewrite(s, d)),
     "q106_span_dedup_incremental" -> ((s, d) => TextAnalysis.incrementalSpanDedup(s, d)),
     "q108_run_collapse"   -> ((s, d) => TextAnalysis.runCollapse(s, d)),
+    "q114_sql_run_collapse" -> ((s, d) => PipelineSql.sqlRunCollapse(s, d)),
     "q109_column_profile" -> ((s, d) => Profiling.documentsProfile(s, d)),
     "q113_profile_incremental" -> ((s, d) => Profiling.documentsProfileIncremental(s, d)),
     "q110_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
@@ -210,6 +211,36 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  // Intra-doc run collapse (q108 + its SQL-text twin q114):
+  // gaps-and-islands run ids (i - rn over (doc, tok)) -> position-in-run;
+  // kept = pos <= 2, rebuilt with an ordered string_agg; run stats from
+  // the run-length table.
+  private val runCollapseOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |tp AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts)+1)) AS i FROM d),
+        |r AS (SELECT doc_id, i, tok,
+        |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+        |      FROM tp),
+        |p AS (SELECT doc_id, i, tok, grp,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id, tok, grp ORDER BY i) AS pos
+        |      FROM r),
+        |runs AS (SELECT doc_id, tok, grp, COUNT(*) AS run_len FROM p GROUP BY 1, 2, 3),
+        |ragg AS (SELECT doc_id, MAX(run_len) AS max_run,
+        |           COALESCE(SUM(CASE WHEN run_len > 2 THEN run_len - 2 END), 0) AS n_dropped,
+        |           COALESCE(SUM(CASE WHEN run_len > 2 THEN 1 END), 0) AS n_runs_collapsed
+        |         FROM runs GROUP BY 1),
+        |clean AS (SELECT doc_id, COUNT(*) AS n_tokens_clean,
+        |            string_agg(tok, ' ' ORDER BY i) AS text_clean
+        |          FROM p WHERE pos <= 2 GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(c.n_tokens_clean AS BIGINT) AS n_tokens_clean,
+        |  CAST(a.n_dropped AS BIGINT) AS n_dropped,
+        |  CAST(a.n_runs_collapsed AS BIGINT) AS n_runs_collapsed,
+        |  CAST(a.max_run AS BIGINT) AS max_run,
+        |  c.text_clean
+        |FROM d JOIN ragg a USING (doc_id) JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
 
   // Column profile (q109 + its incremental twin q113): per-column value
   // histogram -> one report row; modal tie-break = lexicographically/
@@ -1292,31 +1323,10 @@ object SparkEntry {
     // Intra-doc run collapse: gaps-and-islands run ids (i - rn over
     // (doc, tok)) → position-in-run; kept = pos ≤ 2, rebuilt with an
     // ordered string_agg; run stats from the run-length table.
-    "q108_run_collapse" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
-        |tp AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts)+1)) AS i FROM d),
-        |r AS (SELECT doc_id, i, tok,
-        |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
-        |      FROM tp),
-        |p AS (SELECT doc_id, i, tok, grp,
-        |        ROW_NUMBER() OVER (PARTITION BY doc_id, tok, grp ORDER BY i) AS pos
-        |      FROM r),
-        |runs AS (SELECT doc_id, tok, grp, COUNT(*) AS run_len FROM p GROUP BY 1, 2, 3),
-        |ragg AS (SELECT doc_id, MAX(run_len) AS max_run,
-        |           COALESCE(SUM(CASE WHEN run_len > 2 THEN run_len - 2 END), 0) AS n_dropped,
-        |           COALESCE(SUM(CASE WHEN run_len > 2 THEN 1 END), 0) AS n_runs_collapsed
-        |         FROM runs GROUP BY 1),
-        |clean AS (SELECT doc_id, COUNT(*) AS n_tokens_clean,
-        |            string_agg(tok, ' ' ORDER BY i) AS text_clean
-        |          FROM p WHERE pos <= 2 GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
-        |  CAST(c.n_tokens_clean AS BIGINT) AS n_tokens_clean,
-        |  CAST(a.n_dropped AS BIGINT) AS n_dropped,
-        |  CAST(a.n_runs_collapsed AS BIGINT) AS n_runs_collapsed,
-        |  CAST(a.max_run AS BIGINT) AS max_run,
-        |  c.text_clean
-        |FROM d JOIN ragg a USING (doc_id) JOIN clean c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q108_run_collapse" -> runCollapseOracleSql,
+    // q114 is q108 as pure SQL text through the registered native kernel
+    // (graft_collapse_runs by name) — shared oracle, two API surfaces.
+    "q114_sql_run_collapse" -> runCollapseOracleSql,
     "q109_column_profile" -> profileOracleSql,
     // q113 produces the SAME report from merged batch+history histograms
     // (histograms are sufficient statistics; counts add) — the q57/q32

@@ -155,4 +155,28 @@ object PipelineSql {
         |SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin)
   }
+
+  /** q114 — the q108 run-collapse rewrite as PURE SQL TEXT, resolving
+    * the round-10 native kernel BY NAME (`graft_collapse_runs`) through
+    * the SparkSessionExtensions registration — the q101 contract (every
+    * native expression reachable from SQL text) extended to the newest
+    * kernel, sharing q108's oracle verbatim: one definition, two API
+    * surfaces. Same plan as q108 — zero-shuffle scan → compiled kernel
+    * projection → contract sort. */
+  def sqlRunCollapse(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      s"""SELECT doc_id,
+        |  r.n_tokens AS n_tokens,
+        |  r.n_clean AS n_tokens_clean,
+        |  r.n_tokens - r.n_clean AS n_dropped,
+        |  r.n_runs_collapsed AS n_runs_collapsed,
+        |  r.max_run AS max_run,
+        |  r.text_clean AS text_clean
+        |FROM (SELECT doc_id,
+        |        graft_collapse_runs(split(text, '\\\\s+'), ${TextAnalysis.MaxRun}) AS r
+        |      FROM documents_v)
+        |ORDER BY doc_id""".stripMargin)
+  }
 }

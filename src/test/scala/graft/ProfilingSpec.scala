@@ -53,6 +53,17 @@ class ProfilingSpec extends SparkSpec {
       "the single exchange must be the contract sort, not a hash shuffle")
   }
 
+  test("q114: the SQL-text run collapse equals q108 row-for-row, same zero-shuffle plan") {
+    val sql = graft.operators.PipelineSql.sqlRunCollapse(spark, sf0001)
+    val viaSql = sql.collect().map(_.toSeq)
+    val viaDf = TextAnalysis.runCollapse(spark, sf0001).collect().map(_.toSeq)
+    assert(viaSql.toSeq === viaDf.toSeq, "one kernel definition, two API surfaces")
+    val ex = shuffleExchanges(graft.operators.PipelineSql.sqlRunCollapse(spark, sf0001))
+    assert(ex.size === 1 && ex.head.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      "the SQL surface must keep q108's zero-shuffle shape")
+  }
+
   test("q109: column profile matches a driver-side recompute, modal tie-break largest-value") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("lang", "source", "n_chars").collect()
