@@ -93,6 +93,7 @@ object SparkEntry {
     "q110_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q111_token_drift"    -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "q112_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
+    "q115_source_drift"   -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1332,6 +1333,28 @@ object SparkEntry {
     // (histograms are sufficient statistics; counts add) — the q57/q32
     // shared-oracle pattern: one semantic definition, two physical shapes.
     "q113_profile_incremental" -> profileOracleSql,
+    // Source-mix drift: per-source doc counts both sides; share drift =
+    // |docs_b·N_h − docs_h·N_b|, mean-length drift = |chars_b·docs_h −
+    // chars_h·docs_b| — exact cross-multiplication, no float rates.
+    "q115_source_drift" ->
+      """WITH p AS (SELECT source,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS docs_batch,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 1 END) AS docs_hist,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN n_chars ELSE 0 END) AS chars_batch,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE n_chars END) AS chars_hist
+        |      FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(docs_batch) AS n_batch, SUM(docs_hist) AS n_hist FROM p)
+        |SELECT source, CAST(docs_batch AS BIGINT) AS docs_batch,
+        |  CAST(docs_hist AS BIGINT) AS docs_hist,
+        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
+        |  CAST(abs(CAST(docs_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
+        |         - CAST(docs_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
+        |       AS DECIMAL(38,0)) AS share_drift,
+        |  CAST(abs(CAST(chars_batch AS DECIMAL(19,0)) * CAST(docs_hist AS DECIMAL(19,0))
+        |         - CAST(chars_hist AS DECIMAL(19,0)) * CAST(docs_batch AS DECIMAL(19,0)))
+        |       AS DECIMAL(38,0)) AS len_drift
+        |FROM p, t
+        |ORDER BY source""".stripMargin,
     // Vocabulary growth: first appearance per distinct (gram, type) →
     // decile histogram → running sum per gram (the one-scan Heaps
     // curves, unigram + bigram).

@@ -1774,6 +1774,43 @@ object TextAnalysis {
       .na.fill(0L, Seq("cnt_batch", "cnt_hist")))
   }
 
+  /** q115 — per-SOURCE metadata drift between the crawl increment and
+    * history: the third leg of the monitor triad (token q111, embedding
+    * q112, source mix q115) and operationally the FIRST one a pipeline
+    * checks — a source whose share of the drop shifted is upstream of
+    * every token/embedding symptom. Per source: doc counts on both
+    * sides, the exact cross-multiplied share drift (q111's statistic
+    * over doc counts), and the mean-length shift as the same statistic
+    * over n_chars sums — all BIGINT/DECIMAL-exact, no rates ever
+    * materialized as floats.
+    *
+    * Scale shape: ONE source-keyed shuffle carrying four map-side
+    * partial sums (doc + char counts × batch/hist); totals are a 1-row
+    * broadcast; output bounded by source cardinality. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_batch", pmod(col("doc_id"), lit(10)) === 9)
+    val per = docs.groupBy("source").agg(
+      sum(when(col("is_batch"), 1L).otherwise(0L)).as("docs_batch"),
+      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("docs_hist"),
+      sum(when(col("is_batch"), col("n_chars")).otherwise(0L)).as("chars_batch"),
+      sum(when(!col("is_batch"), col("n_chars")).otherwise(0L)).as("chars_hist"))
+    val totals = per.agg(
+      sum("docs_batch").as("n_batch"), sum("docs_hist").as("n_hist"))
+    def xmul(a: String, b: String, c: String, d: String) =
+      abs(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)")
+        - col(c).cast("decimal(19,0)") * col(d).cast("decimal(19,0)")).cast("decimal(38,0)")
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("docs_batch"), col("docs_hist"),
+        col("n_batch"), col("n_hist"),
+        // share drift: |docs_b·N_h − docs_h·N_b| (q111 over sources)
+        xmul("docs_batch", "n_hist", "docs_hist", "n_batch").as("share_drift"),
+        // mean-length drift: |chars_b·docs_h − chars_h·docs_b| — zero iff
+        // the batch's mean doc length for this source matches history's
+        xmul("chars_batch", "docs_hist", "chars_hist", "docs_batch").as("len_drift"))
+      .orderBy("source")
+  }
+
   /** Shared drift tail: totals as a 1-row broadcast scalar, the exact
     * DECIMAL(38,0) cross-multiplied rate difference, top 25 via ordered
     * limit (TakeOrderedAndProject — no full sort). Expects columns

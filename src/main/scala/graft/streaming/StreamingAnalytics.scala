@@ -262,6 +262,26 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** [[driftReportPerBatch]] with a DURABLE source position: a killed
+    * monitor restarts at the exact micro-batch where it stopped, so
+    * increments arriving during the outage still get their report.
+    * foreachBatch replays the last uncommitted batch at-least-once; the
+    * history histogram is frozen and each report a pure function of
+    * (batch, model), so a replayed batch yields the IDENTICAL report —
+    * a sink keyed by batch content converges (the q90-scorer
+    * idempotence argument, here for per-batch aggregates). Kill +
+    * restart leg spec'd in StreamingSpec. */
+  def driftReportPerBatchCheckpointed(spark: SparkSession, dir: String,
+      docs: DataFrame, checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.TextAnalysis.tokenDriftOf(spark, dir, batch))
+      }
+      .start()
+
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
     *

@@ -181,6 +181,33 @@ class ProfilingSpec extends SparkSpec {
     assert(expect.exists(_._4 > 0), "fixture must show nonzero drift somewhere")
   }
 
+  test("q115: source drift matches an exact BigInt recompute; zero drift iff proportions match") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    val nb = docs.count(_._1 % 10 == 9).toLong
+    val nh = docs.length - nb
+    val expect = bySrc.toSeq.sortBy(_._1).map { case (src, xs) =>
+      val (b, h) = xs.partition(_._1 % 10 == 9)
+      val (cb, ch) = (b.map(_._3).sum, h.map(_._3).sum)
+      (src, b.length.toLong, h.length.toLong,
+        (BigInt(b.length) * nh - BigInt(h.length) * nb).abs,
+        (BigInt(cb) * h.length - BigInt(ch) * b.length).abs)
+    }
+    val out = TextAnalysis.sourceDrift(spark, sf0001).collect()
+    assert(out.length === expect.length)
+    out.zip(expect).foreach { case (r, (src, db, dh, share, len)) =>
+      assert(r.getString(0) === src)
+      assert(r.getLong(1) === db && r.getLong(2) === dh)
+      assert(r.getLong(3) === nb && r.getLong(4) === nh)
+      assert(BigInt(r.getDecimal(5).toBigInteger) === share, s"share_drift($src)")
+      assert(BigInt(r.getDecimal(6).toBigInteger) === len, s"len_drift($src)")
+    }
+    // the statistic's zero point is exact proportionality, not near-zero
+    assert(expect.exists(_._4 > 0), "fixture shows no source-mix shift — monitor untested")
+  }
+
   test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
     val toks = docTokens()
     val maxDoc = toks.keys.max
