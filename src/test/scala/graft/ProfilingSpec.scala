@@ -136,6 +136,18 @@ class ProfilingSpec extends SparkSpec {
       "frozen-history incremental drift must equal the one-shot q111 report")
   }
 
+  test("q109 counted: each per-column branch scans exactly its one column (pruned ReadSchema)") {
+    val df = Profiling.documentsProfile(spark, sf0001)
+    df.collect()
+    val scans = allPlanNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema.fieldNames.toSeq
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(cols => assert(cols.length === 1,
+      s"a profile branch scans ${cols.mkString(",")} — pruning regressed"))
+    assert(scans.flatten.toSet === Set("lang", "n_chars", "source"))
+  }
+
   test("q113: incremental profile from merged histograms equals the one-shot q109 row-for-row") {
     val oneShot = Profiling.documentsProfile(spark, sf0001).collect().map(_.toSeq)
     val incremental = Profiling.documentsProfileIncremental(spark, sf0001).collect().map(_.toSeq)

@@ -195,6 +195,27 @@ object PropertySpec extends Properties("graft") {
         row.getUTF8String(4).toString == clean.mkString(" ")
     }
 
+  // q111/q112/q115's statistic: drift(cb, ch) = |cb·Nh − ch·Nb|, the
+  // common-denominator form of |cb/Nb − ch/Nh| — these properties are
+  // what make it a sound monitor.
+  private def drift(cb: Long, ch: Long, nb: Long, nh: Long): BigInt =
+    (BigInt(cb) * nh - BigInt(ch) * nb).abs
+
+  property("drift statistic: zero exactly at rate equality, sign-free, k-replication scales uniformly") =
+    forAll(Gen.choose(0L, 1000L), Gen.choose(0L, 1000L),
+      Gen.choose(1L, 100000L), Gen.choose(1L, 100000L), Gen.choose(1L, 50L)) {
+      (cb, ch, nb, nh, k) =>
+        val d = drift(cb, ch, nb, nh)
+        // zero iff exact proportionality (the rational zero point; no epsilon)
+        val zeroIff = (d == 0) == (BigInt(cb) * nh == BigInt(ch) * nb)
+        // symmetric in the two sides (a monitor must not care which side grew)
+        val sym = d == drift(ch, cb, nh, nb)
+        // replicating the batch k× scales every token's drift by exactly k:
+        // rankings are replication-invariant, so thresholds transfer
+        val scale = drift(cb * k, ch, nb * k, nh) == k * d
+        zeroIff && sym && scale
+    }
+
   property("simhash is token-order invariant (±1 vote sums commute) and 16 hex digits") =
     forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)))) { toks =>
       def sk(ts: Seq[String]) =
