@@ -94,6 +94,7 @@ object SparkEntry {
     "q111_token_drift"    -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "q112_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     "q115_source_drift"   -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
+    "q116_monitor_panel"  -> ((s, d) => PipelineSql.monitorPanel(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -212,6 +213,75 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  // Drift monitors (q111 token / q112 embedding / q115 source) — each
+  // also a CTE fragment of the q116 monitor-panel oracle.
+  private val tokenDriftOracleSql: String =
+    """WITH tp AS (SELECT doc_id % 10 = 9 AS is_batch,
+        |              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |h AS (SELECT tok,
+        |        SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS cnt_batch,
+        |        SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS cnt_hist
+        |      FROM tp GROUP BY 1),
+        |t AS (SELECT SUM(cnt_batch) AS n_batch, SUM(cnt_hist) AS n_hist FROM h)
+        |SELECT tok, CAST(cnt_batch AS BIGINT) AS cnt_batch,
+        |  CAST(cnt_hist AS BIGINT) AS cnt_hist,
+        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
+        |  CAST(abs(CAST(cnt_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
+        |         - CAST(cnt_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
+        |       AS DECIMAL(38,0)) AS drift
+        |FROM h, t
+        |ORDER BY drift DESC, tok LIMIT 25""".stripMargin
+
+  private val embeddingDriftOracleSql: String =
+    """WITH e AS (SELECT is_batch, label, dim,
+        |             CAST(floor(CAST(v AS DOUBLE) * 1e12) AS BIGINT) AS vf
+        |           FROM (SELECT vec_id % 10 = 9 AS is_batch, label,
+        |                   unnest(range(1, 65)) AS dim, unnest(embedding) AS v
+        |                 FROM embeddings)),
+        |c AS (SELECT label,
+        |        SUM(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS n_batch,
+        |        SUM(CASE WHEN vec_id % 10 = 9 THEN 0 ELSE 1 END) AS n_hist
+        |      FROM embeddings GROUP BY 1),
+        |d AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |        SUM(CASE WHEN is_batch THEN vf ELSE 0 END) AS sum_b,
+        |        SUM(CASE WHEN is_batch THEN 0 ELSE vf END) AS sum_h
+        |      FROM e GROUP BY 1, 2),
+        |dr AS (SELECT d.label, d.dim,
+        |         abs(CAST(sum_b AS DECIMAL(19,0)) * CAST(n_hist AS DECIMAL(10,0))
+        |           - CAST(sum_h AS DECIMAL(19,0)) * CAST(n_batch AS DECIMAL(10,0))) AS drift_dim
+        |       FROM d JOIN c ON d.label = c.label),
+        |r AS (SELECT label, dim, drift_dim,
+        |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY drift_dim DESC, dim ASC) AS rn
+        |      FROM dr),
+        |a AS (SELECT label, SUM(drift_dim) AS l1 FROM dr GROUP BY 1)
+        |SELECT CAST(c.label AS BIGINT) AS label, CAST(c.n_batch AS BIGINT) AS n_batch,
+        |  CAST(c.n_hist AS BIGINT) AS n_hist,
+        |  CAST(a.l1 AS DECIMAL(38,0)) AS l1_drift,
+        |  CAST(r.dim AS BIGINT) AS top_dim,
+        |  CAST(r.drift_dim AS DECIMAL(38,0)) AS top_dim_drift
+        |FROM c JOIN a ON c.label = a.label JOIN r ON c.label = r.label AND r.rn = 1
+        |ORDER BY label""".stripMargin
+
+  private val sourceDriftOracleSql: String =
+    """WITH p AS (SELECT source,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS docs_batch,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 1 END) AS docs_hist,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN n_chars ELSE 0 END) AS chars_batch,
+        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE n_chars END) AS chars_hist
+        |      FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(docs_batch) AS n_batch, SUM(docs_hist) AS n_hist FROM p)
+        |SELECT source, CAST(docs_batch AS BIGINT) AS docs_batch,
+        |  CAST(docs_hist AS BIGINT) AS docs_hist,
+        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
+        |  CAST(abs(CAST(docs_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
+        |         - CAST(docs_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
+        |       AS DECIMAL(38,0)) AS share_drift,
+        |  CAST(abs(CAST(chars_batch AS DECIMAL(19,0)) * CAST(docs_hist AS DECIMAL(19,0))
+        |         - CAST(chars_hist AS DECIMAL(19,0)) * CAST(docs_batch AS DECIMAL(19,0)))
+        |       AS DECIMAL(38,0)) AS len_drift
+        |FROM p, t
+        |ORDER BY source""".stripMargin
 
   // Intra-doc run collapse (q108 + its SQL-text twin q114):
   // gaps-and-islands run ids (i - rn over (doc, tok)) -> position-in-run;
@@ -1336,25 +1406,22 @@ object SparkEntry {
     // Source-mix drift: per-source doc counts both sides; share drift =
     // |docs_b·N_h − docs_h·N_b|, mean-length drift = |chars_b·docs_h −
     // chars_h·docs_b| — exact cross-multiplication, no float rates.
-    "q115_source_drift" ->
-      """WITH p AS (SELECT source,
-        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS docs_batch,
-        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 1 END) AS docs_hist,
-        |        SUM(CASE WHEN doc_id % 10 = 9 THEN n_chars ELSE 0 END) AS chars_batch,
-        |        SUM(CASE WHEN doc_id % 10 = 9 THEN 0 ELSE n_chars END) AS chars_hist
-        |      FROM documents GROUP BY 1),
-        |t AS (SELECT SUM(docs_batch) AS n_batch, SUM(docs_hist) AS n_hist FROM p)
-        |SELECT source, CAST(docs_batch AS BIGINT) AS docs_batch,
-        |  CAST(docs_hist AS BIGINT) AS docs_hist,
-        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
-        |  CAST(abs(CAST(docs_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
-        |         - CAST(docs_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
-        |       AS DECIMAL(38,0)) AS share_drift,
-        |  CAST(abs(CAST(chars_batch AS DECIMAL(19,0)) * CAST(docs_hist AS DECIMAL(19,0))
-        |         - CAST(chars_hist AS DECIMAL(19,0)) * CAST(docs_batch AS DECIMAL(19,0)))
-        |       AS DECIMAL(38,0)) AS len_drift
-        |FROM p, t
-        |ORDER BY source""".stripMargin,
+    "q115_source_drift" -> sourceDriftOracleSql,
+    // The monitor panel re-derives all three legs as CTEs (their texts
+    // verbatim) and unions the long-format rows — composition gated
+    // end-to-end, the q100 pattern for the monitoring family.
+    "q116_monitor_panel" ->
+      s"""WITH e AS (${embeddingDriftOracleSql}),
+        |s AS (${sourceDriftOracleSql}),
+        |t AS (${tokenDriftOracleSql})
+        |SELECT 'embedding' AS monitor, CAST(label AS VARCHAR) AS item,
+        |       n_batch AS batch_cnt, n_hist AS hist_cnt, l1_drift AS drift
+        |FROM e
+        |UNION ALL
+        |SELECT 'source', source, docs_batch, docs_hist, share_drift FROM s
+        |UNION ALL
+        |SELECT 'token', tok, cnt_batch, cnt_hist, drift FROM t
+        |ORDER BY monitor, item""".stripMargin,
     // Vocabulary growth: first appearance per distinct (gram, type) →
     // decile histogram → running sum per gram (the one-scan Heaps
     // curves, unigram + bigram).
@@ -1378,56 +1445,13 @@ object SparkEntry {
     // Token drift: batch-vs-history counts in one histogram; exact
     // cross-multiplied rate difference in DECIMAL(38,0); top 25 with
     // token tie-break.
-    "q111_token_drift" ->
-      """WITH tp AS (SELECT doc_id % 10 = 9 AS is_batch,
-        |              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
-        |h AS (SELECT tok,
-        |        SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS cnt_batch,
-        |        SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS cnt_hist
-        |      FROM tp GROUP BY 1),
-        |t AS (SELECT SUM(cnt_batch) AS n_batch, SUM(cnt_hist) AS n_hist FROM h)
-        |SELECT tok, CAST(cnt_batch AS BIGINT) AS cnt_batch,
-        |  CAST(cnt_hist AS BIGINT) AS cnt_hist,
-        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
-        |  CAST(abs(CAST(cnt_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
-        |         - CAST(cnt_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
-        |       AS DECIMAL(38,0)) AS drift
-        |FROM h, t
-        |ORDER BY drift DESC, tok LIMIT 25""".stripMargin,
+    "q111_token_drift" -> tokenDriftOracleSql,
     // Embedding drift: per-(label, dim) count-scaled mean comparison via
     // exact cross-multiplication (q111's statistic, dense side); values
     // enter as fixed-point floor(v*1e12) BIGINTs (IEEE-identical on both
     // engines — decimal CASTs round ties engine-specifically); L1 over
     // dims + the most-shifted dim with smallest-dim tie-break.
-    "q112_embedding_drift" ->
-      """WITH e AS (SELECT is_batch, label, dim,
-        |             CAST(floor(CAST(v AS DOUBLE) * 1e12) AS BIGINT) AS vf
-        |           FROM (SELECT vec_id % 10 = 9 AS is_batch, label,
-        |                   unnest(range(1, 65)) AS dim, unnest(embedding) AS v
-        |                 FROM embeddings)),
-        |c AS (SELECT label,
-        |        SUM(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS n_batch,
-        |        SUM(CASE WHEN vec_id % 10 = 9 THEN 0 ELSE 1 END) AS n_hist
-        |      FROM embeddings GROUP BY 1),
-        |d AS (SELECT label, CAST(dim AS BIGINT) AS dim,
-        |        SUM(CASE WHEN is_batch THEN vf ELSE 0 END) AS sum_b,
-        |        SUM(CASE WHEN is_batch THEN 0 ELSE vf END) AS sum_h
-        |      FROM e GROUP BY 1, 2),
-        |dr AS (SELECT d.label, d.dim,
-        |         abs(CAST(sum_b AS DECIMAL(19,0)) * CAST(n_hist AS DECIMAL(10,0))
-        |           - CAST(sum_h AS DECIMAL(19,0)) * CAST(n_batch AS DECIMAL(10,0))) AS drift_dim
-        |       FROM d JOIN c ON d.label = c.label),
-        |r AS (SELECT label, dim, drift_dim,
-        |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY drift_dim DESC, dim ASC) AS rn
-        |      FROM dr),
-        |a AS (SELECT label, SUM(drift_dim) AS l1 FROM dr GROUP BY 1)
-        |SELECT CAST(c.label AS BIGINT) AS label, CAST(c.n_batch AS BIGINT) AS n_batch,
-        |  CAST(c.n_hist AS BIGINT) AS n_hist,
-        |  CAST(a.l1 AS DECIMAL(38,0)) AS l1_drift,
-        |  CAST(r.dim AS BIGINT) AS top_dim,
-        |  CAST(r.drift_dim AS DECIMAL(38,0)) AS top_dim_drift
-        |FROM c JOIN a ON c.label = a.label JOIN r ON c.label = r.label AND r.rn = 1
-        |ORDER BY label""".stripMargin,
+    "q112_embedding_drift" -> embeddingDriftOracleSql,
     // Threshold-calibration sweep: q85's scoring bucketed, with the
     // cumulative keep rate per candidate threshold.
     "q94_surprisal_sweep" ->

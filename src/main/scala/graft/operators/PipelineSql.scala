@@ -179,4 +179,29 @@ object PipelineSql {
         |      FROM documents_v)
         |ORDER BY doc_id""".stripMargin)
   }
+
+  /** q116 — the drift-monitor PANEL as one SQL text: the three monitor
+    * legs (token q111, embedding q112, source q115) registered as temp
+    * views and fused into a single long-format report — (monitor, item,
+    * batch_cnt, hist_cnt, drift) — the one table an on-call reads when
+    * a drop lands. The q100 composition contract applied to the
+    * monitoring family: every row is produced by an independently
+    * hash-gated operator, and the panel's own oracle re-derives all
+    * three legs as CTEs, so the composition is gated end-to-end too.
+    * Scale shape: the three legs' own (vocabulary / label×64 / source)
+    * bounded shuffles, unioned — nothing new materializes. */
+  def monitorPanel(spark: SparkSession, dir: String): DataFrame = {
+    TextAnalysis.tokenDrift(spark, dir).createOrReplaceTempView("token_drift_v")
+    Similarity.embeddingDrift(spark, dir).createOrReplaceTempView("embedding_drift_v")
+    TextAnalysis.sourceDrift(spark, dir).createOrReplaceTempView("source_drift_v")
+    spark.sql(
+      """SELECT 'embedding' AS monitor, CAST(label AS STRING) AS item,
+        |       n_batch AS batch_cnt, n_hist AS hist_cnt, l1_drift AS drift
+        |FROM embedding_drift_v
+        |UNION ALL
+        |SELECT 'source', source, docs_batch, docs_hist, share_drift FROM source_drift_v
+        |UNION ALL
+        |SELECT 'token', tok, cnt_batch, cnt_hist, drift FROM token_drift_v
+        |ORDER BY monitor, item""".stripMargin)
+  }
 }

@@ -220,6 +220,32 @@ class ProfilingSpec extends SparkSpec {
     assert(expect.exists(_._4 > 0), "fixture shows no source-mix shift — monitor untested")
   }
 
+  test("q116: the monitor panel is exactly the three gated legs, long-format") {
+    val panel = graft.operators.PipelineSql.monitorPanel(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getDecimal(4).toBigInteger)))
+    // q111 lays out (tok, cnt_b, cnt_h, n_b, n_h, drift); q115 (source,
+    // docs_b, docs_h, n_b, n_h, share_drift, len_drift); q112 (label,
+    // n_b, n_h, l1_drift, top_dim, top_drift) — project each to the
+    // panel's (item, batch_cnt, hist_cnt, drift) shape
+    val tok = TextAnalysis.tokenDrift(spark, sf0001).collect()
+      .map(r => ("token", r.getString(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(5).toBigInteger))).toSet
+    val src = TextAnalysis.sourceDrift(spark, sf0001).collect()
+      .map(r => ("source", r.getString(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(5).toBigInteger))).toSet
+    val emb = Similarity.embeddingDrift(spark, sf0001).collect()
+      .map(r => ("embedding", r.getLong(0).toString, r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger))).toSet
+    val panelSet = panel.toSet
+    assert(panelSet.filter(_._1 == "token") === tok)
+    assert(panelSet.filter(_._1 == "source") === src)
+    assert(panelSet.filter(_._1 == "embedding") === emb)
+    // ordered by (monitor, item), no duplicates
+    assert(panel.map(r => (r._1, r._2)).toSeq === panel.map(r => (r._1, r._2)).toSeq.sorted)
+    assert(panel.length === tok.size + src.size + emb.size)
+  }
+
   test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
     val toks = docTokens()
     val maxDoc = toks.keys.max
