@@ -248,8 +248,8 @@ object SparkEntry {
         |        SUM(CASE WHEN is_batch THEN 0 ELSE vf END) AS sum_h
         |      FROM e GROUP BY 1, 2),
         |dr AS (SELECT d.label, d.dim,
-        |         abs(CAST(sum_b AS DECIMAL(19,0)) * CAST(n_hist AS DECIMAL(10,0))
-        |           - CAST(sum_h AS DECIMAL(19,0)) * CAST(n_batch AS DECIMAL(10,0))) AS drift_dim
+        |         abs(CAST(sum_b AS DECIMAL(30,0)) * CAST(n_hist AS DECIMAL(7,0))
+        |           - CAST(sum_h AS DECIMAL(30,0)) * CAST(n_batch AS DECIMAL(7,0))) AS drift_dim
         |       FROM d JOIN c ON d.label = c.label),
         |r AS (SELECT label, dim, drift_dim,
         |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY drift_dim DESC, dim ASC) AS rn
@@ -310,42 +310,13 @@ object SparkEntry {
         |  CAST(a.n_runs_collapsed AS BIGINT) AS n_runs_collapsed,
         |  CAST(a.max_run AS BIGINT) AS max_run,
         |  c.text_clean
-        |FROM d JOIN ragg a USING (doc_id) JOIN clean c USING (doc_id)
+        |FROM d LEFT JOIN ragg a USING (doc_id) LEFT JOIN clean c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
 
-  // Column profile (q109 + its incremental twin q113): per-column value
-  // histogram -> one report row; modal tie-break = lexicographically/
-  // numerically LARGEST value among equal counts (cnt DESC, v DESC),
-  // matching max(struct(cnt, v)).
-  private val profileOracleSql: String =
-    """WITH lh AS (SELECT lang AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
-        |la AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
-        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
-        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
-        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
-        |       FROM lh),
-        |lt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
-        |       FROM lh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
-        |nh AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
-        |na AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
-        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
-        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
-        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
-        |       FROM nh),
-        |nt AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
-        |       FROM nh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1),
-        |sh AS (SELECT source AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
-        |sa AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
-        |         CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
-        |         CAST(COUNT(v) AS BIGINT) AS n_distinct,
-        |         CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
-        |       FROM sh),
-        |st AS (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
-        |       FROM sh WHERE v IS NOT NULL ORDER BY cnt DESC, v DESC LIMIT 1)
-        |SELECT 'lang' AS column_name, la.*, lt.* FROM la, lt
-        |UNION ALL SELECT 'n_chars', na.*, nt.* FROM na, nt
-        |UNION ALL SELECT 'source', sa.*, st.* FROM sa, st
-        |ORDER BY column_name""".stripMargin
+  // Column profile (q109 + its incremental twin q113): generated from
+  // Profiling.ProfiledColumns — see Profiling.oracleSql for the
+  // per-column template and tie-break notes.
+  private val profileOracleSql: String = operators.Profiling.oracleSql
 
   /** Shared oracle for q33 (DataFrame API) and q102 (pure spark.sql text
     * over embeddings_v) — brute-force cosine top-5 with the exact-decimal

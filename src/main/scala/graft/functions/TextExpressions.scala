@@ -219,7 +219,10 @@ object WinnowMin {
   * report field at once, including the joined output text — the
   * enclosing stage never materializes the intermediate cleaned array.
   * ProfilingSpec pins bit-identity against a driver-side recompute;
-  * PropertySpec fuzzes run boundaries. Empty array → (0, 0, 0, 0, "").
+  * PropertySpec fuzzes run boundaries. Empty array → (0, 0, 0, 0, "");
+  * NULL elements are skipped entirely (n_tokens counts the non-null
+  * tokens, so every report field stays consistent with text_clean —
+  * concatWs would silently drop nulls otherwise).
   *
   * Codegen'd as a static call into [[CollapseRuns.run]] (the
   * [[LongestRun]] pattern). `k` is a plan-time constant, like
@@ -257,28 +260,33 @@ case class CollapseRuns(child: Expression, k: Int) extends UnaryExpression {
 object CollapseRuns {
   private val Space = UTF8String.fromString(" ")
 
-  /** Static kernel, called from both interpreted eval and generated code. */
+  /** Static kernel, called from both interpreted eval and generated code.
+    * Null elements (legal in an `array<string>` from SQL text even
+    * though split() never produces them) are skipped, keeping every
+    * count consistent with the joined output text. */
   def run(arr: ArrayData, k: Int): InternalRow = {
     val n = arr.numElements()
-    if (n == 0) return InternalRow(0L, 0L, 0L, 0L, UTF8String.EMPTY_UTF8)
     val kept = new Array[UTF8String](n)
     var keptLen = 0
-    var prev = arr.getUTF8String(0)
-    kept(0) = prev; keptLen = 1
-    var run = 1L
-    var maxRun = 1L
+    var prev: UTF8String = null
+    var nTokens = 0L
+    var run = 0L
+    var maxRun = 0L
     var nRuns = 0L
-    var i = 1
+    var i = 0
     while (i < n) {
-      val cur = arr.getUTF8String(i)
-      if (cur.equals(prev)) run += 1
-      else { if (run > k) nRuns += 1; run = 1L; prev = cur }
-      if (run > maxRun) maxRun = run
-      if (run <= k) { kept(keptLen) = cur; keptLen += 1 }
+      if (!arr.isNullAt(i)) {
+        val cur = arr.getUTF8String(i)
+        nTokens += 1
+        if (prev != null && cur.equals(prev)) run += 1
+        else { if (run > k) nRuns += 1; run = 1L; prev = cur }
+        if (run > maxRun) maxRun = run
+        if (run <= k) { kept(keptLen) = cur; keptLen += 1 }
+      }
       i += 1
     }
     if (run > k) nRuns += 1
     val text = UTF8String.concatWs(Space, java.util.Arrays.copyOf(kept, keptLen): _*)
-    InternalRow(n.toLong, keptLen.toLong, nRuns, maxRun, text)
+    InternalRow(nTokens, keptLen.toLong, nRuns, maxRun, text)
   }
 }

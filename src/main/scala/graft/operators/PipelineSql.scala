@@ -175,7 +175,7 @@ object PipelineSql {
         |  r.max_run AS max_run,
         |  r.text_clean AS text_clean
         |FROM (SELECT doc_id,
-        |        graft_collapse_runs(split(text, '\\\\s+'), ${TextAnalysis.MaxRun}) AS r
+        |        graft_collapse_runs(${TextAnalysis.toksExpr}, ${TextAnalysis.MaxRun}) AS r
         |      FROM documents_v)
         |ORDER BY doc_id""".stripMargin)
   }

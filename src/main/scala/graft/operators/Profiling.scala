@@ -60,6 +60,31 @@ object Profiling {
   /** The documents-metadata columns q109/q113 profile. */
   private val ProfiledColumns = Seq("lang", "n_chars", "source")
 
+  /** DuckDB oracle for q109/q113, GENERATED from [[ProfiledColumns]] so
+    * the profiled column list lives in exactly one place (adding a
+    * column updates operator and oracle together). The top-value
+    * subquery LEFT JOINs ON TRUE so an empty or all-NULL column still
+    * emits its report row (NULL mode, zero counts) — matching the Spark
+    * reduction, which always produces one row per column. Modal
+    * tie-break: largest value among equal counts (cnt DESC, v DESC),
+    * matching `max(struct(cnt, v))`. */
+  private[graft] def oracleSql: String = {
+    val blocks = ProfiledColumns.map { c =>
+      val hist = s"(SELECT $c AS v, COUNT(*) AS cnt FROM documents GROUP BY 1)"
+      s"""SELECT '$c' AS column_name, a.n_rows, a.n_nulls, a.n_distinct,
+         |  a.min_val, a.max_val, t.top_val, t.top_cnt
+         |FROM (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+         |        CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+         |        CAST(COUNT(v) AS BIGINT) AS n_distinct,
+         |        CAST(MIN(v) AS VARCHAR) AS min_val, CAST(MAX(v) AS VARCHAR) AS max_val
+         |      FROM $hist) a
+         |LEFT JOIN (SELECT CAST(v AS VARCHAR) AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+         |           FROM $hist WHERE v IS NOT NULL
+         |           ORDER BY cnt DESC, v DESC LIMIT 1) t ON TRUE""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** q109 — profile of the `documents` table's categorical + numeric
     * metadata columns (`lang`, `source`, `n_chars`), one report row per
     * column, ordered by column name. */

@@ -966,17 +966,23 @@ object Similarity {
     val counts = emb.groupBy("label").agg(
       sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
       sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist"))
-    val vfix = floor(col("v").cast("double") * lit(1e12)).cast("long")
+    // fixed-point components sum in a DECIMAL accumulator, not LongType:
+    // a long sum wraps at ~9.2e18 ≈ 9.2M unit-scale vectors per label —
+    // inside the design point — while decimal(20,0) inputs give a
+    // decimal(30,0) sum, good to 10^17 vectors; counts ≤ 10^7 per label
+    // keep the cross-product inside DECIMAL(38) (shard labels past that)
+    val vfix = floor(col("v").cast("double") * lit(1e12)).cast("decimal(20,0)")
+    val zero = lit(0).cast("decimal(20,0)")
     val dims = emb
       .select(col("label"), col("is_batch"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(
-        sum(when(col("is_batch"), vfix).otherwise(0L)).as("sum_b"),
-        sum(when(!col("is_batch"), vfix).otherwise(0L)).as("sum_h"))
+        sum(when(col("is_batch"), vfix).otherwise(zero)).as("sum_b"),
+        sum(when(!col("is_batch"), vfix).otherwise(zero)).as("sum_h"))
     dims.join(broadcast(counts), Seq("label"))
       .withColumn("drift_dim",
-        abs(col("sum_b").cast("decimal(19,0)") * col("n_hist").cast("decimal(10,0)")
-          - col("sum_h").cast("decimal(19,0)") * col("n_batch").cast("decimal(10,0)")))
+        abs(col("sum_b") * col("n_hist").cast("decimal(7,0)")
+          - col("sum_h") * col("n_batch").cast("decimal(7,0)")))
       .groupBy("label")
       .agg(
         max("n_batch").as("n_batch"), max("n_hist").as("n_hist"),

@@ -19,8 +19,9 @@ import graft.sources.Tables
 object TextAnalysis {
 
   /** Whitespace tokens; documents are single-space word salad but \\s+
-    * keeps the operator honest on real text. */
-  private val toksExpr = "split(text, '\\\\s+')"
+    * keeps the operator honest on real text. Shared with the SQL-text
+    * twins (q114) so the tokenization definition lives in one place. */
+  private[operators] val toksExpr = "split(text, '\\\\s+')"
 
   /** Session-scoped memo of persisted MODEL tables (unigram counts, df
     * model, Misra–Gries summaries). Train-then-apply operators persist

@@ -73,6 +73,13 @@ class ExtensionsSpec extends SparkSpec {
       val s = r.getStruct(0)
       s.getLong(0) === 4L && s.getLong(1) === 3L && s.getLong(2) === 1L && s.getLong(3) === 3L
     })
+
+    // NULL array elements (reachable from SQL text, never from split())
+    // are skipped, keeping counts consistent with the joined text
+    val nu = spark.sql(
+      "SELECT graft_collapse_runs(array(NULL, 'a', NULL, 'a', 'a', 'a'), 2) AS r").head().getStruct(0)
+    assert(nu.getLong(0) === 4L && nu.getLong(1) === 2L && nu.getLong(2) === 1L
+      && nu.getLong(3) === 4L && nu.getString(4) === "a a")
   }
 
   test("generated and interpreted paths of the native kernels are bit-identical") {

@@ -967,17 +967,22 @@ class PipelineOpsSpec extends SparkSpec {
       "q100_sql_pipeline_report", "q101_sql_simhash_pairs",
       "q102_sql_knn_brute", // SQL-text surface
       "q108_run_collapse", "q110_vocab_growth", // q110's max-doc fetch NPE'd here before the null guard
-      "q111_token_drift", "q112_embedding_drift")
+      "q111_token_drift", "q112_embedding_drift",
+      "q114_sql_run_collapse", "q115_source_drift",
+      "q116_monitor_panel") // composition of three empty legs
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
       }
-      // q109 is the one op whose empty-corpus answer is NOT empty: a
-      // profile of an empty table is three all-zero report rows
-      val prof = SparkEntry.queries("q109_column_profile")(spark, dest.toString).collect()
-      assert(prof.length === 3)
-      prof.foreach(r => assert(r.getLong(1) === 0L && r.getLong(3) === 0L,
-        "empty-table profile must report n_rows = n_distinct = 0"))
+      // the profiles are the one family whose empty-corpus answer is NOT
+      // empty: a profile of an empty table is three all-zero report rows
+      // (q113's frozen-histogram merge path must degrade the same way)
+      Seq("q109_column_profile", "q113_profile_incremental").foreach { n =>
+        val prof = SparkEntry.queries(n)(spark, dest.toString).collect()
+        assert(prof.length === 3, n)
+        prof.foreach(r => assert(r.getLong(1) === 0L && r.getLong(3) === 0L,
+          s"$n: empty-table profile must report n_rows = n_distinct = 0"))
+      }
     } finally cleanupWarehouseFor(dest.toString)
   }
 

@@ -533,7 +533,8 @@ class StreamingSpec extends SparkSpec {
     // a replay may re-emit a batch's report (at-least-once); dedupe by
     // content — the frozen model makes the replayed report identical
     val distinctReports = reports.distinct
-    assert(distinctReports.size === 2, s"expected 2 distinct increment reports, got ${reports.size}")
+    assert(distinctReports.size === 2,
+      s"expected 2 distinct increment reports, got ${distinctReports.size} (${reports.size} raw)")
     import spark.implicits._
     Seq(docs.take(docs.length / 2), docs.drop(docs.length / 2)).zip(distinctReports)
       .foreach { case (slice, streamed) =>
