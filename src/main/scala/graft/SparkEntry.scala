@@ -215,7 +215,12 @@ object SparkEntry {
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
 
   // Drift monitors (q111 token / q112 embedding / q115 source) — each
-  // also a CTE fragment of the q116 monitor-panel oracle.
+  // also a CTE fragment of the q116 monitor-panel oracle. The drift
+  // statistics are computed in DECIMAL(38,0) (exact) but PROJECTED as
+  // canonical digit strings: DECIMAL(38,0) cells hash engine-unstably
+  // at the driver gate (r10 — values replayed identical, hashes did
+  // not), while digit strings are byte-identical everywhere. Ordering
+  // stays on the decimal so top-k remains numeric.
   private val tokenDriftOracleSql: String =
     """WITH tp AS (SELECT doc_id % 10 = 9 AS is_batch,
         |              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
@@ -223,15 +228,18 @@ object SparkEntry {
         |        SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS cnt_batch,
         |        SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS cnt_hist
         |      FROM tp GROUP BY 1),
-        |t AS (SELECT SUM(cnt_batch) AS n_batch, SUM(cnt_hist) AS n_hist FROM h)
-        |SELECT tok, CAST(cnt_batch AS BIGINT) AS cnt_batch,
-        |  CAST(cnt_hist AS BIGINT) AS cnt_hist,
-        |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
-        |  CAST(abs(CAST(cnt_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
-        |         - CAST(cnt_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
-        |       AS DECIMAL(38,0)) AS drift
-        |FROM h, t
-        |ORDER BY drift DESC, tok LIMIT 25""".stripMargin
+        |t AS (SELECT SUM(cnt_batch) AS n_batch, SUM(cnt_hist) AS n_hist FROM h),
+        |x AS (SELECT tok, CAST(cnt_batch AS BIGINT) AS cnt_batch,
+        |        CAST(cnt_hist AS BIGINT) AS cnt_hist,
+        |        CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
+        |        CAST(abs(CAST(cnt_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
+        |               - CAST(cnt_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
+        |             AS DECIMAL(38,0)) AS drift_x
+        |      FROM h, t)
+        |SELECT tok, cnt_batch, cnt_hist, n_batch, n_hist,
+        |  CAST(drift_x AS VARCHAR) AS drift
+        |FROM x
+        |ORDER BY drift_x DESC, tok LIMIT 25""".stripMargin
 
   private val embeddingDriftOracleSql: String =
     """WITH e AS (SELECT is_batch, label, dim,
@@ -257,9 +265,9 @@ object SparkEntry {
         |a AS (SELECT label, SUM(drift_dim) AS l1 FROM dr GROUP BY 1)
         |SELECT CAST(c.label AS BIGINT) AS label, CAST(c.n_batch AS BIGINT) AS n_batch,
         |  CAST(c.n_hist AS BIGINT) AS n_hist,
-        |  CAST(a.l1 AS DECIMAL(38,0)) AS l1_drift,
+        |  CAST(CAST(a.l1 AS DECIMAL(38,0)) AS VARCHAR) AS l1_drift,
         |  CAST(r.dim AS BIGINT) AS top_dim,
-        |  CAST(r.drift_dim AS DECIMAL(38,0)) AS top_dim_drift
+        |  CAST(CAST(r.drift_dim AS DECIMAL(38,0)) AS VARCHAR) AS top_dim_drift
         |FROM c JOIN a ON c.label = a.label JOIN r ON c.label = r.label AND r.rn = 1
         |ORDER BY label""".stripMargin
 
@@ -274,12 +282,12 @@ object SparkEntry {
         |SELECT source, CAST(docs_batch AS BIGINT) AS docs_batch,
         |  CAST(docs_hist AS BIGINT) AS docs_hist,
         |  CAST(t.n_batch AS BIGINT) AS n_batch, CAST(t.n_hist AS BIGINT) AS n_hist,
-        |  CAST(abs(CAST(docs_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
+        |  CAST(CAST(abs(CAST(docs_batch AS DECIMAL(19,0)) * CAST(t.n_hist AS DECIMAL(19,0))
         |         - CAST(docs_hist AS DECIMAL(19,0)) * CAST(t.n_batch AS DECIMAL(19,0)))
-        |       AS DECIMAL(38,0)) AS share_drift,
-        |  CAST(abs(CAST(chars_batch AS DECIMAL(19,0)) * CAST(docs_hist AS DECIMAL(19,0))
+        |       AS DECIMAL(38,0)) AS VARCHAR) AS share_drift,
+        |  CAST(CAST(abs(CAST(chars_batch AS DECIMAL(19,0)) * CAST(docs_hist AS DECIMAL(19,0))
         |         - CAST(chars_hist AS DECIMAL(19,0)) * CAST(docs_batch AS DECIMAL(19,0)))
-        |       AS DECIMAL(38,0)) AS len_drift
+        |       AS DECIMAL(38,0)) AS VARCHAR) AS len_drift
         |FROM p, t
         |ORDER BY source""".stripMargin
 
@@ -1414,8 +1422,8 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
         |FROM h ORDER BY gram, decile""".stripMargin,
     // Token drift: batch-vs-history counts in one histogram; exact
-    // cross-multiplied rate difference in DECIMAL(38,0); top 25 with
-    // token tie-break.
+    // cross-multiplied rate difference computed in DECIMAL(38,0) and
+    // emitted as a canonical digit string; top 25 with token tie-break.
     "q111_token_drift" -> tokenDriftOracleSql,
     // Embedding drift: per-(label, dim) count-scaled mean comparison via
     // exact cross-multiplication (q111's statistic, dense side); values

@@ -963,14 +963,15 @@ object Similarity {
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("is_batch", pmod(col("vec_id"), lit(10)) === 9)
-    val counts = emb.groupBy("label").agg(
+    val counts = capLabelCounts(emb.groupBy("label").agg(
       sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
-      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist"))
+      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist")))
     // fixed-point components sum in a DECIMAL accumulator, not LongType:
     // a long sum wraps at ~9.2e18 ≈ 9.2M unit-scale vectors per label —
     // inside the design point — while decimal(20,0) inputs give a
     // decimal(30,0) sum, good to 10^17 vectors; counts ≤ 10^7 per label
-    // keep the cross-product inside DECIMAL(38) (shard labels past that)
+    // keep the cross-product inside DECIMAL(38) — enforced at runtime
+    // by [[capLabelCounts]], not just documented
     val vfix = floor(col("v").cast("double") * lit(1e12)).cast("decimal(20,0)")
     val zero = lit(0).cast("decimal(20,0)")
     val dims = emb
@@ -988,10 +989,31 @@ object Similarity {
         max("n_batch").as("n_batch"), max("n_hist").as("n_hist"),
         sum("drift_dim").cast("decimal(38,0)").as("l1_drift"),
         max(struct(col("drift_dim").as("d"), (lit(0L) - col("dim")).as("negdim"))).as("t"))
+      // the two drift statistics leave as canonical digit strings: exact
+      // at any scale, and the one encoding the driver hash gate proved
+      // stable for (DECIMAL(38,0) cells hash engine-unstably — r10)
       .select(col("label").cast("long").as("label"),
-        col("n_batch"), col("n_hist"), col("l1_drift"),
+        col("n_batch"), col("n_hist"),
+        col("l1_drift").cast("string").as("l1_drift"),
         (lit(0L) - col("t.negdim")).as("top_dim"),
-        col("t.d").cast("decimal(38,0)").as("top_dim_drift"))
+        col("t.d").cast("decimal(38,0)").cast("string").as("top_dim_drift"))
       .orderBy("label")
+  }
+
+  /** Runtime guard for [[embeddingDrift]]'s DECIMAL(38) headroom: the
+    * per-label cross-product `sum(decimal(30,0)) × count(decimal(7,0))`
+    * is exact only while every label holds < 10⁷ vectors on each side.
+    * The bound used to live in a comment; this enforces it — a label at
+    * or past the cap fails the job with an actionable message (shard
+    * the label) instead of overflowing silently. Distributed, lazy, and
+    * free on the happy path (one codegen'd branch per label row). */
+  private[graft] def capLabelCounts(counts: DataFrame): DataFrame = {
+    val cap = 10000000L // 10^7: decimal(30)·decimal(7) stays inside 38
+    def guard(c: String) = when(col(c) >= cap,
+      raise_error(concat(lit("embeddingDrift: label "), col("label").cast("string"),
+        lit(s" has $c >= 1e7 vectors; the DECIMAL(38) cross-product would" +
+          " overflow — shard the label before monitoring"))))
+      .otherwise(col(c)).as(c)
+    counts.select(col("label"), guard("n_batch"), guard("n_hist"))
   }
 }

@@ -1738,9 +1738,10 @@ object TextAnalysis {
     * history = the rest; for every token the report carries both raw
     * counts and the EXACT cross-multiplied rate difference
     * `|cnt_batch·N_hist − cnt_hist·N_batch|` (the common-denominator
-    * form of |rate_b − rate_h|, kept in DECIMAL(38,0) so there is no
-    * float rounding and no BIGINT overflow at production counts), top
-    * 25 by drift with a token tie-break.
+    * form of |rate_b − rate_h|, computed in DECIMAL(38,0) so there is
+    * no float rounding and no BIGINT overflow at production counts,
+    * emitted as the canonical digit string — see [[driftTop]]), top 25
+    * by drift with a token tie-break.
     *
     * Scale shape: one explode scan → ONE token-keyed shuffle carrying
     * map-side partial (batch, hist) count pairs — drift needs no second
@@ -1789,8 +1790,10 @@ object TextAnalysis {
     * every token/embedding symptom. Per source: doc counts on both
     * sides, the exact cross-multiplied share drift (q111's statistic
     * over doc counts), and the mean-length shift as the same statistic
-    * over n_chars sums — all BIGINT/DECIMAL-exact, no rates ever
-    * materialized as floats.
+    * over n_chars sums — all exact, no rates ever materialized as
+    * floats; the two drift statistics are computed in DECIMAL(38,0)
+    * and emitted as canonical digit strings (the gate-stable encoding,
+    * see [[driftTop]]).
     *
     * Scale shape: ONE source-keyed shuffle carrying four map-side
     * partial sums (doc + char counts × batch/hist); totals are a 1-row
@@ -1812,30 +1815,40 @@ object TextAnalysis {
       .select(col("source"), col("docs_batch"), col("docs_hist"),
         col("n_batch"), col("n_hist"),
         // share drift: |docs_b·N_h − docs_h·N_b| (q111 over sources)
-        xmul("docs_batch", "n_hist", "docs_hist", "n_batch").as("share_drift"),
+        xmul("docs_batch", "n_hist", "docs_hist", "n_batch")
+          .cast("string").as("share_drift"),
         // mean-length drift: |chars_b·docs_h − chars_h·docs_b| — zero iff
         // the batch's mean doc length for this source matches history's
-        xmul("chars_batch", "docs_hist", "chars_hist", "docs_batch").as("len_drift"))
+        xmul("chars_batch", "docs_hist", "chars_hist", "docs_batch")
+          .cast("string").as("len_drift"))
       .orderBy("source")
   }
 
   /** Shared drift tail: totals as a 1-row broadcast scalar, the exact
     * DECIMAL(38,0) cross-multiplied rate difference, top 25 via ordered
     * limit (TakeOrderedAndProject — no full sort). Expects columns
-    * (tok, cnt_batch, cnt_hist). */
+    * (tok, cnt_batch, cnt_hist).
+    *
+    * The drift statistic is COMPUTED in DECIMAL(38,0) (exact, no float
+    * rounding, no BIGINT overflow at production counts) but EMITTED as
+    * its canonical digit string: DECIMAL(38,0) is the one type whose
+    * cell hashing proved engine-unstable at the driver gate (r10 —
+    * values matched cell-for-cell under replay, hashes did not), while
+    * a digit string is byte-identical everywhere and still exact at any
+    * scale. Ordering stays on the decimal, so top-25 is numeric. */
   private def driftTop(hist: DataFrame): DataFrame = {
     val totals = hist.agg(
       sum("cnt_batch").as("n_batch"), sum("cnt_hist").as("n_hist"))
     hist.crossJoin(broadcast(totals))
-      .withColumn("drift",
+      .withColumn("drift_x",
         abs(col("cnt_batch").cast("decimal(19,0)") * col("n_hist").cast("decimal(19,0)")
           - col("cnt_hist").cast("decimal(19,0)") * col("n_batch").cast("decimal(19,0)"))
           .cast("decimal(38,0)"))
-      .orderBy(col("drift").desc, col("tok").asc)
+      .orderBy(col("drift_x").desc, col("tok").asc)
       .limit(25)
+      .orderBy(col("drift_x").desc, col("tok").asc)
       .select(col("tok"), col("cnt_batch"), col("cnt_hist"),
-        col("n_batch"), col("n_hist"), col("drift"))
-      .orderBy(col("drift").desc, col("tok").asc)
+        col("n_batch"), col("n_hist"), col("drift_x").cast("string").as("drift"))
   }
 
   def binaryPayloadFeatures(spark: SparkSession, dir: String): DataFrame =

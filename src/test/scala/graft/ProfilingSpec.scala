@@ -114,11 +114,11 @@ class ProfilingSpec extends SparkSpec {
       assert(r.getString(0) === t)
       assert(r.getLong(1) === b && r.getLong(2) === h)
       assert(r.getLong(3) === nb && r.getLong(4) === nh)
-      assert(BigInt(r.getDecimal(5).toBigInteger) === d, s"drift($t)")
+      assert(BigInt(r.getString(5)) === d, s"drift($t)")
     }
     // the statistic is a real rate comparison: a token with equal rates
     // on both sides would score 0; the top row must score > 0
-    assert(BigInt(out.head.getDecimal(5).toBigInteger) > 0)
+    assert(BigInt(out.head.getString(5)) > 0)
   }
 
   test("q111 incremental core: tokenDriftOf on the canonical batch reproduces the q111 report") {
@@ -128,10 +128,10 @@ class ProfilingSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(10)) === 9)
     val inc = TextAnalysis.tokenDriftOf(spark, sf0001, canonical).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        BigInt(r.getDecimal(5).toBigInteger)))
+        BigInt(r.getString(5))))
     val batch = TextAnalysis.tokenDrift(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        BigInt(r.getDecimal(5).toBigInteger)))
+        BigInt(r.getString(5))))
     assert(inc.toSeq === batch.toSeq,
       "frozen-history incremental drift must equal the one-shot q111 report")
   }
@@ -186,11 +186,27 @@ class ProfilingSpec extends SparkSpec {
     out.zip(expect).foreach { case (r, (label, nb, nh, l1, topDim, topDrift)) =>
       assert(r.getLong(0) === label)
       assert(r.getLong(1) === nb && r.getLong(2) === nh)
-      assert(BigInt(r.getDecimal(3).toBigInteger) === l1, s"l1_drift($label)")
+      assert(BigInt(r.getString(3)) === l1, s"l1_drift($label)")
       assert(r.getLong(4) === topDim, s"top_dim($label)")
-      assert(BigInt(r.getDecimal(5).toBigInteger) === topDrift, s"top_dim_drift($label)")
+      assert(BigInt(r.getString(5)) === topDrift, s"top_dim_drift($label)")
     }
     assert(expect.exists(_._4 > 0), "fixture must show nonzero drift somewhere")
+  }
+
+  test("q112 guard: a label at >= 1e7 vectors fails loudly instead of overflowing DECIMAL(38)") {
+    import spark.implicits._
+    val ok = Seq((1, 9999999L, 42L)).toDF("label", "n_batch", "n_hist")
+    assert(Similarity.capLabelCounts(ok).collect().toSeq
+      === Seq(org.apache.spark.sql.Row(1, 9999999L, 42L)))
+    val over = Seq((7, 10000000L, 1L)).toDF("label", "n_batch", "n_hist")
+    val e = intercept[Exception] {
+      Similarity.capLabelCounts(over).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("shard the label") && m.contains("label 7")),
+      s"guard must name the label and the remedy: ${messages(e).mkString(" | ")}")
   }
 
   test("q115: source drift matches an exact BigInt recompute; zero drift iff proportions match") {
@@ -213,8 +229,8 @@ class ProfilingSpec extends SparkSpec {
       assert(r.getString(0) === src)
       assert(r.getLong(1) === db && r.getLong(2) === dh)
       assert(r.getLong(3) === nb && r.getLong(4) === nh)
-      assert(BigInt(r.getDecimal(5).toBigInteger) === share, s"share_drift($src)")
-      assert(BigInt(r.getDecimal(6).toBigInteger) === len, s"len_drift($src)")
+      assert(BigInt(r.getString(5)) === share, s"share_drift($src)")
+      assert(BigInt(r.getString(6)) === len, s"len_drift($src)")
     }
     // the statistic's zero point is exact proportionality, not near-zero
     assert(expect.exists(_._4 > 0), "fixture shows no source-mix shift — monitor untested")
@@ -223,20 +239,20 @@ class ProfilingSpec extends SparkSpec {
   test("q116: the monitor panel is exactly the three gated legs, long-format") {
     val panel = graft.operators.PipelineSql.monitorPanel(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        BigInt(r.getDecimal(4).toBigInteger)))
+        BigInt(r.getString(4))))
     // q111 lays out (tok, cnt_b, cnt_h, n_b, n_h, drift); q115 (source,
     // docs_b, docs_h, n_b, n_h, share_drift, len_drift); q112 (label,
     // n_b, n_h, l1_drift, top_dim, top_drift) — project each to the
     // panel's (item, batch_cnt, hist_cnt, drift) shape
     val tok = TextAnalysis.tokenDrift(spark, sf0001).collect()
       .map(r => ("token", r.getString(0), r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(5).toBigInteger))).toSet
+        BigInt(r.getString(5)))).toSet
     val src = TextAnalysis.sourceDrift(spark, sf0001).collect()
       .map(r => ("source", r.getString(0), r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(5).toBigInteger))).toSet
+        BigInt(r.getString(5)))).toSet
     val emb = Similarity.embeddingDrift(spark, sf0001).collect()
       .map(r => ("embedding", r.getLong(0).toString, r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigInteger))).toSet
+        BigInt(r.getString(3)))).toSet
     val panelSet = panel.toSet
     assert(panelSet.filter(_._1 == "token") === tok)
     assert(panelSet.filter(_._1 == "source") === src)

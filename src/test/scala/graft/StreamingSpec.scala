@@ -485,7 +485,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingAnalytics.driftReportPerBatch(spark, sf0001,
       input.toDF().toDF("doc_id", "text")) { report =>
       reports += report.collect().toSeq.map(r =>
-        (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getDecimal(5).toBigInteger)))
+        (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getString(5))))
     }
     slices.foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
     q.stop()
@@ -495,7 +495,7 @@ class StreamingSpec extends SparkSpec {
       val expect = graft.operators.TextAnalysis
         .tokenDriftOf(spark, sf0001, slice.toSeq.toDF("doc_id", "text"))
         .collect().toSeq.map(r =>
-          (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getDecimal(5).toBigInteger)))
+          (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getString(5))))
       assert(streamed === expect, "micro-batch report must equal the direct recompute")
     }
     // the monitor sees real evidence: some batch-only or shifted token
@@ -517,7 +517,7 @@ class StreamingSpec extends SparkSpec {
     def start() = StreamingAnalytics.driftReportPerBatchCheckpointed(spark, sf0001,
       input.toDF().toDF("doc_id", "text"), ckpt) { report =>
       reports += report.collect().map(r =>
-        (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getDecimal(5).toBigInteger))).toSet
+        (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getString(5)))).toSet
     }
     // one increment reported, then the monitor is KILLED
     val q1 = start()
@@ -541,7 +541,7 @@ class StreamingSpec extends SparkSpec {
         val expect = graft.operators.TextAnalysis
           .tokenDriftOf(spark, sf0001, slice.toSeq.toDF("doc_id", "text"))
           .collect().map(r =>
-            (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getDecimal(5).toBigInteger))).toSet
+            (r.getString(0), r.getLong(1), r.getLong(2), BigInt(r.getString(5)))).toSet
         assert(streamed === expect, "report across the restart must equal the direct recompute")
       }
   }
