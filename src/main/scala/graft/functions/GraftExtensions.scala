@@ -45,19 +45,9 @@ object GraftExtensions {
     // integer literal so the generated code can embed it.
     (FunctionIdentifier("graft_winnow_min"),
       new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow_min"),
-      (children: Seq[Expression]) => {
-        val w = children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"graft_winnow_min: window must be an integer literal, got $other")
-          }
-          case e => throw new IllegalArgumentException(
-            s"graft_winnow_min: window must be a foldable literal, got $e")
-        }
-        WinnowMin(children.head, w)
-      }),
+      (children: Seq[Expression]) =>
+        WinnowMin(children.head,
+          foldableInt("graft_winnow_min", "window", children, 2, 1))),
     (FunctionIdentifier("graft_eqcount"),
       new ExpressionInfo(classOf[LongVecEqCount].getName, "graft_eqcount"),
       (children: Seq[Expression]) => LongVecEqCount(children(0), children(1))),
@@ -68,19 +58,32 @@ object GraftExtensions {
     // foldable integer literal, like graft_winnow_min's window.
     (FunctionIdentifier("graft_collapse_runs"),
       new ExpressionInfo(classOf[CollapseRuns].getName, "graft_collapse_runs"),
-      (children: Seq[Expression]) => {
-        val k = children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"graft_collapse_runs: k must be an integer literal, got $other")
-          }
-          case e => throw new IllegalArgumentException(
-            s"graft_collapse_runs: k must be a foldable literal, got $e")
-        }
-        CollapseRuns(children.head, k)
-      }))
+      (children: Seq[Expression]) =>
+        CollapseRuns(children.head,
+          foldableInt("graft_collapse_runs", "k", children, 2, 1))))
+
+  /** Extract the plan-time Int constant at `children(idx)` for a SQL-text
+    * registration, validating arity and range up front: a wrong argument
+    * count or a Long outside 32-bit range must fail as an analysis-time
+    * IllegalArgumentException, not an IndexOutOfBoundsException or a
+    * silent `toInt` truncation (4294967298L would have become k = 2).
+    * Range/sign constraints beyond 32-bit fit (e.g. k >= 1) stay with
+    * each expression's own checkInputDataTypes. */
+  private def foldableInt(fn: String, arg: String, children: Seq[Expression],
+      arity: Int, idx: Int): Int = {
+    if (children.length != arity) throw new IllegalArgumentException(
+      s"$fn: expected $arity arguments, got ${children.length}")
+    children(idx) match {
+      case e if e.foldable => e.eval() match {
+        case i: Int => i
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be a 32-bit integer literal, got $other")
+      }
+      case e => throw new IllegalArgumentException(
+        s"$fn: $arg must be a foldable literal, got $e")
+    }
+  }
 
   /** Register the native functions on an ALREADY-BUILT session (the
     * builder-time `.withExtensions` hook is unreachable once a session

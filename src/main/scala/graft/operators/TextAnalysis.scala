@@ -1701,6 +1701,11 @@ object TextAnalysis {
         .toDF("gram", "decile", "new_types", "vocab_size")
     }
     val maxDoc = maxRow.getLong(0)
+    // the decile bin below multiplies first_doc by 10 in BIGINT; DuckDB
+    // would raise on overflow where Spark wraps, so forbid the regime
+    // outright (doc_ids past 9.2e17 need a different binning key anyway)
+    require(maxDoc <= Long.MaxValue / 10,
+      s"vocabGrowth: max doc_id $maxDoc overflows the BIGINT decile multiply")
     // two branches = two corpus scans, MEASURED faster than the one-scan
     // alternative (explode over concat(transform(struct), transform(
     // struct))): the unigram branch explodes the split array directly
@@ -1717,9 +1722,11 @@ object TextAnalysis {
         .as("term"))
     uni.unionAll(bi)
       .groupBy("gram", "term").agg(min("doc_id").as("first_doc"))
-      // uniform decile bins over 0-based ids: floor(10·id/(max+1)) + 1 ∈ 1..10
+      // uniform decile bins over 0-based ids: 10·id div (max+1) + 1 ∈ 1..10
+      // — integer `div`, matching the oracle's `//` exactly (`/` would
+      // coerce to DOUBLE and could diverge past 2^53)
       .groupBy(col("gram"),
-        (floor(col("first_doc") * 10L / lit(maxDoc + 1L)) + 1L).as("decile"))
+        (expr(s"first_doc * 10L div ${maxDoc + 1L}L") + 1L).as("decile"))
       .agg(count(lit(1)).as("new_types"))
       .withColumn("vocab_size",
         sum("new_types").over(Window.partitionBy("gram").orderBy("decile")

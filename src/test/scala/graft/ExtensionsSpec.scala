@@ -116,6 +116,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"), e.getMessage)
   }
 
+  test("graft_collapse_runs validates arity and literal range at analysis time") {
+    // 1 argument: a named analysis error, not IndexOutOfBoundsException
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_collapse_runs(array('a'))").collect()
+    }
+    assert(arity.getMessage.contains("expected 2 arguments"), arity.getMessage)
+    // a Long literal past 32-bit range: rejected, NOT silently truncated
+    // (4294967298L.toInt == 2 would have quietly changed the semantics)
+    val range = intercept[Exception] {
+      spark.sql("SELECT graft_collapse_runs(array('a'), 4294967298L)").collect()
+    }
+    assert(range.getMessage.contains("32-bit integer literal"), range.getMessage)
+    // an in-range Long literal still works like an Int one
+    val ok = spark.sql(
+      "SELECT graft_collapse_runs(array('a', 'a', 'a'), 2L).text_clean AS r")
+      .head().getString(0)
+    assert(ok === "a a")
+  }
+
   test("graft_eqcount and graft_hexhamming are callable from SQL") {
     val eq = spark.sql(
       "SELECT graft_eqcount(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS c").head().getInt(0)
