@@ -1803,9 +1803,15 @@ object TextAnalysis {
     * see [[driftTop]]).
     *
     * Scale shape: ONE source-keyed shuffle carrying four map-side
-    * partial sums (doc + char counts × batch/hist); totals are a 1-row
-    * broadcast; output bounded by source cardinality. */
+    * partial sums (doc + char counts × batch/hist); totals come from a
+    * global window OVER the per-source aggregate (a q111-style
+    * totals-crossJoin would re-SCAN the corpus here: column pruning
+    * gives the totals branch a narrower scan than the per-source one,
+    * so exchange reuse cannot kick in — the window keeps it one scan,
+    * and the single-partition window frame is only source-cardinality
+    * rows); output bounded by source cardinality. */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
       .withColumn("is_batch", pmod(col("doc_id"), lit(10)) === 9)
     val per = docs.groupBy("source").agg(
@@ -1813,12 +1819,13 @@ object TextAnalysis {
       sum(when(!col("is_batch"), 1L).otherwise(0L)).as("docs_hist"),
       sum(when(col("is_batch"), col("n_chars")).otherwise(0L)).as("chars_batch"),
       sum(when(!col("is_batch"), col("n_chars")).otherwise(0L)).as("chars_hist"))
-    val totals = per.agg(
-      sum("docs_batch").as("n_batch"), sum("docs_hist").as("n_hist"))
+    val tot = Window.partitionBy()
     def xmul(a: String, b: String, c: String, d: String) =
       abs(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)")
         - col(c).cast("decimal(19,0)") * col(d).cast("decimal(19,0)")).cast("decimal(38,0)")
-    per.crossJoin(broadcast(totals))
+    per
+      .withColumn("n_batch", sum("docs_batch").over(tot))
+      .withColumn("n_hist", sum("docs_hist").over(tot))
       .select(col("source"), col("docs_batch"), col("docs_hist"),
         col("n_batch"), col("n_hist"),
         // share drift: |docs_b·N_h − docs_h·N_b| (q111 over sources)

@@ -35,8 +35,7 @@ class PlanGuardSpec extends SparkSpec {
     "q93_training_manifest" -> "composes q90 (q85's 1-row scalar broadcast)",
     "q100_sql_pipeline_report" -> "composes q75 + q90 scalar broadcasts as SQL text",
     "q111_token_drift" -> "1-row corpus-totals broadcast over the vocabulary-bounded histogram",
-    "q115_source_drift" -> "1-row corpus-totals broadcast over the source-bounded aggregate",
-    "q116_monitor_panel" -> "composes q111 + q115 (each a 1-row totals broadcast)")
+    "q116_monitor_panel" -> "composes q111 (1-row totals broadcast; q115's totals are a window now)")
 
   test("no unlisted cartesian/nested-loop join anywhere on the query surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -262,6 +262,41 @@ class ProfilingSpec extends SparkSpec {
     assert(panel.length === tok.size + src.size + emb.size)
   }
 
+  test("drift monitors: counted exchanges pin the declared bounded-state scale shapes") {
+    def shapes(name: String): (Seq[String], Int) = {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val ex = shuffleExchanges(df).map(_.outputPartitioning.toString)
+      val topk = allPlanNodes(df.queryExecution.executedPlan)
+        .count(_.nodeName.contains("TakeOrderedAndProject"))
+      (ex, topk)
+    }
+    // q111: ONE data-sized shuffle (tok-keyed histogram, map-side partial
+    // pairs); totals reuse that exchange and finish on SinglePartition;
+    // the top-25 is a TakeOrderedAndProject, never a full sort
+    val (e111, t111) = shapes("q111_token_drift")
+    assert(e111.length === 2
+      && e111.count(_.startsWith("hashpartitioning(tok")) === 1
+      && e111.count(_ == "SinglePartition") === 1, e111.toString)
+    assert(t111 === 1, "q111's top-25 must plan as TakeOrderedAndProject")
+    // q112: every exchange is label-keyed (state bounded by labels × 64
+    // dims) or the labels-sized contract sort — nothing doc-keyed
+    val (e112, _) = shapes("q112_embedding_drift")
+    assert(e112.length === 4 && e112.forall(_.contains("label")), e112.toString)
+    // q115: ONE corpus scan — source-keyed shuffle + the single-partition
+    // totals window over source-cardinality rows (a totals-crossJoin here
+    // would defeat exchange reuse via column pruning and re-scan the
+    // corpus; this count is the regression trip-wire for that)
+    val (e115, _) = shapes("q115_source_drift")
+    assert(e115.length === 2
+      && e115.count(_.startsWith("hashpartitioning(source")) === 1
+      && e115.count(_ == "SinglePartition") === 1, e115.toString)
+    // q116: exactly the three legs' exchanges (2 + 4 + 2) plus the one
+    // panel contract sort — the union materializes nothing of its own
+    val (e116, t116) = shapes("q116_monitor_panel")
+    assert(e116.length === 9, e116.toString)
+    assert(t116 === 1, e116.toString)
+  }
+
   test("q110: Heaps curves match a driver-side prefix-distinct recompute and are monotone") {
     val toks = docTokens()
     val maxDoc = toks.keys.max
