@@ -84,6 +84,7 @@ object SparkEntry {
     "q91_bpe_first_merge" -> ((s, d) => TextAnalysis.bpeFirstMerge(s, d)),
     "q103_bpe_train"      -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "q104_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    "q117_bpe_fertility"  -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
     "q105_span_dedup_rewrite" -> ((s, d) => TextAnalysis.spanDedupRewrite(s, d)),
     "q106_span_dedup_incremental" -> ((s, d) => TextAnalysis.incrementalSpanDedup(s, d)),
     "q108_run_collapse"   -> ((s, d) => TextAnalysis.runCollapse(s, d)),
@@ -1370,6 +1371,10 @@ object SparkEntry {
     // token-type spread, merge symbols flagged) — shares q103's unrolled
     // CTE chain, reads only its final working corpus.
     "q104_bpe_encode" -> operators.TextAnalysis.bpeEncodeOracleSql(),
+    // Tokenizer fertility by source: the q103 learn/apply chain's final
+    // corpus joined back to documents for the source label; fertility and
+    // compression as integer-exact permille rates.
+    "q117_bpe_fertility" -> operators.TextAnalysis.bpeFertilityOracleSql(),
     // Intra-doc run collapse: gaps-and-islands run ids (i - rn over
     // (doc, tok)) → position-in-run; kept = pos ≤ 2, rebuilt with an
     // ordered string_agg; run stats from the run-length table.

@@ -1484,6 +1484,71 @@ object TextAnalysis {
         |GROUP BY 1, 2 ORDER BY sym""".stripMargin
   }
 
+  /** q117 — tokenizer FERTILITY by source: the trained BPE merge chain
+    * ([[bpeLearn]], q103's model) applied to the full corpus WITH its
+    * source dimension kept, reporting per source how hard the tokenizer
+    * works there — words, raw symbol count (non-whitespace chars before
+    * merges), encoded symbol count (after merges; each char of the
+    * working representation is one symbol in this char-level BPE), and
+    * two integer-exact permille rates: fertility (encoded symbols per
+    * word ×1000) and compression (encoded vs raw symbols ×1000). This
+    * is the table a tokenizer rollout reads per data source: a source
+    * whose fertility is an outlier gets a disproportionate share of the
+    * token budget (the cost model behind q84's quota), and a compression
+    * ratio near 1000 means the learned merges don't fire there —
+    * domain mismatch between tokenizer training mix and that source.
+    *
+    * Scale shape: model training is q103's shape (per merge: one
+    * vocabulary-bounded pair aggregation + a 1-row driver fetch — the
+    * MLlib-style bounded model update); application is strictly map-side
+    * stacked `replace`s; the report is ONE source-keyed shuffle carrying
+    * four map-side partial sums, output bounded by source cardinality.
+    *
+    * Oracle: [[bpeOracleChain]]'s learn/apply CTEs (shared with q103/
+    * q104) joined back to `documents` for the source label. */
+  def bpeFertility(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
+    val (learned, _) = bpeLearn(spark, dir, iters)
+    // raw symbol count rides the same scan: the stacked replaces below
+    // rewrite only `text`, so pre-merge lengths survive as a column and
+    // no second corpus scan / per-source join is needed
+    var enc = Tables.documents(spark, dir).select(col("source"), col("text"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("raw"))
+    learned.zipWithIndex.foreach { case ((p, _), i) =>
+      enc = enc.withColumn("text", replace(col("text"), lit(p), lit(BpeMergeSyms(i))))
+    }
+    enc
+      .select(col("source"), col("raw"),
+        size(expr(toksExpr)).cast("long").as("w"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("sym"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"),
+        sum("raw").as("raw_symbols"),
+        sum("sym").as("enc_symbols"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("raw_symbols"), col("enc_symbols"),
+        expr("(1000L * enc_symbols) div n_words").as("fertility_permille"),
+        expr("(1000L * enc_symbols) div raw_symbols").as("compression_permille"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[bpeFertility]] — the q103 learn/apply chain,
+    * final working corpus joined to `documents` for source, aggregated. */
+  def bpeFertilityOracleSql(): String =
+    bpeOracleChain(BpeIters) +
+      s"""
+        |SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(tN.text, '\\s+'))) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(regexp_replace(d.text, '\\s+', '', 'g'))) AS BIGINT) AS raw_symbols,
+        |  CAST(SUM(length(regexp_replace(tN.text, '\\s+', '', 'g'))) AS BIGINT) AS enc_symbols,
+        |  (1000 * CAST(SUM(length(regexp_replace(tN.text, '\\s+', '', 'g'))) AS BIGINT))
+        |    // CAST(SUM(len(string_split_regex(tN.text, '\\s+'))) AS BIGINT) AS fertility_permille,
+        |  (1000 * CAST(SUM(length(regexp_replace(tN.text, '\\s+', '', 'g'))) AS BIGINT))
+        |    // CAST(SUM(length(regexp_replace(d.text, '\\s+', '', 'g'))) AS BIGINT) AS compression_permille
+        |FROM t$BpeIters tN JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY d.source""".stripMargin
+
   /** q93 — training-manifest assembly: the LAST pipeline stage, joining
     * the per-doc verdicts the earlier stages produced into the record
     * table a training job actually reads — split assignment (q82's

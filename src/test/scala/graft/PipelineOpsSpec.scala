@@ -667,6 +667,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(8) > 0) && out.exists(_.getLong(9) > 0))
   }
 
+  test("q117: per-source fertility matches the driver-side replay of the merge chain") {
+    val docs = bpeDocs()
+    val (_, _, finalCorpus) = bpeRecompute(docs, TextAnalysis.BpeIters)
+    val srcOf = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def symbols(t: String): Long = t.replaceAll("\\s+", "").length.toLong
+    def words(t: String): Long = t.split("\\s+").length.toLong
+    val rawBySrc = docs.groupBy { case (id, _) => srcOf(id) }
+    val expect = finalCorpus.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .toSeq.sortBy(_._1).map { case (src, xs) =>
+        val w = xs.map { case (_, t) => words(t) }.sum
+        val enc = xs.map { case (_, t) => symbols(t) }.sum
+        val raw = rawBySrc(src).map { case (_, t) => symbols(t) }.sum
+        (src, xs.size.toLong, w, raw, enc, 1000L * enc / w, 1000L * enc / raw)
+      }
+    val out = TextAnalysis.bpeFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === expect)
+    // the learned merges must actually compress somewhere, or the
+    // fertility report is vacuous on this fixture
+    assert(expect.exists { case (_, _, _, raw, enc, _, _) => enc < raw })
+  }
+
   test("q103 at production depth: 18-merge checkpointed chain matches recompute, plan depth bounded, jobs stay linear") {
     val docs = bpeDocs()
     val deep = TextAnalysis.BpeCheckpointEvery + 2
