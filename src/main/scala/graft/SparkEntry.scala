@@ -96,6 +96,7 @@ object SparkEntry {
     "q112_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     "q115_source_drift"   -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
     "q116_monitor_panel"  -> ((s, d) => PipelineSql.monitorPanel(s, d)),
+    "q118_rejection_breakdown" -> ((s, d) => TextAnalysis.rejectionBreakdown(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -214,6 +215,34 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  // q90's composite gate — shared verbatim by the q118 rejection
+  // breakdown (CTE) and the q90 entry itself, the q116 composition rule.
+  private val curationGateOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+        |model AS (SELECT t, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM toks
+        |          WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
+        |tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM model),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(CASE WHEN COALESCE(df, 0) < ${operators.TextAnalysis.MinDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(SUM(bits_total - (length(bin(COALESCE(cnt, 1))) - 1)) AS BIGINT) AS sum_bits
+        |       FROM toks LEFT JOIN model USING (t) CROSS JOIN tot GROUP BY 1),
+        |tc AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM
+        |         (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT s.doc_id, s.n_tokens, tc.top_tok_cnt,
+        |        (1000 * s.n_oov) // s.n_tokens AS oov_permille,
+        |        (100 * s.sum_bits) // s.n_tokens AS bits_x100
+        |      FROM sc s JOIN tc ON s.doc_id = tc.doc_id)
+        |SELECT doc_id, n_tokens, CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt, oov_permille, bits_x100,
+        |  CAST(CASE WHEN n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
+        |     + CASE WHEN top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > n_tokens THEN 2 ELSE 0 END
+        |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
+        |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END AS BIGINT) AS fail_mask,
+        |  (CASE WHEN n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
+        |     + CASE WHEN top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > n_tokens THEN 2 ELSE 0 END
+        |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
+        |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END) = 0 AS keep
+        |FROM j ORDER BY doc_id""".stripMargin
 
   // Drift monitors (q111 token / q112 embedding / q115 source) — each
   // also a CTE fragment of the q116 monitor-panel oracle. The drift
@@ -1270,31 +1299,19 @@ object SparkEntry {
     // Composite curation gate: four integer-exact signals (length, q64's
     // top-token rule via MAX(count), q70's df-model OOV rate, q85's
     // whole-bit surprisal) folded into a fail bitmask + keep verdict.
-    "q90_curation_gate" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
-        |model AS (SELECT t, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM toks
-        |          WHERE (doc_id * 2654435761) % 100 >= 20 GROUP BY 1),
-        |tot AS (SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT) AS bits_total FROM model),
-        |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-        |         CAST(SUM(CASE WHEN COALESCE(df, 0) < ${operators.TextAnalysis.MinDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |         CAST(SUM(bits_total - (length(bin(COALESCE(cnt, 1))) - 1)) AS BIGINT) AS sum_bits
-        |       FROM toks LEFT JOIN model USING (t) CROSS JOIN tot GROUP BY 1),
-        |tc AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM
-        |         (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
-        |j AS (SELECT s.doc_id, s.n_tokens, tc.top_tok_cnt,
-        |        (1000 * s.n_oov) // s.n_tokens AS oov_permille,
-        |        (100 * s.sum_bits) // s.n_tokens AS bits_x100
-        |      FROM sc s JOIN tc ON s.doc_id = tc.doc_id)
-        |SELECT doc_id, n_tokens, CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt, oov_permille, bits_x100,
-        |  CAST(CASE WHEN n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
-        |     + CASE WHEN top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > n_tokens THEN 2 ELSE 0 END
-        |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
-        |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END AS BIGINT) AS fail_mask,
-        |  (CASE WHEN n_tokens < ${operators.TextAnalysis.GateMinTokens} THEN 1 ELSE 0 END
-        |     + CASE WHEN top_tok_cnt * ${operators.TextAnalysis.GateTopTokenDiv} > n_tokens THEN 2 ELSE 0 END
-        |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
-        |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END) = 0 AS keep
-        |FROM j ORDER BY doc_id""".stripMargin,
+    "q90_curation_gate" -> curationGateOracleSql,
+    // Gate rejection breakdown: q90's verdicts as a per-(source, mask)
+    // cross-tab with integer-exact shares — the q100/q116 composition
+    // pattern (the leg's oracle text verbatim as a CTE).
+    "q118_rejection_breakdown" ->
+      s"""WITH g AS ($curationGateOracleSql),
+        |per AS (SELECT d.source, g.fail_mask, COUNT(*) AS n_docs
+        |        FROM g JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT source, fail_mask, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
+        |  (1000 * CAST(n_docs AS BIGINT))
+        |    // CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_permille
+        |FROM per ORDER BY source, fail_mask""".stripMargin,
     // BPE first merge: top adjacent char pair within words (tie-break
     // cnt desc, pair asc), applied left-to-right non-overlapping via
     // replace() length arithmetic on both engines.

@@ -1549,6 +1549,36 @@ object TextAnalysis {
         |FROM t$BpeIters tN JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY d.source""".stripMargin
 
+  /** q118 — gate REJECTION breakdown by source: q90's per-doc verdicts
+    * cross-tabbed into the table an on-call reads when a source's keep
+    * rate drops — per (source, fail_mask) doc counts and each mask's
+    * integer-exact share of that source's docs. fail_mask = 0 is the
+    * keep row; a source whose mass sits on mask 4 (OOV) has a
+    * vocabulary problem, on mask 1 (short) a scraping problem — the
+    * breakdown says WHICH gate fired where, which the scalar keep rate
+    * cannot.
+    *
+    * Scale shape: the gate reuses its own frozen-model two-scan shape;
+    * adding the source label is ONE doc-keyed equi-join against a
+    * key-projected scan (the q93 manifest argument — bucketed by doc_id
+    * at 100 TB, shuffle-free); the cross-tab is a (source, mask)-keyed
+    * aggregate bounded by sources × 16, and the share window runs over
+    * that bounded frame. */
+  def rejectionBreakdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gate = curationGateOf(spark, dir, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("fail_mask"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    gate.join(src, Seq("doc_id"))
+      .groupBy("source", "fail_mask")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_docs",
+        sum("n_docs").over(Window.partitionBy("source")).cast("long"))
+      .select(col("source"), col("fail_mask"), col("n_docs"), col("src_docs"),
+        expr("(1000L * n_docs) div src_docs").as("share_permille"))
+      .orderBy("source", "fail_mask")
+  }
+
   /** q93 — training-manifest assembly: the LAST pipeline stage, joining
     * the per-doc verdicts the earlier stages produced into the record
     * table a training job actually reads — split assignment (q82's

@@ -692,6 +692,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(expect.exists { case (_, _, _, raw, enc, _, _) => enc < raw })
   }
 
+  test("q118: rejection breakdown is exactly q90's verdicts cross-tabbed by source") {
+    val verdicts = TextAnalysis
+      .curationGateOf(spark, sf0001, graft.sources.Tables.documents(spark, sf0001))
+      .select("doc_id", "fail_mask").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val perSrc = verdicts.groupBy { case (id, _) => srcOf(id) }
+    val expect = perSrc.toSeq.flatMap { case (src, xs) =>
+      xs.groupBy(_._2).toSeq.map { case (mask, ys) =>
+        (src, mask, ys.length.toLong, xs.length.toLong,
+          1000L * ys.length / xs.length)
+      }
+    }.sortBy { case (s, m, _, _, _) => (s, m) }
+    val out = TextAnalysis.rejectionBreakdown(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === expect)
+    // non-vacuous: more than one distinct gate fires on the fixture, and
+    // per-source mask counts reconstruct each source's doc total
+    assert(out.map(_._2).distinct.length > 1)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum === rows.head._4, s"mask counts must sum to $src's docs")
+    }
+  }
+
   test("q103 at production depth: 18-merge checkpointed chain matches recompute, plan depth bounded, jobs stay linear") {
     val docs = bpeDocs()
     val deep = TextAnalysis.BpeCheckpointEvery + 2
