@@ -97,6 +97,7 @@ object SparkEntry {
     "q115_source_drift"   -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
     "q116_monitor_panel"  -> ((s, d) => PipelineSql.monitorPanel(s, d)),
     "q118_rejection_breakdown" -> ((s, d) => TextAnalysis.rejectionBreakdown(s, d)),
+    "q119_script_audit"   -> ((s, d) => TextAnalysis.scriptAudit(s, d)),
     "q92_stratified_topk" -> ((s, d) => TextAnalysis.stratifiedTopK(s, d)),
     "q93_training_manifest" -> ((s, d) => TextAnalysis.trainingManifest(s, d)),
     "q94_surprisal_sweep" -> ((s, d) => TextAnalysis.surprisalSweep(s, d)),
@@ -1312,6 +1313,27 @@ object SparkEntry {
         |  (1000 * CAST(n_docs AS BIGINT))
         |    // CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_permille
         |FROM per ORDER BY source, fail_mask""".stripMargin,
+    // Lang-vs-script consistency audit: exact ASCII-printable permille
+    // per doc, suspects counted both directions (latin label over
+    // non-ASCII text, non-latin label over ASCII text).
+    "q119_script_audit" -> {
+      val latin = operators.TextAnalysis.ScriptLatinLangs.map(l => s"'$l'").mkString(", ")
+      val floor = operators.TextAnalysis.ScriptAsciiFloorPermille
+      s"""WITH p AS (SELECT lang,
+        |    CASE WHEN length(text) = 0 THEN 1000
+        |         ELSE (1000 * length(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')))
+        |              // length(text) END AS ap
+        |  FROM documents),
+        |s AS (SELECT lang, ap,
+        |        CASE WHEN lang IN ($latin) THEN (CASE WHEN ap < $floor THEN 1 ELSE 0 END)
+        |             ELSE (CASE WHEN ap >= $floor THEN 1 ELSE 0 END) END AS susp
+        |      FROM p)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(susp) AS BIGINT) AS n_suspect,
+        |  (1000 * CAST(SUM(susp) AS BIGINT)) // COUNT(*) AS suspect_permille,
+        |  CAST(MIN(ap) AS BIGINT) AS min_ascii_permille,
+        |  CAST(SUM(ap) AS BIGINT) // COUNT(*) AS mean_ascii_permille
+        |FROM s GROUP BY 1 ORDER BY lang""".stripMargin
+    },
     // BPE first merge: top adjacent char pair within words (tie-break
     // cnt desc, pair asc), applied left-to-right non-overlapping via
     // replace() length arithmetic on both engines.

@@ -70,6 +70,57 @@ object TextAnalysis {
           + lit(0.5) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
       .orderBy("doc_id")
 
+  /** Languages whose expected script is (mostly) ASCII-latin — the
+    * label set [[scriptAudit]] checks one way; everything else (zh, ja,
+    * ru, ...) is checked the other way. */
+  val ScriptLatinLangs: Seq[String] = Seq("en", "de", "fr", "es", "it", "pt", "nl")
+
+  /** ASCII-printable permille at/above which a document counts as
+    * latin-script for the audit. */
+  val ScriptAsciiFloorPermille = 900L
+
+  /** q119 — lang-label vs SCRIPT consistency audit: per document the
+    * exact ASCII-printable character share (permille), per lang label
+    * the count of docs whose script CONTRADICTS the label — a latin
+    * lang over mostly-non-ASCII text, or a non-latin lang (zh, ...)
+    * over mostly-ASCII text. Both directions are real pipeline label
+    * noise: the first is mojibake/encoding damage surviving under a
+    * plausible label, the second a mislabeled or machine-translated
+    * shard — and both poison lang-conditioned sampling (q69/q80) and
+    * per-lang tokenizer mixes. On the synthetic corpus the `zh` shard
+    * IS ASCII text, so the gated report carries live suspects, not
+    * zeros.
+    *
+    * Scale shape: strictly map-side per-doc expression work (one regex
+    * strip + integer arithmetic), then ONE lang-keyed shuffle of
+    * map-side partial sums; output bounded by lang cardinality. */
+  def scriptAudit(spark: SparkSession, dir: String): DataFrame =
+    scriptAuditOf(Tables.documents(spark, dir))
+
+  /** [[scriptAudit]] over an arbitrary (lang, text) frame — the spec
+    * drives injected non-ASCII fixtures through it. */
+  def scriptAuditOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        length(col("text")).cast("long").as("n"),
+        length(regexp_replace(col("text"), "[^\\x20-\\x7e]", "")).cast("long").as("a"))
+      .select(col("lang"),
+        expr("CASE WHEN n = 0 THEN 1000L ELSE (1000L * a) div n END").as("ap"))
+      .withColumn("susp",
+        when(col("lang").isin(ScriptLatinLangs: _*),
+          col("ap") < ScriptAsciiFloorPermille)
+          .otherwise(col("ap") >= ScriptAsciiFloorPermille))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("susp"), 1L).otherwise(0L)).as("n_suspect"),
+        min("ap").as("min_ascii_permille"),
+        sum("ap").as("sum_ap"))
+      .select(col("lang"), col("n_docs"), col("n_suspect"),
+        expr("(1000L * n_suspect) div n_docs").as("suspect_permille"),
+        col("min_ascii_permille"),
+        expr("sum_ap div n_docs").as("mean_ascii_permille"))
+      .orderBy("lang")
+
   /** Heuristic n-gram/stopword language ID. The synthetic corpus shares
     * one English-ish vocabulary across lang labels, so accuracy against
     * the `lang` column is incidental; the operator contract is the

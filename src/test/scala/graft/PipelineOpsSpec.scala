@@ -718,6 +718,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q119: script audit flags both mislabel directions; matches an exact recompute") {
+    import spark.implicits._
+    // BMP-only fixture: latin label over non-ASCII text AND non-latin
+    // label over ASCII text must both surface; empty text counts as
+    // ASCII (ap = 1000)
+    val fixture = Seq(
+      ("en", "hello plain ascii text"),
+      ("en", "héllö wörld ünïcödé çœür tèxté"),
+      ("zh", "你好世界 这是中文文本"),
+      ("zh", "pure ascii pretending to be chinese"),
+      ("ru", ""))
+    def ap(t: String): Long =
+      if (t.isEmpty) 1000L
+      else 1000L * t.count(c => c >= 0x20 && c <= 0x7e) / t.length
+    val latin = TextAnalysis.ScriptLatinLangs.toSet
+    val expect = fixture.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val aps = xs.map { case (_, t) => ap(t) }
+      val susp = xs.count { case (l, t) =>
+        if (latin(l)) ap(t) < TextAnalysis.ScriptAsciiFloorPermille
+        else ap(t) >= TextAnalysis.ScriptAsciiFloorPermille
+      }.toLong
+      (lang, xs.size.toLong, susp, 1000L * susp / xs.size, aps.min, aps.sum / xs.size)
+    }
+    val out = TextAnalysis.scriptAuditOf(fixture.toDF("lang", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === expect)
+    // both directions fired: the mojibake 'en' doc and the ascii 'zh'
+    // doc are suspects; the empty non-latin doc counts as ascii-suspect
+    val byLang = out.map(r => r._1 -> r._3).toMap
+    assert(byLang("en") === 1L && byLang("zh") === 1L && byLang("ru") === 1L)
+  }
+
   test("q103 at production depth: 18-merge checkpointed chain matches recompute, plan depth bounded, jobs stay linear") {
     val docs = bpeDocs()
     val deep = TextAnalysis.BpeCheckpointEvery + 2
