@@ -33,6 +33,7 @@ class PlanGuardSpec extends SparkSpec {
     "q85_lm_surprisal" -> "1-row bits_total scalar broadcast (train-then-apply model join is equi)",
     "q90_curation_gate" -> "composes q85's 1-row scalar broadcast",
     "q93_training_manifest" -> "composes q90 (q85's 1-row scalar broadcast)",
+    "q118_rejection_breakdown" -> "composes q90 (q85's 1-row scalar broadcast)",
     "q100_sql_pipeline_report" -> "composes q75 + q90 scalar broadcasts as SQL text",
     "q111_token_drift" -> "1-row corpus-totals broadcast over the vocabulary-bounded histogram",
     "q116_monitor_panel" -> "composes q111 (1-row totals broadcast; q115's totals are a window now)")
