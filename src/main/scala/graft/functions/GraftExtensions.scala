@@ -15,8 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * built elsewhere can be retrofitted with
   * [[GraftExtensions.ensureRegistered]].) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the token-count rewrite (size(split(s, '\s+')) → one byte scan)
+    // runs as a real optimizer rule so EVERY query — DataFrame or SQL
+    // text — gets it without opting in
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTokenCount)
+  }
 }
 
 object GraftExtensions {
@@ -38,6 +43,13 @@ object GraftExtensions {
     (FunctionIdentifier("graft_longest_run"),
       new ExpressionInfo(classOf[LongestRun].getName, "graft_longest_run"),
       (children: Seq[Expression]) => LongestRun(children.head)),
+    (FunctionIdentifier("graft_ws_token_count"),
+      new ExpressionInfo(classOf[CountWsTokens].getName, "graft_ws_token_count"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_ws_token_count: expected 1 argument, got ${children.length}")
+        CountWsTokens(children.head)
+      }),
     (FunctionIdentifier("graft_karp_rabin"),
       new ExpressionInfo(classOf[KarpRabin].getName, "graft_karp_rabin"),
       (children: Seq[Expression]) => KarpRabin(children.head)),
@@ -89,8 +101,14 @@ object GraftExtensions {
     * builder-time `.withExtensions` hook is unreachable once a session
     * exists — e.g. a harness-owned SparkSession). Overwrites are
     * idempotent: the builders are pure constructors. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    // post-hoc analog of injectOptimizerRule: extraOptimizations runs as
+    // its own batch after the built-in ones; adding is idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteTokenCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteTokenCount
+  }
 }

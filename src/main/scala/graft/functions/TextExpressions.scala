@@ -290,3 +290,58 @@ object CollapseRuns {
     InternalRow(nTokens, keptLen.toLong, nRuns, maxRun, text)
   }
 }
+
+/** Whitespace-token COUNT without materializing the split array:
+  * semantically identical to `size(split(str, '\\s+'))` (Java-regex
+  * split with limit -1, the Spark default), computed as one zero-copy
+  * byte scan over the UTF8String — `\s`-run count + 1. Java's `\s` is
+  * the ASCII class `[ \t\n\x0B\f\r]`; all six are single ASCII bytes,
+  * and UTF-8 continuation bytes can never equal them, so a byte scan
+  * is exact on any Unicode input. split-limit--1 semantics make the
+  * identity trivial: n tokens = n separator matches + 1, including
+  * leading/trailing empty tokens and the lone empty token of "".
+  *
+  * Exists for [[graft.plans.RewriteTokenCount]]: token counting is the
+  * inner loop of q23/q71/q79/q83/q84/q117, and the array round-trip
+  * (allocate, fill, measure, discard) is pure waste at corpus scale. */
+case class CountWsTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_ws_token_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ws_token_count expects string, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountWsTokens.run(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountWsTokens.run($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountWsTokens {
+  /** Static kernel, shared by interpreted eval and generated code. */
+  def run(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var runs = 0
+    var inWs = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+      if (ws && !inWs) runs += 1
+      inWs = ws
+      i += 1
+    }
+    runs + 1
+  }
+}

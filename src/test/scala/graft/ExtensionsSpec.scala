@@ -135,6 +135,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(ok === "a a")
   }
 
+  test("graft_ws_token_count equals size(split(s, '\\s+')) on every edge shape") {
+    import spark.implicits._
+    // the identity must hold with the REWRITE OUT OF THE WAY: compute
+    // size(split) through a non-matching route (split bound to a column
+    // first), the kernel through the function, and compare — covering
+    // empty, all-ws, leading/trailing ws, every \s class member, unicode
+    val fixture = Seq("", " ", "  \t\n", "a", " a", "a ", "a b", "a  b",
+      "a\tb\ncd\fe\rf", "héllo wörld", "你好 世界", "x \t y  ")
+    val df = fixture.toDF("s")
+      .selectExpr("s", "split(s, '\\\\s+') AS arr")
+      .selectExpr("s", "size(arr) AS via_split", "graft_ws_token_count(s) AS via_kernel")
+    df.collect().foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"mismatch on ${r.getString(0).replace("\n", "\\n")}")
+    }
+    // null flows through as null on both sides (non-legacy sizeOfNull)
+    val n = spark.sql("SELECT size(split(CAST(NULL AS STRING), '\\\\s+')) AS a, " +
+      "graft_ws_token_count(CAST(NULL AS STRING)) AS b").head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("RewriteTokenCount fires on size(split(s, '\\s+')) and ONLY on the exact shape") {
+    import spark.implicits._
+    // a parquet-backed plan: a literal LocalRelation would be folded away
+    // by ConvertToLocalRelation before any expression survives to match
+    def kernelCount(sql: String): Int = {
+      val df = graft.sources.Tables.documents(spark, sf0001).selectExpr(sql + " AS c")
+      df.queryExecution.optimizedPlan.collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case e: graft.functions.CountWsTokens => e }).length
+    }
+    assert(kernelCount("size(split(text, '\\\\s+'))") === 1,
+      "the canonical token count must be rewritten to the byte-scan kernel")
+    // a DIFFERENT pattern or an explicit limit is NOT the same function —
+    // the rule must leave those plans alone
+    assert(kernelCount("size(split(text, ','))") === 0)
+    assert(kernelCount("size(split(text, '\\\\s'))") === 0)
+    assert(kernelCount("size(split(text, '\\\\s+', 2))") === 0)
+    // end-to-end: the rewritten plan computes the same answer
+    val v = Seq(" a  b\tc ").toDF("s")
+      .selectExpr("size(split(s, '\\\\s+')) AS c").head().getInt(0)
+    assert(v === 5) // ["", "a", "b", "c", ""] under limit -1 semantics
+  }
+
   test("graft_eqcount and graft_hexhamming are callable from SQL") {
     val eq = spark.sql(
       "SELECT graft_eqcount(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS c").head().getInt(0)
