@@ -216,6 +216,21 @@ object PropertySpec extends Properties("graft") {
         zeroIff && sym && scale
     }
 
+  // arbitrary mixes of the full Java \s class, letters, digits, and
+  // non-ASCII BMP chars — the kernel must agree with the authority
+  // (java.util.regex split with limit -1, exactly what Spark's
+  // size(split) computes) on EVERY string, including empty
+  private val genWsText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf(' ', '\t', '\n', '\u000b', '\f', '\r'),
+    1 -> Gen.oneOf('é', 'ß', '中', 'й', 'ع'))).map(_.mkString)
+
+  property("CountWsTokens kernel == size(split(s, '\\s+')) (Java split, limit -1) on any string") =
+    forAll(genWsText) { s =>
+      graft.functions.CountWsTokens.run(UTF8String.fromString(s)) ==
+        s.split("\\s+", -1).length
+    }
+
   property("simhash is token-order invariant (±1 vote sums commute) and 16 hex digits") =
     forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)))) { toks =>
       def sk(ts: Seq[String]) =
