@@ -118,6 +118,7 @@ object SparkEntry {
     "q74_bloom_incremental_dedup" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q120_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q29b_minhash_sig_portable" -> ((s, d) => Dedup.minhashSignaturesPortable(s, d)),
     "q29c_minhash_lsh_portable" -> ((s, d) => Dedup.minhashLshPairsPortable(s, d)),
@@ -1026,6 +1027,32 @@ object SparkEntry {
         |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1)
         |SELECT doc_id, comp_id, COUNT(*) OVER (PARTITION BY comp_id) AS n_members
         |FROM comps ORDER BY doc_id""".stripMargin,
+    // Dedup survivor selection: q61's recursive closure + a per-cluster
+    // deterministic argmax (most tokens, tie smallest doc_id) and the
+    // kept/removed token bookkeeping.
+    "q120_dedup_survivors" ->
+      s"""WITH RECURSIVE
+        |pairs AS ($q28Sql),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |t AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |j AS (SELECT c.comp_id, c.doc_id, t.n_tokens FROM comps c JOIN t USING (doc_id)),
+        |agg AS (SELECT comp_id, COUNT(*) AS n_members,
+        |          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM j GROUP BY 1),
+        |surv AS (SELECT comp_id, doc_id AS survivor_doc_id, n_tokens AS survivor_tokens,
+        |           ROW_NUMBER() OVER (PARTITION BY comp_id
+        |             ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM j)
+        |SELECT a.comp_id, a.n_members, a.total_tokens,
+        |  s.survivor_doc_id, s.survivor_tokens,
+        |  a.total_tokens - s.survivor_tokens AS tokens_removed
+        |FROM agg a JOIN surv s ON a.comp_id = s.comp_id AND s.rn = 1
+        |ORDER BY a.comp_id""".stripMargin,
     // Cluster-aware split: near-dup clusters (the q61 recursive closure)
     // are keyed on their root; unclustered docs fall back to q82's
     // content-hash rule exactly.

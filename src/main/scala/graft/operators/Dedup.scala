@@ -412,6 +412,37 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("comp_id")))
       .orderBy("doc_id")
 
+  /** q120 — dedup SURVIVOR selection: turns q61's near-dup clusters into
+    * the actionable keep-list — per cluster, the canonical survivor under
+    * an explicit total-order policy (most tokens, tie → smallest doc_id:
+    * keep the longest member, deterministically) plus the bookkeeping a
+    * dedup run reports (member count, token mass kept vs removed). q98's
+    * funnel answers "how much survives each stage"; this answers "WHICH
+    * doc survives each cluster", which is what the downstream rewrite
+    * actually consumes.
+    *
+    * Scale shape: cluster labels come from the PERSISTED label table
+    * ([[nearDupLabels]], built once per corpus fingerprint); token counts
+    * ride a doc-keyed equi-join against a key-projected scan; the
+    * argmax-per-cluster is ONE comp-keyed aggregate (max(struct) —
+    * map-side partial, no window over the corpus), output bounded by the
+    * cluster count. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    nearDupLabels(spark, dir)
+      .join(toks, Seq("doc_id"))
+      .groupBy("comp_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("n_tokens").as("total_tokens"),
+        max(struct(col("n_tokens").as("t"), (lit(0L) - col("doc_id")).as("negid"))).as("s"))
+      .select(col("comp_id"), col("n_members"), col("total_tokens"),
+        (lit(0L) - col("s.negid")).as("survivor_doc_id"),
+        col("s.t").as("survivor_tokens"),
+        (col("total_tokens") - col("s.t")).as("tokens_removed"))
+      .orderBy("comp_id")
+  }
+
   /** q89 — cluster-aware leakage-safe split: the full-strength version of
     * q82. q82 keys the train/val/test cut on the exact content digest, so
     * byte-identical documents stay together; NEAR-duplicates (j ≥ 0.6)

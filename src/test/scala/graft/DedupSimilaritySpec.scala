@@ -41,6 +41,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(docs(2) === docs(1) - clusteredDrops)
   }
 
+  test("q120: survivor per cluster is the longest member (tie: smallest id); token bookkeeping telescopes") {
+    val labels = Dedup.nearDupClusters(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("comp_id")))
+    val nToks = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1).length.toLong)).toMap
+    val expect = labels.groupBy(_._2).toSeq.sortBy(_._1).map { case (comp, xs) =>
+      val members = xs.map { case (id, _) => (id, nToks(id)) }
+      val (survivor, survToks) = members.minBy { case (id, t) => (-t, id) }
+      (comp, members.length.toLong, members.map(_._2).sum, survivor, survToks,
+        members.map(_._2).sum - survToks)
+    }
+    val out = Dedup.dedupSurvivors(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === expect)
+    // non-vacuous: real multi-member clusters, and at least one cluster
+    // where the survivor is NOT the root (the policy did something the
+    // labels alone don't)
+    assert(expect.exists(_._2 >= 2))
+    assert(out.forall { case (_, _, total, _, kept, removed) => total === kept + removed })
+    assert(expect.exists { case (comp, _, _, survivor, _, _) => survivor != comp })
+  }
+
   test("q29c reads the ONE persisted LSH pair table, never re-deriving signatures warm") {
     // force the build once; the warm plan must scan the fingerprinted
     // pair table instead of re-running shingles → signatures → banding
