@@ -1578,8 +1578,12 @@ object TextAnalysis {
         sum("sym").as("enc_symbols"))
       .select(col("source"), col("n_docs"), col("n_words"),
         col("raw_symbols"), col("enc_symbols"),
+        // n_words >= n_docs >= 1 by construction (an empty text still
+        // splits to one empty token); raw_symbols CAN be 0 for an
+        // all-empty-text source — nullif on both engines, because bare
+        // zero-division diverges (Spark NULL, DuckDB error)
         expr("(1000L * enc_symbols) div n_words").as("fertility_permille"),
-        expr("(1000L * enc_symbols) div raw_symbols").as("compression_permille"))
+        expr("(1000L * enc_symbols) div nullif(raw_symbols, 0L)").as("compression_permille"))
       .orderBy("source")
   }
 
@@ -1596,7 +1600,7 @@ object TextAnalysis {
         |  (1000 * CAST(SUM(length(regexp_replace(tN.text, '\\s+', '', 'g'))) AS BIGINT))
         |    // CAST(SUM(len(string_split_regex(tN.text, '\\s+'))) AS BIGINT) AS fertility_permille,
         |  (1000 * CAST(SUM(length(regexp_replace(tN.text, '\\s+', '', 'g'))) AS BIGINT))
-        |    // CAST(SUM(length(regexp_replace(d.text, '\\s+', '', 'g'))) AS BIGINT) AS compression_permille
+        |    // nullif(CAST(SUM(length(regexp_replace(d.text, '\\s+', '', 'g'))) AS BIGINT), 0) AS compression_permille
         |FROM t$BpeIters tN JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY d.source""".stripMargin
 
