@@ -1053,7 +1053,10 @@ class PipelineOpsSpec extends SparkSpec {
       "q108_run_collapse", "q110_vocab_growth", // q110's max-doc fetch NPE'd here before the null guard
       "q111_token_drift", "q112_embedding_drift",
       "q114_sql_run_collapse", "q115_source_drift",
-      "q116_monitor_panel") // composition of three empty legs
+      "q116_monitor_panel", // composition of three empty legs
+      "q117_bpe_fertility", // empty learn chain + empty per-source agg
+      "q118_rejection_breakdown", "q119_script_audit",
+      "q120_dedup_survivors") // empty label table -> empty keep-list
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
