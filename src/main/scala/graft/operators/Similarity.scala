@@ -953,19 +953,18 @@ object Similarity {
     * in 10⁻¹² units; all arithmetic after the encoding is
     * integer/decimal-exact.
     *
-    * Scale shape: one posexplode scan → ONE (label, dim)-keyed shuffle
+    * Scale shape: ONE posexplode scan → ONE (label, dim)-keyed shuffle
     * whose state is bounded by labels × 64 dims regardless of corpus
-    * size (map-side partial decimal sums); vector counts per label ride
-    * a broadcast; the final per-label fold runs on a labels-sized
-    * frame. An embedding drop whose label centroids moved shows up here
+    * size (map-side partial decimal sums); per-label vector counts ride
+    * the same aggregate (each vector is one row per dim — a separate
+    * counts pass would re-scan the table); the final per-label fold
+    * runs on a labels-sized frame. An embedding drop whose label
+    * centroids moved shows up here
     * before any ANN index degrades (q87 tells you WHERE in the index;
     * this tells you WHAT moved in the space). */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("is_batch", pmod(col("vec_id"), lit(10)) === 9)
-    val counts = capLabelCounts(emb.groupBy("label").agg(
-      sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
-      sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist")))
     // fixed-point components sum in a DECIMAL accumulator, not LongType:
     // a long sum wraps at ~9.2e18 ≈ 9.2M unit-scale vectors per label —
     // inside the design point — while decimal(20,0) inputs give a
@@ -974,13 +973,20 @@ object Similarity {
     // by [[capLabelCounts]], not just documented
     val vfix = floor(col("v").cast("double") * lit(1e12)).cast("decimal(20,0)")
     val zero = lit(0).cast("decimal(20,0)")
-    val dims = emb
+    // per-label vector counts ride the SAME exploded aggregate (each
+    // vector contributes exactly one row per dim, so the per-(label,dim)
+    // count IS the label's vector count) — a separate counts pass would
+    // re-scan the whole embeddings table just to count rows, and at
+    // 100 TB the second scan is IO the monitor doesn't need
+    val dims = capLabelCounts(emb
       .select(col("label"), col("is_batch"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(
         sum(when(col("is_batch"), vfix).otherwise(zero)).as("sum_b"),
-        sum(when(!col("is_batch"), vfix).otherwise(zero)).as("sum_h"))
-    dims.join(broadcast(counts), Seq("label"))
+        sum(when(!col("is_batch"), vfix).otherwise(zero)).as("sum_h"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist")))
+    dims
       .withColumn("drift_dim",
         abs(col("sum_b") * col("n_hist").cast("decimal(7,0)")
           - col("sum_h") * col("n_batch").cast("decimal(7,0)")))
@@ -1013,7 +1019,11 @@ object Similarity {
       raise_error(concat(lit("embeddingDrift: label "), col("label").cast("string"),
         lit(s" has $c >= 1e7 vectors; the DECIMAL(38) cross-product would" +
           " overflow — shard the label before monitoring"))))
-      .otherwise(col(c)).as(c)
-    counts.select(col("label"), guard("n_batch"), guard("n_hist"))
+      .otherwise(col(c))
+    // withColumn, not select: the caller's other columns (the per-dim
+    // fixed-point sums) ride through; on the labels × 64 bounded frame
+    // the redundant per-dim checks are free
+    counts.withColumn("n_batch", guard("n_batch"))
+      .withColumn("n_hist", guard("n_hist"))
   }
 }

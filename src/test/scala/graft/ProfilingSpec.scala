@@ -278,10 +278,11 @@ class ProfilingSpec extends SparkSpec {
       && e111.count(_.startsWith("hashpartitioning(tok")) === 1
       && e111.count(_ == "SinglePartition") === 1, e111.toString)
     assert(t111 === 1, "q111's top-25 must plan as TakeOrderedAndProject")
-    // q112: every exchange is label-keyed (state bounded by labels × 64
-    // dims) or the labels-sized contract sort — nothing doc-keyed
+    // q112: ONE embeddings scan — the (label, dim) histogram exchange
+    // (counts ride it), the labels-sized fold, and the contract sort;
+    // every exchange label-keyed, nothing doc-keyed, no second scan
     val (e112, _) = shapes("q112_embedding_drift")
-    assert(e112.length === 4 && e112.forall(_.contains("label")), e112.toString)
+    assert(e112.length === 3 && e112.forall(_.contains("label")), e112.toString)
     // q115: ONE corpus scan — source-keyed shuffle + the single-partition
     // totals window over source-cardinality rows (a totals-crossJoin here
     // would defeat exchange reuse via column pruning and re-scan the
@@ -290,10 +291,10 @@ class ProfilingSpec extends SparkSpec {
     assert(e115.length === 2
       && e115.count(_.startsWith("hashpartitioning(source")) === 1
       && e115.count(_ == "SinglePartition") === 1, e115.toString)
-    // q116: exactly the three legs' exchanges (2 + 4 + 2) plus the one
+    // q116: exactly the three legs' exchanges (2 + 3 + 2) plus the one
     // panel contract sort — the union materializes nothing of its own
     val (e116, t116) = shapes("q116_monitor_panel")
-    assert(e116.length === 9, e116.toString)
+    assert(e116.length === 8, e116.toString)
     assert(t116 === 1, e116.toString)
   }
 
