@@ -962,8 +962,19 @@ object Similarity {
     * centroids moved shows up here
     * before any ANN index degrades (q87 tells you WHERE in the index;
     * this tells you WHAT moved in the space). */
-  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, dir))
+
+  /** [[embeddingDrift]] over an arbitrary (vec_id, label, embedding)
+    * frame — the spec drives damaged fixtures (NULL / empty vectors
+    * mixed into normal labels) through it. Known boundary, documented
+    * rather than chased: a label consisting ONLY of null/empty
+    * embeddings has no dim cells at all and is absent from the report
+    * (the oracle's fixed range(1,65) zip would emit it with NULL
+    * sums); any label with at least one real vector reports exactly
+    * the oracle's numbers, null/empty members included in its counts. */
+  private[graft] def embeddingDriftOf(raw: DataFrame): DataFrame = {
+    val emb = raw
       .withColumn("is_batch", pmod(col("vec_id"), lit(10)) === 9)
     // fixed-point components sum in a DECIMAL accumulator, not LongType:
     // a long sum wraps at ~9.2e18 ≈ 9.2M unit-scale vectors per label —
@@ -973,19 +984,31 @@ object Similarity {
     // by [[capLabelCounts]], not just documented
     val vfix = floor(col("v").cast("double") * lit(1e12)).cast("decimal(20,0)")
     val zero = lit(0).cast("decimal(20,0)")
-    // per-label vector counts ride the SAME exploded aggregate (each
-    // vector contributes exactly one row per dim, so the per-(label,dim)
-    // count IS the label's vector count) — a separate counts pass would
-    // re-scan the whole embeddings table just to count rows, and at
-    // 100 TB the second scan is IO the monitor doesn't need
-    val dims = capLabelCounts(emb
-      .select(col("label"), col("is_batch"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    // per-label vector counts ride the SAME exploded scan — a separate
+    // counts pass would re-scan the whole embeddings table just to count
+    // rows, and at 100 TB the second scan is IO the monitor doesn't
+    // need. posexplode_OUTER + counting each vector exactly once (its
+    // pos=0 cell, or the null placeholder cell of a NULL/empty array)
+    // keeps the counts equal to RAW ROW counts — the oracle's definition
+    // — even for null, empty, or ragged embeddings; the label totals
+    // then ride a window over the labels × ≤65 bounded cell frame, so
+    // ragged vectors still compare against label totals on every dim,
+    // exactly as the oracle does.
+    import org.apache.spark.sql.expressions.Window
+    val firstCell = col("pos").isNull || col("pos") === 0
+    val cells = emb
+      .select(col("label"), col("is_batch"), posexplode_outer(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(
         sum(when(col("is_batch"), vfix).otherwise(zero)).as("sum_b"),
         sum(when(!col("is_batch"), vfix).otherwise(zero)).as("sum_h"),
-        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
-        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_hist")))
+        sum(when(firstCell && col("is_batch"), 1L).otherwise(0L)).as("nb0"),
+        sum(when(firstCell && !col("is_batch"), 1L).otherwise(0L)).as("nh0"))
+    val byLabel = Window.partitionBy("label")
+    val dims = capLabelCounts(cells
+      .withColumn("n_batch", sum("nb0").over(byLabel))
+      .withColumn("n_hist", sum("nh0").over(byLabel)))
+      .where(col("dim").isNotNull) // drop the null-array placeholder cell
     dims
       .withColumn("drift_dim",
         abs(col("sum_b") * col("n_hist").cast("decimal(7,0)")

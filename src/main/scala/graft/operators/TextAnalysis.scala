@@ -1485,12 +1485,19 @@ object TextAnalysis {
     * pairs, also vocabulary-bounded. In production the merge table is a
     * persisted artifact; here the encode retrains inline so the query
     * is self-contained end-to-end (the honest train+encode cost). */
+  /** Apply a learned merge chain in place to `df`'s `text` column — the
+    * ONE definition of merge application for the whole-corpus surfaces
+    * (encode q104, fertility q117). [[bpeTrain]] deliberately does not
+    * use it: the train report keeps every intermediate `text_i` as its
+    * own column to emit per-iteration merge counts. */
+  private def applyMerges(df: DataFrame, learned: Seq[(String, Long)]): DataFrame =
+    learned.zipWithIndex.foldLeft(df) { case (d, ((p, _), i)) =>
+      d.withColumn("text", replace(col("text"), lit(p), lit(BpeMergeSyms(i))))
+    }
+
   def bpeEncode(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
     val (learned, _) = bpeLearn(spark, dir, iters)
-    var cur = Tables.documents(spark, dir).select(col("text"))
-    learned.zipWithIndex.foreach { case ((p, _), i) =>
-      cur = cur.withColumn("text", replace(col("text"), lit(p), lit(BpeMergeSyms(i))))
-    }
+    val cur = applyMerges(Tables.documents(spark, dir).select(col("text")), learned)
     val hist = cur
       .select(explode(expr(toksExpr)).as("w"))
       .where(length(col("w")) >= 1)
@@ -1559,15 +1566,13 @@ object TextAnalysis {
     * q104) joined back to `documents` for the source label. */
   def bpeFertility(spark: SparkSession, dir: String, iters: Int = BpeIters): DataFrame = {
     val (learned, _) = bpeLearn(spark, dir, iters)
-    // raw symbol count rides the same scan: the stacked replaces below
-    // rewrite only `text`, so pre-merge lengths survive as a column and
-    // no second corpus scan / per-source join is needed
-    var enc = Tables.documents(spark, dir).select(col("source"), col("text"),
-      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("raw"))
-    learned.zipWithIndex.foreach { case ((p, _), i) =>
-      enc = enc.withColumn("text", replace(col("text"), lit(p), lit(BpeMergeSyms(i))))
-    }
-    enc
+    // raw symbol count rides the same scan: the stacked replaces rewrite
+    // only `text`, so pre-merge lengths survive as a column and no
+    // second corpus scan / per-source join is needed
+    applyMerges(
+      Tables.documents(spark, dir).select(col("source"), col("text"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("raw")),
+      learned)
       .select(col("source"), col("raw"),
         size(expr(toksExpr)).cast("long").as("w"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("sym"))

@@ -674,7 +674,8 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     def symbols(t: String): Long = t.replaceAll("\\s+", "").length.toLong
-    def words(t: String): Long = t.split("\\s+").length.toLong
+    // limit -1: Spark's size(split) keeps trailing empty tokens
+    def words(t: String): Long = t.split("\\s+", -1).length.toLong
     val rawBySrc = docs.groupBy { case (id, _) => srcOf(id) }
     val expect = finalCorpus.toSeq.groupBy { case (id, _) => srcOf(id) }
       .toSeq.sortBy(_._1).map { case (src, xs) =>

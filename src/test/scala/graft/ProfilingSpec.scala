@@ -193,6 +193,30 @@ class ProfilingSpec extends SparkSpec {
     assert(expect.exists(_._4 > 0), "fixture must show nonzero drift somewhere")
   }
 
+  test("q112 on damaged input: null/empty vectors count toward label totals, all-null labels absent") {
+    import spark.implicits._
+    // label 1: two real vectors (one batch, one hist) + a null-embedding
+    // hist vector + an empty-array batch vector; label 2: only a null
+    // vector (the documented boundary: no dim cells -> absent)
+    val raw = Seq(
+      (10L, 1, Option(Seq(1.0f, 2.0f))),
+      (19L, 1, Option(Seq(0.5f, 0.25f))),
+      (20L, 1, Option.empty[Seq[Float]]),
+      (29L, 1, Option(Seq.empty[Float])),
+      (30L, 2, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDriftOf(raw).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L), "all-null label 2 absent, label 1 present")
+    val r = out.head
+    // counts are RAW ROW counts: the null and empty vectors are members
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L, "n_batch/n_hist include damaged rows")
+    def fix(d: Double): BigInt = BigInt(math.floor(d * 1e12).toLong)
+    val d1 = (fix(0.5) * 2 - fix(1.0) * 2).abs
+    val d2 = (fix(0.25) * 2 - fix(2.0) * 2).abs
+    assert(BigInt(r.getString(3)) === d1 + d2, "l1 over real cells, label-total counts")
+    assert(r.getLong(4) === 2L && BigInt(r.getString(5)) === d2, "top dim = the bigger shift")
+  }
+
   test("q112 guard: a label at >= 1e7 vectors fails loudly instead of overflowing DECIMAL(38)") {
     import spark.implicits._
     val ok = Seq((1, 9999999L, 42L)).toDF("label", "n_batch", "n_hist")
