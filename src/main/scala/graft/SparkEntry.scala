@@ -124,6 +124,7 @@ object SparkEntry {
     "q29c_minhash_lsh_portable" -> ((s, d) => Dedup.minhashLshPairsPortable(s, d)),
     "q98_dedup_funnel"    -> ((s, d) => Dedup.dedupFunnel(s, d)),
     "q99_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    "q121_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -1653,6 +1654,30 @@ object SparkEntry {
         |  MIN(exact_permille) AS min_exact_permille,
         |  MAX(exact_permille) AS max_exact_permille
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LSH recall audit: exact in-slice Jaccard (q34's constant-modulus
+    // slice over q99's no-cutoff shingle sets) classified against the
+    // q29c candidate set; misses per 100-permille similarity band.
+    "q121_lsh_recall_audit" ->
+      s"""WITH $q29cCtes,
+        |md AS (SELECT GREATEST(1, (COUNT(*) + ${operators.Similarity.AuditRows - 1})
+        |         // ${operators.Similarity.AuditRows}) AS m FROM documents),
+        |sl AS (SELECT doc_id, s FROM sh, md WHERE doc_id % md.m = 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sl GROUP BY 1),
+        |xi AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |       FROM sl a JOIN sl b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT xi.d1, xi.d2,
+        |         (1000 * inter) // (s1.n_sh + s2.n_sh - inter) AS exact_permille
+        |       FROM xi JOIN sz s1 ON xi.d1 = s1.doc_id JOIN sz s2 ON xi.d2 = s2.doc_id),
+        |fl AS (SELECT pr.exact_permille,
+        |         CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END AS found
+        |       FROM pr LEFT JOIN (SELECT d1, d2 FROM est WHERE est_jaccard >= 0.5) e
+        |         ON pr.d1 = e.d1 AND pr.d2 = e.d2
+        |       WHERE pr.exact_permille >= ${operators.Dedup.RecallAuditMinPermille})
+        |SELECT exact_permille // 100 * 100 AS band_lo_permille,
+        |  COUNT(*) AS n_pairs, CAST(SUM(found) AS BIGINT) AS n_found,
+        |  COUNT(*) - CAST(SUM(found) AS BIGINT) AS n_missed,
+        |  (1000 * (COUNT(*) - CAST(SUM(found) AS BIGINT))) // COUNT(*) AS miss_permille
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     // SQL-text pipeline report: re-derives all four composed operators
     // from scratch — q27's exact keeper, q29c's portable LSH candidates
     // (the shared CTE block), q75's integer BM25 top-10, q90's 4-signal

@@ -650,6 +650,58 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  /** In-slice pairs below this exact-Jaccard permille are not audit
+    * subjects ([[lshRecallAudit]]): far-below-threshold pairs are
+    * SUPPOSED to be missed by the banding, so counting them as misses
+    * would bury the signal. */
+  val RecallAuditMinPermille = 100L
+
+  /** q121 — LSH RECALL audit: the false-negative complement of q99.
+    * q99 bounds the estimator's ERROR on the pairs the banding FOUND;
+    * nothing audited what it MISSED — the failure mode that silently
+    * erodes dedup quality at scale (bucket caps, band collisions, and
+    * the df cutoff all trade recall for bound work). On a constant-size
+    * deterministic document slice (q34's modulus trick:
+    * `doc_id % ceil(n/[[Similarity.AuditRows]]) = 0`), EXACT Jaccard is
+    * computed for every in-slice pair over the distinct raw shingle
+    * sets (q99's ground-truth representation — no df cutoff), and each
+    * pair ≥ [[RecallAuditMinPermille]] is classified against the
+    * persisted LSH candidate set. The report per 100-permille
+    * similarity band: pair count, found, missed, miss rate — the
+    * number that justifies (or indicts) the banding config at 100 TB,
+    * where the exact join corpus-wide is not an option.
+    *
+    * Scale shape: the slice is ~[[Similarity.AuditRows]] docs at ANY
+    * corpus size, so the exact pair work is O(AuditRows²) constant; the
+    * slice's shingles probe the persisted digest table with one pushed
+    * `pmod` filter; the candidate check is an equi-join of a
+    * constant-size pair set against the persisted pair artifact. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir).count()
+    val m = Similarity.auditModulus(n)
+    val sl = shingleDigests(spark, dir).where(pmod(col("doc_id"), lit(m)) === 0)
+    val sizes = sl.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sl.as("a").join(sl.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("(1000L * inter) div (n1 + n2 - inter)").as("exact_permille"))
+      .where(col("exact_permille") >= RecallAuditMinPermille)
+    val cand = lshPairsTable(spark, dir).select(col("d1"), col("d2"), lit(1L).as("found"))
+    pairs.join(cand, Seq("d1", "d2"), "left")
+      .select(expr("exact_permille div 100 * 100").as("band_lo_permille"),
+        coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy("band_lo_permille")
+      .agg(count(lit(1)).as("n_pairs"), sum("found").as("n_found"))
+      .withColumn("n_missed", col("n_pairs") - col("n_found"))
+      .withColumn("miss_permille", expr("(1000L * n_missed) div n_pairs"))
+      .orderBy("band_lo_permille")
+  }
+
   /** Oracle-checkable MinHash signatures: the portable signatures
     * exploded to one row per (doc, permutation). Proves the signature
     * arithmetic cross-engine; [[minhashLshPairsPortable]] extends the

@@ -65,6 +65,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expect.exists { case (comp, _, _, survivor, _, _) => survivor != comp })
   }
 
+  test("q121: recall audit matches a driver-side exact-Jaccard recompute over the slice") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val m = Similarity.auditModulus(docs.length.toLong)
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split("\\s+", -1)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val slice = docs.filter(_._1 % m == 0).map { case (id, t) => (id, shingleSet(t)) }
+      .filter(_._2.nonEmpty)
+    val cand = Dedup.minhashLshPairsPortable(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = for {
+      (d1, s1) <- slice; (d2, s2) <- slice if d1 < d2
+      inter = (s1 & s2).size if inter > 0
+      jperm = 1000L * inter / (s1.size + s2.size - inter)
+      if jperm >= Dedup.RecallAuditMinPermille
+    } yield (jperm / 100 * 100, if (cand.contains((d1, d2))) 1L else 0L)
+    val expect = pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (band, xs) =>
+      val found = xs.map(_._2).sum
+      (band, xs.size.toLong, found, xs.size - found,
+        1000L * (xs.size - found) / xs.size)
+    }
+    val out = Dedup.lshRecallAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === expect)
+    assert(expect.nonEmpty, "slice must surface at least one auditable pair")
+    // true duplicates (>= 900 permille) must be found — a miss there is
+    // a banding bug, not a tuning choice
+    out.filter(_._1 >= 900).foreach { case (band, _, _, missed, _) =>
+      assert(missed === 0L, s"band $band missed a true duplicate")
+    }
+  }
+
   test("q29c reads the ONE persisted LSH pair table, never re-deriving signatures warm") {
     // force the build once; the warm plan must scan the fingerprinted
     // pair table instead of re-running shingles → signatures → banding

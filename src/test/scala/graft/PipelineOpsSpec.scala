@@ -1057,7 +1057,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q116_monitor_panel", // composition of three empty legs
       "q117_bpe_fertility", // empty learn chain + empty per-source agg
       "q118_rejection_breakdown", "q119_script_audit",
-      "q120_dedup_survivors") // empty label table -> empty keep-list
+      "q120_dedup_survivors", // empty label table -> empty keep-list
+      "q121_lsh_recall_audit") // modulus-1 slice over zero docs
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
