@@ -125,6 +125,7 @@ object SparkEntry {
     "q98_dedup_funnel"    -> ((s, d) => Dedup.dedupFunnel(s, d)),
     "q99_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q121_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
+    "q122_annealed_mixture" -> ((s, d) => TextAnalysis.annealedMixture(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -1250,6 +1251,26 @@ object SparkEntry {
         |      FROM s CROSS JOIN g)
         |SELECT rank, source, n_docs, tokens, tokens * 1000 // grand AS share_permille, cum_permille
         |FROM r ORDER BY rank""".stripMargin,
+    // Annealed mixture schedule: q80's rate derivation per epoch (w =
+    // count / floor(sqrt(count)) / 1 for epochs 1/2/3), epoch-salted
+    // hash sampler, per-epoch normalizers via PARTITION BY epoch windows.
+    "q122_annealed_mixture" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS count_s FROM documents GROUP BY 1),
+        |ep AS (SELECT unnest(range(1, 4)) AS epoch),
+        |we AS (SELECT epoch, source, count_s,
+        |         CASE epoch WHEN 1 THEN count_s
+        |                    WHEN 2 THEN CAST(floor(sqrt(count_s)) AS BIGINT)
+        |                    ELSE 1 END AS w
+        |       FROM c CROSS JOIN ep),
+        |rt AS (SELECT epoch, source, count_s, w,
+        |         LEAST(1000, (1000 * ((SUM(count_s) OVER (PARTITION BY epoch)) // ${operators.TextAnalysis.MixTargetDiv}) * w)
+        |                // ((SUM(w) OVER (PARTITION BY epoch)) * count_s)) AS rate_permille
+        |       FROM we)
+        |SELECT rt.epoch, rt.source, rt.count_s, rt.w, rt.rate_permille,
+        |  COUNT(*) AS n_sampled, CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents d JOIN rt ON d.source = rt.source
+        |WHERE (d.doc_id * 2654435761 + 987654321 + rt.epoch * ${operators.TextAnalysis.AnnealEpochSalt}) % 1000 < rt.rate_permille
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY rt.epoch, rt.source""".stripMargin,
     // Temperature mixture: rates derived via floor(sqrt(count)) (IEEE sqrt
     // is correctly rounded, counts << 2^52, so both engines floor the same
     // double), keep rule = the multiplicative hash cut at rate_permille.

@@ -934,6 +934,61 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Epoch-dependent salt for [[annealedMixture]]'s sampler: epochs must
+    * draw DIFFERENT deterministic subsets, or "3 epochs" just replays
+    * one sample three times. */
+  val AnnealEpochSalt = 7919L
+
+  /** q122 — ANNEALED mixture schedule: the multi-epoch generalization of
+    * q80. A training run rarely uses one mixture — the standard schedule
+    * anneals from the natural distribution toward diversity as training
+    * progresses (epoch 1: count-proportional, w = count; epoch 2: q80's
+    * tempered w = ⌊√count⌋; epoch 3: uniform across sources, w = 1 — the
+    * τ = 1, ½, 0 rungs of the count^τ ladder). Per (epoch, source) the
+    * report carries the integer-exact sampling rate and what the
+    * epoch-salted hash sampler actually drew, so all three epochs'
+    * sample manifests are reproducible and hash-gated.
+    *
+    * Scale shape: ONE corpus scan for ALL epochs — the epoch dimension
+    * lives in the broadcast rate table (sources × 3 rows; per-epoch
+    * normalizers via a window PARTITIONed by epoch over that bounded
+    * frame), the sampler is a map-side epoch-salted hash threshold, and
+    * the report is one (epoch, source)-keyed aggregate. A second scan
+    * per epoch would triple the 100 TB read for no information. */
+  def annealedMixture(spark: SparkSession, dir: String): DataFrame =
+    annealedMixtureOf(Tables.documents(spark, dir))
+
+  /** [[annealedMixture]] over an arbitrary (doc_id, source, n_chars)
+    * frame — the spec drives a SKEWED injected fixture through it (the
+    * graded corpus's source marginal is perfectly uniform, where every
+    * epoch weighting collapses to the same rate and the ladder is
+    * invisible). */
+  private[graft] def annealedMixtureOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("count_s"))
+    val epochs = counts
+      .select(col("*"), explode(expr("sequence(1L, 3L)")).as("epoch"))
+      .withColumn("w", expr(
+        """CASE epoch WHEN 1 THEN count_s
+          |          WHEN 2 THEN cast(floor(sqrt(count_s)) as bigint)
+          |          ELSE 1L END""".stripMargin))
+    val byEpoch = Window.partitionBy("epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = epochs
+      .withColumn("sum_w", sum(col("w")).over(byEpoch))
+      .withColumn("total", sum(col("count_s")).over(byEpoch))
+      .withColumn("rate_permille", least(lit(1000L),
+        expr(s"(1000L * (total div $MixTargetDiv) * w) div (sum_w * count_s)")))
+    docs
+      .join(broadcast(rates.select("epoch", "source", "count_s", "w", "rate_permille")),
+        Seq("source"))
+      .where(pmod(col("doc_id") * lit(2654435761L) + lit(987654321L)
+        + col("epoch") * lit(AnnealEpochSalt), lit(1000)) < col("rate_permille"))
+      .groupBy(col("epoch"), col("source"), col("count_s"), col("w"), col("rate_permille"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy("epoch", "source")
+  }
+
   /** q82 — leakage-safe train/val/test split: the split decision hashes
     * the normalized CONTENT digest, not the doc_id, so byte-identical
     * documents (after whitespace/case normalization — q27's key) can

@@ -719,6 +719,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q122: annealing ladder matches a driver recompute; skewed fixture shows the ladder") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def recompute(ds: Seq[(Long, String, Long)]): Seq[(Long, String, Long, Long, Long, Long, Long)] = {
+      val counts = ds.groupBy(_._2).map { case (src, xs) => src -> xs.length.toLong }
+      (1L to 3L).flatMap { epoch =>
+        val w = counts.map { case (src, c) =>
+          src -> (epoch match {
+            case 1L => c
+            case 2L => math.floor(math.sqrt(c.toDouble)).toLong
+            case _ => 1L
+          })
+        }
+        val sumW = w.values.sum
+        val total = counts.values.sum
+        counts.toSeq.sortBy(_._1).flatMap { case (src, c) =>
+          val rate = math.min(1000L, 1000L * (total / TextAnalysis.MixTargetDiv) * w(src) / (sumW * c))
+          val drawn = ds.filter { case (id, sc, _) =>
+            sc == src &&
+              Math.floorMod(id * 2654435761L + 987654321L + epoch * TextAnalysis.AnnealEpochSalt,
+                1000L) < rate
+          }
+          if (drawn.isEmpty) None
+          else Some((epoch, src, c, w(src), rate, drawn.length.toLong, drawn.map(_._3).sum))
+        }
+      }
+    }
+    val out = TextAnalysis.annealedMixture(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === recompute(docs.toSeq))
+    // the ladder property needs SKEW: the graded corpus's source marginal
+    // is perfectly uniform (every epoch weighting collapses to one rate),
+    // so drive a 200/20/2-doc fixture through the injectable core
+    import spark.implicits._
+    val skewed = (
+      (0L until 200L).map(i => (i, "big", 10L)) ++
+      (0L until 20L).map(i => (1000L + i, "mid", 10L)) ++
+      (0L until 2L).map(i => (2000L + i, "rare", 10L))).toSeq
+    val got = TextAnalysis.annealedMixtureOf(skewed.toDF("doc_id", "source", "n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === recompute(skewed))
+    val rate = recompute(skewed).map(r => (r._1, r._2) -> r._5).toMap
+    // uniform epoch upweights the rare source and downweights the big one
+    assert(rate((3L, "rare")) > rate((1L, "rare")),
+      "uniform epoch must upweight the rarest source")
+    assert(rate((3L, "big")) < rate((1L, "big")),
+      "uniform epoch must downweight the dominant source")
+  }
+
   test("q119: script audit flags both mislabel directions; matches an exact recompute") {
     import spark.implicits._
     // BMP-only fixture: latin label over non-ASCII text AND non-latin
@@ -1058,7 +1111,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q117_bpe_fertility", // empty learn chain + empty per-source agg
       "q118_rejection_breakdown", "q119_script_audit",
       "q120_dedup_survivors", // empty label table -> empty keep-list
-      "q121_lsh_recall_audit") // modulus-1 slice over zero docs
+      "q121_lsh_recall_audit", // modulus-1 slice over zero docs
+      "q122_annealed_mixture") // empty rate table -> empty schedule
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
