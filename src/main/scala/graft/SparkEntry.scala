@@ -1262,10 +1262,16 @@ object SparkEntry {
         |                    WHEN 2 THEN CAST(floor(sqrt(count_s)) AS BIGINT)
         |                    ELSE 1 END AS w
         |       FROM c CROSS JOIN ep),
+        |ws AS (SELECT epoch, source, count_s, w,
+        |         CAST(SUM(count_s) OVER (PARTITION BY epoch) AS BIGINT) AS total,
+        |         CAST(SUM(w) OVER (PARTITION BY epoch) AS BIGINT) AS sum_w
+        |       FROM we),
         |rt AS (SELECT epoch, source, count_s, w,
-        |         LEAST(1000, (1000 * ((SUM(count_s) OVER (PARTITION BY epoch)) // ${operators.TextAnalysis.MixTargetDiv}) * w)
-        |                // ((SUM(w) OVER (PARTITION BY epoch)) * count_s)) AS rate_permille
-        |       FROM we)
+        |         LEAST(1000, CASE WHEN epoch = 1
+        |           THEN (1000 * (total // ${operators.TextAnalysis.MixTargetDiv})) // total
+        |           ELSE (1000 * (total // ${operators.TextAnalysis.MixTargetDiv}) * w)
+        |                  // (sum_w * count_s) END) AS rate_permille
+        |       FROM ws)
         |SELECT rt.epoch, rt.source, rt.count_s, rt.w, rt.rate_permille,
         |  COUNT(*) AS n_sampled, CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
         |FROM documents d JOIN rt ON d.source = rt.source

@@ -923,8 +923,7 @@ object TextAnalysis {
       .withColumn("w", expr("cast(floor(sqrt(count_s)) as bigint)"))
       .withColumn("sum_w", sum(col("w")).over(whole))
       .withColumn("total", sum(col("count_s")).over(whole))
-      .withColumn("rate_permille", least(lit(1000L),
-        expr(s"(1000L * (total div $MixTargetDiv) * w) div (sum_w * count_s)")))
+      .withColumn("rate_permille", mixRate)
     docs
       .join(broadcast(rates.select("source", "count_s", "w", "rate_permille")), Seq("source"))
       .where(pmod(col("doc_id") * lit(2654435761L) + lit(987654321L), lit(1000)) <
@@ -938,6 +937,25 @@ object TextAnalysis {
     * draw DIFFERENT deterministic subsets, or "3 epochs" just replays
     * one sample three times. */
   val AnnealEpochSalt = 7919L
+
+  /** THE mixture-rate formula — one definition shared by q80 and q122
+    * (two gated operators silently disagreeing on the same arithmetic
+    * is how sampling bugs ship). Expects columns (total, sum_w, w,
+    * count_s). Envelope: the numerator `1000·(total div MixTargetDiv)·w`
+    * must stay inside int64 — holds to ~10¹³ docs for q80/q122's
+    * sublinear weights (⌊√count⌋ / 1); a LINEAR weight (w = count)
+    * would overflow ~600× earlier, which is why q122's proportional
+    * epoch uses [[mixRateProportional]]'s exact reduction instead. */
+  private def mixRate: org.apache.spark.sql.Column = least(lit(1000L),
+    expr(s"(1000L * (total div $MixTargetDiv) * w) div (sum_w * count_s)"))
+
+  /** [[mixRate]] for the PROPORTIONAL weighting (w = count_s, sum_w =
+    * total): the count factor cancels exactly inside the floor —
+    * `⌊1000·T·c / (total·c)⌋ = ⌊1000·T / total⌋` — so the reduced form
+    * is value-identical while never forming the `total·count` product
+    * that wraps int64 at ~2·10⁸ docs. */
+  private def mixRateProportional: org.apache.spark.sql.Column = least(lit(1000L),
+    expr(s"(1000L * (total div $MixTargetDiv)) div total"))
 
   /** q122 — ANNEALED mixture schedule: the multi-epoch generalization of
     * q80. A training run rarely uses one mixture — the standard schedule
@@ -977,8 +995,8 @@ object TextAnalysis {
     val rates = epochs
       .withColumn("sum_w", sum(col("w")).over(byEpoch))
       .withColumn("total", sum(col("count_s")).over(byEpoch))
-      .withColumn("rate_permille", least(lit(1000L),
-        expr(s"(1000L * (total div $MixTargetDiv) * w) div (sum_w * count_s)")))
+      .withColumn("rate_permille",
+        when(col("epoch") === 1L, mixRateProportional).otherwise(mixRate))
     docs
       .join(broadcast(rates.select("epoch", "source", "count_s", "w", "rate_permille")),
         Seq("source"))
