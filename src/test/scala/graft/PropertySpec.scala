@@ -231,6 +231,18 @@ object PropertySpec extends Properties("graft") {
         s.split("\\s+", -1).length
     }
 
+  // q122's proportional-epoch reduction: with w = c and sum_w = total,
+  // the count factor cancels exactly inside the floor — the reduced
+  // form never builds the total·count product that wraps int64
+  property("mixture rate: proportional reduction floor(1000·T·c/(total·c)) = floor(1000·T/total)") =
+    forAll(Gen.choose(1L, 3000000L), Gen.choose(1L, 1000000L)) { (total0, c0) =>
+      val c = math.min(c0, total0)
+      val total = total0
+      val t = total / 5
+      // direct (guarded by generator bounds to stay inside int64) vs reduced
+      (1000L * t * c) / (total * c) == (1000L * t) / total
+    }
+
   property("simhash is token-order invariant (±1 vote sums commute) and 16 hex digits") =
     forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)))) { toks =>
       def sk(ts: Seq[String]) =
