@@ -976,12 +976,13 @@ object TextAnalysis {
   def annealedMixture(spark: SparkSession, dir: String): DataFrame =
     annealedMixtureOf(Tables.documents(spark, dir))
 
-  /** [[annealedMixture]] over an arbitrary (doc_id, source, n_chars)
-    * frame — the spec drives a SKEWED injected fixture through it (the
-    * graded corpus's source marginal is perfectly uniform, where every
-    * epoch weighting collapses to the same rate and the ladder is
-    * invisible). */
-  private[graft] def annealedMixtureOf(docs: DataFrame): DataFrame = {
+  /** The (epoch, source) rate TABLE q122 derives its schedule from —
+    * exposed separately because the streaming ingest sampler
+    * ([[graft.streaming.StreamingAnalytics]]) trains it ONCE on the
+    * corpus and freezes it, then samples each arriving micro-batch at
+    * these rates (the frozen-model contract of the q90/q111 stream
+    * twins, applied to sampling). */
+  private[graft] def annealedRatesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs.groupBy("source").agg(count(lit(1)).as("count_s"))
     val epochs = counts
@@ -992,16 +993,32 @@ object TextAnalysis {
           |          ELSE 1L END""".stripMargin))
     val byEpoch = Window.partitionBy("epoch")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = epochs
+    epochs
       .withColumn("sum_w", sum(col("w")).over(byEpoch))
       .withColumn("total", sum(col("count_s")).over(byEpoch))
       .withColumn("rate_permille",
         when(col("epoch") === 1L, mixRateProportional).otherwise(mixRate))
+  }
+
+  /** Keep-filter of the epoch-salted deterministic sampler — the ONE
+    * definition of the draw rule, shared by the batch report and the
+    * streaming ingest sampler. Expects columns (doc_id, epoch,
+    * rate_permille). */
+  private[graft] def annealKeep: org.apache.spark.sql.Column =
+    pmod(col("doc_id") * lit(2654435761L) + lit(987654321L)
+      + col("epoch") * lit(AnnealEpochSalt), lit(1000)) < col("rate_permille")
+
+  /** [[annealedMixture]] over an arbitrary (doc_id, source, n_chars)
+    * frame — the spec drives a SKEWED injected fixture through it (the
+    * graded corpus's source marginal is perfectly uniform, where every
+    * epoch weighting collapses to the same rate and the ladder is
+    * invisible). */
+  private[graft] def annealedMixtureOf(docs: DataFrame): DataFrame = {
+    val rates = annealedRatesOf(docs)
     docs
       .join(broadcast(rates.select("epoch", "source", "count_s", "w", "rate_permille")),
         Seq("source"))
-      .where(pmod(col("doc_id") * lit(2654435761L) + lit(987654321L)
-        + col("epoch") * lit(AnnealEpochSalt), lit(1000)) < col("rate_permille"))
+      .where(annealKeep)
       .groupBy(col("epoch"), col("source"), col("count_s"), col("w"), col("rate_permille"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
       .orderBy("epoch", "source")

@@ -282,6 +282,36 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming ingest SAMPLER — the stream twin of q122's annealed
+    * mixture: the (epoch, source) rate table is trained ONCE on the
+    * corpus and FROZEN (the q90/q111 frozen-model contract applied to
+    * sampling); each arriving document micro-batch is then filtered by
+    * the epoch-salted deterministic hash at those rates. The keep rule
+    * is a pure function of (doc_id, epoch, rate), so ANY micro-batching
+    * reproduces the batch sample exactly — ingest-time sampling without
+    * a second pass over the corpus (spec'd in StreamingSpec: union of
+    * per-batch samples == the batch sampler's draw, per epoch). */
+  def annealedSamplePerBatch(spark: SparkSession, dir: String, epoch: Long,
+      docs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val rates = graft.operators.TextAnalysis
+      .annealedRatesOf(graft.sources.Tables.documents(spark, dir))
+      .where(col("epoch") === epoch)
+      .select(col("source"), col("epoch"), col("rate_permille"))
+      .persist() // frozen: train once, sample every batch against THIS table
+    rates.count(): Unit
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(batch
+          .join(broadcast(rates), Seq("source"))
+          .where(graft.operators.TextAnalysis.annealKeep)
+          .select(col("doc_id"), col("source"), lit(epoch).as("epoch")))
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: each "view" event joins the same
     * user's "click" events that follow within 10 minutes.
     *

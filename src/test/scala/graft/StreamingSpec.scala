@@ -603,6 +603,37 @@ class StreamingSpec extends SparkSpec {
       "the pre-outage report must be the first increment's recompute")
   }
 
+  test("streaming ingest sampler: any micro-batching reproduces q122's epoch draw exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val epoch = 3L // the uniform rung: every source carries a nonzero rate
+    val rates = graft.operators.TextAnalysis
+      .annealedRatesOf(graft.sources.Tables.documents(spark, sf0001))
+      .where(org.apache.spark.sql.functions.col("epoch") === epoch)
+      .select("source", "rate_permille").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = docs.filter { case (id, src) =>
+      Math.floorMod(id * 2654435761L + 987654321L
+        + epoch * graft.operators.TextAnalysis.AnnealEpochSalt, 1000L) < rates(src)
+    }.map(_._1).toSet
+    assert(expect.nonEmpty, "epoch-3 rates must draw something from the fixture")
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingAnalytics.annealedSamplePerBatch(spark, sf0001, epoch,
+      input.toDF().toDF("doc_id", "source")) { batch =>
+      sampled ++= batch.collect().map(_.getLong(0))
+    }
+    docs.grouped(math.max(1, docs.length / 3)).foreach { slice =>
+      input.addData(slice.toSeq); q.processAllAvailable()
+    }
+    assert(q.exception.isEmpty, s"sampler died: ${q.exception}")
+    q.stop()
+    assert(sampled.toSet === expect,
+      "union of per-batch draws must equal the batch sampler's draw")
+    assert(sampled.length === sampled.distinct.length, "no doc sampled twice")
+  }
+
   test("streaming session windows split on the 30-minute gap") {
     // session aggregation only supports append mode: sessions flush when
     // the watermark passes their end, so push two future sentinel batches
