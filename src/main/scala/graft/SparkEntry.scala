@@ -126,6 +126,7 @@ object SparkEntry {
     "q99_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q121_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q122_annealed_mixture" -> ((s, d) => TextAnalysis.annealedMixture(s, d)),
+    "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -1251,6 +1252,23 @@ object SparkEntry {
         |      FROM s CROSS JOIN g)
         |SELECT rank, source, n_docs, tokens, tokens * 1000 // grand AS share_permille, cum_permille
         |FROM r ORDER BY rank""".stripMargin,
+    // Zipf rank-frequency audit: exact top-k token histogram with
+    // rank x count and cumulative stream share; all BIGINT (sums cast —
+    // DuckDB SUM/windowed-SUM over BIGINT widens to HUGEINT).
+    "q123_zipf_audit" ->
+      s"""WITH c AS (SELECT tok, COUNT(*) AS cnt FROM
+        |    (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        |tp AS (SELECT tok, CAST(cnt AS BIGINT) AS cnt FROM c
+        |       ORDER BY cnt DESC, tok LIMIT ${operators.TextAnalysis.ZipfTopK}),
+        |r AS (SELECT tok, cnt,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+        |      FROM tp)
+        |SELECT r.rnk, r.tok, r.cnt, r.rnk * r.cnt AS rank_x_cnt,
+        |  (1000 * CAST(SUM(r.cnt) OVER (ORDER BY r.rnk
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) // t.total
+        |    AS cum_share_permille
+        |FROM r, t ORDER BY r.rnk""".stripMargin,
     // Annealed mixture schedule: q80's rate derivation per epoch (w =
     // count / floor(sqrt(count)) / 1 for epochs 1/2/3), epoch-salted
     // hash sampler, per-epoch normalizers via PARTITION BY epoch windows.

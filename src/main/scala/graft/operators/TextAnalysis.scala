@@ -1024,6 +1024,40 @@ object TextAnalysis {
       .orderBy("epoch", "source")
   }
 
+  /** Rows in [[zipfAudit]]'s rank table. */
+  val ZipfTopK = 50
+
+  /** q123 — Zipf rank-frequency audit: the frequency-side twin of
+    * q110's Heaps curves. Top-[[ZipfTopK]] tokens by exact corpus count
+    * with their rank, the rank×count product (≈ constant under Zipf's
+    * law — a corpus whose product COLLAPSES at low ranks is
+    * template/boilerplate-dominated, one whose product EXPLODES has had
+    * its head deduped away), and the cumulative share of the token
+    * stream the top-k covers (the number that sizes stop-lists and
+    * df cutoffs like q28's [[graft.operators.Dedup.MaxShingleDf]]).
+    *
+    * Scale shape: one explode scan → ONE tok-keyed map-side-combined
+    * histogram (vocabulary-bounded, q111's shuffle); the total reuses
+    * that exchange; top-k runs as TakeOrderedAndProject; the
+    * rank/cumulative windows run on the k-row frame. */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(expr(toksExpr)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(ZipfTopK)
+    val byRank = Window.orderBy(col("cnt").desc, col("tok").asc)
+    top.crossJoin(broadcast(total)) // 1-row corpus-total broadcast
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+      .withColumn("cum", sum("cnt").over(
+        byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk"), col("tok"), col("cnt"),
+        (col("rnk") * col("cnt")).as("rank_x_cnt"),
+        expr("(1000L * cum) div total").as("cum_share_permille"))
+      .orderBy("rnk")
+  }
+
   /** q82 — leakage-safe train/val/test split: the split decision hashes
     * the normalized CONTENT digest, not the doc_id, so byte-identical
     * documents (after whitespace/case normalization — q27's key) can

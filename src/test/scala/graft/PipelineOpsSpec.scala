@@ -772,6 +772,26 @@ class PipelineOpsSpec extends SparkSpec {
       "uniform epoch must downweight the dominant source")
   }
 
+  test("q123: Zipf audit matches an exact recompute; coverage is monotone to full vocabulary") {
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select("text").collect().flatMap(r => r.getString(0).split("\\s+", -1)).toSeq
+    val counts = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = toks.length.toLong
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(TextAnalysis.ZipfTopK)
+    val expect = top.zipWithIndex.map { case ((t, c), i) =>
+      val rnk = (i + 1).toLong
+      val cum = top.take(i + 1).map(_._2).sum
+      (rnk, t, c, rnk * c, 1000L * cum / total)
+    }
+    val out = TextAnalysis.zipfAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === expect)
+    // coverage is monotone; when the vocabulary fits inside top-k the
+    // last row must cover the whole stream
+    assert(out.map(_._5).toSeq === out.map(_._5).toSeq.sorted)
+    if (counts.size <= TextAnalysis.ZipfTopK) assert(out.last._5 === 1000L)
+  }
+
   test("q119: script audit flags both mislabel directions; matches an exact recompute") {
     import spark.implicits._
     // BMP-only fixture: latin label over non-ASCII text AND non-latin
@@ -1112,7 +1132,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q118_rejection_breakdown", "q119_script_audit",
       "q120_dedup_survivors", // empty label table -> empty keep-list
       "q121_lsh_recall_audit", // modulus-1 slice over zero docs
-      "q122_annealed_mixture") // empty rate table -> empty schedule
+      "q122_annealed_mixture", // empty rate table -> empty schedule
+      "q123_zipf_audit") // empty histogram -> empty rank table
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
