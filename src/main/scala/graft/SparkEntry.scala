@@ -127,6 +127,7 @@ object SparkEntry {
     "q121_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q122_annealed_mixture" -> ((s, d) => TextAnalysis.annealedMixture(s, d)),
     "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
+    "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -1252,6 +1253,18 @@ object SparkEntry {
         |      FROM s CROSS JOIN g)
         |SELECT rank, source, n_docs, tokens, tokens * 1000 // grand AS share_permille, cum_permille
         |FROM r ORDER BY rank""".stripMargin,
+    // Embedding dim health: per-dim fixed-point range + exact-zero mass;
+    // dead = min == max (collapsed projection).
+    "q124_embedding_dim_health" ->
+      """WITH e AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |             CAST(floor(CAST(v AS DOUBLE) * 1e12) AS BIGINT) AS vf, v
+        |           FROM (SELECT unnest(range(1, 65)) AS dim, unnest(embedding) AS v
+        |                 FROM embeddings))
+        |SELECT dim, MIN(vf) AS vmin_fp, MAX(vf) AS vmax_fp,
+        |  MAX(vf) - MIN(vf) AS spread_fp,
+        |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  MIN(vf) = MAX(vf) AS dead
+        |FROM e GROUP BY 1 ORDER BY dim""".stripMargin,
     // Zipf rank-frequency audit: exact top-k token histogram with
     // rank x count and cumulative stream share; all BIGINT (sums cast —
     // DuckDB SUM/windowed-SUM over BIGINT widens to HUGEINT).

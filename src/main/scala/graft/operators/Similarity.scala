@@ -776,6 +776,40 @@ object Similarity {
         expr("CAST(element_at(embedding, 64) AS DOUBLE)").as("c64"))
       .orderBy("vec_id")
 
+  /** q124 — embedding DIMENSION health audit: per dim (1..64) across
+    * the whole store, the fixed-point value range and the exact-zero
+    * mass. A dim whose min equals its max is DEAD (a collapsed
+    * projection — every vector agrees, the dim carries zero
+    * information, and it silently wastes index width in every ANN
+    * structure built on the store); heavy exact-zero mass flags
+    * truncated or sparsified exports. q45 audits per-VECTOR shape; this
+    * is the per-DIM corpus view an embedding-store owner checks before
+    * building indexes. Fixed-point `floor(v·10¹²)` bounds (the q112
+    * encoding — IEEE-identical cross-engine) keep the report exact.
+    *
+    * Scale shape: one posexplode scan → ONE dim-keyed aggregate whose
+    * state is 64 groups of (min, max, count) regardless of corpus size
+    * — map-side partials make the shuffle 64 rows per task. */
+  def embeddingDimHealth(spark: SparkSession, dir: String): DataFrame =
+    embeddingDimHealthOf(Tables.embeddings(spark, dir))
+
+  /** [[embeddingDimHealth]] over an arbitrary (embedding) frame — the
+    * spec injects a dead dim and an all-zero dim. */
+  private[graft] def embeddingDimHealthOf(raw: DataFrame): DataFrame =
+    raw
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1e12)).cast("long").as("vf"),
+        col("v"))
+      .groupBy("dim")
+      .agg(min("vf").as("vmin_fp"), max("vf").as("vmax_fp"),
+        sum(when(col("v") === 0.0f, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("vmin_fp"), col("vmax_fp"),
+        (col("vmax_fp") - col("vmin_fp")).as("spread_fp"),
+        col("n_zero"),
+        (col("vmin_fp") === col("vmax_fp")).as("dead"))
+      .orderBy("dim")
+
   /** Random-hyperplane LSH parameters: 8 fixed pseudo-hyperplanes from an
     * LCG (deterministic, no runtime randomness) → 256 buckets. */
   private val NumPlanes = 8

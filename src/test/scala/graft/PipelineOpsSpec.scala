@@ -1133,7 +1133,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q120_dedup_survivors", // empty label table -> empty keep-list
       "q121_lsh_recall_audit", // modulus-1 slice over zero docs
       "q122_annealed_mixture", // empty rate table -> empty schedule
-      "q123_zipf_audit") // empty histogram -> empty rank table
+      "q123_zipf_audit", // empty histogram -> empty rank table
+      "q124_embedding_dim_health") // empty store -> empty dim table
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)

@@ -217,6 +217,31 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(4) === 2L && BigInt(r.getString(5)) === d2, "top dim = the bigger shift")
   }
 
+  test("q124: dim health matches a fixed-point recompute; injected dead and zero dims flagged") {
+    // corpus leg: exact recompute of every dim's fixed-point range
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def fix(f: Float): Long = math.floor(f.toDouble * 1e12).toLong
+    val expect = (0 until 64).map { d =>
+      val vf = rows.map(r => fix(r(d)))
+      val zeros = rows.count(r => r(d) == 0.0f).toLong
+      ((d + 1).toLong, vf.min, vf.max, vf.max - vf.min, zeros, vf.min == vf.max)
+    }
+    val out = Similarity.embeddingDimHealth(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === expect)
+    // injected leg: a constant non-zero dim and an all-zero dim must
+    // both read dead, the zero dim with full zero mass
+    import spark.implicits._
+    val damaged = Seq(
+      Seq(0.5f, 0.0f, 1.0f), Seq(0.5f, 0.0f, -1.0f), Seq(0.5f, 0.0f, 0.25f))
+      .toDF("embedding")
+    val got = Similarity.embeddingDimHealthOf(damaged).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq((1L, 0L, true), (2L, 3L, true), (3L, 0L, false)))
+  }
+
   test("q112 guard: a label at >= 1e7 vectors fails loudly instead of overflowing DECIMAL(38)") {
     import spark.implicits._
     val ok = Seq((1, 9999999L, 42L)).toDF("label", "n_batch", "n_hist")
