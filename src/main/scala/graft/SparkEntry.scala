@@ -128,6 +128,7 @@ object SparkEntry {
     "q122_annealed_mixture" -> ((s, d) => TextAnalysis.annealedMixture(s, d)),
     "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
+    "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -1253,6 +1254,29 @@ object SparkEntry {
         |      FROM s CROSS JOIN g)
         |SELECT rank, source, n_docs, tokens, tokens * 1000 // grand AS share_permille, cum_permille
         |FROM r ORDER BY rank""".stripMargin,
+    // Ordered funnel: stacked per-user window minima (view -> click at or
+    // after it -> purchase at or after that), folded to 4 stage rows.
+    "q125_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        |        OVER (PARTITION BY user_id) AS tv FROM e),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= tv THEN us END)
+        |        OVER (PARTITION BY user_id) AS tc FROM v),
+        |p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= tc THEN us END)
+        |        OVER (PARTITION BY user_id) AS tp FROM c),
+        |u AS (SELECT user_id, MAX(tv) AS tv, MAX(tc) AS tc, MAX(tp) AS tp FROM p GROUP BY 1),
+        |a AS (SELECT COUNT(*) AS n_users,
+        |        CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |        CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |        CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |      FROM u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'all_users' AS stage,
+        |         n_users AS n_users, CAST(1000 AS BIGINT) AS conv_permille FROM a
+        |  UNION ALL SELECT 2, 'viewed', n_view, (1000 * n_view) // nullif(n_users, 0) FROM a
+        |  UNION ALL SELECT 3, 'clicked_after_view', n_click, (1000 * n_click) // nullif(n_view, 0) FROM a
+        |  UNION ALL SELECT 4, 'purchased_after_click', n_purchase, (1000 * n_purchase) // nullif(n_click, 0) FROM a)
+        |ORDER BY stage_ord""".stripMargin,
     // Embedding dim health: per-dim fixed-point range + exact-zero mass;
     // dead = min == max (collapsed projection).
     "q124_embedding_dim_health" ->

@@ -126,6 +126,59 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** q125 — ORDERED funnel conversion: per user, the earliest
+    * view → first click AT-OR-AFTER that view → first purchase
+    * at-or-after that click (sequence-constrained, not mere presence —
+    * a purchase before any view does NOT convert), folded into the
+    * 4-stage conversion report with integer-exact permille rates. The
+    * classic product-analytics sequence match, expressed as stacked
+    * per-user window minima instead of the O(events²) self-joins naive
+    * SQL reaches for.
+    *
+    * Scale shape: ONE user-keyed shuffle; the three stage timestamps
+    * are window minima over the same partitioning (no extra exchange —
+    * each references the previous stage's column), the per-user
+    * collapse reuses the partitioning, and the report is a 1-row global
+    * aggregate exploded to 4 rows. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+
+  /** [[funnel]] over an arbitrary (user_id, event_type, us) frame — the
+    * graded events fixture is dense enough that every user converts
+    * fully, so the spec drives a real drop-off fixture (out-of-order
+    * purchases, stage skips) through this core. */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = events
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("us") >= col("tv"), col("us"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("us") >= col("tc"), col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("tv").as("tv"), max("tc").as("tc"), max("tp").as("tp"))
+    staged.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+      .select(explode(expr(
+        """array(
+          |  named_struct('stage_ord', 1L, 'stage', 'all_users',
+          |    'n_users', n_users, 'conv_permille', 1000L),
+          |  named_struct('stage_ord', 2L, 'stage', 'viewed',
+          |    'n_users', n_view, 'conv_permille', (1000L * n_view) div nullif(n_users, 0L)),
+          |  named_struct('stage_ord', 3L, 'stage', 'clicked_after_view',
+          |    'n_users', n_click, 'conv_permille', (1000L * n_click) div nullif(n_view, 0L)),
+          |  named_struct('stage_ord', 4L, 'stage', 'purchased_after_click',
+          |    'n_users', n_purchase, 'conv_permille', (1000L * n_purchase) div nullif(n_click, 0L)))""".stripMargin)).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage_ord")
+  }
+
   /** JSON property extraction over events.props ({"k": 87}) — the json
     * scalar-function surface; sum of k per event type. */
   def jsonPropsSum(spark: SparkSession, dir: String): DataFrame =
