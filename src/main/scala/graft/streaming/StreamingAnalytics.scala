@@ -295,13 +295,18 @@ object StreamingAnalytics {
       docs: DataFrame)
       (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
+    // an out-of-range epoch would filter the rate table to zero rows and
+    // silently sample NOTHING forever — fail loudly instead (the q112
+    // count-guard convention)
+    require(epoch >= 1L && epoch <= 3L,
+      s"annealedSamplePerBatch: epoch must be 1..3 (the schedule's rungs), got $epoch")
     val rates = graft.operators.TextAnalysis
       .annealedRatesOf(graft.sources.Tables.documents(spark, dir))
       .where(col("epoch") === epoch)
       .select(col("source"), col("epoch"), col("rate_permille"))
       .persist() // frozen: train once, sample every batch against THIS table
     rates.count(): Unit
-    docs.writeStream
+    val query = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(batch
@@ -310,6 +315,23 @@ object StreamingAnalytics {
           .select(col("doc_id"), col("source"), lit(epoch).as("epoch")))
       }
       .start()
+    // release the frozen table when THIS query terminates — a long-lived
+    // ingest service that restarts samplers must not leak one cached
+    // DataFrame per launch for the life of the session
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            rates.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 
   /** Stream-stream interval join: each "view" event joins the same

@@ -103,7 +103,7 @@ class EventAnalyticsSpec extends SparkSpec {
       (4L, "purchased_after_click", 1L, 500L))) // A only: B bought too early, E never clicked
     // the graded corpus leg stays hash-gated via the oracle; here pin
     // only the structural invariant that stages never grow
-    val corpus = EventAnalytics.funnel(spark, "/root/testdata/sf0.001").collect()
+    val corpus = EventAnalytics.funnel(spark, sf0001).collect()
       .map(_.getLong(2))
     assert(corpus.zip(corpus.tail).forall { case (a, b) => b <= a })
   }

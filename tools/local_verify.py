@@ -8,14 +8,10 @@ dirs plus oracle_sql.json. Registers each test table as a DuckDB view, runs
 every oracle SQL, and value-compares against the Spark parquet with columns
 sorted by name (mirroring the driver's hash compare).
 """
-import json
 import math
 import sys
 
-import duckdb
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from oracle_common import connect_with_views, load_oracles
 
 
 def canon(rows, cols):
@@ -33,12 +29,8 @@ def canon(rows, cols):
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = connect_with_views(sf_dir)
+    oracle = load_oracles(out_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:

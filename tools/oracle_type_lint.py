@@ -13,25 +13,17 @@ Usage: python3 tools/oracle_type_lint.py <sfDir> <verifyOutDir>
 (expects <verifyOutDir>/oracle_sql.json from graft.Verify; exits 1 on
 any non-portable oracle output column.)
 """
-import json
 import sys
 
-import duckdb
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from oracle_common import connect_with_views, load_oracles
 
 # the DuckDB renderings of GateSchemaSpec's portable set
 PORTABLE = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "BOOLEAN"}
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = connect_with_views(sf_dir)
+    oracle = load_oracles(out_dir)
     bad = []
     for name, sql in sorted(oracle.items()):
         try:
