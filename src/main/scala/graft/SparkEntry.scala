@@ -129,6 +129,7 @@ object SparkEntry {
     "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
+    "q126_retrieval_eval" -> ((s, d) => TextAnalysis.retrievalEval(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -250,6 +251,27 @@ object SparkEntry {
         |     + CASE WHEN oov_permille > ${operators.TextAnalysis.GateMaxOovPermille} THEN 4 ELSE 0 END
         |     + CASE WHEN bits_x100 > ${operators.TextAnalysis.GateMaxBitsX100} THEN 8 ELSE 0 END) = 0 AS keep
         |FROM j ORDER BY doc_id""".stripMargin
+
+  // q75's integer-exact BM25 — shared verbatim by the q126 retrieval
+  // eval (CTE) and the q75 entry itself, the q116 composition rule.
+  private val bm25OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |st AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM toks),
+        |ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
+        |       WHERE term IN (${operators.TextAnalysis.Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.tf, t.dl,
+        |         ((s.n_docs + 1) * 1000000 // (d.df + 1))
+        |           * ((t.tf * 2200 * 1000) //
+        |              (1000*t.tf + 300 + (900*t.dl*1000) // (s.total_dl*1000 // s.n_docs))) AS term_score
+        |       FROM tf t JOIN dfq d USING (term) CROSS JOIN st s),
+        |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+        |          COUNT(*) AS n_terms_matched, MAX(dl) AS dl
+        |        FROM sc GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+        |SELECT rank, doc_id, score, n_terms_matched, dl FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   // Drift monitors (q111 token / q112 embedding / q115 source) — each
   // also a CTE fragment of the q116 monitor-panel oracle. The drift
@@ -1163,24 +1185,28 @@ object SparkEntry {
     // BM25 in the same integer-exact arithmetic as TextAnalysis.bm25TopDocs
     // (idf and length normalization via BIGINT integral division — `//`
     // here, `div` in Spark — so score is exact, not a float tolerance).
-    "q75_bm25_search" ->
-      (s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-        |st AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM toks),
-        |ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM ex
-        |       WHERE term IN (${operators.TextAnalysis.Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
-        |       GROUP BY 1, 2),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT t.doc_id, t.tf, t.dl,
-        |         ((s.n_docs + 1) * 1000000 // (d.df + 1))
-        |           * ((t.tf * 2200 * 1000) //
-        |              (1000*t.tf + 300 + (900*t.dl*1000) // (s.total_dl*1000 // s.n_docs))) AS term_score
-        |       FROM tf t JOIN dfq d USING (term) CROSS JOIN st s),
-        |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
-        |          COUNT(*) AS n_terms_matched, MAX(dl) AS dl
-        |        FROM sc GROUP BY 1),
-        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
-        |SELECT rank, doc_id, score, n_terms_matched, dl FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    "q75_bm25_search" -> bm25OracleSql,
+    // Retrieval eval: q75's ranking (its oracle text verbatim as a CTE)
+    // scored against strict-AND term containment; precision/recall@rank
+    // in integer permille.
+    "q126_retrieval_eval" ->
+      (s"""WITH r AS ($bm25OracleSql),
+        |rel AS (SELECT doc_id,
+        |          list_has_all(list_distinct(string_split_regex(text, '\\s+')),
+        |                       [QTERMS]) AS relevant
+        |        FROM documents),
+        |t AS (SELECT CAST(SUM(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS total_relevant FROM rel),
+        |j AS (SELECT r.rank, r.doc_id, rel.relevant FROM r JOIN rel USING (doc_id)),
+        |c AS (SELECT rank, doc_id, relevant,
+        |        CAST(SUM(CASE WHEN relevant THEN 1 ELSE 0 END)
+        |          OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_relevant
+        |      FROM j)
+        |SELECT c.rank, c.doc_id, c.relevant, c.cum_relevant,
+        |  (1000 * c.cum_relevant) // c.rank AS precision_permille,
+        |  t.total_relevant,
+        |  (1000 * c.cum_relevant) // nullif(t.total_relevant, 0) AS recall_permille
+        |FROM c, t ORDER BY c.rank""".stripMargin
+        .replace("QTERMS", operators.TextAnalysis.Bm25QueryTerms.map("'" + _ + "'").mkString(", "))),
     // Cross-doc repeated 8-token spans: DuckDB's t[i:i+7] inclusive slice
     // mirrors Spark's slice(t, i, 8); both engines md5 the identical
     // space-joined span text.

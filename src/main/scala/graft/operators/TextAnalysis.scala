@@ -322,6 +322,39 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** q126 — retrieval EVAL: precision/recall@k of q75's BM25 ranking
+    * against an exact relevance rule (a document is relevant iff it
+    * contains EVERY query term — the strict-AND ground truth a lexical
+    * ranker should dominate on). Per rank 1..k: the retrieved doc, its
+    * relevance, cumulative hits, precision@rank and recall@rank in
+    * integer permille, with the corpus-wide relevant count alongside.
+    * This closes the audit loop for the retrieval family the way q121
+    * does for dedup and q99 for sketching: the ranker's quality is a
+    * measured, hash-gated number, not an assumption.
+    *
+    * Scale shape: relevance is one map-side array check over the corpus
+    * scan; the ≤k retrieved rows probe it as a broadcast; totals are a
+    * 1-row broadcast; the precision window runs on the k-row frame. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = Tables.documents(spark, dir).select(col("doc_id"),
+      (size(array_intersect(array_distinct(expr(toksExpr)),
+        typedLit(Bm25QueryTerms))) === Bm25QueryTerms.length).as("relevant"))
+    val totals = rel.agg(
+      sum(when(col("relevant"), 1L).otherwise(0L)).as("total_relevant"))
+    val top = bm25TopDocs(spark, dir).select(col("rank"), col("doc_id"))
+    val w = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rel.join(broadcast(top), Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_relevant", sum(when(col("relevant"), 1L).otherwise(0L)).over(w))
+      .select(col("rank"), col("doc_id"), col("relevant"), col("cum_relevant"),
+        expr("(1000L * cum_relevant) div rank").as("precision_permille"),
+        col("total_relevant"),
+        expr("(1000L * cum_relevant) div nullif(total_relevant, 0L)").as("recall_permille"))
+      .orderBy("rank")
+  }
+
   /** q76 — CROSS-document repeated-span coverage: for each document, the
     * fraction of its position-indexed 8-token spans whose first corpus
     * occurrence (min doc_id owning the span) is an EARLIER document — the

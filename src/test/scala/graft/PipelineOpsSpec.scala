@@ -772,6 +772,32 @@ class PipelineOpsSpec extends SparkSpec {
       "uniform epoch must downweight the dominant source")
   }
 
+  test("q126: retrieval eval matches a driver recompute of strict-AND relevance over q75's list") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1).toSet))
+    val terms = TextAnalysis.Bm25QueryTerms.toSet
+    val relOf = docs.map { case (id, toks) => id -> terms.subsetOf(toks) }.toMap
+    val totalRel = relOf.values.count(identity).toLong
+    val top = TextAnalysis.bm25TopDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = top.scanLeft((0L, 0L, false, 0L)) { case ((_, _, _, cum), (rnk, id)) =>
+      val rel = relOf(id)
+      (rnk, id, rel, cum + (if (rel) 1L else 0L))
+    }.drop(1).map { case (rnk, id, rel, cum) =>
+      (rnk, id, rel, cum, 1000L * cum / rnk, totalRel,
+        if (totalRel == 0) null else 1000L * cum / totalRel)
+    }
+    val out = TextAnalysis.retrievalEval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) null else r.getLong(6)))
+    assert(out.toSeq === expect.toSeq)
+    // the eval is non-vacuous: the corpus holds relevant docs, and
+    // precision@k is a real measurement (between 0 and 1000)
+    assert(totalRel > 0)
+    assert(out.forall(r => r._5 >= 0L && r._5 <= 1000L))
+  }
+
   test("q123: Zipf audit matches an exact recompute; coverage is monotone to full vocabulary") {
     val toks = graft.sources.Tables.documents(spark, sf0001)
       .select("text").collect().flatMap(r => r.getString(0).split("\\s+", -1)).toSeq
@@ -1134,7 +1160,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q121_lsh_recall_audit", // modulus-1 slice over zero docs
       "q122_annealed_mixture", // empty rate table -> empty schedule
       "q123_zipf_audit", // empty histogram -> empty rank table
-      "q124_embedding_dim_health") // empty store -> empty dim table
+      "q124_embedding_dim_health", // empty store -> empty dim table
+      "q126_retrieval_eval") // empty ranking -> empty eval
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
