@@ -130,6 +130,7 @@ object SparkEntry {
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
     "q126_retrieval_eval" -> ((s, d) => TextAnalysis.retrievalEval(s, d)),
+    "q127_shard_checksums" -> ((s, d) => TextAnalysis.shardChecksums(s, d)),
     "q30_simhash"         -> ((s, d) => Dedup.simhash(s, d)),
     "q31_simhash_pairs"   -> ((s, d) => Dedup.simhashNearPairs(s, d)),
     // Similarity search (embeddings table)
@@ -1400,6 +1401,23 @@ object SparkEntry {
         |    ORDER BY skey, doc_id) AS BIGINT) AS pos,
         |  doc_id, skey, n_tokens
         |FROM d ORDER BY shard, pos""".stripMargin,
+    // Shard integrity checksums: q83's shard key + q82's content-hash
+    // fold, order-independent per-shard sums.
+    "q127_shard_checksums" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |    (doc_id * 48271 + 11) % 999983 AS skey,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), CAST(i AS INT), 1)) - 1)
+        |        * CAST(16**(8-i) AS BIGINT))) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT skey % ${operators.TextAnalysis.NumShards} AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(hv) AS BIGINT) AS content_checksum,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin,
     // Token-budget quota: greedy prefix (in hash order) per source until
     // the running token sum exceeds the budget.
     "q84_token_budget_quota" ->

@@ -1154,6 +1154,39 @@ object TextAnalysis {
       .orderBy("shard", "pos")
   }
 
+  /** q127 — shard INTEGRITY checksums: for each of q83's shards, an
+    * order-independent content fingerprint — the sum of every member
+    * document's content-hash integer (q82's first-8-md5-hex-digits
+    * fold) plus doc/token mass and the id range. This is the manifest a
+    * reproducible training run records next to its shards: a re-export
+    * whose checksum rows differ has changed CONTENT (not just file
+    * layout), and the order-independent sum means the check needs no
+    * sort and is map-side combinable — verifying a 100 TB export costs
+    * one scan. q83 says WHERE each doc goes; this says the shard is
+    * still WHAT it was.
+    *
+    * (Sum, not XOR: a doc included twice cancels under XOR but shifts a
+    * sum; hv < 2³² so int64 wraps only past ~2³¹ docs per shard —
+    * beyond any shard sizing.)
+    *
+    * Scale shape: strictly map-side expression work (md5 + fold + shard
+    * key), then ONE shard-keyed aggregate with [[NumShards]] groups of
+    * constant state. */
+  def shardChecksums(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
+        pmod(col("doc_id") * lit(48271L) + lit(11L), lit(999983L)).as("skey"),
+        conv(substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .withColumn("shard", pmod(col("skey"), lit(NumShards)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("hv").as("content_checksum"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("shard")
+
   /** Per-source token budget for [[tokenBudgetQuota]]. */
   val QuotaTokens = 400L
 

@@ -798,6 +798,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(r => r._5 >= 0L && r._5 <= 1000L))
   }
 
+  test("q127: shard checksums match a driver recompute; a content edit moves exactly one row") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hv(t: String): Long = {
+      // exactly q82's normalization: collapse \s+ runs, lowercase — no trim
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.replaceAll("\\s+", " ").toLowerCase.getBytes("UTF-8"))
+      // first 8 hex digits as an integer — q82's fold
+      java.lang.Long.parseLong(md5.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def table(ds: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long, Long)] =
+      ds.map { case (id, t) =>
+        val skey = Math.floorMod(id * 48271L + 11L, 999983L)
+        (Math.floorMod(skey, TextAnalysis.NumShards), id, t)
+      }.groupBy(_._1).map { case (shard, xs) =>
+        shard -> (xs.size.toLong,
+          xs.map { case (_, _, t) => t.split("\\s+", -1).length.toLong }.sum,
+          xs.map { case (_, _, t) => hv(t) }.sum,
+          xs.map(_._2).min, xs.map(_._2).max)
+      }
+    val expect = table(docs.toSeq)
+    val out = TextAnalysis.shardChecksums(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out === expect)
+    assert(out.values.map(_._1).sum === docs.length.toLong, "shards must partition the corpus")
+    // the integrity claim, executed: editing ONE doc's content changes
+    // exactly that doc's shard checksum and nothing else
+    val (editId, editText) = docs.head
+    val edited = table(docs.toSeq.map { case (id, t) =>
+      if (id == editId) (id, t + " tampered") else (id, t)
+    })
+    val editShard = Math.floorMod(Math.floorMod(editId * 48271L + 11L, 999983L),
+      TextAnalysis.NumShards)
+    assert(edited(editShard)._3 !== expect(editShard)._3, "tampering must move the checksum")
+    (expect.keySet - editShard).foreach(sh => assert(edited(sh) === expect(sh)))
+    val _ = editText
+  }
+
   test("q123: Zipf audit matches an exact recompute; coverage is monotone to full vocabulary") {
     val toks = graft.sources.Tables.documents(spark, sf0001)
       .select("text").collect().flatMap(r => r.getString(0).split("\\s+", -1)).toSeq
@@ -1161,7 +1201,8 @@ class PipelineOpsSpec extends SparkSpec {
       "q122_annealed_mixture", // empty rate table -> empty schedule
       "q123_zipf_audit", // empty histogram -> empty rank table
       "q124_embedding_dim_health", // empty store -> empty dim table
-      "q126_retrieval_eval") // empty ranking -> empty eval
+      "q126_retrieval_eval", // empty ranking -> empty eval
+      "q127_shard_checksums") // zero shards over zero docs
     try {
       ops.foreach { n =>
         assert(SparkEntry.queries(n)(spark, dest.toString).collect().isEmpty, n)
