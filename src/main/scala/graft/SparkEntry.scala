@@ -1404,14 +1404,16 @@ object SparkEntry {
     // Shard integrity checksums: q83's shard key + q82's content-hash
     // fold, order-independent per-shard sums.
     "q127_shard_checksums" ->
-      s"""WITH d AS (SELECT doc_id,
+      s"""WITH m AS (SELECT doc_id, text,
+        |      md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+        |    FROM documents),
+        |d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
         |    (doc_id * 48271 + 11) % 999983 AS skey,
         |    CAST(list_sum(list_transform(range(1, 9), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), CAST(i AS INT), 1)) - 1)
+        |      (strpos('0123456789abcdef', substr(content_md5, CAST(i AS INT), 1)) - 1)
         |        * CAST(16**(8-i) AS BIGINT))) AS BIGINT) AS hv
-        |  FROM documents)
+        |  FROM m)
         |SELECT skey % ${operators.TextAnalysis.NumShards} AS shard,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,

@@ -1112,11 +1112,27 @@ object TextAnalysis {
   /** [[leakageSafeSplit]] without the presentation sort — the
     * composition form ([[trainingManifest]] joins it on doc_id and
     * re-shuffles). */
+  /** q27/q82's normalized content digest — one definition for the split
+    * and checksum surfaces (Dedup.scala derives its own for the dedup
+    * family). */
+  private[graft] def contentMd5: org.apache.spark.sql.Column =
+    md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** q82's first-8-hex-digits integer fold of a digest column. */
+  private[graft] def hvOf(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(m, 1, 8), 16, 10).cast("long")
+
+  /** q83's deterministic shuffle key + shard route — shared by the
+    * manifest (q83) and the integrity checksums (q127) so the "same
+    * shards" contract between them has one definition. */
+  private def withShardKey(docs: DataFrame): DataFrame = docs
+    .withColumn("skey", pmod(col("doc_id") * lit(48271L) + lit(11L), lit(999983L)))
+    .withColumn("shard", pmod(col("skey"), lit(NumShards)))
+
   private[graft] def leakageSafeSplitUnordered(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
-      .withColumn("hv", conv(substring(col("content_md5"), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), contentMd5.as("content_md5"))
+      .withColumn("hv", hvOf(col("content_md5")))
       .withColumn("split",
         when(pmod(col("hv"), lit(100)) < 80, "train")
           .when(pmod(col("hv"), lit(100)) < 90, "val")
@@ -1145,10 +1161,8 @@ object TextAnalysis {
   def shardManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
-        pmod(col("doc_id") * lit(48271L) + lit(11L), lit(999983L)).as("skey"))
-      .withColumn("shard", pmod(col("skey"), lit(NumShards)))
+    withShardKey(Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens")))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("shard", "pos", "doc_id", "skey", "n_tokens")
       .orderBy("shard", "pos")
@@ -1173,12 +1187,9 @@ object TextAnalysis {
     * key), then ONE shard-keyed aggregate with [[NumShards]] groups of
     * constant state. */
   def shardChecksums(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    withShardKey(Tables.documents(spark, dir)
       .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
-        pmod(col("doc_id") * lit(48271L) + lit(11L), lit(999983L)).as("skey"),
-        conv(substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 8), 16, 10)
-          .cast("long").as("hv"))
-      .withColumn("shard", pmod(col("skey"), lit(NumShards)))
+        hvOf(contentMd5).as("hv")))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),

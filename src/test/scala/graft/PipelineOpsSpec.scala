@@ -803,9 +803,12 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     def hv(t: String): Long = {
-      // exactly q82's normalization: collapse \s+ runs, lowercase — no trim
+      // exactly q82's normalization: collapse \s+ runs, lowercase — no
+      // trim; Locale.ROOT so a tr_TR-default JVM can't fold 'I' differently
+      // from Spark's locale-independent ASCII lower
       val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.replaceAll("\\s+", " ").toLowerCase.getBytes("UTF-8"))
+        .digest(t.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+          .getBytes("UTF-8"))
       // first 8 hex digits as an integer — q82's fold
       java.lang.Long.parseLong(md5.take(4).map(b => f"$b%02x").mkString, 16)
     }
@@ -819,6 +822,11 @@ class PipelineOpsSpec extends SparkSpec {
           xs.map { case (_, _, t) => hv(t) }.sum,
           xs.map(_._2).min, xs.map(_._2).max)
       }
+    // corpus precondition the whole oracle surface shares: Java \s
+    // matches vertical tab, RE2's does not — the engines agree only
+    // while the fixture contains none (the BMP-only assertion's twin)
+    assert(docs.forall { case (_, t) => !t.contains('\u000B') },
+      "corpus must not contain vertical tabs: Java and RE2 \\s dialects diverge there")
     val expect = table(docs.toSeq)
     val out = TextAnalysis.shardChecksums(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
