@@ -302,11 +302,13 @@ object SparkEntry {
         |ORDER BY drift_x DESC, tok LIMIT 25""".stripMargin
 
   private val embeddingDriftOracleSql: String =
-    """WITH e AS (SELECT is_batch, label, dim,
-        |             CAST(floor(CAST(v AS DOUBLE) * 1e12) AS BIGINT) AS vf
-        |           FROM (SELECT vec_id % 10 = 9 AS is_batch, label,
-        |                   unnest(range(1, 65)) AS dim, unnest(embedding) AS v
-        |                 FROM embeddings)),
+    """WITH e0 AS (SELECT vec_id % 10 = 9 AS is_batch, label,
+        |              unnest(list_transform(embedding,
+        |                (v, i) -> struct_pack(dim := i, v := v))) AS z
+        |            FROM embeddings),
+        |e AS (SELECT is_batch, label, CAST(z.dim AS BIGINT) AS dim,
+        |             CAST(floor(CAST(z.v AS DOUBLE) * 1e12) AS BIGINT) AS vf
+        |           FROM e0),
         |c AS (SELECT label,
         |        SUM(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS n_batch,
         |        SUM(CASE WHEN vec_id % 10 = 9 THEN 0 ELSE 1 END) AS n_hist
@@ -1305,12 +1307,15 @@ object SparkEntry {
         |  UNION ALL SELECT 4, 'purchased_after_click', n_purchase, (1000 * n_purchase) // nullif(n_click, 0) FROM a)
         |ORDER BY stage_ord""".stripMargin,
     // Embedding dim health: per-dim fixed-point range + exact-zero mass;
-    // dead = min == max (collapsed projection).
+    // dead = min == max (collapsed projection). Dims come from the ARRAY
+    // (index-lambda unnest), not a fixed range(1,65) zip, so ragged or
+    // null vectors report the same dim cells as the Spark posexplode.
     "q124_embedding_dim_health" ->
-      """WITH e AS (SELECT CAST(dim AS BIGINT) AS dim,
-        |             CAST(floor(CAST(v AS DOUBLE) * 1e12) AS BIGINT) AS vf, v
-        |           FROM (SELECT unnest(range(1, 65)) AS dim, unnest(embedding) AS v
-        |                 FROM embeddings))
+      """WITH z AS (SELECT unnest(list_transform(embedding,
+        |             (v, i) -> struct_pack(dim := i, v := v))) AS z FROM embeddings),
+        |e AS (SELECT CAST(z.dim AS BIGINT) AS dim,
+        |             CAST(floor(CAST(z.v AS DOUBLE) * 1e12) AS BIGINT) AS vf, z.v AS v
+        |           FROM z)
         |SELECT dim, MIN(vf) AS vmin_fp, MAX(vf) AS vmax_fp,
         |  MAX(vf) - MIN(vf) AS spread_fp,
         |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,

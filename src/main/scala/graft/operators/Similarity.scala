@@ -1001,12 +1001,13 @@ object Similarity {
 
   /** [[embeddingDrift]] over an arbitrary (vec_id, label, embedding)
     * frame — the spec drives damaged fixtures (NULL / empty vectors
-    * mixed into normal labels) through it. Known boundary, documented
-    * rather than chased: a label consisting ONLY of null/empty
-    * embeddings has no dim cells at all and is absent from the report
-    * (the oracle's fixed range(1,65) zip would emit it with NULL
-    * sums); any label with at least one real vector reports exactly
-    * the oracle's numbers, null/empty members included in its counts. */
+    * mixed into normal labels) through it. The oracle derives dim
+    * cells from the actual arrays (index-lambda unnest), matching this
+    * side's posexplode positions, so ragged vectors report identical
+    * dim sets on both engines and a label consisting ONLY of
+    * null/empty embeddings is absent from BOTH reports (it has no dim
+    * cells anywhere); null/empty members of a live label still count
+    * toward its n_batch/n_hist on both sides. */
   private[graft] def embeddingDriftOf(raw: DataFrame): DataFrame = {
     val emb = raw
       .withColumn("is_batch", pmod(col("vec_id"), lit(10)) === 9)

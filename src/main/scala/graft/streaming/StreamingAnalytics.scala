@@ -318,19 +318,28 @@ object StreamingAnalytics {
     // release the frozen table when THIS query terminates — a long-lived
     // ingest service that restarts samplers must not leak one cached
     // DataFrame per launch for the life of the session
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            rates.unpersist()
-            spark.streams.removeListener(this)
-          }
-      })
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          rates.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    // the query can die between start() and addListener — its terminated
+    // event then fired before anyone was listening, and the cleanup above
+    // would never run; close that window by checking liveness AFTER
+    // registration (unpersist/removeListener are both idempotent, so a
+    // double-fire with a racing event is harmless)
+    if (!query.isActive) {
+      rates.unpersist()
+      spark.streams.removeListener(listener)
+    }
     query
   }
 
