@@ -147,6 +147,7 @@ object SparkEntry {
     // Multimodal codec-free decode pipeline + CLF parity fixtures
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q96_media_thumbnails" -> ((s, d) => Multimodal.mediaThumbnails(s, d)),
+    "q128_image_near_dup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -964,6 +965,49 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    // Perceptual image near-dup: the q96 pixel-generator-derived 8x8
+    // gray grid folded to a 64-bit aHash (bit t: 64*gray >= sum, the
+    // exact-integer mean threshold), split into two unsigned 32-bit
+    // halves, banded 4x16 with the q29c capped-bucket machinery, and
+    // verified by XOR-popcount Hamming.
+    "q128_image_near_dup" ->
+      s"""WITH p AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 64), t ->
+        |          ( (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+        |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+        |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+        |      FROM p),
+        |gs AS (SELECT doc_id, gr, CAST(list_sum(gr) AS BIGINT) AS s FROM g),
+        |ah AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(32, 64), t ->
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= s
+        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+        |         CAST(list_sum(list_transform(range(0, 32), t ->
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= s
+        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+        |       FROM gs),
+        |bd AS (SELECT doc_id, hi, lo, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM ah),
+        |mem AS (SELECT doc_id, hi, lo, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
+        |        FROM bd),
+        |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, a.hi AS hi1, a.lo AS lo1,
+        |                b.doc_id AS d2, b.hi AS hi2, b.lo AS lo2
+        |         FROM kept a JOIN kept b
+        |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
     // Incremental dedup: batch (doc_id % 10 = 9) probed against the
     // min-doc_id-per-hash index built from the rest.
     "q68_incremental_dedup" ->

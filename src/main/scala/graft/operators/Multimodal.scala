@@ -175,22 +175,37 @@ object Multimodal {
     * (ty·H div E, tx·W div E), the [[frameOffsets]] mapping in 2-D;
     * gray = (R+G+B) div 3, all integer. */
   private[graft] def resizeBmpGray(docId: Long, payload: Array[Byte]): ThumbRow = {
-    val (w, h) = MediaCodecs.bmpDims(payload)
-    val vals = new Array[Int](w * h * 3)
-    var i = 0
-    MediaCodecs.decodeBmp(payload) { v => vals(i) = v; i += 1 }
+    val (w, h, g) = grayGrid(payload)
     val e = ThumbEdge
     var t = 0; var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var cks = 0L
     while (t < e * e) {
-      val ty = t / e; val tx = t % e
-      val sy = ty * h / e; val sx = tx * w / e
-      val p = (sy * w + sx) * 3
-      val gray = (vals(p) + vals(p + 1) + vals(p + 2)) / 3L
+      val gray = g(t)
       sum += gray; if (gray < mn) mn = gray; if (gray > mx) mx = gray
       cks += (t + 1) * gray
       t += 1
     }
     ThumbRow(docId, w.toLong, h.toLong, sum / (e * e), mn, mx, cks)
+  }
+
+  /** Decode one BMP and nearest-neighbor-resize it to the [[ThumbEdge]]²
+    * grayscale grid (row-major) — the shared first stage of the q96
+    * thumbnail summary and the q128 perceptual hash. */
+  private[graft] def grayGrid(payload: Array[Byte]): (Int, Int, Array[Long]) = {
+    val (w, h) = MediaCodecs.bmpDims(payload)
+    val vals = new Array[Int](w * h * 3)
+    var i = 0
+    MediaCodecs.decodeBmp(payload) { v => vals(i) = v; i += 1 }
+    val e = ThumbEdge
+    val g = new Array[Long](e * e)
+    var t = 0
+    while (t < e * e) {
+      val ty = t / e; val tx = t % e
+      val sy = ty * h / e; val sx = tx * w / e
+      val p = (sy * w + sx) * 3
+      g(t) = (vals(p) + vals(p + 1) + vals(p + 2)) / 3L
+      t += 1
+    }
+    (w, h, g)
   }
 
   /** q96 — media RESIZE: every BMP document decoded and downsampled to a
@@ -241,6 +256,104 @@ object Multimodal {
     * hash gate (q36). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).orderBy("doc_id")
+
+  /** Max bit-Hamming distance for [[imageNearDup]] verdicts (of 64). */
+  val ImgHammingMax = 6
+
+  /** Typed aHash row: the 64-bit perceptual hash split into two
+    * non-negative 32-bit halves so every downstream band/XOR/popcount —
+    * on BOTH engines — runs on values with no sign bit to disagree
+    * about (DuckDB range-checks BIGINT shifts; Spark wraps). `lo` holds
+    * thumb cells 0–31 (bit t = cell t), `hi` cells 32–63. */
+  case class AHashRow(doc_id: Long, hi: Long, lo: Long)
+
+  /** Average-hash of one thumbnail grid: bit t set iff cell t is at or
+    * above the grid mean — compared as `64·gray(t) >= Σ gray` so the
+    * mean never rounds (the exact-integer analog of gray >= mean). */
+  private[graft] def aHashOf(g: Array[Long]): (Long, Long) = {
+    var sum = 0L; var t = 0
+    while (t < g.length) { sum += g(t); t += 1 }
+    var hi = 0L; var lo = 0L
+    t = 0
+    while (t < 64) {
+      if (64L * g(t) >= sum) {
+        if (t < 32) lo |= 1L << t else hi |= 1L << (t - 32)
+      }
+      t += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-image perceptual hashes: decode → 8×8 gray grid ([[grayGrid]],
+    * q96's kernel) → [[aHashOf]], in the same typed mapPartitions batch
+    * shape as [[extractFeatures]]. Map-side only. */
+  private[graft] def imageAHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .where(col("meta.format") === "bmp")
+      .select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (_, _, g) = grayGrid(Option(m.payload).getOrElse(Array.emptyByteArray))
+          val (hi, lo) = aHashOf(g)
+          AHashRow(m.doc_id, hi, lo)
+        }
+      }
+      .toDF()
+  }
+
+  /** q128 — PERCEPTUAL image near-dup: every BMP document is reduced to
+    * a 64-bit aHash over its q96 thumbnail (decode → 8×8 gray grid →
+    * mean-threshold bits), then the q31 banded-Hamming machinery finds
+    * near-identical images: 4 bands of 16 bits, candidates share a band
+    * (pigeonhole guarantees recall for distance ≤ 3; beyond that it is
+    * LSH-style candidate generation, same contract as q31), buckets
+    * capped at [[Dedup.MaxBucket]] smallest doc_ids with the overflow
+    * observed, verified by exact XOR-popcount Hamming ≤
+    * [[ImgHammingMax]]. This is image-level dedup for a multimodal
+    * training corpus — re-encoded or re-scaled copies of one picture
+    * collapse to the same hash even when their byte payloads differ
+    * (the corpus's identical-content classes land at distance 0; the
+    * spec drives few-bit-flip fixtures through the band recall).
+    *
+    * The DuckDB oracle re-derives the hash from the synthetic pixel
+    * generator in closed form (the q96 pattern) and replays the same
+    * banding, cap, and popcount — the gate covers decode → resize →
+    * hash → band → verify end-to-end.
+    *
+    * Scale shape: hashing is map-side; the only data-sized shuffle is
+    * the band groupBy (4 rows/image, the q31 bound); pair expansion is
+    * O(MaxBucket²) per bucket; verify runs BEFORE the cross-band
+    * distinct so only surviving near-pairs pay that shuffle. Never
+    * all-pairs. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    val banded = imageAHashes(spark, dir).select(
+      col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        expr("hi div 65536"), expr("hi % 65536"),
+        expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("hi"), col("lo")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+      .observe("q128_image_buckets",
+        sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('d1', x.doc_id, 'hi1', x.hi, 'lo1', x.lo,
+          |                 'd2', y.doc_id, 'hi2', y.hi, 'lo2', y.lo))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        expr("CAST(bit_count(p.hi1 ^ p.hi2) + bit_count(p.lo1 ^ p.lo2) AS BIGINT)").as("hamming"))
+      // verify + threshold BEFORE the cross-band dedup (a duplicate
+      // candidate's hamming is identical in every band), q31's trick
+      .where(col("hamming") <= ImgHammingMax)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
 }
 
 /** Codec-free encoders/decoders: every format here is header + raw

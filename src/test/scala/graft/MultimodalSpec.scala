@@ -143,6 +143,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameOffsets(30, 5).toSeq === Seq(0, 6, 12, 18, 24))
   }
 
+  test("q128: aHash bit rule — exact mean threshold, tie set, hi/lo packing") {
+    // half the grid at 0, half at 100: sum = 3200, threshold 64*g >= 3200
+    val half = Array.fill(32)(0L) ++ Array.fill(32)(100L)
+    val (hi, lo) = Multimodal.aHashOf(half)
+    assert(lo === 0L, "cells 0..31 are below the mean")
+    assert(hi === 0xFFFFFFFFL, "cells 32..63 are at or above the mean")
+    // a flat grid ties 64*g == sum on every cell: >= keeps ALL bits set
+    val (fhi, flo) = Multimodal.aHashOf(Array.fill(64)(7L))
+    assert(fhi === 0xFFFFFFFFL && flo === 0xFFFFFFFFL)
+    // single-cell packing: only thumb cell 0 below mean → lo bit 0 clear
+    val g = Array.fill(64)(10L); g(0) = 0L
+    val (shi, slo) = Multimodal.aHashOf(g)
+    assert(shi === 0xFFFFFFFFL && slo === 0xFFFFFFFEL)
+  }
+
+  test("q128: banded pairs equal the brute-force band-sharing capped near pairs") {
+    val hs = Multimodal.imageAHashes(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hi"), r.getAs[Long]("lo")))
+    assert(hs.nonEmpty)
+    def bands(hi: Long, lo: Long): Seq[(Int, Long)] =
+      Seq(hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF).zipWithIndex.map(_.swap)
+    // brute-force re-derivation of the operator's contract: per (band_idx,
+    // band_val) bucket keep the MaxBucket smallest doc_ids, expand pairs,
+    // verify exact XOR-popcount Hamming, dedup across bands
+    val expected = hs.flatMap { case (d, hi, lo) => bands(hi, lo).map(b => (b, (d, hi, lo))) }
+      .groupBy(_._1).values.flatMap { grp =>
+        val members = grp.map(_._2).sortBy(_._1).take(operators.Dedup.MaxBucket)
+        for {
+          i <- members.indices; j <- (i + 1) until members.length
+          (d1, h1, l1) = members(i); (d2, h2, l2) = members(j)
+          ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+          if ham <= Multimodal.ImgHammingMax
+        } yield (d1, d2, ham.toLong)
+      }.toSet
+    val got = Multimodal.imageNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === expected)
+    assert(got.sortBy(p => (p._1, p._2)).toSeq === got.toSeq, "output sorted d1, d2")
+  }
+
+  test("q128: identical pixel classes pair at Hamming 0 (sf0.1 — ids span a 768 period)") {
+    // the generator repeats pixels AND dims when doc_id ≡ (mod 768), so any
+    // corpus whose BMP ids span ≥ 768 carries byte-identical image classes
+    // — the 500-doc sf0.001/sf0.01 corpora don't, sf0.1's 5000 ids do
+    val sf001 = "/root/testdata/sf0.1"
+    val hs = Multimodal.imageAHashes(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hi"), r.getAs[Long]("lo")))
+    val dupClass = hs.map(_._1).groupBy(_ % 768).values.find(_.length >= 2)
+    assert(dupClass.nonEmpty, "sf0.01 should contain an identical-image class")
+    val Array(a, b) = dupClass.get.sorted.take(2)
+    val got = Multimodal.imageNearDup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.contains((a, b, 0L)), s"identical images $a,$b should pair at distance 0")
+    assert(got.forall(_._3 <= Multimodal.ImgHammingMax))
+  }
+
   test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {
     val out = Multimodal.mediaThumbnails(spark, sf0001).collect()
     assert(out.nonEmpty)
