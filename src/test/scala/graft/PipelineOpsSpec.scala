@@ -772,6 +772,70 @@ class PipelineOpsSpec extends SparkSpec {
       "uniform epoch must downweight the dominant source")
   }
 
+  test("q129: DSIR weights match a driver recompute; kept mixture shifts toward the target") {
+    import spark.implicits._
+    // three populations: the declared target slice, raw docs sharing the
+    // target's vocabulary, raw docs from a disjoint vocabulary — the
+    // selection must keep target-like docs and drop off-target ones
+    val tgtText = Seq.fill(4)("alpha beta gamma delta epsilon").mkString(" ")
+    val offText = Seq.fill(4)("omega sigma tau rho kappa").mkString(" ")
+    val fixture =
+      (0L until 30L).map(i => (i, "tgt", tgtText)) ++
+      (0L until 100L).map(i => (1000L + i, "likeA", tgtText)) ++
+      (0L until 100L).map(i => (2000L + i, "offB", offText))
+    // driver recompute of the full integer pipeline (md5 bucket hash,
+    // smoothed cross-multiplied ratio, mean weight, hash keep cut)
+    def bucketOf(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % TextAnalysis.DsirBuckets
+    }
+    def feats(text: String): Seq[Long] = {
+      val ts = text.split("\\s+", -1).toSeq
+      (ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }).map(bucketOf)
+    }
+    val occ = fixture.flatMap { case (id, lang, text) => feats(text).map(b => (id, lang, b)) }
+    val dR = occ.size.toLong
+    val dT = occ.count(_._2 == "tgt").toLong
+    val B = TextAnalysis.DsirBuckets.toLong
+    val wOf = occ.groupBy(_._3).map { case (b, xs) =>
+      val cR = xs.size.toLong
+      val cT = xs.count(_._2 == "tgt").toLong
+      b -> (BigInt(1000) * BigInt(cT + 1) * BigInt(dR + B) /
+        (BigInt(cR + 1) * BigInt(dT + B))).toLong
+    }
+    val perDoc = fixture.map { case (id, lang, text) =>
+      val ws = feats(text).map(wOf)
+      val w = math.min(TextAnalysis.DsirCapPermille, ws.sum / ws.length)
+      val kept = Math.floorMod(id * 1597334677L + 7L, 1000000L) <
+        w * TextAnalysis.DsirBudgetPermille
+      (id, lang, w, kept)
+    }
+    val expect = perDoc.groupBy(_._2).toSeq.map { case (lang, xs) =>
+      val kept = xs.filter(_._4)
+      (lang, lang == "tgt", xs.size.toLong, kept.size.toLong,
+        1000L * kept.size / xs.size, xs.map(_._3).sum / xs.size,
+        if (kept.isEmpty) 0L else kept.map(_._3).sum / kept.size)
+    }.sortBy(_._1)
+    val got = TextAnalysis.dsirSampleOf(
+      fixture.toDF("doc_id", "lang", "text"), org.apache.spark.sql.functions.col("lang") === "tgt")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === expect)
+    // the selection property itself: target-vocabulary docs keep at a far
+    // higher rate and weight than off-vocabulary docs — the kept mixture
+    // SHIFTS toward the declared target distribution
+    val byLang = got.map(r => r._1 -> r).toMap
+    assert(byLang("likeA")._5 > 2 * byLang("offB")._5,
+      "target-like docs must be kept at a much higher rate than off-target docs")
+    assert(byLang("likeA")._6 > byLang("offB")._6,
+      "target-like docs must carry higher importance weights")
+    assert(byLang("offB")._5 < TextAnalysis.DsirBudgetPermille,
+      "off-target docs must be kept below the neutral budget rate")
+    assert(byLang("likeA")._4 > 0 && byLang("tgt")._4 > 0, "selection must be non-empty")
+  }
+
   test("q126: retrieval eval matches a driver recompute of strict-AND relevance over q75's list") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
