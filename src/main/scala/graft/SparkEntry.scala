@@ -129,6 +129,7 @@ object SparkEntry {
     "q123_zipf_audit"     -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q129_dsir_sample"    -> ((s, d) => TextAnalysis.dsirSample(s, d)),
     "q130_unigram_train"  -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
+    "q132_k_anonymity"    -> ((s, d) => TextAnalysis.kAnonymityAudit(s, d)),
     "q131_unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
@@ -1409,6 +1410,17 @@ object SparkEntry {
         |  COALESCE(CAST(SUM(CASE WHEN kept THEN w_doc END) AS BIGINT)
         |    // nullif(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT), 0), 0) AS mean_w_kept_permille
         |FROM k GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+    // k-anonymity screen: group sizes over the (source, lang,
+    // length-bucket) quasi-identifier tuple, below-k flags, corpus k.
+    "q132_k_anonymity" ->
+      s"""WITH g AS (SELECT source, lang,
+        |    n_chars // ${operators.TextAnalysis.KAnonLenBucket} * ${operators.TextAnalysis.KAnonLenBucket} AS len_bucket_lo,
+        |    COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, lang, len_bucket_lo, n_docs,
+        |  n_docs < ${operators.TextAnalysis.KAnonK} AS below_k,
+        |  CAST(MIN(n_docs) OVER () AS BIGINT) AS corpus_k
+        |FROM g ORDER BY source, lang, len_bucket_lo""".stripMargin,
     // Unigram-LM tokenizer: seed substring stats, whole-bit costs, one
     // unrolled-Viterbi hard-E-step, usage-ranked prune — the whole
     // trained vocab re-derived in SQL (generated CTE chain, the q103

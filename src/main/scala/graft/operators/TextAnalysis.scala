@@ -692,6 +692,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Minimum group size a released quasi-identifier combination must
+    * reach in [[kAnonymityAudit]] (k of k-anonymity). */
+  val KAnonK = 5L
+  /** Document-length bucketing width for the quasi-identifier tuple. */
+  val KAnonLenBucket = 100L
+
+  /** q132 — k-ANONYMITY / quasi-identifier audit: the aggregate twin of
+    * q66's direct-identifier detection. Direct identifiers get redacted;
+    * what re-identifies people AFTER redaction is the combination of
+    * quasi-identifiers a release still carries — here (source, lang,
+    * length-bucket), the screen a release pipeline runs before
+    * publishing a corpus. Per combination: its group size, whether it
+    * falls below [[KAnonK]] (a document in such a group is
+    * re-identifiable by its quasi-identifier tuple alone), and the
+    * release's overall k-anonymity (the smallest group size — the
+    * single number privacy review asks for).
+    *
+    * Scale shape: the bucketing is a map-side expression; ONE
+    * (source × lang × bucket)-bounded groupBy with map-side partials;
+    * the corpus-k window runs over that bounded group frame, never the
+    * corpus. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $KAnonLenBucket * $KAnonLenBucket").as("len_bucket_lo"))
+      .groupBy("source", "lang", "len_bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("below_k", col("n_docs") < KAnonK)
+      .withColumn("corpus_k", min(col("n_docs")).over(whole))
+      .orderBy("source", "lang", "len_bucket_lo")
+  }
+
   /** q69 — stratified mixture sampling: rebalance the language mix with
     * per-stratum target rates (downsample the dominant 'en', keep most of
     * the rare 'zh'), the mixture-construction step of every published
@@ -1285,7 +1319,14 @@ object TextAnalysis {
     * key), then ONE shard-keyed aggregate with [[NumShards]] groups of
     * constant state. */
   def shardChecksums(spark: SparkSession, dir: String): DataFrame =
-    withShardKey(Tables.documents(spark, dir)
+    shardChecksumsOf(Tables.documents(spark, dir)).orderBy("shard")
+
+  /** [[shardChecksums]] over an arbitrary (doc_id, text) frame — the
+    * per-micro-batch partial the streaming export manifest
+    * ([[graft.streaming.StreamingAnalytics.shardManifestPerBatch]])
+    * folds into its running state. */
+  private[graft] def shardChecksumsOf(docs: DataFrame): DataFrame =
+    withShardKey(docs
       .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_tokens"),
         hvOf(contentMd5).as("hv")))
       .groupBy("shard")
@@ -1294,7 +1335,19 @@ object TextAnalysis {
         sum("hv").as("content_checksum"),
         min("doc_id").as("min_doc_id"),
         max("doc_id").as("max_doc_id"))
-      .orderBy("shard")
+
+  /** Merge two shard manifests: every statistic q127 records is an
+    * order-free fold (sums, min, max), so incremental maintenance is
+    * one bounded groupBy over the union — the property that makes the
+    * manifest streamable at all. */
+  private[graft] def mergeShardManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("content_checksum").as("content_checksum"),
+        min("min_doc_id").as("min_doc_id"),
+        max("max_doc_id").as("max_doc_id"))
 
   /** Per-source token budget for [[tokenBudgetQuota]]. */
   val QuotaTokens = 400L

@@ -282,6 +282,55 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming EXPORT MANIFEST — the stream twin of q127's shard
+    * integrity checksums: as documents are exported shard by shard, the
+    * per-shard rolling manifest (doc/token mass, order-free content
+    * checksum, id range) is maintained incrementally — every q127
+    * statistic is a sum/min/max fold, so merging a micro-batch costs one
+    * NumShards-bounded aggregate and any batching order converges to the
+    * batch manifest.
+    *
+    * Exactly-once despite foreachBatch's at-least-once replay: a sum is
+    * NOT idempotent (unlike the per-doc twins above), so the state is
+    * versioned — each applied batch writes the merged manifest to
+    * `statePath/v=<batchId>` (parquet's _SUCCESS marks the version
+    * complete) and a replayed batchId at or below the newest complete
+    * version is SKIPPED. A crash after the state write but before the
+    * checkpoint commit therefore replays into a no-op, and a crash
+    * mid-write leaves no _SUCCESS, so the retry re-merges from the
+    * previous version. (Local-FS listing here; a cluster deployment
+    * swaps in the Hadoop FileSystem API, same protocol.) Kill + restart
+    * leg spec'd in StreamingSpec: converged state == batch q127. */
+  def shardManifestPerBatch(spark: SparkSession, docs: DataFrame,
+      statePath: String, checkpointLocation: String)
+      (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def completeVersions(): Seq[Long] = {
+      val d = new java.io.File(statePath)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.stripPrefix("v=").toLong)
+    }
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vs = completeVersions()
+        if (vs.isEmpty || batchId > vs.max) {
+          val partial = graft.operators.TextAnalysis.shardChecksumsOf(batch)
+          val merged = vs.sorted.lastOption match {
+            case Some(v) => graft.operators.TextAnalysis.mergeShardManifests(
+              spark.read.parquet(s"$statePath/v=$v"), partial)
+            case None => partial
+          }
+          merged.coalesce(1).write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+          onUpdate(spark.read.parquet(s"$statePath/v=$batchId"))
+        }
+      }
+      .start()
+  }
+
   /** Streaming ingest SAMPLER — the stream twin of q122's annealed
     * mixture: the (epoch, source) rate table is trained ONCE on the
     * corpus and FROZEN (the q90/q111 frozen-model contract applied to

@@ -836,6 +836,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byLang("likeA")._4 > 0 && byLang("tgt")._4 > 0, "selection must be non-empty")
   }
 
+  test("q132: k-anonymity audit matches a driver recompute; flags and corpus k are consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy { case (s, l, n) =>
+      (s, l, n / TextAnalysis.KAnonLenBucket * TextAnalysis.KAnonLenBucket)
+    }.map { case ((s, l, b), xs) => (s, l, b, xs.length.toLong) }.toSeq
+    val corpusK = expect.map(_._4).min
+    val out = TextAnalysis.kAnonymityAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      expect.sortBy(t => (t._1, t._2, t._3)))
+    out.foreach { t =>
+      assert(t._5 === (t._4 < TextAnalysis.KAnonK), s"below_k flag wrong for $t")
+      assert(t._6 === corpusK, s"corpus_k must be the global min group size")
+    }
+    // the screen is non-vacuous on the fixture: both flag values occur
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
+
   test("q130: unrolled Viterbi picks the min-cost segmentation, longest piece on ties") {
     import spark.implicits._
     val hist = Seq(("abab", 5L), ("cab", 2L)).toDF("w", "wcnt")
