@@ -45,6 +45,24 @@ class ProfilingSpec extends SparkSpec {
       s"text_clean(${r.getLong(0)}) still has a run > MaxRun"))
   }
 
+  test("q33/q34b counted: the plans r11's bench drift suspected are pinned") {
+    // r11 timed q33 +47% / q34b +40% vs r10 on unchanged code; these pins
+    // make "the plan changed" mechanically checkable so any future drift
+    // adjudicates to the rig, not the engine (BASELINE.md round-12 note)
+    val ex33 = shuffleExchanges(Similarity.knnBrute(spark, sf0001))
+      .map(_.outputPartitioning.getClass.getSimpleName).sorted
+    // broadcast query side -> the only shuffles are the per-query rank
+    // window hash and the contract sort
+    assert(ex33 === Seq("HashPartitioning", "RangePartitioning"),
+      s"q33 exchange shapes: $ex33")
+    val ex34 = shuffleExchanges(Similarity.embeddingNearDupPairsLsh(spark, sf0001))
+      .map(_.outputPartitioning.getClass.getSimpleName).sorted
+    // banded LSH: bucket groupBy hash + cross-band distinct hash + the
+    // contract sort — candidate generation stays bucket-local
+    assert(ex34 === Seq("HashPartitioning", "HashPartitioning", "RangePartitioning"),
+      s"q34b exchange shapes: $ex34")
+  }
+
   test("q108 counted: the rewrite is zero-shuffle — only the contract sort exchanges") {
     val ex = shuffleExchanges(TextAnalysis.runCollapse(spark, sf0001))
     assert(ex.size === 1, s"expected only the ORDER BY exchange, got ${ex.size}")
