@@ -152,6 +152,8 @@ object SparkEntry {
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q96_media_thumbnails" -> ((s, d) => Multimodal.mediaThumbnails(s, d)),
     "q128_image_near_dup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
+    "q133_image_dup_clusters" -> ((s, d) => Multimodal.imageDupClusters(s, d)),
+    "q134_video_signatures" -> ((s, d) => Multimodal.videoSignatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -183,6 +185,48 @@ object SparkEntry {
       |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
       |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
       |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin
+
+  /** The q128 perceptual-hash CTE chain: generator-derived 8×8 gray
+    * grids → aHash halves → 4×16 bands → capped buckets → candidate
+    * pairs → XOR-popcount-verified near pairs (`imgpairs`). Shared by
+    * the q128 pair listing and q133's cluster closure. */
+  private val q128Ctes: String =
+    s"""p AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(0, 64), t ->
+      |          ( (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+      |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+      |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+      |      FROM p),
+      |gs AS (SELECT doc_id, gr, CAST(list_sum(gr) AS BIGINT) AS s FROM g),
+      |ah AS (SELECT doc_id,
+      |         CAST(list_sum(list_transform(range(32, 64), t ->
+      |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= s
+      |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+      |         CAST(list_sum(list_transform(range(0, 32), t ->
+      |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= s
+      |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+      |       FROM gs),
+      |bd AS (SELECT doc_id, hi, lo, unnest([
+      |         {'band_idx': 0, 'band_val': hi // 65536},
+      |         {'band_idx': 1, 'band_val': hi % 65536},
+      |         {'band_idx': 2, 'band_val': lo // 65536},
+      |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+      |       FROM ah),
+      |mem AS (SELECT doc_id, hi, lo, b.band_idx AS band_idx, b.band_val AS band_val,
+      |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
+      |        FROM bd),
+      |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, a.hi AS hi1, a.lo AS lo1,
+      |                b.doc_id AS d2, b.hi AS hi2, b.lo AS lo2
+      |         FROM kept a JOIN kept b
+      |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |imgpairs AS (SELECT d1, d2,
+      |    CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS BIGINT) AS hamming
+      |  FROM cand
+      |  WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= ${operators.Multimodal.ImgHammingMax})""".stripMargin
 
   /** The q29c portable-MinHash CTE chain (shingles → md5 hashes → 64
     * permutation minima → 16×4 band keys → capped buckets → candidate
@@ -973,45 +1017,79 @@ object SparkEntry {
     // gray grid folded to a 64-bit aHash (bit t: 64*gray >= sum, the
     // exact-integer mean threshold), split into two unsigned 32-bit
     // halves, banded 4x16 with the q29c capped-bucket machinery, and
-    // verified by XOR-popcount Hamming.
+    // verified by XOR-popcount Hamming (shared CTE chain with q133).
     "q128_image_near_dup" ->
-      s"""WITH p AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
-        |           FROM documents WHERE doc_id % 3 = 0),
-        |g AS (SELECT doc_id,
+      s"""WITH $q128Ctes
+        |SELECT d1, d2, hamming FROM imgpairs ORDER BY d1, d2""".stripMargin,
+    // Video temporal-activity signatures: per sampled frame (the q36
+    // sampling) the generator-derived aHash, folded into order-weighted
+    // checksums + consecutive-frame Hamming stats; low_motion flags
+    // static streams (single-frame streams are static by definition).
+    "q134_video_signatures" ->
+      s"""WITH v AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
+        |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |sfr AS (SELECT doc_id, nf, w, h,
+        |         unnest(list_transform(range(0, CASE WHEN nf <= 5 THEN nf ELSE 5 END),
+        |                i -> {'si': i, 'f': CASE WHEN nf <= 5 THEN i ELSE i * nf // 5 END})) AS s
+        |        FROM v),
+        |fg AS (SELECT doc_id, nf, s.si AS si, w, h,
         |        list_transform(range(0, 64), t ->
-        |          ( (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
-        |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
-        |          + (doc_id*131 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
-        |      FROM p),
-        |gs AS (SELECT doc_id, gr, CAST(list_sum(gr) AS BIGINT) AS s FROM g),
-        |ah AS (SELECT doc_id,
+        |          ( (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+        |          + (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+        |          + (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+        |       FROM sfr),
+        |fgs AS (SELECT doc_id, nf, si, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM fg),
+        |fah AS (SELECT doc_id, nf, si,
         |         CAST(list_sum(list_transform(range(32, 64), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= s
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
         |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
         |         CAST(list_sum(list_transform(range(0, 32), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= s
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
         |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
-        |       FROM gs),
-        |bd AS (SELECT doc_id, hi, lo, unnest([
-        |         {'band_idx': 0, 'band_val': hi // 65536},
-        |         {'band_idx': 1, 'band_val': hi % 65536},
-        |         {'band_idx': 2, 'band_val': lo // 65536},
-        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
-        |       FROM ah),
-        |mem AS (SELECT doc_id, hi, lo, b.band_idx AS band_idx, b.band_val AS band_val,
-        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
-        |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
-        |        FROM bd),
-        |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, a.hi AS hi1, a.lo AS lo1,
-        |                b.doc_id AS d2, b.hi AS hi2, b.lo AS lo2
-        |         FROM kept a JOIN kept b
-        |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-        |SELECT d1, d2,
-        |  CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS BIGINT) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= ${operators.Multimodal.ImgHammingMax}
-        |ORDER BY d1, d2""".stripMargin,
+        |        FROM fgs),
+        |cons AS (SELECT a.doc_id,
+        |          bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS ham
+        |         FROM fah a JOIN fah b ON a.doc_id = b.doc_id AND b.si = a.si + 1),
+        |chk AS (SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames, COUNT(*) AS n_sampled,
+        |         CAST(SUM((si + 1) * hi) AS BIGINT) AS cks_hi,
+        |         CAST(SUM((si + 1) * lo) AS BIGINT) AS cks_lo
+        |        FROM fah GROUP BY 1),
+        |hm AS (SELECT doc_id, CAST(MIN(ham) AS BIGINT) AS ham_min,
+        |         CAST(MAX(ham) AS BIGINT) AS ham_max,
+        |         (100 * CAST(SUM(ham) AS BIGINT)) // COUNT(*) AS ham_mean_x100
+        |       FROM cons GROUP BY 1)
+        |SELECT chk.doc_id, chk.n_frames, chk.n_sampled, chk.cks_hi, chk.cks_lo,
+        |  hm.ham_min, hm.ham_max, hm.ham_mean_x100,
+        |  COALESCE(hm.ham_mean_x100 < ${operators.Multimodal.LowMotionX100}, TRUE) AS low_motion
+        |FROM chk LEFT JOIN hm USING (doc_id) ORDER BY chk.doc_id""".stripMargin,
+    // Image dup clusters + survivors: q128's pair chain, the q61
+    // recursive closure, highest-resolution-survivor argmax from the
+    // metadata catalog.
+    "q133_image_dup_clusters" ->
+      s"""WITH RECURSIVE $q128Ctes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM imgpairs
+        |          UNION ALL SELECT d2, d1 FROM imgpairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |area AS (SELECT doc_id,
+        |           CAST((doc_id % 24 + 8) * (doc_id % 16 + 8) AS BIGINT) AS area
+        |         FROM documents WHERE doc_id % 3 = 0),
+        |jn AS (SELECT c.comp_id, c.doc_id, a.area FROM comps c JOIN area a USING (doc_id)),
+        |agg AS (SELECT comp_id, COUNT(*) AS n_members,
+        |          CAST(SUM(area) AS BIGINT) AS total_area FROM jn GROUP BY 1),
+        |surv AS (SELECT comp_id, doc_id AS survivor_doc_id, area AS survivor_area
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp_id
+        |                 ORDER BY area DESC, doc_id ASC) AS rk FROM jn)
+        |         WHERE rk = 1)
+        |SELECT agg.comp_id, agg.n_members, agg.total_area,
+        |  surv.survivor_doc_id, surv.survivor_area,
+        |  agg.total_area - surv.survivor_area AS area_removed
+        |FROM agg JOIN surv USING (comp_id) ORDER BY comp_id""".stripMargin,
     // Incremental dedup: batch (doc_id % 10 = 9) probed against the
     // min-doc_id-per-hash index built from the rest.
     "q68_incremental_dedup" ->

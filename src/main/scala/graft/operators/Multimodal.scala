@@ -195,6 +195,13 @@ object Multimodal {
     val vals = new Array[Int](w * h * 3)
     var i = 0
     MediaCodecs.decodeBmp(payload) { v => vals(i) = v; i += 1 }
+    (w, h, grayGridOf(vals, w, h))
+  }
+
+  /** Nearest-neighbor [[ThumbEdge]]² grayscale resize of one decoded RGB
+    * frame buffer — shared by the BMP path ([[grayGrid]]) and the
+    * per-frame video path ([[videoSignature]]). */
+  private[graft] def grayGridOf(vals: Array[Int], w: Int, h: Int): Array[Long] = {
     val e = ThumbEdge
     val g = new Array[Long](e * e)
     var t = 0
@@ -205,7 +212,7 @@ object Multimodal {
       g(t) = (vals(p) + vals(p + 1) + vals(p + 2)) / 3L
       t += 1
     }
-    (w, h, g)
+    g
   }
 
   /** q96 — media RESIZE: every BMP document decoded and downsampled to a
@@ -326,7 +333,13 @@ object Multimodal {
     * O(MaxBucket²) per bucket; verify runs BEFORE the cross-band
     * distinct so only surviving near-pairs pay that shuffle. Never
     * all-pairs. */
-  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupUnordered(spark, dir).orderBy("d1", "d2")
+
+  /** [[imageNearDup]] without the presentation sort — the form
+    * [[imageDupClusters]] composes (its first move is a re-shuffle, the
+    * q30/q31 composition argument). */
+  private def imageNearDupUnordered(spark: SparkSession, dir: String): DataFrame = {
     Diagnostics.install(spark)
     val banded = imageAHashes(spark, dir).select(
       col("doc_id"), col("hi"), col("lo"),
@@ -352,7 +365,114 @@ object Multimodal {
       // candidate's hamming is identical in every band), q31's trick
       .where(col("hamming") <= ImgHammingMax)
       .distinct()
-      .orderBy("d1", "d2")
+  }
+
+  /** q133 — image DUP CLUSTERS + survivor selection: q128's verified
+    * near-pairs folded into connected components (the q61 large-star/
+    * small-star contraction, O(log n) rounds) and reduced to the
+    * actionable keep-list — per image cluster, the canonical survivor
+    * under the policy an image corpus actually wants: keep the
+    * HIGHEST-RESOLUTION copy (largest pixel area from the stored
+    * metadata catalog; ties → smallest doc_id), with member count and
+    * the pixel mass the dedup removes. The text side's q61/q120 story
+    * completed for the multimodal column.
+    *
+    * Scale shape: pair generation is q128's banded plan; contraction is
+    * O(log n) bounded rounds over the (sparse) pair set; the area join
+    * is doc-keyed against a metadata projection of the media table (no
+    * payload bytes move); the argmax is ONE comp-keyed max(struct)
+    * aggregate, output bounded by cluster count. */
+  /** Low-motion threshold for [[videoSignatures]]: mean consecutive
+    * sampled-frame Hamming (×100) below this flags a static video. */
+  val LowMotionX100 = 800L
+
+  /** Typed per-video signature row. ham_* are None for single-sampled-
+    * frame streams (no transitions to measure). */
+  case class VideoSigRow(doc_id: Long, n_frames: Long, n_sampled: Long,
+                         cks_hi: Long, cks_lo: Long,
+                         ham_min: Option[Long], ham_max: Option[Long],
+                         ham_mean_x100: Option[Long], low_motion: Boolean)
+
+  /** Decode a PPM stream's sampled frames (real byte parsing), resize
+    * each to the [[ThumbEdge]]² gray grid, aHash per frame, and fold
+    * into the temporal signature: order-weighted hash checksums plus
+    * consecutive-frame Hamming statistics. */
+  private[graft] def videoSignature(docId: Long, payload: Array[Byte]): VideoSigRow = {
+    val (w, h) = MediaCodecs.ppmDims(payload)
+    val frameBytes = w * h * 3
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var cur: Array[Int] = null
+    var idx = 0
+    MediaCodecs.decodePpmStreamSampled(payload, 5) { v =>
+      if (idx % frameBytes == 0) { cur = new Array[Int](frameBytes); frames += cur }
+      cur(idx % frameBytes) = v
+      idx += 1
+    }
+    // frames are uniform (header + pixels), so the stream length IS the
+    // frame count times the per-frame size — parsed layout, not metadata
+    val nFrames = payload.length / (MediaCodecs.ppmHeaderSize(w, h) + frameBytes)
+    val hashes = frames.map(vals => aHashOf(grayGridOf(vals, w, h))).toArray
+    var cksHi = 0L; var cksLo = 0L
+    hashes.zipWithIndex.foreach { case ((hi, lo), i) =>
+      cksHi += (i + 1) * hi; cksLo += (i + 1) * lo
+    }
+    val hams = hashes.sliding(2).collect { case Array((h1, l1), (h2, l2)) =>
+      (java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)).toLong
+    }.toArray
+    val (mn, mx, meanX100) =
+      if (hams.isEmpty) (Option.empty[Long], Option.empty[Long], Option.empty[Long])
+      else (Some(hams.min), Some(hams.max), Some(100L * hams.sum / hams.length))
+    VideoSigRow(docId, nFrames.toLong, hashes.length.toLong, cksHi, cksLo,
+      mn, mx, meanX100, meanX100.map(_ < LowMotionX100).getOrElse(true))
+  }
+
+  /** q134 — video TEMPORAL-ACTIVITY signatures: every video document's
+    * sampled frames ([[frameOffsets]], the q36 sampling) are each
+    * reduced to the q128 perceptual aHash, then folded into a per-video
+    * signature — order-weighted hash checksums (the q36 gate pattern,
+    * so frame order and content are both pinned) and consecutive-frame
+    * Hamming statistics. Mean inter-frame Hamming is the cheap temporal
+    * ACTIVITY score a video curation pipeline cuts on: a near-zero mean
+    * is a static/slideshow stream (low training value per byte), and a
+    * single-frame stream is static by definition (`low_motion`, with
+    * NULL Hamming stats — nothing to measure). The DuckDB oracle
+    * re-derives every sampled frame's hash from the pixel generator in
+    * closed form.
+    *
+    * Scale shape: one typed mapPartitions decode kernel (map-side, the
+    * q36 shape); output is one narrow row per video; no shuffle before
+    * the contract sort. */
+  def videoSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .where(col("meta.format") === "vid")
+      .select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.map(m => videoSignature(m.doc_id, Option(m.payload).getOrElse(Array.emptyByteArray)))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = imageNearDupUnordered(spark, dir).select(col("d1"), col("d2"))
+    val (labels, _, _) = Dedup.connectedComponents(
+      pairs.toDF("src", "dst"), Dedup.MaxCcIters)
+    val areas = mediaTable(spark, dir)
+      .where(col("meta.format") === "bmp")
+      .select(col("doc_id"),
+        (col("meta.width").cast("long") * col("meta.height")).as("area"))
+    labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+      .join(areas, Seq("doc_id"))
+      .groupBy("comp_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("area").as("total_area"),
+        max(struct(col("area").as("a"), (lit(0L) - col("doc_id")).as("negid"))).as("s"))
+      .select(col("comp_id"), col("n_members"), col("total_area"),
+        (lit(0L) - col("s.negid")).as("survivor_doc_id"),
+        col("s.a").as("survivor_area"),
+        (col("total_area") - col("s.a")).as("area_removed"))
+      .orderBy("comp_id")
   }
 }
 
@@ -535,6 +655,24 @@ object MediaCodecs {
       f += 1
     }
     out.toByteArray
+  }
+
+  /** Parsed (width, height) of a P6 stream's first frame header
+    * (validated magic; all frames share dims — enforced by the full
+    * decoder's per-frame check). */
+  def ppmDims(b: Array[Byte]): (Int, Int) = {
+    check(b.length >= 2 && b(0) == 'P' && b(1) == '6', "PPM: bad magic")
+    var pos = 2
+    def parseInt(): Int = {
+      while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+      check(pos < b.length && b(pos) >= '0' && b(pos) <= '9', "PPM: expected integer in header")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') { v = v * 10 + (b(pos) - '0'); pos += 1 }
+      v
+    }
+    val w = parseInt(); val h = parseInt()
+    check(w > 0 && h > 0, s"PPM: bad dims ${w}x$h")
+    (w, h)
   }
 
   /** Parse a concatenated P6 stream: discover the frame count from the

@@ -199,6 +199,75 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_._3 <= Multimodal.ImgHammingMax))
   }
 
+  test("q133: image clusters match a driver union-find over q128's pairs; survivor is highest-res") {
+    val sf001 = "/root/testdata/sf0.01"
+    val pairs = Multimodal.imageNearDup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver union-find with min-id labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    def area(id: Long): Long = (id % 24 + 8) * (id % 16 + 8)
+    val expect = members.toSeq.map { case (root, ids) =>
+      val surv = ids.map(id => (area(id), -id)).max
+      (root, ids.length.toLong, ids.map(area).sum, -surv._2, surv._1,
+        ids.map(area).sum - surv._1)
+    }.sortBy(_._1)
+    val got = Multimodal.imageDupClusters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expect)
+    // non-vacuous: some cluster has >2 members and some survivor beats a
+    // lower-resolution member (the policy actually chose)
+    assert(got.exists(_._2 > 2))
+    assert(got.exists(c => c._6 > 0))
+  }
+
+  test("q134: video signature kernel matches a generator recompute; static semantics") {
+    val out = Multimodal.videoSignatures(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 === 2)
+      val nf = (id % 30 + 1).toInt
+      val w = Multimodal.imgW(id); val h = Multimodal.imgH(id)
+      assert(r.getLong(1) === nf.toLong, s"n_frames($id)")
+      val sampled = Multimodal.frameOffsets(nf, 5)
+      assert(r.getLong(2) === sampled.length.toLong, s"n_sampled($id)")
+      // recompute per-frame hashes straight from the pixel generator
+      val hashes = sampled.map { f =>
+        val vals = Array.tabulate(w * h * 3)(i => Multimodal.vidVal(id, f, i))
+        Multimodal.aHashOf(Multimodal.grayGridOf(vals, w, h))
+      }
+      val cksHi = hashes.zipWithIndex.map { case ((hi, _), i) => (i + 1) * hi }.sum
+      val cksLo = hashes.zipWithIndex.map { case ((_, lo), i) => (i + 1) * lo }.sum
+      assert(r.getLong(3) === cksHi && r.getLong(4) === cksLo, s"checksums($id)")
+      val hams = hashes.sliding(2).collect { case Array((h1, l1), (h2, l2)) =>
+        (java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)).toLong
+      }.toSeq
+      if (hams.isEmpty) {
+        assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), s"1-frame stats($id)")
+        assert(r.getBoolean(8), s"single-frame stream must be low_motion($id)")
+      } else {
+        assert(r.getLong(5) === hams.min && r.getLong(6) === hams.max, s"ham range($id)")
+        val mean = 100L * hams.sum / hams.length
+        assert(r.getLong(7) === mean, s"ham mean($id)")
+        assert(r.getBoolean(8) === (mean < Multimodal.LowMotionX100), s"low_motion($id)")
+      }
+    }
+    // the fixture exercises both branches: single-frame (static) streams
+    // exist (doc_id % 30 == 0) and multi-frame active streams dominate
+    assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
+  }
+
   test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {
     val out = Multimodal.mediaThumbnails(spark, sf0001).collect()
     assert(out.nonEmpty)
