@@ -117,6 +117,7 @@ object SparkEntry {
     "q72_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "q74_bloom_incremental_dedup" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
+    "q135_containment_dedup" -> ((s, d) => Dedup.containmentDedup(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q120_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q129_dsir_sample"    -> ((s, d) => TextAnalysis.dsirSample(s, d)),
     "q130_unigram_train"  -> ((s, d) => TextAnalysis.unigramTrain(s, d)),
     "q132_k_anonymity"    -> ((s, d) => TextAnalysis.kAnonymityAudit(s, d)),
+    "q136_unigram_fertility" -> ((s, d) => TextAnalysis.unigramFertility(s, d)),
     "q131_unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
     "q124_embedding_dim_health" -> ((s, d) => Similarity.embeddingDimHealth(s, d)),
     "q125_funnel"         -> ((s, d) => EventAnalytics.funnel(s, d)),
@@ -227,6 +229,33 @@ object SparkEntry {
       |    CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS BIGINT) AS hamming
       |  FROM cand
       |  WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= ${operators.Multimodal.ImgHammingMax})""".stripMargin
+
+  /** q135's oracle: the q28 posting-list CTEs up to pair intersections
+    * and sizes, projected to the asymmetric containment statistic. */
+  private val q135Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks),
+      |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+      |k AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.df <= ${operators.Dedup.MaxShingleDf}),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |       FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |c AS (SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+      |        CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+      |        (1000 * CAST(inter AS BIGINT)) // CAST(s1.n AS BIGINT) AS cont1_permille,
+      |        (1000 * CAST(inter AS BIGINT)) // CAST(s2.n AS BIGINT) AS cont2_permille
+      |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+      |SELECT d1, d2, inter, n1, n2, cont1_permille, cont2_permille,
+      |  CASE WHEN cont1_permille >= ${operators.Dedup.ContainmentPermille}
+      |        AND cont2_permille >= ${operators.Dedup.ContainmentPermille} THEN 'mutual'
+      |       WHEN cont1_permille >= ${operators.Dedup.ContainmentPermille} THEN 'd1_in_d2'
+      |       ELSE 'd2_in_d1' END AS relation
+      |FROM c
+      |WHERE greatest(cont1_permille, cont2_permille) >= ${operators.Dedup.ContainmentPermille}
+      |ORDER BY d1, d2""".stripMargin
 
   /** The q29c portable-MinHash CTE chain (shingles → md5 hashes → 64
     * permutation minima → 16×4 band keys → capped buckets → candidate
@@ -1013,6 +1042,9 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    // Asymmetric containment dedup: q28's posting-list core projected
+    // to inter/|A| permille with a direction verdict.
+    "q135_containment_dedup" -> q135Sql,
     // Perceptual image near-dup: the q96 pixel-generator-derived 8x8
     // gray grid folded to a 64-bit aHash (bit t: 64*gray >= sum, the
     // exact-integer mean threshold), split into two unsigned 32-bit
@@ -1505,6 +1537,7 @@ object SparkEntry {
     // pattern); encode replays a second DP under the re-scored vocab.
     "q130_unigram_train" -> operators.TextAnalysis.unigramTrainOracleSql(),
     "q131_unigram_encode" -> operators.TextAnalysis.unigramEncodeOracleSql(),
+    "q136_unigram_fertility" -> operators.TextAnalysis.unigramFertilityOracleSql(),
     // Zipf rank-frequency audit: exact top-k token histogram with
     // rank x count and cumulative stream share; all BIGINT (sums cast —
     // DuckDB SUM/windowed-SUM over BIGINT widens to HUGEINT).

@@ -255,8 +255,25 @@ object Dedup {
     * verify contract) — [[nearDupLabels]] feeds the pair graph straight
     * into CC rounds that re-shuffle it, so a range exchange of every
     * pair first would be pure waste. */
-  private def nearDupJaccardUnordered(spark: SparkSession, dir: String): DataFrame = {
-    val postings = shingles(spark, dir)
+  private def nearDupJaccardUnordered(spark: SparkSession, dir: String): DataFrame =
+    filteredPairStats(spark, dir)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("j"))
+      .where(col("j") >= 0.6)
+      .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+
+  /** The posting-list pair core shared by q28 and q135: per candidate
+    * pair over the df-filtered shingle representation, the intersection
+    * count plus both set sizes — every set-overlap statistic (Jaccard,
+    * containment) is a projection of these three integers. */
+  private def filteredPairStats(spark: SparkSession, dir: String): DataFrame =
+    filteredPairStatsOf(shingles(spark, dir))
+
+  /** [[filteredPairStats]] over an arbitrary DISTINCT (doc_id, sh)
+    * shingle frame (the corpus path's digest table is distinct by
+    * construction; fixture callers dedup first). */
+  private def filteredPairStatsOf(sh: DataFrame): DataFrame = {
+    val postings = sh
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) <= MaxShingleDf)
@@ -275,11 +292,49 @@ object Dedup {
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("inter"))).as("j"))
-      .where(col("j") >= 0.6)
-      .select(col("d1"), col("d2"), round(col("j"), 6).as("jaccard"))
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.n_sh").as("n1"), col("s2.n_sh").as("n2"))
   }
+
+  /** Containment threshold (permille of the contained side's set). */
+  val ContainmentPermille = 800L
+
+  /** q135 — asymmetric CONTAINMENT dedup: pairs where one document's
+    * shingle set is ≥ [[ContainmentPermille]]‰ contained in the other's
+    * (`inter/|A|`), the statistic that catches PARTIAL copying —
+    * a short document quoted whole inside a longer one, or a page
+    * re-published with boilerplate appended. Jaccard (q28) misses
+    * exactly these: a 10-shingle doc fully inside a 100-shingle doc has
+    * containment 1.0 but Jaccard 0.1. Same df-filtered posting-list
+    * representation and candidate machinery as q28 (one shared core,
+    * [[filteredPairStats]]); the report is integer-exact permille with
+    * a direction verdict (d1_in_d2 / d2_in_d1 / mutual).
+    *
+    * Scale shape: identical to q28's — one shingle-keyed shuffle into
+    * df-capped posting lists, in-list pair expansion bounded at
+    * O(MaxShingleDf²) per shingle, a pair-keyed count, two size joins.
+    * The extra statistic costs two integer divisions. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentFrom(filteredPairStats(spark, dir))
+
+  /** Containment over an arbitrary (doc_id, text) frame — the spec's
+    * partial-copy fixture path (the graded corpus's duplicate classes
+    * are whole-copy, so only the `mutual` verdict shows up there). */
+  private[graft] def containmentDedupOf(docs: DataFrame): DataFrame =
+    containmentFrom(filteredPairStatsOf(rawShinglesOf(docs).distinct()))
+
+  private def containmentFrom(stats: DataFrame): DataFrame =
+    stats
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        expr("(1000L * inter) div n1").as("cont1_permille"),
+        expr("(1000L * inter) div n2").as("cont2_permille"))
+      .where(greatest(col("cont1_permille"), col("cont2_permille")) >= ContainmentPermille)
+      .withColumn("relation",
+        when(col("cont1_permille") >= ContainmentPermille &&
+             col("cont2_permille") >= ContainmentPermille, "mutual")
+          .when(col("cont1_permille") >= ContainmentPermille, "d1_in_d2")
+          .otherwise("d2_in_d1"))
+      .orderBy("d1", "d2")
 
   /** Near-dup CLUSTERS: connected components over the [[nearDupJaccard]]
     * pair graph — the step a dedup pipeline runs after pair generation

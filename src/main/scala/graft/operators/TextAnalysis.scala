@@ -2020,6 +2020,19 @@ object TextAnalysis {
     * a vocabulary-bounded frame — no UDF, no recursion, no driver loop
     * over data. */
   private[graft] def uniSegmentCounts(hist: DataFrame, costs: Seq[(String, Long)]): DataFrame = {
+    val df = uniViterbi(hist, costs)
+    val pairs = (1 to UniMaxTokenLen).map(j =>
+      struct(col(s"u_$j").as("u"), expr(s"substr(w, $j - ch_$j + 1, ch_$j)").as("p")))
+    df.select(col("w"), col("wcnt"), explode(array(pairs: _*)).as("s"))
+      .where(col("s.u"))
+      .groupBy(col("s.p").as("p"))
+      .agg(sum(col("wcnt")).as("seg_cnt"), countDistinct(col("w")).as("n_tok_types"))
+  }
+
+  /** The shared DP column builder behind [[uniSegmentCounts]] and
+    * [[uniPieceCounts]]: best_j / ch_j / u_j columns over the token
+    * histogram (see [[uniSegmentCounts]]'s contract notes). */
+  private def uniViterbi(hist: DataFrame, costs: Seq[(String, Long)]): DataFrame = {
     val costMap = map(costs.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
     def cand(j: Int, k: Int): org.apache.spark.sql.Column = {
       val prev = if (j - k == 0) lit(0L) else col(s"best_${j - k}")
@@ -2039,13 +2052,16 @@ object TextAnalysis {
       df = df.withColumn(s"u_$j",
         ends.foldLeft(length(col("w")) === j)(_ || _))
     }
-    val pairs = (1 to UniMaxTokenLen).map(j =>
-      struct(col(s"u_$j").as("u"), expr(s"substr(w, $j - ch_$j + 1, ch_$j)").as("p")))
-    df.select(col("w"), col("wcnt"), explode(array(pairs: _*)).as("s"))
-      .where(col("s.u"))
-      .groupBy(col("s.p").as("p"))
-      .agg(sum(col("wcnt")).as("seg_cnt"), countDistinct(col("w")).as("n_tok_types"))
+    df
   }
+
+  /** Per token TYPE, the piece count of its optimal segmentation under
+    * `costs` (the number of boundary positions the Viterbi chain uses)
+    * — the per-word fertility kernel of [[unigramFertility]]. */
+  private[graft] def uniPieceCounts(hist: DataFrame, costs: Seq[(String, Long)]): DataFrame =
+    uniViterbi(hist, costs).select(col("w"),
+      (1 to UniMaxTokenLen).map(j => when(col(s"u_$j"), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_pieces"))
 
   /** Trained unigram model state handed to the q130/q131 reports. */
   private[graft] case class UniModel(
@@ -2179,6 +2195,10 @@ object TextAnalysis {
     sb ++= s",\ns$tag AS (SELECT w, wcnt, unnest([$elems]) AS s FROM $prevCte)"
     sb ++= s",\nused$tag AS (SELECT s.p AS p, CAST(SUM(wcnt) AS BIGINT) AS seg_cnt, " +
       s"COUNT(DISTINCT w) AS n_tok_types FROM s$tag WHERE s.u GROUP BY 1)"
+    // per-token piece counts (the q136 fertility kernel); unreferenced
+    // CTEs are pruned, so the other unigram oracles pay nothing for it
+    val bits = (1 to UniMaxTokenLen).map(j => s"CASE WHEN u_$j THEN 1 ELSE 0 END").mkString(" + ")
+    sb ++= s",\ntok$tag AS (SELECT w, CAST($bits AS BIGINT) AS n_pieces FROM $prevCte)"
     sb.toString
   }
 
@@ -2214,6 +2234,70 @@ object TextAnalysis {
       |  COALESCE(u.seg_cnt, 0) AS used_cnt,
       |  (length(uc0.p) = 1 OR uc0.p IN (SELECT p FROM ukm)) AS kept
       |FROM uc0 LEFT JOIN useda u USING (p) ORDER BY piece""".stripMargin
+
+  /** q136 — unigram-tokenizer FERTILITY by source: q117's rollout table
+    * for the EM-trained tokenizer. The trained vocabulary's optimal
+    * per-word piece counts ([[uniPieceCounts]] — vocabulary-bounded)
+    * joined back onto the corpus token stream with its source label:
+    * per source, word and effective-char mass, total pieces, and two
+    * integer-exact rates — fertility (pieces per 1000 words) and pieces
+    * per 1000 effective chars. Tokens outside the 1..[[UniMaxTokenLen]]
+    * training envelope are EXCLUDED from both words and pieces and
+    * reported per source (`n_excluded`) so the envelope is visible, not
+    * silent.
+    *
+    * Scale shape: the piece-count model is vocabulary-bounded and
+    * broadcast into the token stream join; one source-keyed aggregate
+    * with map-side partials; windows nowhere. */
+  def unigramFertility(spark: SparkSession, dir: String, emIters: Int = 1): DataFrame = {
+    val m = unigramLearn(spark, dir, emIters)
+    val hist = memoPersist(spark, s"uni_hist_$dir")(uniTokenHist(spark, dir))
+    val pieces = uniPieceCounts(hist, m.costsF)
+    val allt = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr(toksExpr)).as("w"))
+    val inRange = length(col("w")).between(1, UniMaxTokenLen)
+    val ex = allt.groupBy("source")
+      .agg(sum(when(!inRange, 1L).otherwise(0L)).as("n_excluded"))
+    allt.where(inRange)
+      .join(broadcast(pieces), Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("total_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .join(ex, Seq("source"))
+      .select(col("source"), col("n_words"), col("n_excluded"),
+        col("total_pieces"), col("n_chars"),
+        expr("(1000L * total_pieces) div nullif(n_words, 0L)").as("fertility_permille"),
+        expr("(1000L * total_pieces) div nullif(n_chars, 0L)").as("pieces_per_1000_chars"))
+      .orderBy("source")
+  }
+
+  def unigramFertilityOracleSql(): String =
+    uniOracleBase +
+      s""",
+      |uv1 AS (SELECT us1.p, greatest(COALESCE(u.seg_cnt, 1), 1) AS cnt
+      |        FROM us1 LEFT JOIN useda u USING (p)
+      |        UNION ALL
+      |        SELECT k.p, u.seg_cnt AS cnt FROM ukm k JOIN useda u USING (p)),
+      |ut1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv1),
+      |uc1 AS (SELECT p, cnt, CAST(1 + (length(bin(t)) - 1) - (length(bin(cnt)) - 1) AS BIGINT) AS cost
+      |        FROM uv1, ut1),
+      |uvl1 AS (SELECT list({'p': p, 'c': cost}) AS vl FROM uc1)""".stripMargin +
+      uniDpSql("b", "uhist", "uvl1") +
+      s""",
+      |allt AS (SELECT source, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+      |exq AS (SELECT source, CAST(SUM(CASE WHEN length(w) BETWEEN 1 AND $UniMaxTokenLen
+      |                                     THEN 0 ELSE 1 END) AS BIGINT) AS n_excluded
+      |        FROM allt GROUP BY 1),
+      |pagg AS (SELECT a.source, COUNT(*) AS n_words,
+      |           CAST(SUM(t.n_pieces) AS BIGINT) AS total_pieces,
+      |           CAST(SUM(length(a.w)) AS BIGINT) AS n_chars
+      |         FROM allt a JOIN tokb t ON a.w = t.w
+      |         WHERE length(a.w) BETWEEN 1 AND $UniMaxTokenLen GROUP BY 1)
+      |SELECT p.source, p.n_words, e.n_excluded, p.total_pieces, p.n_chars,
+      |  (1000 * p.total_pieces) // nullif(p.n_words, 0) AS fertility_permille,
+      |  (1000 * p.total_pieces) // nullif(p.n_chars, 0) AS pieces_per_1000_chars
+      |FROM pagg p JOIN exq e USING (source) ORDER BY p.source""".stripMargin
 
   def unigramEncodeOracleSql(): String =
     uniOracleBase +

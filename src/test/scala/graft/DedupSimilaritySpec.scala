@@ -23,6 +23,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
 
+  test("q135: containment catches partial copies Jaccard misses; all three verdicts exercised") {
+    import spark.implicits._
+    // doc 1 (3 shingles) is quoted whole inside doc 2 (10 shingles);
+    // doc 3 repeats doc 1 byte-for-byte; doc 4 is unrelated
+    val short = "a1 a2 a3 a4 a5"
+    val long = short + " b1 b2 b3 b4 b5 b6 b7"
+    val fixture = Seq((1L, short), (2L, long), (3L, short), (4L, "c1 c2 c3 c4 c5"))
+    val got = operators.Dedup.containmentDedupOf(fixture.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)))
+    // driver recompute over raw distinct 3-gram sets
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = fixture.map { case (id, t) => id -> sh(t) }.toMap
+    val expect = (for {
+      Seq(a, b) <- fixture.map(_._1).combinations(2).toSeq
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+      n1 = sets(a).size.toLong; n2 = sets(b).size.toLong
+      c1 = 1000 * inter / n1; c2 = 1000 * inter / n2
+      if math.max(c1, c2) >= operators.Dedup.ContainmentPermille
+    } yield (a, b, inter, n1, n2, c1, c2,
+      if (c1 >= 800 && c2 >= 800) "mutual" else if (c1 >= 800) "d1_in_d2" else "d2_in_d1"))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expect)
+    val rel = got.map(r => (r._1, r._2) -> r._8).toMap
+    assert(rel((1L, 2L)) === "d1_in_d2", "whole-quote inclusion must be directional")
+    assert(rel((1L, 3L)) === "mutual", "byte-identical docs are mutually contained")
+    assert(rel((2L, 3L)) === "d2_in_d1", "inclusion seen from the long side flips direction")
+    // and the Jaccard operator at 0.6 would NOT pair 1-with-2 (j = 0.3):
+    // the whole reason this operator exists
+    assert(1000 * 3 / (3 + 10 - 3) < 600)
+  }
+
   test("q98 funnel: stages nest monotonically, raw row matches the corpus, exact row matches q27") {
     val rows = Dedup.dedupFunnel(spark, sf0001).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq ===

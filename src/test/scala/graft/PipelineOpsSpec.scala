@@ -857,6 +857,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("q136: fertility table matches a driver recompute from per-token piece counts") {
+    import org.apache.spark.sql.functions._
+    val m = TextAnalysis.unigramLearn(spark, sf0001, 1)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val hist = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")).between(1, TextAnalysis.UniMaxTokenLen))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val pieceOf = TextAnalysis.uniPieceCounts(hist, m.costsF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select("source", "text").collect()
+      .flatMap(r => r.getString(1).split("\\s+", -1).map(w => (r.getString(0), w)))
+    val expect = toks.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val in = xs.map(_._2).filter(w => w.length >= 1 && w.length <= TextAnalysis.UniMaxTokenLen)
+      val nEx = (xs.length - in.length).toLong
+      val pieces = in.map(pieceOf).sum
+      val chars = in.map(_.length.toLong).sum
+      (src, in.length.toLong, nEx, pieces, chars,
+        1000 * pieces / in.length, 1000 * pieces / chars)
+    }.sortBy(_._1)
+    val got = TextAnalysis.unigramFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === expect)
+    // the trained vocab actually compresses: fewer pieces than chars,
+    // and multi-char pieces fire (fertility under chars-per-word)
+    got.foreach { r => assert(r._4 < r._5, s"pieces must undercut chars for ${r._1}") }
+    assert(pieceOf.values.exists(_ > 1) && pieceOf.exists { case (w, p) => p < w.length })
+  }
+
   test("q130: unrolled Viterbi picks the min-cost segmentation, longest piece on ties") {
     import spark.implicits._
     val hist = Seq(("abab", 5L), ("cab", 2L)).toDF("w", "wcnt")
