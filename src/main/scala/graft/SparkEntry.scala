@@ -156,6 +156,7 @@ object SparkEntry {
     "q128_image_near_dup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
     "q133_image_dup_clusters" -> ((s, d) => Multimodal.imageDupClusters(s, d)),
     "q134_video_signatures" -> ((s, d) => Multimodal.videoSignatures(s, d)),
+    "q137_image_incremental_dedup" -> ((s, d) => Multimodal.imageIncrementalDedup(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -1053,6 +1054,17 @@ object SparkEntry {
     "q128_image_near_dup" ->
       s"""WITH $q128Ctes
         |SELECT d1, d2, hamming FROM imgpairs ORDER BY d1, d2""".stripMargin,
+    // Incremental image dedup: batch images (doc_id%10=9) hash-probed
+    // against the corpus-split min-doc index — q68's split at the
+    // perceptual-hash level, sharing the q128 hash CTEs.
+    "q137_image_incremental_dedup" ->
+      s"""WITH $q128Ctes,
+        |idx AS (SELECT hi, lo, MIN(doc_id) AS dup_of FROM ah
+        |        WHERE doc_id % 10 <> 9 GROUP BY 1, 2)
+        |SELECT b.doc_id, b.hi, b.lo,
+        |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of
+        |FROM ah b LEFT JOIN idx i USING (hi, lo)
+        |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
     // Video temporal-activity signatures: per sampled frame (the q36
     // sampling) the generator-derived aHash, folded into order-weighted
     // checksums + consecutive-frame Hamming stats; low_motion flags

@@ -294,10 +294,15 @@ object Multimodal {
   /** Per-image perceptual hashes: decode → 8×8 gray grid ([[grayGrid]],
     * q96's kernel) → [[aHashOf]], in the same typed mapPartitions batch
     * shape as [[extractFeatures]]. Map-side only. */
-  private[graft] def imageAHashes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .where(col("meta.format") === "bmp")
+  private[graft] def imageAHashes(spark: SparkSession, dir: String): DataFrame =
+    imageAHashesOf(mediaTable(spark, dir).where(col("meta.format") === "bmp"))
+
+  /** The hash kernel over an arbitrary (doc_id, payload) frame — shared
+    * by the corpus path, the q137 batch probe, and the streaming ingest
+    * twin. */
+  private[graft] def imageAHashesOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .select(col("doc_id"), col("payload")).as[MediaIn]
       .mapPartitions { rows =>
         rows.map { m =>
@@ -308,6 +313,55 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Persisted corpus image-hash INDEX: one (hi, lo) → min doc_id row
+    * per distinct perceptual hash over the corpus split's BMPs (batch
+    * residue doc_id%10=9 held out, the q68 split) — the durable state
+    * the incremental image dedup probes. Same build-once fingerprint
+    * contract as the LSH/IVF/span artifacts; at 100 TB you'd bucket it
+    * by (hi, lo) for a shuffle-free probe join. */
+  private[graft] def imageHashIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/img_ahash_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 5)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      imageAHashesOf(mediaTable(spark, dir)
+        .where(col("meta.format") === "bmp" && pmod(col("doc_id"), lit(10)) =!= 9))
+        .groupBy("hi", "lo").agg(min("doc_id").as("dup_of"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q137 — INCREMENTAL image dedup: the crawl-increment batch
+    * (doc_id%10=9, the q68 split at image level) hashed and probed
+    * against the persisted corpus hash index — an arriving image whose
+    * perceptual hash the corpus already holds is a dup of the earliest
+    * such image, everything else is new. Exact-hash probing (Hamming-0)
+    * is the image twin of q68's content-md5 probe; near-miss batches
+    * escalate to q128's banded machinery offline. Batch docs never
+    * index each other (q72's contract), which is exactly what makes the
+    * streaming twin ([[graft.streaming.StreamingAnalytics
+    * .imageDupVerdictsPerBatch]]) reproduce this table under ANY
+    * micro-batching.
+    *
+    * Scale shape: hashing is map-side; the probe is one equi-join of
+    * the batch against a hash-keyed index (bucketed at 100 TB →
+    * shuffle-free); verdicts are one row per batch image. */
+  def imageIncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    imageIncrementalDedupOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "bmp" && pmod(col("doc_id"), lit(10)) === 9))
+
+  /** [[imageIncrementalDedup]] over an arbitrary batch frame — the
+    * per-micro-batch core of the streaming twin. */
+  private[graft] def imageIncrementalDedupOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame =
+    imageAHashesOf(batch)
+      .join(imageHashIndex(spark, dir), Seq("hi", "lo"), "left")
+      .select(col("doc_id"), col("hi"), col("lo"),
+        when(col("dup_of").isNull, "new").otherwise("dup").as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
 
   /** q128 — PERCEPTUAL image near-dup: every BMP document is reduced to
     * a 64-bit aHash over its q96 thumbnail (decode → 8×8 gray grid →

@@ -282,6 +282,23 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming IMAGE dedup — the multimodal column's ingest twin
+    * (q137's per-batch core): each arriving (doc_id, payload) media
+    * micro-batch is decoded, perceptually hashed, and probed against
+    * the PERSISTED corpus image-hash index. Batch images never index
+    * each other (q72's contract), so any micro-batching reproduces the
+    * batch q137 verdict table exactly (spec'd in StreamingSpec). The
+    * first streaming leg whose per-row work is a real byte-decode
+    * kernel, not a column expression. */
+  def imageDupVerdictsPerBatch(spark: SparkSession, dir: String, media: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.imageIncrementalDedupOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming EXPORT MANIFEST — the stream twin of q127's shard
     * integrity checksums: as documents are exported shard by shard, the
     * per-shard rolling manifest (doc/token mass, order-free content

@@ -268,6 +268,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
   }
 
+  test("q137: identical-class batch images probe as dups of their corpus sibling (sf0.1)") {
+    val sf01 = "/root/testdata/sf0.1"
+    val out = Multimodal.imageIncrementalDedup(spark, sf01).collect()
+    assert(out.nonEmpty)
+    val dups = out.filter(_.getString(3) == "dup")
+    assert(dups.nonEmpty, "sf0.1's 768-periodic classes must produce corpus hits")
+    val hashOf = Multimodal.imageAHashes(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // status recompute: dup iff some corpus-split image shares the hash
+    // (at sf0.1 every 768-class has corpus members, so every batch image
+    // is a dup — the 'new' branch is exercised by the sf0.01 gate run,
+    // whose 500 ids span no class twice)
+    val corpusHashes = hashOf.collect { case (id, h) if id % 10 != 9 => h }.toSet
+    out.foreach { r =>
+      assert((r.getString(3) == "dup") === corpusHashes.contains(hashOf(r.getLong(0))),
+        s"status must match the corpus hash-set recompute: $r")
+    }
+    dups.foreach { r =>
+      assert(r.getLong(4) % 10 !== 9, s"dup_of must come from the corpus split: $r")
+      assert(hashOf(r.getLong(0)) === hashOf(r.getLong(4)),
+        s"dup_of must share the batch image's perceptual hash: $r")
+    }
+    out.filter(_.getString(3) == "new").foreach(r => assert(r.isNullAt(4)))
+  }
+
   test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {
     val out = Multimodal.mediaThumbnails(spark, sf0001).collect()
     assert(out.nonEmpty)

@@ -364,6 +364,34 @@ class StreamingSpec extends SparkSpec {
     assert(versionsAfter.toSeq === versions.toSeq, "no new state from a drained restart")
   }
 
+  test("streaming image dedup converges to the batch q137 verdicts under any micro-batching") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchImgs = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "bmp" && pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchImgs.nonEmpty)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Any)]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamingAnalytics.imageDupVerdictsPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload")) { verdicts =>
+      collected ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))
+    }
+    input.addData(batchImgs.take(5).toSeq); q.processAllAvailable()
+    input.addData(batchImgs.slice(5, 6).toSeq); q.processAllAvailable()
+    input.addData(batchImgs.drop(6).toSeq); q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val batch = graft.operators.Multimodal.imageIncrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getLong(4))).toSet
+    assert(collected.toSet === batch,
+      "union of per-micro-batch image verdicts must equal the batch q137 table")
+    assert(collected.size === batchImgs.length)
+  }
+
   test("streaming near-dup probe converges to the batch q72 verdicts under any micro-batching") {
     // the stream twin probes the SAME persisted corpus index per
     // micro-batch; since batch docs are judged against the corpus only,
