@@ -22,7 +22,8 @@ object Bench {
     "q63_zorder_slice",          // z-ordered lineitem copy
     "q65_eval_contamination",    // span_digests table
     "q72_incremental_neardup",   // persisted LSH band index
-    "q87_ivf_maintenance")       // corpus-only IVF model
+    "q87_ivf_maintenance",       // corpus-only IVF model
+    "q137_image_incremental_dedup") // corpus image-hash index
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
