@@ -44,6 +44,7 @@ object TextAnalysis {
   private[graft] def clearModelCache(): Unit = {
     persistedModels.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     persistedModels.clear()
+    unigramModels.clear()
   }
 
   /** Per-document quality metrics: token count, mean token length,
@@ -2078,7 +2079,20 @@ object TextAnalysis {
     * fetches are vocabulary-bounded driver collects (the q103 take(1)
     * analog); per-iteration work is one segmentation aggregate — job
     * count is linear in `emIters` (spec-pinned). */
-  private[graft] def unigramLearn(spark: SparkSession, dir: String, emIters: Int): UniModel = {
+  /** Session-scoped memo of trained unigram models: q130/q131/q136 all
+    * start from the same training run, and the model is a bounded
+    * driver-side value (≤ charset + UniSeedK pieces), so one (session,
+    * dir, iters) training pays for all three — the [[persistedModels]]
+    * contract for a driver-side model. The memoized `used` DataFrame
+    * rides the memoized histogram, so it stays replayable. */
+  private val unigramModels =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, Int), UniModel]
+
+  private[graft] def unigramLearn(spark: SparkSession, dir: String, emIters: Int): UniModel =
+    unigramModels.getOrElseUpdate((spark, dir, emIters),
+      unigramLearnUncached(spark, dir, emIters))
+
+  private def unigramLearnUncached(spark: SparkSession, dir: String, emIters: Int): UniModel = {
     require(emIters >= 1, "unigramLearn: at least one EM iteration")
     val hist = memoPersist(spark, s"uni_hist_$dir")(uniTokenHist(spark, dir))
     val seed = uniSeedStats(hist)
