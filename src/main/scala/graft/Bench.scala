@@ -23,6 +23,7 @@ object Bench {
     "q65_eval_contamination",    // span_digests table
     "q72_incremental_neardup",   // persisted LSH band index
     "q87_ivf_maintenance",       // corpus-only IVF model
+    "q129_dsir_sample",          // hashed-feature count table
     "q137_image_incremental_dedup") // corpus image-hash index
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

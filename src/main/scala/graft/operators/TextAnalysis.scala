@@ -1141,13 +1141,43 @@ object TextAnalysis {
     * expression; the audit is one language-bounded aggregate. No
     * all-pairs, no driver-side data. */
   def dsirSample(spark: SparkSession, dir: String): DataFrame =
-    dsirSampleOf(Tables.documents(spark, dir), col("lang") === DsirTargetLang)
+    dsirFromCounts(dsirFeatureCounts(spark, dir)
+      .withColumn("is_t", col("lang") === DsirTargetLang))
+
+  /** Persisted hashed-feature COUNT table — (doc_id, lang, bkt, n)
+    * rows, one per document × occupied bucket. DSIR's model and scoring
+    * passes both consume the featurized stream; tokenizing + md5-ing
+    * the corpus once per consumer is the cost a real pipeline avoids by
+    * LANDING the feature table (what DSIR implementations store), so it
+    * is built once per corpus content-fingerprint under the same
+    * check-then-write single-writer contract as the shingle/span
+    * digests. The target label is NOT baked in — `is_t` derives at read
+    * time, so one artifact serves any declared target. The DuckDB
+    * oracle keeps re-deriving features from raw text every verify run:
+    * the artifact is re-gated, never trusted. */
+  private[graft] def dsirFeatureCounts(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/dsir_feats_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 2)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      dsirFeaturize(Tables.documents(spark, dir), lit(false))
+        .drop("is_t")
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 
   /** [[dsirSample]] over an arbitrary (doc_id, lang, text) frame and
-    * target predicate — the spec's skewed-fixture entry point. */
+    * target predicate — the spec's skewed-fixture entry point
+    * (featurizes inline; the corpus path reads the persisted table). */
   private[graft] def dsirSampleOf(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame =
+    dsirFromCounts(dsirFeaturize(docs, isTarget))
+
+  /** Unigram+bigram extraction → md5 bucket hash → (doc, bucket)
+    * counts. All doc-level statistics downstream are exact sums over
+    * these counts, so the compacted frame loses nothing. */
+  private def dsirFeaturize(docs: DataFrame,
       isTarget: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("lang"), isTarget.as("is_t"),
       expr(toksExpr).as("tks"))
     val uni = toks.select(col("doc_id"), col("lang"), col("is_t"),
@@ -1156,15 +1186,24 @@ object TextAnalysis {
       explode(expr(
         "transform(slice(tks, 1, greatest(size(tks) - 1, 0)), (t, i) -> concat(t, ' ', tks[i + 1]))"))
         .as("f"))
-    val occ = uni.union(bi).select(col("doc_id"), col("lang"), col("is_t"),
-      pmod(expr("CAST(conv(substr(md5(f), 1, 8), 16, 10) AS BIGINT)"),
-        lit(DsirBuckets.toLong)).as("bkt"))
+    uni.union(bi)
+      .select(col("doc_id"), col("lang"), col("is_t"),
+        pmod(expr("CAST(conv(substr(md5(f), 1, 8), 16, 10) AS BIGINT)"),
+          lit(DsirBuckets.toLong)).as("bkt"))
+      .groupBy(col("doc_id"), col("lang"), col("is_t"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The model + scoring + audit pipeline over a featurized
+    * (doc_id, lang, is_t, bkt, n) frame. */
+  private def dsirFromCounts(occ: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // normalizers via a window over the bucket-bounded model frame (the
     // q80 pattern) — the corpus is never re-scanned for totals
     val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val model = occ.groupBy("bkt")
-      .agg(count(lit(1)).as("c_r"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .agg(sum(col("n")).as("c_r"),
+        sum(when(col("is_t"), col("n")).otherwise(0L)).as("c_t"))
       .withColumn("d_r", sum("c_r").over(whole))
       .withColumn("d_t", sum("c_t").over(whole))
       .select(col("bkt"), expr(
@@ -1173,7 +1212,8 @@ object TextAnalysis {
         .as("w_b"))
     val wdoc = occ.join(broadcast(model), Seq("bkt"))
       .groupBy(col("doc_id"), col("lang"), col("is_t"))
-      .agg(least(lit(DsirCapPermille), expr("sum(w_b) div count(1)")).as("w_doc"))
+      .agg(least(lit(DsirCapPermille),
+        expr("sum(w_b * n) div sum(n)")).as("w_doc"))
     val kept = wdoc.withColumn("kept",
       pmod(col("doc_id") * lit(1597334677L) + lit(7L), lit(1000000L)) <
         col("w_doc") * lit(DsirBudgetPermille))
