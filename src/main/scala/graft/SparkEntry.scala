@@ -157,6 +157,7 @@ object SparkEntry {
     "q133_image_dup_clusters" -> ((s, d) => Multimodal.imageDupClusters(s, d)),
     "q134_video_signatures" -> ((s, d) => Multimodal.videoSignatures(s, d)),
     "q137_image_incremental_dedup" -> ((s, d) => Multimodal.imageIncrementalDedup(s, d)),
+    "q138_audio_signatures" -> ((s, d) => Multimodal.audioSignatures(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -1054,6 +1055,38 @@ object SparkEntry {
     "q128_image_near_dup" ->
       s"""WITH $q128Ctes
         |SELECT d1, d2, hamming FROM imgpairs ORDER BY d1, d2""".stripMargin,
+    // Audio energy-envelope signatures: |PCM| mass folded into 64
+    // windows (sample i -> window i*64//n, mirrored via ceil
+    // boundaries), mean-threshold hashed like the image aHash, plus
+    // peak/mean/clip/low-energy audit columns.
+    "q138_audio_signatures" ->
+      s"""WITH a AS (SELECT doc_id, doc_id % 2000 + 500 AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT doc_id, n,
+        |         list_transform(range(0, n), i ->
+        |           abs((doc_id*131 + i*7919) % 65536 - 32768)) AS s
+        |       FROM a),
+        |en AS (SELECT doc_id, n,
+        |         CAST(list_sum(s) AS BIGINT) AS total_abs,
+        |         CAST(list_max(s) AS BIGINT) AS peak_abs,
+        |         CAST(len(list_filter(s, x -> x >= 32767)) AS BIGINT) AS n_clipped,
+        |         list_transform(range(0, ${operators.Multimodal.AudioWindows}), t ->
+        |           CAST(list_sum(list_transform(
+        |             range((t*n + 63)//64, ((t+1)*n + 63)//64),
+        |             i -> s[CAST(i + 1 AS INT)])) AS BIGINT)) AS e
+        |       FROM sm),
+        |ah AS (SELECT doc_id, n, total_abs, peak_abs, n_clipped,
+        |         CAST(list_sum(list_transform(range(32, 64), t ->
+        |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
+        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS sig_hi,
+        |         CAST(list_sum(list_transform(range(0, 32), t ->
+        |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
+        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS sig_lo
+        |       FROM en)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sig_hi, sig_lo,
+        |  total_abs, peak_abs, total_abs // n AS mean_abs, n_clipped,
+        |  total_abs // n < ${operators.Multimodal.LowEnergyAbs} AS low_energy
+        |FROM ah ORDER BY doc_id""".stripMargin,
     // Incremental image dedup: batch images (doc_id%10=9) hash-probed
     // against the corpus-split min-doc index — q68's split at the
     // perceptual-hash level, sharing the q128 hash CTEs.

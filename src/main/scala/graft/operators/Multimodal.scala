@@ -508,6 +508,71 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Energy windows in an audio fingerprint (shares the image hash
+    * width so [[aHashOf]] is the one threshold-signature kernel for all
+    * three modalities). */
+  val AudioWindows = 64
+  /** Mean |sample| below this flags a low-energy (near-silent) track. */
+  val LowEnergyAbs = 1000L
+
+  /** Typed per-track audio signature row. */
+  case class AudioSigRow(doc_id: Long, n_samples: Long, sig_hi: Long, sig_lo: Long,
+                         total_abs: Long, peak_abs: Long, mean_abs: Long,
+                         n_clipped: Long, low_energy: Boolean)
+
+  /** Decode one WAV (real RIFF walk), fold |sample| mass into
+    * [[AudioWindows]] equal windows, and hash the energy envelope with
+    * [[aHashOf]] — bit t set iff window t carries at least the mean
+    * window energy. Plus the audit stats a curation pass cuts on:
+    * peak/mean |amplitude|, rail-clipped sample count, low-energy flag. */
+  private[graft] def audioSignature(docId: Long, payload: Array[Byte]): AudioSigRow = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
+    MediaCodecs.decodeWav(payload)(s => samples += math.abs(s.toInt))
+    val n = samples.length
+    require(n >= AudioWindows, s"doc $docId: $n samples < $AudioWindows windows")
+    val e = new Array[Long](AudioWindows)
+    var total = 0L; var peak = 0L; var clipped = 0L
+    var i = 0
+    while (i < n) {
+      val v = samples(i).toLong
+      e(i * AudioWindows / n) += v
+      total += v; if (v > peak) peak = v; if (v >= 32767L) clipped += 1
+      i += 1
+    }
+    val (hi, lo) = aHashOf(e)
+    val mean = total / n
+    AudioSigRow(docId, n.toLong, hi, lo, total, peak, mean, clipped,
+      mean < LowEnergyAbs)
+  }
+
+  /** q138 — AUDIO energy-envelope signatures: the audio member of the
+    * perceptual-fingerprint trilogy (image q128, video q134). Every WAV
+    * document's PCM stream is decoded from real RIFF bytes, its
+    * |sample| mass folded into [[AudioWindows]] equal windows, and the
+    * envelope hashed with the SAME mean-threshold kernel as the image
+    * hashes — re-encoded or resampled copies of one recording collapse
+    * to the same 64-bit signature, which is the dedup join key at
+    * deployment. The row also carries the audit columns an audio
+    * curation pass cuts on: peak and mean |amplitude|, the
+    * rail-clipped sample count (distorted captures), and a low-energy
+    * flag (near-silent tracks carry no training value per byte). The
+    * DuckDB oracle re-derives envelope, hash, and stats from the PCM
+    * generator in closed form.
+    *
+    * Scale shape: one typed mapPartitions decode kernel, map-side; one
+    * narrow row per track; no shuffle before the contract sort. */
+  def audioSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .where(col("meta.format") === "wav")
+      .select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.map(m => audioSignature(m.doc_id, Option(m.payload).getOrElse(Array.emptyByteArray)))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = imageNearDupUnordered(spark, dir).select(col("d1"), col("d2"))
     val (labels, _, _) = Dedup.connectedComponents(

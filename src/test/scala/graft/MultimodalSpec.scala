@@ -293,6 +293,36 @@ class MultimodalSpec extends SparkSpec {
     out.filter(_.getString(3) == "new").foreach(r => assert(r.isNullAt(4)))
   }
 
+  test("q138: audio signature kernel matches a generator recompute; silence and clipping fixtures") {
+    val out = Multimodal.audioSignatures(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 === 1)
+      val n = (id % 2000 + 500).toInt
+      assert(r.getLong(1) === n.toLong, s"n_samples($id)")
+      val abs = Array.tabulate(n)(i => math.abs(Multimodal.wavVal(id, i).toInt).toLong)
+      val e = new Array[Long](64)
+      abs.zipWithIndex.foreach { case (v, i) => e(i * 64 / n) += v }
+      val (hi, lo) = Multimodal.aHashOf(e)
+      assert(r.getLong(2) === hi && r.getLong(3) === lo, s"signature($id)")
+      assert(r.getLong(4) === abs.sum && r.getLong(5) === abs.max, s"mass($id)")
+      assert(r.getLong(6) === abs.sum / n, s"mean($id)")
+      assert(r.getLong(7) === abs.count(_ >= 32767L).toLong, s"clipped($id)")
+      assert(r.getBoolean(8) === (abs.sum / n < Multimodal.LowEnergyAbs), s"low_energy($id)")
+    }
+    // crafted edge tracks through the kernel directly: near-silence flags
+    // low_energy; rail-pinned samples count as clipped on BOTH rails
+    val quiet = Multimodal.audioSignature(1L,
+      MediaCodecs.encodeWav(Array.fill[Short](200)(3)))
+    assert(quiet.low_energy && quiet.n_clipped === 0L && quiet.mean_abs === 3L)
+    val railed = Multimodal.audioSignature(2L,
+      MediaCodecs.encodeWav(Array.tabulate[Short](128)(i =>
+        if (i < 4) Short.MaxValue else if (i < 7) Short.MinValue else 100)))
+    assert(railed.n_clipped === 7L, "both rails must count as clipped")
+    assert(!railed.low_energy === (railed.mean_abs >= Multimodal.LowEnergyAbs))
+  }
+
   test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {
     val out = Multimodal.mediaThumbnails(spark, sf0001).collect()
     assert(out.nonEmpty)
