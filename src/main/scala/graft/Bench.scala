@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
 object Bench {
   /** Queries whose first execution provisions a persisted artifact
     * behind the build-once gate (layout copies, digest tables, LSH
@@ -25,6 +27,21 @@ object Bench {
     "q87_ivf_maintenance",       // corpus-only IVF model
     "q129_dsir_sample",          // hashed-feature count table
     "q137_image_incremental_dedup") // corpus image-hash index
+
+  // ---- rig-health telemetry (r13: the r12 driver capture inflated four
+  // queries 4-12x over their isolated floors with no in-run evidence of
+  // why; these readings make the next such event attributable) ----
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def oldGenUsedMb(): Long =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("Old") || p.getName.contains("Tenured"))
+      .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum / (1024 * 1024)
+  private def storageUsedMb(spark: SparkSession): Long = {
+    val st = spark.sparkContext.getExecutorMemoryStatus.values
+    st.map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +56,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle files are reclaimed by ContextCleaner only when the driver
+      // GCs the shuffle dependencies; a 143-query run on a large heap can
+      // go long stretches without a full GC, accumulating tens of GB of
+      // dead shuffle spill in local dirs (page-cache pressure on the
+      // corpus reads). Default interval is 30min — far longer than the
+      // whole bench; 60s keeps dead shuffle state bounded within the run.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The harness keeps only the last 2000 chars of this process's output;
@@ -60,6 +84,33 @@ object Bench {
     // first query doesn't absorb one-time JVM costs
     spark.range(100000).selectExpr("sum(id) AS s", "count(distinct id % 7) AS c")
       .write.format("noop").mode("overwrite").save()
+    // MACHINERY warmup (r13): the range warmup above never touches the
+    // parquet reader, shuffle writer, broadcast, window, or the SQL
+    // parser — so in a fresh driver run the alphabetically-first timed
+    // queries (q100/q101/q102, the r12 inflation set) were paying C2
+    // compilation of all of that across EVERY rep (their rep arrays
+    // decay 7.7→5.8→4.7 — a warming curve, not contention). One untimed
+    // pass through each machinery family takes ~3 s and moves that cost
+    // out of the timed region. Uses the TPC-H tables only — NOT the
+    // canary's CLF corpus, whose recorded history must keep pricing its
+    // own path.
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      li.join(org.apache.spark.sql.functions.broadcast(
+          ord.limit(1000)), li("l_orderkey") === ord("o_orderkey"))
+        .select("l_orderkey", "o_orderdate")
+        .write.format("noop").mode("overwrite").save()
+      li.createOrReplaceTempView("warmup_lineitem")
+      spark.sql("""SELECT l_orderkey, sum(l_quantity) OVER
+                   (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rq
+                   FROM warmup_lineitem""")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.dropTempView("warmup_lineitem")
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // noop sink: forces full materialization of every column (count() lets
     // Catalyst prune computed columns, undercounting real query cost)
     // optional comma-separated name filter for timing a single query while
@@ -94,29 +145,54 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] setup $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timeOnce(): Double = {
+    val canaryAnchorSec = 0.78
+    val canaryName = "q37b_clf_parse_volume"
+    // MULTI-POINT canary (r13 verdict task): the r12 driver run inflated
+    // four queries 4-12x while the single end-of-run canary read healthy —
+    // a mid-run contention burst is invisible to one sample. Re-time the
+    // canary every `canaryEvery` timed queries (untimed — health sampling,
+    // not query cost; ~1 s each) so a burst window is attributable to a
+    // position range in the sorted run order.
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY_EVERY", "25").toInt
+    val canaryTrack = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def canarySample(pos: Int): Unit =
+      SparkEntry.queries.get(canaryName).foreach { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        catch { case e: Throwable => System.err.println(s"[bench] canary failed: ${e.getMessage}") }
+        canaryTrack += (pos -> (System.nanoTime() - t0) / 1e9)
       }
+    // per-query rig-health readings keyed like "reps"; values are
+    // [gc_ms_delta, old_gen_mb_after, storage_mb_after, n_cached_rdds]
+    val health = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Int)]
+    var pos = 0
+    val ordered = selected.toSeq.sortBy(_._1)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = ordered.map { case (name, fn) =>
+      if (pos > 0 && canaryEvery > 0 && pos % canaryEvery == 0) canarySample(pos)
+      pos += 1
+      val gc0 = gcMillis()
       // EXPENSIVE queries get a rep CAP (the cheap-reps rule inverted):
-      // at the rig's slow extremes the heavyweight scans (q36/q37b/q39)
-      // pay 6-14 s PER REP, so a full rep count triples the bench's
-      // exposure to a co-tenant contention window without improving the
-      // reported min (all-reps-slow is exactly the case more reps can't
-      // rescue). Two reps keep the noise-vs-regression read (one outlier
-      // vs all-slow) mechanical; BASELINE.md documents the floor.
+      // at the rig's slow extremes the heavyweight scans pay 6-14 s PER
+      // REP, so a full rep count triples the bench's exposure to a
+      // co-tenant contention window without improving the reported min
+      // (all-reps-slow is exactly the case more reps can't rescue). Two
+      // reps keep the noise-vs-regression read (one outlier vs all-slow)
+      // mechanical; BASELINE.md documents the floor.
       val base = {
-        val first = timeOnce()
+        val first = timeOnce(name, fn)
         val n = if (first >= expensiveCutoffSec) math.min(reps, expensiveReps) else reps
-        first +: (2 to n).map(_ => timeOnce())
+        first +: (2 to n).map(_ => timeOnce(name, fn))
       }
-      val extra = if (base.min < cheapCutoffSec) (1 to cheapExtraReps).map(_ => timeOnce()) else Nil
+      val extra = if (base.min < cheapCutoffSec) (1 to cheapExtraReps).map(_ => timeOnce(name, fn)) else Nil
       // RECOVERY rep: if EVERY rep so far sits at/above the expensive
       // cutoff, grant exactly one more. With setup untimed, no query's
-      // warm floor is near 5 s (history max ~1.9 s), so this fires only
+      // warm floor is near 5 s (history max ~2.2 s), so this fires only
       // inside a degraded rig window — where the 2-rep cap otherwise
       // traps both reps in the same contention burst and records 10x a
       // query's band on bit-identical code (r9 driver: q47 [55.97,
@@ -125,9 +201,30 @@ object Bench {
       // still degraded the recovery rep is slow too and the all-reps-
       // slow adjudication signal is preserved, canary included.
       val rs = base ++ extra
-      val withRecovery = if (rs.min >= expensiveCutoffSec) rs :+ timeOnce() else rs
+      val withRecovery = if (rs.min >= expensiveCutoffSec) rs :+ timeOnce(name, fn) else rs
+      health(name) = ((gcMillis() - gc0), oldGenUsedMb(), storageUsedMb(spark),
+        spark.sparkContext.getPersistentRDDs.size)
       name -> withRecovery
     }
+    canarySample(pos)
+    // END-OF-RUN RETRY pass (r13): reps of one query run back-to-back, so
+    // a ~30 s contention burst (or the cold-JVM opening of the run) traps
+    // ALL of a query's reps and min() records 4-12x its floor — the exact
+    // r12 signature (q14 [10.7,10.1,9.3] vs an 0.81 s isolated floor at
+    // the same canary). Every warm floor in the suite's history is
+    // <= 2.2 s, so any min >= 3 s is either a genuine regression or a
+    // burst artifact; one extra rep taken AFTER the whole suite — minutes
+    // decorrelated from the burst — distinguishes them mechanically: a
+    // regression stays slow, a burst artifact lands back at floor. The
+    // retry reps are appended to the query's reps array (they measure the
+    // same code) and recorded by name in "retried".
+    val retryCutoffSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_CUTOFF", "3.0").toDouble
+    val results = firstPass.map { case (name, rs) =>
+      if (rs.min >= retryCutoffSec)
+        name -> (rs ++ Seq(timeOnce(name, selected(name)), timeOnce(name, selected(name))))
+      else name -> rs
+    }
+    val retried = firstPass.collect { case (n, rs) if rs.min >= retryCutoffSec => n }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, rs) => "\"" + k + "\":" + r3(rs.min) }
       .mkString("{", ",", "}")
@@ -136,7 +233,9 @@ object Bench {
     // setup pass above and are reported in "setup", so a setup query's
     // rep 1 is warm-artifact). A drifted min vs a real regression stays
     // mechanically distinguishable: noise = one slow outlier rep,
-    // regression = ALL reps slow.
+    // regression = ALL reps slow — and now also via "retried": a query
+    // whose end-of-run retry recovered to floor was a burst, not a
+    // regression.
     val rep = results.map { case (k, rs) => "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val cold = results.map { case (k, rs) => "\"" + k + "\":" + r3(rs.head) }
@@ -155,16 +254,29 @@ object Bench {
     // self-adjudicating: q37b's fast-rig anchor is ~0.78 s (BASELINE.md
     // canary history); ratio >~3 means this capture ran in a degraded rig
     // window and round-over-round comparisons should lean on per-query
-    // minima + the all-reps-slow test, not the total
-    val canaryAnchorSec = 0.78
-    val canaryRatio = results.toMap.get("q37b_clf_parse_volume")
+    // minima + the all-reps-slow test, not the total. "track" holds the
+    // mid-run samples [position, sec] — a burst shows as a high sample in
+    // one position window with healthy neighbors.
+    val canaryRatio = results.toMap.get(canaryName)
       .map(rs => r3(rs.min / canaryAnchorSec))
+    val trackJson = canaryTrack.map { case (p, s) => s"[$p,${r3(s)}]" }.mkString("[", ",", "]")
     val canaryJson = canaryRatio.map(r =>
-      s"""{"query":"q37b_clf_parse_volume","anchor_sec":$canaryAnchorSec,"ratio":$r}""")
+      s"""{"query":"$canaryName","anchor_sec":$canaryAnchorSec,"ratio":$r,"track":$trackJson}""")
       .getOrElse("null")
+    val healthJson = health.map { case (k, (gc, old, st, nc)) =>
+      "\"" + k + "\":[" + gc + "," + old + "," + st + "," + nc + "]"
+    }.mkString("{", ",", "}")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rep,"cold":$cold,"setup":$setupJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rep,"cold":$cold,"setup":$setupJson,"canary":$canaryJson,"health":$healthJson,"health_cols":["gc_ms","old_gen_mb","storage_mb","n_cached_rdds"],"retried":$retriedJson,"sf":"$sfDir"}"""
+    // round-/time-stamped capture PLUS the canonical name: the driver's
+    // r12 full capture was lost when a later run overwrote the single
+    // mutable BENCH_FULL.json (verdict task 3) — every run now also
+    // leaves an immutable epoch-stamped copy next to it.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_FULL_${System.currentTimeMillis / 1000}.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     val headline = Seq(
       "q1_busiest_user", "q10_pricing_summary", "q28_near_dup_jaccard",
@@ -175,8 +287,11 @@ object Bench {
     val resMap = results.toMap
     val hq = headline.flatMap(k => resMap.get(k).map(rs => "\"" + k + "\":" + r3(rs.min)))
       .mkString("{", ",", "}")
+    val trackRatios = canaryTrack.map(_._2 / canaryAnchorSec)
+    val trackSummary =
+      if (trackRatios.nonEmpty) s"[${r3(trackRatios.min)},${r3(trackRatios.max)}]" else "[]"
     val headlineJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"retried":$retriedJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
     // ONE print, emitted AFTER spark.stop(): the shutdown epilogue logs
     // would otherwise land between the JSON and process exit and the
     // harness keeps only the output tail (the old workaround printed the
