@@ -120,7 +120,7 @@ object SparkEntry {
     "q135_containment_dedup" -> ((s, d) => Dedup.containmentDedup(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q120_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
-    "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q29_minhash_lsh"     -> ((s, d) => Dedup.minhashLshAgreement(s, d)),
     "q29b_minhash_sig_portable" -> ((s, d) => Dedup.minhashSignaturesPortable(s, d)),
     "q29c_minhash_lsh_portable" -> ((s, d) => Dedup.minhashLshPairsPortable(s, d)),
     "q98_dedup_funnel"    -> ((s, d) => Dedup.dedupFunnel(s, d)),
@@ -538,6 +538,15 @@ object SparkEntry {
       """SELECT CAST(FLOOR(EPOCH(ts)/2678400)*2678400 AS BIGINT) AS w_start,
         |       COUNT(DISTINCT user_id) AS uniq_users
         |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+    // q2b error-band oracle (r13): the exact leg is reproduced; the HLL
+    // estimate is Spark-internal, so the oracle pins its 10%-band verdict
+    // literal TRUE — the hash matches iff the sketch actually landed in
+    // band (the q99-calibration gating pattern for sketch twins).
+    "q2b_unique_users_approx" ->
+      """SELECT CAST(FLOOR(EPOCH(ts)/2678400)*2678400 AS BIGINT) AS w_start,
+        |       COUNT(DISTINCT user_id) AS uniq_users_exact,
+        |       TRUE AS hll_within_10pct
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
     "q3_avg_value" ->
       """SELECT CAST(FLOOR(EPOCH(ts)/2678400)*2678400 AS BIGINT) AS w_start,
         |       CAST(FLOOR(CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_value_floor,
@@ -867,6 +876,21 @@ object SparkEntry {
         |SELECT o_orderstatus, n_orders,
         |  CAST([0.25, 0.5, 0.75, 0.95][CAST(i AS INT)] AS DOUBLE) AS q,
         |  ROUND(qs[CAST(i AS INT)], 4) AS price_quantile
+        |FROM q CROSS JOIN (SELECT unnest(range(1, 5)) AS i) ii
+        |ORDER BY o_orderstatus, q""".stripMargin,
+    // q58 error-band oracle (r13): exact leg = q51's quantile_cont; the
+    // GK-sketch estimate is Spark-internal, so the oracle pins the
+    // 1%-band verdict literal TRUE (observed corpus error ≤ 0.14%).
+    "q58_price_quantiles_approx" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    [quantile_cont(o_totalprice, 0.25), quantile_cont(o_totalprice, 0.5),
+        |     quantile_cont(o_totalprice, 0.75), quantile_cont(o_totalprice, 0.95)] AS qs
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n_orders,
+        |  CAST([0.25, 0.5, 0.75, 0.95][CAST(i AS INT)] AS DOUBLE) AS q,
+        |  ROUND(qs[CAST(i AS INT)], 4) AS price_quantile,
+        |  TRUE AS sketch_within_1pct
         |FROM q CROSS JOIN (SELECT unnest(range(1, 5)) AS i) ii
         |ORDER BY o_orderstatus, q""".stripMargin,
     "q52_status_pivot" ->
@@ -2021,6 +2045,29 @@ object SparkEntry {
     // Full LSH path in SQL: md5-portable shingle hashes → minhash
     // signatures → 16×4 band fold mod 1e9+7 → buckets capped at
     // Dedup.MaxBucket smallest doc_ids → distinct candidate pairs →
+    // q29 error-band oracle (r13): the xxhash64 production LSH emits
+    // hashes DuckDB cannot reproduce, so the gated row carries only
+    // oracle-reproducible counts (exact-Jaccard ≥ 0.9 truth pairs via
+    // q28's capped-shingle chain, t_-prefixed because q29cCtes owns the
+    // bare names; the portable survivor count via the full q29c
+    // derivation) plus the two Spark-side verdicts pinned literal TRUE:
+    // full recall of the truth set, and ≥ 0.95 set-Jaccard agreement
+    // with the portable twin (observed: identical sets at both SFs).
+    "q29_minhash_lsh" ->
+      s"""WITH $q29cCtes,
+        |t_dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        |t_k AS (SELECT sh.doc_id, sh.s FROM sh JOIN t_dfq ON sh.s = t_dfq.s
+        |        WHERE t_dfq.df <= 50),
+        |t_sz AS (SELECT doc_id, COUNT(*) AS n FROM t_k GROUP BY 1),
+        |t_pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |         FROM t_k a JOIN t_k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |t_j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
+        |        FROM t_pr JOIN t_sz s1 ON d1 = s1.doc_id JOIN t_sz s2 ON d2 = s2.doc_id)
+        |SELECT
+        |  (SELECT COUNT(*) FROM t_j WHERE ROUND(j, 6) >= 0.9) AS n_high_jaccard,
+        |  (SELECT COUNT(*) FROM est WHERE est_jaccard >= 0.5) AS n_portable_pairs,
+        |  TRUE AS recall_ok,
+        |  TRUE AS parity_ok""".stripMargin,
     // signature-estimated Jaccard >= 0.5. Mirrors
     // Dedup.minhashLshPairsPortable exactly.
     "q29c_minhash_lsh_portable" ->

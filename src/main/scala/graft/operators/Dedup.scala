@@ -665,11 +665,46 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash-LSH candidate pairs (production: xxhash64 hashes — rows-only
-    * check; ScalaTest asserts recall against [[nearDupJaccard]] and
-    * agreement with [[minhashLshPairsPortable]]'s logic). */
+  /** MinHash-LSH candidate pairs (production: xxhash64 hashes; gated via
+    * [[minhashLshAgreement]]'s error-band contract — ScalaTest additionally
+    * asserts recall against [[nearDupJaccard]] and agreement with
+    * [[minhashLshPairsPortable]]'s logic). */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsFromSignatures(signatures(spark, dir), "q29_lsh_buckets")
+
+  /** q29's BAND-GATE (r13): the xxhash64 production LSH path emits hashes
+    * DuckDB cannot reproduce, so for 11 rounds q29 carried a rows-only
+    * check. This audit turns the two invariants its ScalaTest always
+    * asserted into an oracle-gated single-row contract:
+    *
+    *  - `recall_ok` — every exact-Jaccard ≥ 0.9 pair ([[nearDupJaccard]],
+    *    itself hash-gated as q28) is found by the xxhash LSH path. Theory:
+    *    16 bands × 4 rows miss a j ≥ 0.9 pair with prob (1−j⁴)¹⁶ ≈ 1e-8.
+    *  - `parity_ok` — the xxhash survivor-pair SET agrees with the
+    *    hash-gated portable twin's ([[minhashLshPairsPortable]], q29c) at
+    *    set-Jaccard ≥ 0.95 (observed: identical at both test SFs; the band
+    *    absorbs borderline est_jaccard cuts under a different hash family).
+    *
+    * The oracle reproduces `n_high_jaccard` (exact shingle Jaccard) and
+    * `n_portable_pairs` (the full q29c DuckDB derivation) and pins both
+    * verdicts literal TRUE. All four crossJoins below are 1-row audit
+    * scalars (PlanGuard-allowlisted with that bound). */
+  def minhashLshAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val truth = nearDupJaccard(spark, dir).where(col("jaccard") >= 0.9).select("d1", "d2")
+    val xx = minhashLshPairs(spark, dir).select("d1", "d2")
+    val pt = lshPairsTable(spark, dir).select("d1", "d2")
+    val nTruth = truth.agg(count(lit(1)).as("n_high_jaccard"))
+    val nPt = pt.agg(count(lit(1)).as("n_portable_pairs"))
+    val missed = truth.join(xx, Seq("d1", "d2"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val inter = xx.join(pt, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    val uni = xx.union(pt).distinct().agg(count(lit(1)).as("n_union"))
+    nTruth.crossJoin(nPt).crossJoin(missed).crossJoin(inter).crossJoin(uni)
+      .select(col("n_high_jaccard"), col("n_portable_pairs"),
+        (col("n_missed") === 0L).as("recall_ok"),
+        (col("n_inter") * 1000 >= col("n_union") * 950).as("parity_ok"))
+  }
 
   /** Oracle-checked MinHash-LSH end-to-end: same banding, bucket cap, and
     * estimate as [[minhashLshPairs]], over md5-portable shingle hashes —

@@ -379,20 +379,29 @@ object Relational {
     * is unpayable. The sketch is a bounded-size mergeable summary:
     * map-side partial sketches combine associatively, so the shuffle
     * carries O(accuracy) bytes per group regardless of group size, and
-    * rank error is ≤ 1/accuracy (= 1/10000 here). Rows-only check
-    * (sketch internals aren't oracle-reproducible); RelationalSpec
-    * bounds its error within 1% of the exact percentiles — the declared
-    * non-portable-twin pattern shared with q2b and q29. */
+    * rank error is ≤ 1/accuracy (= 1/10000 here).
+    *
+    * BAND-GATED (r13): sketch internals aren't oracle-reproducible, so
+    * the gated output co-computes the exact interpolated percentile in
+    * the same agg and emits (exact value rounded like q51, sketch error
+    * verdict within 1% — observed corpus error ≤ 0.14%, 7x headroom).
+    * The DuckDB oracle reproduces the exact leg via quantile_cont and
+    * pins the verdict literal TRUE. The production expression at scale
+    * is the approx_percentile agg alone. */
   def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("qs"),
+      .agg(
+        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ex"),
+        expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap"),
         count(lit(1)).as("n_orders"))
       .select(col("o_orderstatus"), col("n_orders"),
-        posexplode(col("qs")).as(Seq("qi", "qv")))
+        posexplode(arrays_zip(col("ex"), col("ap"))).as(Seq("qi", "z")))
       .select(col("o_orderstatus"), col("n_orders"),
         element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.95)), col("qi") + 1).as("q"),
-        col("qv").as("price_quantile_approx"))
+        round(col("z.ex"), 4).as("price_quantile"),
+        (abs(col("z.ap") - col("z.ex")) * 100 <= abs(col("z.ex")))
+          .as("sketch_within_1pct"))
       .orderBy("o_orderstatus", "q")
 
   /** PIVOT: order counts + decimal revenue per status × priority, with

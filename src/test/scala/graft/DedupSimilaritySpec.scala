@@ -23,6 +23,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
 
+  test("q29 band gate: counts match independent recomputes; verdicts honestly derived") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Dedup.nearDupJaccard(spark, sf0001).where(col("jaccard") >= 0.9))
+    val xx = pairs(Dedup.minhashLshPairs(spark, sf0001))
+    val pt = pairs(Dedup.minhashLshPairsPortable(spark, sf0001))
+    val row = Dedup.minhashLshAgreement(spark, sf0001).collect() match {
+      case Array(r) => r
+      case rs => fail(s"expected exactly one audit row, got ${rs.length}")
+    }
+    assert(row.getAs[Long]("n_high_jaccard") === truth.size.toLong)
+    assert(row.getAs[Long]("n_portable_pairs") === pt.size.toLong)
+    assert(row.getAs[Boolean]("recall_ok") === truth.subsetOf(xx),
+      "recall verdict disagrees with driver-side recompute")
+    assert(row.getAs[Boolean]("parity_ok")
+      === ((xx & pt).size.toLong * 1000 >= (xx | pt).size.toLong * 950),
+      "parity verdict disagrees with driver-side recompute")
+    assert(row.getAs[Boolean]("recall_ok") && row.getAs[Boolean]("parity_ok"),
+      s"band gate red on fixture: truth=${truth.size} xx=${xx.size} portable=${pt.size}")
+  }
+
   test("q135: containment catches partial copies Jaccard misses; all three verdicts exercised") {
     import spark.implicits._
     // doc 1 (3 shingles) is quoted whole inside doc 2 (10 shingles);

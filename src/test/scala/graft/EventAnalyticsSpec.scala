@@ -59,6 +59,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("uniq_users")).toSeq === Seq(2L, 1L))
   }
 
+  test("q2b band gate: exact leg equals q2, HLL verdict matches an independent recompute") {
+    val exact = EventAnalytics.uniqueUsersPerWindow(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("w_start") -> r.getAs[Long]("uniq_users")).toMap
+    val approx = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(expr("CAST(FLOOR(unix_seconds(ts)/2678400)*2678400 AS BIGINT)").as("w_start"))
+      .agg(expr("approx_count_distinct(user_id)").as("a")).collect()
+      .map(r => r.getAs[Long]("w_start") -> r.getAs[Long]("a")).toMap
+    val gated = EventAnalytics.uniqueUsersApproxPerWindow(spark, sf0001).collect()
+    assert(gated.length === exact.size)
+    gated.foreach { r =>
+      val w = r.getAs[Long]("w_start")
+      assert(r.getAs[Long]("uniq_users_exact") === exact(w), s"exact leg diverges at $w")
+      assert(r.getAs[Boolean]("hll_within_10pct")
+        === (math.abs(approx(w) - exact(w)) * 10 <= exact(w)),
+        s"band verdict disagrees with independent recompute at $w")
+      assert(r.getAs[Boolean]("hll_within_10pct"), s"HLL out of 10% band at $w")
+    }
+  }
+
   test("avg value floor: nulls count as zero in numerator AND denominator") {
     val out = EventAnalytics.avgValuePerWindow(spark, dir).collect()
     // window 1: values 10,20,null→0,7 over n=4 → floor(37/4)=9

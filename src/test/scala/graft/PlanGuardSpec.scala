@@ -26,6 +26,7 @@ class PlanGuardSpec extends SparkSpec {
     "q91_bpe_first_merge" -> "1-row learned-merge broadcast (crossJoin of the top pair)",
     "q94_surprisal_sweep" -> "1-row bits_total scalar broadcast over the tiny histogram",
     "q4_global_parity" -> "two 1-row global aggregates crossJoined (EventAnalytics.scala:88)",
+    "q29_minhash_lsh" -> "five 1-row audit scalars crossJoined (Dedup.minhashLshAgreement)",
     "q49_range_join" -> "1-row min/max bounds broadcast builds the day spine (Temporal.scala:128)",
     "q75_bm25_search" -> "1-row corpus stats (N, avgdl) broadcast into the scoring scan",
     "q77_hybrid_rrf" -> "q75's 1-row stats + 1-row dense query vector; fusion joins two ≤k lists",

@@ -7,15 +7,37 @@ import graft.operators.Relational
 class RelationalSpec extends SparkSpec {
 
   test("approx_percentile sketch lands within 1% of the exact percentiles") {
+    // q58 is band-gated (r13): the query itself now emits the 1%-band
+    // verdict against an in-engine exact leg. This test keeps the band
+    // honest with an INDEPENDENT recompute: the emitted exact value must
+    // equal q51's, and the verdict must equal a from-scratch comparison
+    // of a separately-computed approx_percentile against it.
     val exact = Relational.priceQuantiles(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getAs[Double]("q")) -> r.getAs[Double]("price_quantile")).toMap
-    val approx = Relational.priceQuantilesApprox(spark, sf0001).collect()
-    assert(approx.length === exact.size)
-    approx.foreach { r =>
+    val approxRaw = graft.sources.Tables.orders(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.col("o_orderstatus"))
+      .agg(org.apache.spark.sql.functions
+        .expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap"),
+        org.apache.spark.sql.functions
+          .expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ex"))
+      .collect()
+      .flatMap { r =>
+        val qs = Seq(0.25, 0.5, 0.75, 0.95)
+        val ap = r.getSeq[Double](1)
+        val ex = r.getSeq[Double](2)
+        qs.indices.map(i => (r.getString(0), qs(i)) -> (ap(i), ex(i)))
+      }.toMap
+    val gated = Relational.priceQuantilesApprox(spark, sf0001).collect()
+    assert(gated.length === exact.size)
+    gated.foreach { r =>
       val key = (r.getString(0), r.getAs[Double]("q"))
-      val e = exact(key)
-      val a = r.getAs[Double]("price_quantile_approx")
-      assert(math.abs(a - e) / e <= 0.01, s"$key: approx $a vs exact $e")
+      val (a, e) = approxRaw(key)
+      assert(r.getAs[Double]("price_quantile") ===
+        BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$key: emitted exact leg diverges from q51's")
+      assert(r.getAs[Boolean]("sketch_within_1pct") === (math.abs(a - e) * 100 <= math.abs(e)),
+        s"$key: band verdict disagrees with independent recompute")
+      assert(math.abs(a - e) / e <= 0.01, s"$key: approx $a vs exact $e out of band")
     }
   }
 
