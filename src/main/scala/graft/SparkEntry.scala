@@ -1109,7 +1109,8 @@ object SparkEntry {
         |       FROM en)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sig_hi, sig_lo,
         |  total_abs, peak_abs, total_abs // n AS mean_abs, n_clipped,
-        |  total_abs // n < ${operators.Multimodal.LowEnergyAbs} AS low_energy
+        |  total_abs // n < ${operators.Multimodal.LowEnergyAbs} AS low_energy,
+        |  n < ${operators.Multimodal.AudioWindows} AS short_track
         |FROM ah ORDER BY doc_id""".stripMargin,
     // Incremental image dedup: batch images (doc_id%10=9) hash-probed
     // against the corpus-split min-doc index — q68's split at the
@@ -1579,7 +1580,7 @@ object SparkEntry {
         |                CAST(SUM(w_b) AS BIGINT) // COUNT(*)) AS w_doc
         |        FROM bk JOIN w USING (bkt) GROUP BY 1, 2),
         |k AS (SELECT doc_id, lang, w_doc,
-        |        (doc_id * 1597334677 + 7) % 1000000 < w_doc * ${operators.TextAnalysis.DsirBudgetPermille} AS kept
+        |        ((doc_id % 1000000) * 1597334677 + 7) % 1000000 < w_doc * ${operators.TextAnalysis.DsirBudgetPermille} AS kept
         |      FROM doc)
         |SELECT lang, lang = '${operators.TextAnalysis.DsirTargetLang}' AS is_target,
         |  COUNT(*) AS n_raw,

@@ -1214,8 +1214,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("lang"), col("is_t"))
       .agg(least(lit(DsirCapPermille),
         expr("sum(w_b * n) div sum(n)")).as("w_doc"))
+    // keep-rule hash: doc_id is reduced mod 1e6 BEFORE the multiply
+    // (identical result mod 1e6, since (id mod m)·k ≡ id·k mod m) so the
+    // product stays < 1e6·1597334677 ≈ 1.6e15 — no int64 wrap on Spark
+    // and no BIGINT-overflow error in the DuckDB oracle for ANY doc_id
+    // (the unreduced form silently wrapped past doc_id ≈ 5.9e9; r13
+    // advisory)
     val kept = wdoc.withColumn("kept",
-      pmod(col("doc_id") * lit(1597334677L) + lit(7L), lit(1000000L)) <
+      pmod(pmod(col("doc_id"), lit(1000000L)) * lit(1597334677L) + lit(7L), lit(1000000L)) <
         col("w_doc") * lit(DsirBudgetPermille))
     kept.groupBy(col("lang"), col("is_t"))
       .agg(count(lit(1)).as("n_raw"),

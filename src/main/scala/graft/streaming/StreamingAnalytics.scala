@@ -317,22 +317,66 @@ object StreamingAnalytics {
     * mid-write leaves no _SUCCESS, so the retry re-merges from the
     * previous version. (Local-FS listing here; a cluster deployment
     * swaps in the Hadoop FileSystem API, same protocol.) Kill + restart
-    * leg spec'd in StreamingSpec: converged state == batch q127. */
+    * leg spec'd in StreamingSpec: converged state == batch q127.
+    *
+    * The skip rule is safe ONLY while statePath and checkpointLocation
+    * live and die together: a fresh checkpoint restarts batchIds at 0,
+    * and replaying those against surviving state would silently drop
+    * every batch as "already applied". The state directory therefore
+    * records the owning query's id (stable across restarts from the
+    * same checkpoint, regenerated with a fresh one) in `_QUERY_ID` and
+    * an applied batch REFUSES to proceed on mismatch (r13, advisory).
+    *
+    * Old versions are PRUNED after each successful write — the current
+    * version plus one fallback survive (the fallback covers a crash
+    * mid-write of the current), so a long-running export holds two
+    * manifest copies on disk instead of one per applied batch ever
+    * (r13, advisory). */
   def shardManifestPerBatch(spark: SparkSession, docs: DataFrame,
       statePath: String, checkpointLocation: String)
       (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    def completeVersions(): Seq[Long] = {
+    def versionDirs(): Seq[(Long, java.io.File, Boolean)] = {
       val d = new java.io.File(statePath)
       if (!d.exists()) Seq.empty
       else d.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .map(_.getName.stripPrefix("v=").toLong)
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(f => (f.getName.stripPrefix("v=").toLong, f,
+          new java.io.File(f, "_SUCCESS").exists()))
+    }
+    def completeVersions(): Seq[Long] = versionDirs().collect { case (v, _, true) => v }
+    // the query id lives in the checkpoint's metadata file from the
+    // moment the stream starts; read it per batch (cheap, tiny file)
+    def checkpointQueryId(): Option[String] = {
+      val f = new java.io.File(checkpointLocation, "metadata")
+      if (!f.exists()) None
+      else "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .map(_.group(1))
+    }
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+      f.delete(): Unit
     }
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(statePath, "_QUERY_ID")
+        val qid = checkpointQueryId()
+        if (marker.exists()) {
+          val owner = new String(
+            java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+          qid.filter(_ != owner).foreach { id =>
+            throw new IllegalStateException(
+              s"shardManifestPerBatch: state at $statePath belongs to query " +
+                s"$owner but this stream's checkpoint is query $id - a fresh " +
+                "checkpoint restarts batchIds at 0 and its replays would be " +
+                "silently dropped against this state. statePath and " +
+                "checkpointLocation must live and die together: wipe the " +
+                "state directory or restore the original checkpoint.")
+          }
+        }
         val vs = completeVersions()
         if (vs.isEmpty || batchId > vs.max) {
           val partial = graft.operators.TextAnalysis.shardChecksumsOf(batch)
@@ -342,6 +386,14 @@ object StreamingAnalytics {
             case None => partial
           }
           merged.coalesce(1).write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+          if (!marker.exists())
+            qid.foreach(id => java.nio.file.Files.write(marker.toPath, id.getBytes("UTF-8")))
+          // prune: keep the just-written version and the newest prior
+          // complete one (mid-write crash fallback); everything older —
+          // complete or abandoned — is dead state
+          val keep = Set(batchId) ++ vs.sorted.lastOption.toSet
+          versionDirs().filter { case (v, _, _) => !keep(v) }
+            .foreach { case (_, f, _) => deleteRecursively(f) }
           onUpdate(spark.read.parquet(s"$statePath/v=$batchId"))
         }
       }

@@ -310,17 +310,30 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(6) === abs.sum / n, s"mean($id)")
       assert(r.getLong(7) === abs.count(_ >= 32767L).toLong, s"clipped($id)")
       assert(r.getBoolean(8) === (abs.sum / n < Multimodal.LowEnergyAbs), s"low_energy($id)")
+      assert(!r.getBoolean(9), s"corpus track $id flagged short")
     }
     // crafted edge tracks through the kernel directly: near-silence flags
     // low_energy; rail-pinned samples count as clipped on BOTH rails
     val quiet = Multimodal.audioSignature(1L,
       MediaCodecs.encodeWav(Array.fill[Short](200)(3)))
     assert(quiet.low_energy && quiet.n_clipped === 0L && quiet.mean_abs === 3L)
+    assert(!quiet.short_track)
     val railed = Multimodal.audioSignature(2L,
       MediaCodecs.encodeWav(Array.tabulate[Short](128)(i =>
         if (i < 4) Short.MaxValue else if (i < 7) Short.MinValue else 100)))
     assert(railed.n_clipped === 7L, "both rails must count as clipped")
     assert(!railed.low_energy === (railed.mean_abs >= Multimodal.LowEnergyAbs))
+    // damaged-input contract (r13): short and empty tracks degrade with
+    // the flag set instead of crashing the stage from mapPartitions
+    val short = Multimodal.audioSignature(3L,
+      MediaCodecs.encodeWav(Array.tabulate[Short](10)(i => (100 * (i + 1)).toShort)))
+    assert(short.short_track && short.n_samples === 10L)
+    assert(short.total_abs === 5500L && short.mean_abs === 550L,
+      "stats still exact on a short track")
+    val empty = Multimodal.audioSignature(4L, MediaCodecs.encodeWav(Array.empty[Short]))
+    assert(empty.short_track && empty.low_energy && empty.n_samples === 0L
+      && empty.sig_hi === 0L && empty.sig_lo === 0L && empty.mean_abs === 0L,
+      "empty payload yields the all-zero flagged row, not a crash")
   }
 
   test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {

@@ -807,7 +807,7 @@ class PipelineOpsSpec extends SparkSpec {
     val perDoc = fixture.map { case (id, lang, text) =>
       val ws = feats(text).map(wOf)
       val w = math.min(TextAnalysis.DsirCapPermille, ws.sum / ws.length)
-      val kept = Math.floorMod(id * 1597334677L + 7L, 1000000L) <
+      val kept = Math.floorMod(Math.floorMod(id, 1000000L) * 1597334677L + 7L, 1000000L) <
         w * TextAnalysis.DsirBudgetPermille
       (id, lang, w, kept)
     }

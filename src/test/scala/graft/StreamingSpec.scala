@@ -345,7 +345,11 @@ class StreamingSpec extends SparkSpec {
     val versions = new java.io.File(state).listFiles()
       .filter(f => f.getName.startsWith("v=") && new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName.stripPrefix("v=").toLong).sorted
-    assert(versions.length >= 2, "each applied batch records a state version")
+    // pruning (r13): current + one mid-write-crash fallback survive; the
+    // three applied batches must NOT have left three manifest copies
+    assert(versions.length === 2,
+      s"pruned state keeps current + one fallback, found ${versions.toSeq}")
+    assert(updates === 3, "one state update per applied batch")
     val got = spark.read.parquet(s"$state/v=${versions.last}")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).sortBy(_._1)
@@ -354,7 +358,6 @@ class StreamingSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).sortBy(_._1)
     assert(got.toSeq === expect.toSeq,
       "incrementally maintained manifest must converge to the batch q127 table")
-    assert(updates === versions.length, "one state update per applied batch")
     // a replayed batchId must be a no-op: restart the drained query and
     // confirm no state version appears beyond the last applied one
     val q3 = start()
@@ -362,6 +365,20 @@ class StreamingSpec extends SparkSpec {
     val versionsAfter = new java.io.File(state).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).sorted
     assert(versionsAfter.toSeq === versions.toSeq, "no new state from a drained restart")
+    // checkpoint-identity guard (r13): reusing the state directory with a
+    // FRESH checkpoint (batchIds restart at 0) must refuse loudly instead
+    // of silently dropping every replayed batch as already-applied
+    val input2 = MemoryStream[(Long, String)](spark)
+    val q4 = StreamingAnalytics.shardManifestPerBatch(spark,
+      input2.toDF().toDF("doc_id", "text"), state, s"$base/ckpt-fresh") { _ => updates += 1 }
+    input2.addData(batchDocs.take(2).toSeq)
+    val died = intercept[Exception] { q4.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(died).exists(_.contains("live and die together")),
+      s"fresh-checkpoint reuse must name the contract: ${messages(died).take(3)}")
+    assert(updates === 3, "the refused batch must not have touched state")
   }
 
   test("streaming image dedup converges to the batch q137 verdicts under any micro-batching") {
