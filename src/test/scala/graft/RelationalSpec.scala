@@ -118,4 +118,52 @@ class RelationalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "countDistinct expand should be gone after the pre-agg rewrite")
   }
+
+  test("relational headline shapes pinned: q10/q11/q14/q42 counted exchanges (r13)") {
+    // The r12 bench mystery centered on q14's driver-run inflation with no
+    // way to mechanically exclude a plan change; these pins do for the
+    // relational block what r12's ProfilingSpec pins did for q33/q34b —
+    // any future timing drift on unchanged shapes adjudicates to the rig.
+    def shapes(name: String): (Seq[String], Int) = {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val sh = shuffleExchanges(df).map(_.outputPartitioning.toString)
+      val bc = allPlanNodes(df.queryExecution.executedPlan).count {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+        case _ => false
+      }
+      (sh, bc)
+    }
+    // q10: ONE data shuffle (the two-phase grouped agg; map-side partials
+    // ride the scan) + the contract sort; no joins, no broadcasts
+    val (e10, b10) = shapes("q10_pricing_summary")
+    assert(e10.length === 2
+      && e10.count(_.startsWith("hashpartitioning(l_returnflag")) === 1
+      && e10.count(_.startsWith("rangepartitioning")) === 1, e10.toString)
+    assert(b10 === 0, s"q10 broadcasts: $b10")
+    // q11: the orders<->lineitem join shuffles ONLY on l_orderkey (one
+    // data-sized exchange); region/nation/customer stay broadcast; then
+    // the nation-grained agg hash + contract sort
+    val (e11, b11) = shapes("q11_revenue_by_nation")
+    assert(e11.length === 3
+      && e11.count(_.startsWith("hashpartitioning(l_orderkey")) === 1
+      && e11.count(_.startsWith("hashpartitioning(r_name")) === 1
+      && e11.count(_.startsWith("rangepartitioning")) === 1, e11.toString)
+    assert(b11 === 4, s"q11 broadcasts: $b11")
+    // q14: the rollup is ONE grouping-id hash agg (no per-level re-scan)
+    // + the contract sort
+    val (e14, b14) = shapes("q14_rollup_returns")
+    assert(e14.length === 2
+      && e14.count(_.contains("spark_grouping_id")) === 1
+      && e14.count(_.startsWith("rangepartitioning")) === 1, e14.toString)
+    assert(b14 === 0, s"q14 broadcasts: $b14")
+    // q42: the salted pre-agg shuffles on (group, salt), the final agg on
+    // the group alone, + the contract sort; dims stay broadcast
+    val (e42, b42) = shapes("q42_salted_revenue")
+    assert(e42.length === 3
+      && e42.count(p => p.startsWith("hashpartitioning(r_name") && p.contains("o_orderkey")) === 1
+      && e42.count(p => p.startsWith("hashpartitioning(r_name") && !p.contains("o_orderkey")) === 1
+      && e42.count(_.startsWith("rangepartitioning")) === 1, e42.toString)
+    assert(b42 === 4, s"q42 broadcasts: $b42")
+  }
 }
