@@ -158,6 +158,8 @@ object SparkEntry {
     "q134_video_signatures" -> ((s, d) => Multimodal.videoSignatures(s, d)),
     "q137_image_incremental_dedup" -> ((s, d) => Multimodal.imageIncrementalDedup(s, d)),
     "q138_audio_signatures" -> ((s, d) => Multimodal.audioSignatures(s, d)),
+    "q139_video_near_dup" -> ((s, d) => Multimodal.videoNearDup(s, d)),
+    "q140_video_dup_clusters" -> ((s, d) => Multimodal.videoDupClusters(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -194,6 +196,68 @@ object SparkEntry {
     * grids → aHash halves → 4×16 bands → capped buckets → candidate
     * pairs → XOR-popcount-verified near pairs (`imgpairs`). Shared by
     * the q128 pair listing and q133's cluster closure. */
+  // Per-sampled-frame video aHashes derived from the pixel generator in
+  // closed form — `fah(doc_id, nf, si, hi, lo)` — shared by the q134
+  // signature fold and the q139/q140 near-dup chain (r13).
+  private val vidFrameCtes: String =
+    """v AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
+      |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |sfr AS (SELECT doc_id, nf, w, h,
+      |         unnest(list_transform(range(0, CASE WHEN nf <= 5 THEN nf ELSE 5 END),
+      |                i -> {'si': i, 'f': CASE WHEN nf <= 5 THEN i ELSE i * nf // 5 END})) AS s
+      |        FROM v),
+      |fg AS (SELECT doc_id, nf, s.si AS si, w, h,
+      |        list_transform(range(0, 64), t ->
+      |          ( (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+      |          + (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+      |          + (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+      |       FROM sfr),
+      |fgs AS (SELECT doc_id, nf, si, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM fg),
+      |fah AS (SELECT doc_id, nf, si,
+      |         CAST(list_sum(list_transform(range(32, 64), t ->
+      |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+      |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+      |         CAST(list_sum(list_transform(range(0, 32), t ->
+      |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+      |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+      |        FROM fgs)""".stripMargin
+
+  // q139's banding + aligned-envelope verify over vidFrameCtes' fah —
+  // ends at `vidpairs(d1, d2, n_frames_aligned, ham_total, ham_max)`;
+  // shared by the q139 entry and q140's recursive closure.
+  private val vidPairCtes: String =
+    s"""fcnt AS (SELECT doc_id, COUNT(*) AS ns FROM fah GROUP BY 1),
+      |vbd AS (SELECT doc_id, si, unnest([
+      |         {'band_idx': 0, 'band_val': hi // 65536},
+      |         {'band_idx': 1, 'band_val': hi % 65536},
+      |         {'band_idx': 2, 'band_val': lo // 65536},
+      |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+      |       FROM fah),
+      |vmem AS (SELECT doc_id, si, b.band_idx AS band_idx, b.band_val AS band_val,
+      |          ROW_NUMBER() OVER (PARTITION BY si, b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY si, b.band_idx, b.band_val) AS n
+      |        FROM vbd),
+      |vkept AS (SELECT * FROM vmem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |vcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM vkept a JOIN vkept b
+      |            ON a.si = b.si AND a.band_idx = b.band_idx
+      |              AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |vvf AS (SELECT vcand.d1, vcand.d2,
+      |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+      |        FROM vcand JOIN fah fa ON fa.doc_id = vcand.d1
+      |                   JOIN fah fb ON fb.doc_id = vcand.d2 AND fb.si = fa.si),
+      |vag AS (SELECT d1, d2, COUNT(*) AS n_aligned,
+      |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+      |          CAST(MAX(ham) AS BIGINT) AS ham_max
+      |        FROM vvf GROUP BY 1, 2),
+      |vidpairs AS (SELECT vag.d1, vag.d2, vag.n_aligned AS n_frames_aligned,
+      |          vag.ham_total, vag.ham_max
+      |        FROM vag JOIN fcnt c1 ON vag.d1 = c1.doc_id
+      |                 JOIN fcnt c2 ON vag.d2 = c2.doc_id
+      |        WHERE c1.ns = c2.ns AND vag.n_aligned = c1.ns
+      |          AND vag.ham_max <= ${operators.Multimodal.ImgHammingMax})""".stripMargin
+
   private val q128Ctes: String =
     s"""p AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
       |           FROM documents WHERE doc_id % 3 = 0),
@@ -1128,28 +1192,7 @@ object SparkEntry {
     // checksums + consecutive-frame Hamming stats; low_motion flags
     // static streams (single-frame streams are static by definition).
     "q134_video_signatures" ->
-      s"""WITH v AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
-        |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
-        |           FROM documents WHERE doc_id % 3 = 2),
-        |sfr AS (SELECT doc_id, nf, w, h,
-        |         unnest(list_transform(range(0, CASE WHEN nf <= 5 THEN nf ELSE 5 END),
-        |                i -> {'si': i, 'f': CASE WHEN nf <= 5 THEN i ELSE i * nf // 5 END})) AS s
-        |        FROM v),
-        |fg AS (SELECT doc_id, nf, s.si AS si, w, h,
-        |        list_transform(range(0, 64), t ->
-        |          ( (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
-        |          + (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
-        |          + (doc_id*131 + s.f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
-        |       FROM sfr),
-        |fgs AS (SELECT doc_id, nf, si, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM fg),
-        |fah AS (SELECT doc_id, nf, si,
-        |         CAST(list_sum(list_transform(range(32, 64), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
-        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
-        |         CAST(list_sum(list_transform(range(0, 32), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
-        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
-        |        FROM fgs),
+      s"""WITH $vidFrameCtes,
         |cons AS (SELECT a.doc_id,
         |          bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS ham
         |         FROM fah a JOIN fah b ON a.doc_id = b.doc_id AND b.si = a.si + 1),
@@ -1165,6 +1208,40 @@ object SparkEntry {
         |  hm.ham_min, hm.ham_max, hm.ham_mean_x100,
         |  COALESCE(hm.ham_mean_x100 < ${operators.Multimodal.LowMotionX100}, TRUE) AS low_motion
         |FROM chk LEFT JOIN hm USING (doc_id) ORDER BY chk.doc_id""".stripMargin,
+    // Video near-dup verdicts: per-frame hashes from the generator,
+    // q128's banding keyed by (frame position, band), aligned-envelope
+    // verify (same sampled count, every frame within the Hamming cap).
+    "q139_video_near_dup" ->
+      s"""WITH $vidFrameCtes,
+        |$vidPairCtes
+        |SELECT d1, d2, n_frames_aligned, ham_total, ham_max
+        |FROM vidpairs ORDER BY d1, d2""".stripMargin,
+    // Video dup clusters + survivors: q139's pair chain, the q61
+    // recursive closure, longest-copy-survivor argmax (most frames,
+    // ties smallest doc_id).
+    "q140_video_dup_clusters" ->
+      s"""WITH RECURSIVE $vidFrameCtes,
+        |$vidPairCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM vidpairs
+        |          UNION ALL SELECT d2, d1 FROM vidpairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(nf AS BIGINT) AS nf FROM v),
+        |jn AS (SELECT c.comp_id, c.doc_id, l.nf FROM comps c JOIN lens l USING (doc_id)),
+        |agg AS (SELECT comp_id, COUNT(*) AS n_members,
+        |          CAST(SUM(nf) AS BIGINT) AS frames_total FROM jn GROUP BY 1),
+        |surv AS (SELECT comp_id, doc_id AS survivor_doc_id, nf AS survivor_frames
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp_id
+        |                 ORDER BY nf DESC, doc_id ASC) AS rk FROM jn)
+        |         WHERE rk = 1)
+        |SELECT agg.comp_id, agg.n_members, agg.frames_total,
+        |  surv.survivor_doc_id, surv.survivor_frames,
+        |  agg.frames_total - surv.survivor_frames AS frames_removed
+        |FROM agg JOIN surv USING (comp_id) ORDER BY agg.comp_id""".stripMargin,
     // Image dup clusters + survivors: q128's pair chain, the q61
     // recursive closure, highest-resolution-survivor argmax from the
     // metadata catalog.

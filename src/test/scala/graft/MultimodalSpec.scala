@@ -268,6 +268,71 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
   }
 
+  test("q139/q140: crafted fixtures — re-encode collides, bit flips verify, misalignment and ruined frames reject") {
+    import spark.implicits._
+    // base video 1 (nf=10): three sampled frames with distinct hashes;
+    // 2 = exact re-encode twin, longer source (nf=12);
+    // 3 = 2 bits flipped per frame (nf=9) — must band-collide (hi bands
+    //     untouched) and verify at ham 2/frame;
+    // 4 = frame 1 ruined (20 bits) — candidates exist via frames 0/2 but
+    //     the per-frame cap must reject the pair;
+    // 5 = truncated to 2 sampled frames — band-collides, alignment rejects
+    val f0 = (0x1234567890ABCDEFL, 0x0F0F0F0F0F0F0F0FL)
+    val f1 = (0x0011223344556677L, 0x8899AABBCCDDEEFFL)
+    val f2 = (0x7777777788888888L, 0x1111111122222222L)
+    def rows(id: Long, nf: Long, hs: Seq[(Long, Long)]) =
+      hs.zipWithIndex.map { case ((hi, lo), i) =>
+        (id, nf, hs.length.toLong, i, hi, lo)
+      }
+    val fixture = (
+      rows(1L, 10L, Seq(f0, f1, f2)) ++
+      rows(2L, 12L, Seq(f0, f1, f2)) ++
+      rows(3L, 9L, Seq((f0._1, f0._2 ^ 3L), (f1._1, f1._2 ^ 5L), (f2._1, f2._2 ^ 6L))) ++
+      rows(4L, 10L, Seq(f0, (f1._1, f1._2 ^ 0xFFFFFL), f2)) ++
+      rows(5L, 10L, Seq(f0, f1))
+    ).toDF("doc_id", "n_frames", "ns", "si", "hi", "lo")
+    val pairs = Multimodal.videoNearDupOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"verified pairs: ${pairs.keySet}")
+    assert(pairs((1L, 2L)) === ((3L, 0L, 0L)), "re-encode twin at distance 0")
+    assert(pairs((1L, 3L)) === ((3L, 6L, 2L)), "2 flipped bits per frame verify")
+    // cluster fold: {1,2,3} one component labeled by its min member;
+    // survivor = most total frames (doc 2, nf=12); 4 and 5 never clustered
+    val clusters = Multimodal.videoDupClustersOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(clusters.toSeq === Seq((1L, 3L, 31L, 2L, 12L, 19L)),
+      s"clusters: ${clusters.toSeq}")
+  }
+
+  test("q139 corpus: gate-SF output is empty by generator design; sf0.1 carries the real classes") {
+    // the generator's video dup classes need doc_id deltas of 3840
+    // (lcm of the dims/frame-count periods and the 256 pixel cycle), so
+    // the sf0.001 corpus (500 ids) CANNOT contain a true near-pair —
+    // pinning emptiness keeps the gate's empty result honest rather than
+    // accidental (the sf0.1 leg below is where verdicts exist)
+    assert(Multimodal.videoNearDup(spark, sf0001).collect().isEmpty)
+    val sf01 = "/root/testdata/sf0.1"
+    val out = Multimodal.videoNearDup(spark, sf01).collect()
+    assert(out.nonEmpty, "sf0.1's 3840-periodic classes must produce verified pairs")
+    // every Δ=3840 aligned class must be found at distance 0 — banding
+    // recall on exact copies is certain, not probabilistic
+    val exact = out.filter(r => r.getLong(1) - r.getLong(0) === 3840L)
+    assert(exact.nonEmpty)
+    exact.foreach(r => assert(r.getLong(3) === 0L,
+      s"generator class (${r.getLong(0)}, ${r.getLong(1)}) not at distance 0"))
+    // and the survivor policy picks the longest member of each cluster
+    val sigs = Multimodal.videoSignatures(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Multimodal.videoDupClusters(spark, sf01).collect()
+    assert(clusters.nonEmpty)
+    clusters.take(20).foreach { c =>
+      assert(sigs(c.getLong(3)) === c.getLong(4), "survivor_frames must be the catalog value")
+    }
+  }
+
   test("q137: identical-class batch images probe as dups of their corpus sibling (sf0.1)") {
     val sf01 = "/root/testdata/sf0.1"
     val out = Multimodal.imageIncrementalDedup(spark, sf01).collect()
