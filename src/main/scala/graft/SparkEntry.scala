@@ -160,6 +160,8 @@ object SparkEntry {
     "q138_audio_signatures" -> ((s, d) => Multimodal.audioSignatures(s, d)),
     "q139_video_near_dup" -> ((s, d) => Multimodal.videoNearDup(s, d)),
     "q140_video_dup_clusters" -> ((s, d) => Multimodal.videoDupClusters(s, d)),
+    "q141_audio_near_dup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
+    "q142_audio_dup_clusters" -> ((s, d) => Multimodal.audioDupClusters(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -257,6 +259,61 @@ object SparkEntry {
       |                 JOIN fcnt c2 ON vag.d2 = c2.doc_id
       |        WHERE c1.ns = c2.ns AND vag.n_aligned = c1.ns
       |          AND vag.ham_max <= ${operators.Multimodal.ImgHammingMax})""".stripMargin
+
+  // Audio envelope-hash derivation from the PCM generator in closed form
+  // — ends at `ah(doc_id, n, total_abs, peak_abs, n_clipped, sig_hi,
+  // sig_lo)` — shared by q138 and the q141/q142 near-dup chain (r13).
+  private val audSigCtes: String =
+    s"""a AS (SELECT doc_id, doc_id % 2000 + 500 AS n
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (SELECT doc_id, n,
+      |         list_transform(range(0, n), i ->
+      |           abs((doc_id*131 + i*7919) % 65536 - 32768)) AS s
+      |       FROM a),
+      |en AS (SELECT doc_id, n,
+      |         CAST(list_sum(s) AS BIGINT) AS total_abs,
+      |         CAST(list_max(s) AS BIGINT) AS peak_abs,
+      |         CAST(len(list_filter(s, x -> x >= 32767)) AS BIGINT) AS n_clipped,
+      |         list_transform(range(0, ${operators.Multimodal.AudioWindows}), t ->
+      |           CAST(list_sum(list_transform(
+      |             range((t*n + 63)//64, ((t+1)*n + 63)//64),
+      |             i -> s[CAST(i + 1 AS INT)])) AS BIGINT)) AS e
+      |       FROM sm),
+      |ah AS (SELECT doc_id, n, total_abs, peak_abs, n_clipped,
+      |         CAST(list_sum(list_transform(range(32, 64), t ->
+      |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
+      |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS sig_hi,
+      |         CAST(list_sum(list_transform(range(0, 32), t ->
+      |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
+      |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS sig_lo
+      |       FROM en)""".stripMargin
+
+  // q141's banding + verify over audSigCtes' ah — ends at
+  // `audpairs(d1, d2, hamming, n_samples_1, n_samples_2)`.
+  private val audPairCtes: String =
+    s"""abd AS (SELECT doc_id, sig_hi, sig_lo, CAST(n AS BIGINT) AS ns, unnest([
+      |         {'band_idx': 0, 'band_val': sig_hi // 65536},
+      |         {'band_idx': 1, 'band_val': sig_hi % 65536},
+      |         {'band_idx': 2, 'band_val': sig_lo // 65536},
+      |         {'band_idx': 3, 'band_val': sig_lo % 65536}]) AS b
+      |       FROM ah),
+      |amem AS (SELECT doc_id, sig_hi, sig_lo, ns,
+      |          b.band_idx AS band_idx, b.band_val AS band_val,
+      |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
+      |        FROM abd),
+      |akept AS (SELECT * FROM amem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |acand AS (SELECT DISTINCT a.doc_id AS d1, a.sig_hi AS hi1, a.sig_lo AS lo1, a.ns AS ns1,
+      |                 b.doc_id AS d2, b.sig_hi AS hi2, b.sig_lo AS lo2, b.ns AS ns2
+      |          FROM akept a JOIN akept b
+      |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |              AND a.doc_id < b.doc_id),
+      |audpairs AS (SELECT d1, d2,
+      |    CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS BIGINT) AS hamming,
+      |    ns1 AS n_samples_1, ns2 AS n_samples_2
+      |  FROM acand
+      |  WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2))
+      |    <= ${operators.Multimodal.ImgHammingMax})""".stripMargin
 
   private val q128Ctes: String =
     s"""p AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
@@ -1148,34 +1205,49 @@ object SparkEntry {
     // boundaries), mean-threshold hashed like the image aHash, plus
     // peak/mean/clip/low-energy audit columns.
     "q138_audio_signatures" ->
-      s"""WITH a AS (SELECT doc_id, doc_id % 2000 + 500 AS n
-        |           FROM documents WHERE doc_id % 3 = 1),
-        |sm AS (SELECT doc_id, n,
-        |         list_transform(range(0, n), i ->
-        |           abs((doc_id*131 + i*7919) % 65536 - 32768)) AS s
-        |       FROM a),
-        |en AS (SELECT doc_id, n,
-        |         CAST(list_sum(s) AS BIGINT) AS total_abs,
-        |         CAST(list_max(s) AS BIGINT) AS peak_abs,
-        |         CAST(len(list_filter(s, x -> x >= 32767)) AS BIGINT) AS n_clipped,
-        |         list_transform(range(0, ${operators.Multimodal.AudioWindows}), t ->
-        |           CAST(list_sum(list_transform(
-        |             range((t*n + 63)//64, ((t+1)*n + 63)//64),
-        |             i -> s[CAST(i + 1 AS INT)])) AS BIGINT)) AS e
-        |       FROM sm),
-        |ah AS (SELECT doc_id, n, total_abs, peak_abs, n_clipped,
-        |         CAST(list_sum(list_transform(range(32, 64), t ->
-        |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
-        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS sig_hi,
-        |         CAST(list_sum(list_transform(range(0, 32), t ->
-        |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
-        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS sig_lo
-        |       FROM en)
+      s"""WITH $audSigCtes
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sig_hi, sig_lo,
         |  total_abs, peak_abs, total_abs // n AS mean_abs, n_clipped,
         |  total_abs // n < ${operators.Multimodal.LowEnergyAbs} AS low_energy,
         |  n < ${operators.Multimodal.AudioWindows} AS short_track
         |FROM ah ORDER BY doc_id""".stripMargin,
+    // Audio near-dup verdicts: q128's banding + XOR-popcount verify over
+    // q138's envelope hashes (ah), replayed in closed form. No exact
+    // generator class exists inside any test SF (65536-id envelope
+    // cycle): gate-SF output is empty (the q139 empty-gate contract,
+    // derivation pinned), while sf0.1's long near-uniform envelopes
+    // yield real verified pairs (761, hash-matched there too).
+    "q141_audio_near_dup" ->
+      s"""WITH $audSigCtes,
+        |$audPairCtes
+        |SELECT d1, d2, hamming, n_samples_1, n_samples_2
+        |FROM audpairs ORDER BY d1, d2""".stripMargin,
+    // Audio dup clusters + survivors: q141's pair chain, the q61
+    // recursive closure, longest-capture survivor (most samples, ties
+    // smallest doc_id).
+    "q142_audio_dup_clusters" ->
+      s"""WITH RECURSIVE $audSigCtes,
+        |$audPairCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM audpairs
+        |          UNION ALL SELECT d2, d1 FROM audpairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(n AS BIGINT) AS ns FROM ah),
+        |jn AS (SELECT c.comp_id, c.doc_id, l.ns FROM comps c JOIN lens l USING (doc_id)),
+        |agg AS (SELECT comp_id, COUNT(*) AS n_members,
+        |          CAST(SUM(ns) AS BIGINT) AS samples_total FROM jn GROUP BY 1),
+        |surv AS (SELECT comp_id, doc_id AS survivor_doc_id, ns AS survivor_samples
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp_id
+        |                 ORDER BY ns DESC, doc_id ASC) AS rk FROM jn)
+        |         WHERE rk = 1)
+        |SELECT agg.comp_id, agg.n_members, agg.samples_total,
+        |  surv.survivor_doc_id, surv.survivor_samples,
+        |  agg.samples_total - surv.survivor_samples AS samples_removed
+        |FROM agg JOIN surv USING (comp_id) ORDER BY agg.comp_id""".stripMargin,
     // Incremental image dedup: batch images (doc_id%10=9) hash-probed
     // against the corpus-split min-doc index — q68's split at the
     // perceptual-hash level, sharing the q128 hash CTEs.

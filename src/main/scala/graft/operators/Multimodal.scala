@@ -712,7 +712,12 @@ object Multimodal {
     *
     * Scale shape: one typed mapPartitions decode kernel, map-side; one
     * narrow row per track; no shuffle before the contract sort. */
-  def audioSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def audioSignatures(spark: SparkSession, dir: String): DataFrame =
+    audioSigTable(spark, dir).orderBy("doc_id")
+
+  /** [[audioSignatures]] without the presentation sort — the form the
+    * q141/q142 near-dup chain composes (their first move re-shuffles). */
+  private[graft] def audioSigTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .where(col("meta.format") === "wav")
@@ -721,7 +726,99 @@ object Multimodal {
         rows.map(m => audioSignature(m.doc_id, Option(m.payload).getOrElse(Array.emptyByteArray)))
       }
       .toDF()
-      .orderBy("doc_id")
+  }
+
+  /** q141 — AUDIO near-dup verdicts: q128's banded-Hamming machinery
+    * over q138's 64-bit energy-envelope hashes. The envelope normalizes
+    * any track to [[AudioWindows]] equal-mass windows, so a re-encoded
+    * or re-SAMPLED copy of one recording (different n_samples, same
+    * waveform shape — the case the exact byte/content hash can never
+    * catch) lands within a few envelope bits of its source; banding (4 ×
+    * 16-bit, capped buckets with overflow observed) generates candidates
+    * with guaranteed recall to 3 flipped bits, exact XOR-popcount ≤
+    * [[ImgHammingMax]] verifies, and the verify runs BEFORE the
+    * cross-band distinct (q128's trick). Output carries both track
+    * lengths precisely because near-dups with DIFFERENT lengths are the
+    * operator's point.
+    *
+    * The audio generator's waveform is doc_id-keyed with no EXACT
+    * periodic class inside any test SF (the envelope offset cycle is
+    * 65536 ids), so gated output at the small gate SFs is empty — pinned
+    * by spec, with crafted resample/re-encode fixtures driving the
+    * guaranteed verdicts through [[audioNearDupOf]] (the q139 fixture
+    * pattern). At sf0.1 the corpus DOES produce verified pairs (761,
+    * hash-matched against the oracle): long tracks' near-uniform
+    * envelopes sit within a few bits of each other — the known aHash
+    * low-contrast behavior (same kernel as images); a deployment cuts
+    * low-energy/low-contrast tracks upstream, which is exactly what the
+    * q138 audit columns are for.
+    *
+    * Scale shape: identical to q128 — map-side hashing, one 4-rows/track
+    * band shuffle, capped pair expansion, never all-pairs. */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    audioNearDupOf(audioSigTable(spark, dir)).orderBy("d1", "d2")
+  }
+
+  /** [[audioNearDup]] over an arbitrary signature table — the unit the
+    * spec drives crafted fixtures through (needs doc_id, sig_hi, sig_lo,
+    * n_samples). */
+  private[graft] def audioNearDupOf(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"), col("sig_hi").as("hi"), col("sig_lo").as("lo"),
+      col("n_samples").as("ns"),
+      posexplode(array(
+        expr("sig_hi div 65536"), expr("sig_hi % 65536"),
+        expr("sig_lo div 65536"), expr("sig_lo % 65536"))).as(Seq("band_idx", "band_val")))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("hi"), col("lo"), col("ns")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+      .observe("q141_audio_buckets",
+        sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('d1', x.doc_id, 'hi1', x.hi, 'lo1', x.lo, 'ns1', x.ns,
+          |                 'd2', y.doc_id, 'hi2', y.hi, 'lo2', y.lo, 'ns2', y.ns))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        expr("CAST(bit_count(p.hi1 ^ p.hi2) + bit_count(p.lo1 ^ p.lo2) AS BIGINT)").as("hamming"),
+        col("p.ns1").as("n_samples_1"), col("p.ns2").as("n_samples_2"))
+      .where(col("hamming") <= ImgHammingMax)
+      .distinct()
+  }
+
+  /** q142 — audio DUP CLUSTERS + survivor selection: q141's verified
+    * near-pairs folded into connected components with the policy an
+    * audio corpus wants: keep the LONGEST capture (most samples — the
+    * least-truncated / highest-rate copy; ties → smallest doc_id), with
+    * member count and the sample mass the dedup removes. Completes the
+    * q133/q140 survivor story for the third modality, same shapes. */
+  def audioDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    audioDupClustersOf(audioSigTable(spark, dir))
+  }
+
+  /** [[audioDupClusters]] over an arbitrary signature table. */
+  private[graft] def audioDupClustersOf(sigs: DataFrame): DataFrame = {
+    val pairs = audioNearDupOf(sigs).select(col("d1"), col("d2"))
+    val (labels, _, _) = Dedup.connectedComponents(
+      pairs.toDF("src", "dst"), Dedup.MaxCcIters)
+    val lengths = sigs.select(col("doc_id"), col("n_samples"))
+    labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+      .join(lengths, Seq("doc_id"))
+      .groupBy("comp_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("n_samples").as("samples_total"),
+        max(struct(col("n_samples").as("n"), (lit(0L) - col("doc_id")).as("negid"))).as("s"))
+      .select(col("comp_id"), col("n_members"), col("samples_total"),
+        (lit(0L) - col("s.negid")).as("survivor_doc_id"),
+        col("s.n").as("survivor_samples"),
+        (col("samples_total") - col("s.n")).as("samples_removed"))
+      .orderBy("comp_id")
   }
 
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {

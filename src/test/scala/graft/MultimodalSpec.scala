@@ -401,6 +401,64 @@ class MultimodalSpec extends SparkSpec {
       "empty payload yields the all-zero flagged row, not a crash")
   }
 
+  test("q141/q142: resampled copy collides at distance 0; flips verify; ruined hash rejects; survivor = longest") {
+    import spark.implicits._
+    // END-TO-END re-encode case through the real WAV kernel: a shaped
+    // waveform and its 2x-upsampled copy (every sample doubled — a
+    // different n_samples the byte/content hash can never match) produce
+    // IDENTICAL envelopes: window sums double uniformly, the
+    // mean-threshold bits are scale-invariant, distance 0.
+    val base = Array.tabulate[Short](640)(i =>
+      ((math.sin(i / 20.0) * 12000).toInt + (i % 7) * 311).toShort)
+    val resampled = base.flatMap(s => Array(s, s))
+    val sigA = Multimodal.audioSignature(1L, MediaCodecs.encodeWav(base))
+    val sigB = Multimodal.audioSignature(2L, MediaCodecs.encodeWav(resampled))
+    assert(sigA.n_samples === 640L && sigB.n_samples === 1280L)
+    assert((sigA.sig_hi, sigA.sig_lo) === ((sigB.sig_hi, sigB.sig_lo)),
+      "uniform resampling must leave the envelope hash bit-identical")
+    // plus a 2-bit near copy (in band-recall range), a 20-bit ruined
+    // copy (bands may collide via untouched halves; verify must reject),
+    // and an unrelated constant track
+    val sigs = Seq(
+      (1L, sigA.sig_hi, sigA.sig_lo, sigA.n_samples),
+      (2L, sigB.sig_hi, sigB.sig_lo, sigB.n_samples),
+      (3L, sigA.sig_hi, sigA.sig_lo ^ 3L, 900L),
+      (4L, sigA.sig_hi, sigA.sig_lo ^ 0xFFFFFL, 640L),
+      (5L, ~sigA.sig_hi, ~sigA.sig_lo, 640L))
+      .toDF("doc_id", "sig_hi", "sig_lo", "n_samples")
+    val pairs = Multimodal.audioNearDupOf(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"pairs: ${pairs.keySet}")
+    assert(pairs((1L, 2L)) === ((0L, 640L, 1280L)),
+      "the resampled pair must report distance 0 with BOTH lengths")
+    assert(pairs((1L, 3L))._1 === 2L)
+    // clusters: {1,2,3}, survivor = the longest capture (doc 2, 1280)
+    val clusters = Multimodal.audioDupClustersOf(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(clusters.toSeq === Seq((1L, 3L, 2820L, 2L, 1280L, 1540L)),
+      s"clusters: ${clusters.toSeq}")
+  }
+
+  test("q141 corpus: gate-SF output empty (no generator class); sf0.1 pairs are verified and symmetric-consistent") {
+    assert(Multimodal.audioNearDup(spark, sf0001).collect().isEmpty,
+      "no exact audio class fits inside 500 ids — gate emptiness is by design")
+    val sf01 = "/root/testdata/sf0.1"
+    val out = Multimodal.audioNearDup(spark, sf01).collect()
+    assert(out.nonEmpty, "sf0.1's near-uniform long envelopes must produce verified pairs")
+    val sigs = Multimodal.audioSignatures(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(1))).toMap
+    out.take(50).foreach { r =>
+      val (h1, l1, n1) = sigs(r.getLong(0))
+      val (h2, l2, n2) = sigs(r.getLong(1))
+      val ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+      assert(r.getLong(2) === ham.toLong && ham <= Multimodal.ImgHammingMax,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) hamming recompute")
+      assert(r.getLong(3) === n1 && r.getLong(4) === n2)
+    }
+  }
+
   test("q96: resize kernel matches a generator-formula recompute of the sampled grid") {
     val out = Multimodal.mediaThumbnails(spark, sf0001).collect()
     assert(out.nonEmpty)
