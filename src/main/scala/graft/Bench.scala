@@ -26,7 +26,8 @@ object Bench {
     "q72_incremental_neardup",   // persisted LSH band index
     "q87_ivf_maintenance",       // corpus-only IVF model
     "q129_dsir_sample",          // hashed-feature count table
-    "q137_image_incremental_dedup") // corpus image-hash index
+    "q137_image_incremental_dedup", // corpus image-hash index
+    "q143_containment_incremental") // frozen containment index (r13)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four
   // queries 4-12x over their isolated floors with no in-run evidence of

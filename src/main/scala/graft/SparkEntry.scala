@@ -162,6 +162,7 @@ object SparkEntry {
     "q140_video_dup_clusters" -> ((s, d) => Multimodal.videoDupClusters(s, d)),
     "q141_audio_near_dup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
     "q142_audio_dup_clusters" -> ((s, d) => Multimodal.audioDupClusters(s, d)),
+    "q143_containment_incremental" -> ((s, d) => Dedup.containmentIncremental(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -1192,6 +1193,41 @@ object SparkEntry {
     // Asymmetric containment dedup: q28's posting-list core projected
     // to inter/|A| permille with a direction verdict.
     "q135_containment_dedup" -> q135Sql,
+    // Incremental containment (r13): the oracle re-derives the frozen
+    // index from scratch — corpus-split (doc_id % 10 != 9) shingles,
+    // frozen df stop list, kept postings + sizes — then the batch-side
+    // representation (batch shingles minus the stop list) and the
+    // cross-only probe, so the artifact is re-gated every verify run.
+    "q143_containment_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks),
+        |cdf AS (SELECT s, COUNT(*) AS df FROM sh WHERE doc_id % 10 != 9 GROUP BY 1),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN cdf ON sh.s = cdf.s
+        |        WHERE sh.doc_id % 10 != 9 AND cdf.df <= ${operators.Dedup.MaxShingleDf}),
+        |sz2 AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY 1),
+        |bsh AS (SELECT sh.doc_id, sh.s FROM sh
+        |        LEFT JOIN (SELECT s FROM cdf WHERE df > ${operators.Dedup.MaxShingleDf}) st
+        |          ON sh.s = st.s
+        |        WHERE sh.doc_id % 10 = 9 AND st.s IS NULL),
+        |sz1 AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+        |pr AS (SELECT b.doc_id AS d1, i.doc_id AS d2, COUNT(*) AS inter
+        |       FROM bsh b JOIN idx i ON b.s = i.s GROUP BY 1, 2),
+        |c AS (SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+        |        CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        |        (1000 * CAST(inter AS BIGINT)) // CAST(s1.n AS BIGINT) AS cont1_permille,
+        |        (1000 * CAST(inter AS BIGINT)) // CAST(s2.n AS BIGINT) AS cont2_permille
+        |      FROM pr JOIN sz1 s1 ON d1 = s1.doc_id JOIN sz2 s2 ON d2 = s2.doc_id)
+        |SELECT d1, d2, inter, n1, n2, cont1_permille, cont2_permille,
+        |  CASE WHEN cont1_permille >= ${operators.Dedup.ContainmentPermille}
+        |        AND cont2_permille >= ${operators.Dedup.ContainmentPermille} THEN 'mutual'
+        |       WHEN cont1_permille >= ${operators.Dedup.ContainmentPermille} THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM c
+        |WHERE greatest(cont1_permille, cont2_permille) >= ${operators.Dedup.ContainmentPermille}
+        |ORDER BY d1, d2""".stripMargin,
     // Perceptual image near-dup: the q96 pixel-generator-derived 8x8
     // gray grid folded to a 64-bit aHash (bit t: 64*gray >= sum, the
     // exact-integer mean threshold), split into two unsigned 32-bit

@@ -323,6 +323,97 @@ object Dedup {
   private[graft] def containmentDedupOf(docs: DataFrame): DataFrame =
     containmentFrom(filteredPairStatsOf(rawShinglesOf(docs).distinct()))
 
+  /** Frozen containment index (r13): the corpus split's (doc_id % 10 ≠ 9,
+    * the q68 split) shingle digests with the corpus-df stop list applied,
+    * persisted once per corpus fingerprint as THREE tables under one
+    * logical artifact — kept postings (gh, doc_id), the stop list (gh:
+    * corpus df > [[MaxShingleDf]]), and per-doc filtered set sizes — so a
+    * batch probe touches nothing corpus-sized beyond the equi-joins it
+    * needs (bucketed by gh/doc_id at 100 TB → shuffle-free). The df cut
+    * is FROZEN at index-build time (the q90/q111 frozen-model contract):
+    * a batch never re-prices corpus document frequencies, which is what
+    * keeps the probe batch-proportional. Same fingerprint +
+    * check-then-write single-writer contract as [[shingleDigests]]. */
+  private[graft] def containmentIndexPaths(dir: String): (String, String, String) = {
+    val base = Warehouse + "/containment_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxShingleDf.toInt)
+    (base + "/postings", base + "/stop", base + "/sizes")
+  }
+
+  private[graft] def containmentIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (pPath, sPath, zPath) = containmentIndexPaths(dir)
+    if (!graft.sources.Artifacts.isBuilt(spark, pPath)) {
+      val corpus = shingleDigests(spark, dir)
+        .where(pmod(col("doc_id"), lit(10)) =!= 9)
+      val withDf = corpus
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      // postings land LAST: isBuilt() probes the postings path, so its
+      // _SUCCESS certifies the whole three-table artifact
+      withDf.where(col("df") > MaxShingleDf)
+        .select(col("gh")).distinct()
+        .write.mode("overwrite").parquet(sPath)
+      withDf.where(col("df") <= MaxShingleDf)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .write.mode("overwrite").parquet(zPath)
+      withDf.where(col("df") <= MaxShingleDf)
+        .select(col("gh"), col("doc_id"))
+        .write.mode("overwrite").parquet(pPath)
+    }
+    (spark.read.parquet(pPath), spark.read.parquet(sPath), spark.read.parquet(zPath))
+  }
+
+  /** q143 — INCREMENTAL containment dedup: [[containmentDedup]]'s q135
+    * verdicts for a crawl increment WITHOUT re-pairing the corpus — the
+    * q68/q106 split applied to partial-copy detection. The batch
+    * (doc_id % 10 = 9) is shingled and digested map-side, the frozen
+    * stop list removes index-time stop-shingles from its representation,
+    * and one equi-join against the kept postings yields (batch doc,
+    * corpus doc) intersections; sizes join on both ends, then q135's
+    * containment thresholds and relation verdicts verbatim. Batch docs
+    * never pair each other (q72's contract) — which is exactly what
+    * makes the streaming twin ([[graft.streaming.StreamingAnalytics
+    * .containmentVerdictsPerBatch]]) reproduce this table under ANY
+    * micro-batching.
+    *
+    * Scale shape: batch-proportional — only the batch is shingled; every
+    * corpus-sized touch is an equi-join (gh or doc_id keyed) against the
+    * persisted index; no posting self-join, no corpus re-shingle, no df
+    * recount. */
+  def containmentIncremental(spark: SparkSession, dir: String): DataFrame =
+    containmentIncrementalOf(spark, dir,
+      Tables.documents(spark, dir).where(pmod(col("doc_id"), lit(10)) === 9))
+
+  /** [[containmentIncremental]] over an arbitrary (doc_id, text) batch —
+    * the per-micro-batch core of the streaming twin. */
+  private[graft] def containmentIncrementalOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (postings, stop, sizes) = containmentIndex(spark, dir)
+    val bsh = rawShinglesOf(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), unhex(md5(col("sh"))).as("gh"))
+      .distinct()
+      .join(stop, Seq("gh"), "left_anti")
+    val n1 = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
+    val inter = bsh
+      .join(postings.withColumnRenamed("doc_id", "d2"), Seq("gh"))
+      .groupBy(col("doc_id").as("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n1.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        expr("(1000L * inter) div n1").as("cont1_permille"),
+        expr("(1000L * inter) div n2").as("cont2_permille"))
+      .where(greatest(col("cont1_permille"), col("cont2_permille")) >= ContainmentPermille)
+      .withColumn("relation",
+        when(col("cont1_permille") >= ContainmentPermille &&
+             col("cont2_permille") >= ContainmentPermille, "mutual")
+          .when(col("cont1_permille") >= ContainmentPermille, "d1_in_d2")
+          .otherwise("d2_in_d1"))
+      .orderBy("d1", "d2")
+  }
+
   private def containmentFrom(stats: DataFrame): DataFrame =
     stats
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),

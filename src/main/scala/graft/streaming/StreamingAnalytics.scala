@@ -299,6 +299,24 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming CONTAINMENT verdicts — the stream twin of q143: each
+    * arriving document micro-batch is shingled and probed against the
+    * FROZEN containment index (postings + stop list + sizes, built once
+    * per corpus fingerprint — the q90/q111 frozen-model contract). Each
+    * verdict is a pure function of (document text, frozen index) and
+    * batch docs never pair each other (q72's contract), so replays are
+    * idempotent per doc and ANY micro-batching reproduces the batch
+    * q143 table — at-least-once delivery needs only a set-union sink.
+    * Kill + restart leg spec'd in StreamingSpec (r13). */
+  def containmentVerdictsPerBatch(spark: SparkSession, dir: String, docs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.containmentIncrementalOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming EXPORT MANIFEST — the stream twin of q127's shard
     * integrity checksums: as documents are exported shard by shard, the
     * per-shard rolling manifest (doc/token mass, order-free content

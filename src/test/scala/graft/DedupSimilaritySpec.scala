@@ -78,6 +78,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(1000 * 3 / (3 + 10 - 3) < 600)
   }
 
+  test("q143: incremental containment matches a frozen-index driver recompute; crafted batch probes verify") {
+    import spark.implicits._
+    // driver recompute of the DECLARED incremental semantics at sf0.001:
+    // frozen corpus-split df stop list, batch representation minus the
+    // stop list, cross-only pairs
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sh(t: String): Set[String] = {
+      val tk = t.split("\\s+", -1)
+      if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val corpus = docs.filter(_._1 % 10 != 9).map { case (id, t) => id -> sh(t) }
+    val df = corpus.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.length }
+    val stop = df.collect { case (s, d) if d > Dedup.MaxShingleDf => s }.toSet
+    val idx = corpus.map { case (id, ss) => id -> ss.filterNot(stop) }.toMap
+    val batch = docs.filter(_._1 % 10 == 9).map { case (id, t) => id -> sh(t).filterNot(stop) }
+    val expect = (for {
+      (b, bs) <- batch.toSeq; (c, cs) <- idx.toSeq
+      inter = (bs & cs).size.toLong if inter > 0
+      n1 = bs.size.toLong; n2 = cs.size.toLong
+      c1 = 1000 * inter / n1; c2 = 1000 * inter / n2
+      if math.max(c1, c2) >= Dedup.ContainmentPermille
+    } yield (b, c, inter, n1, n2, c1, c2,
+      if (c1 >= 800 && c2 >= 800) "mutual" else if (c1 >= 800) "d1_in_d2" else "d2_in_d1"))
+      .sortBy(t => (t._1, t._2))
+    val got = Dedup.containmentIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(got.toSeq === expect, "incremental verdicts must equal the frozen-index recompute")
+    assert(expect.nonEmpty, "sf0.001 fixture must exercise the probe")
+    // crafted probes through the *Of form: a batch doc quoting a corpus
+    // doc wholly is directional; an exact copy is mutual; unrelated is absent
+    val corpusDoc = docs.find(d => d._1 % 10 != 9 && sh(d._2).filterNot(stop).size >= 3).get
+    val crafted = Seq(
+      (100009L, corpusDoc._2 + " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12"),
+      (100019L, corpusDoc._2),
+      (100029L, "zz1 zz2 zz3 zz4 zz5"))
+      .toDF("doc_id", "text")
+    val verdicts = Dedup.containmentIncrementalOf(spark, sf0001, crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(7)).toMap
+    assert(verdicts((100019L, corpusDoc._1)) === "mutual")
+    assert(verdicts((100009L, corpusDoc._1)) === "d2_in_d1",
+      "the quoted corpus doc is contained in the longer batch doc")
+    assert(!verdicts.keySet.exists(_._1 == 100029L), "unrelated batch doc pairs with nothing")
+  }
+
   test("q98 funnel: stages nest monotonically, raw row matches the corpus, exact row matches q27") {
     val rows = Dedup.dedupFunnel(spark, sf0001).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq ===

@@ -281,6 +281,45 @@ class StreamingSpec extends SparkSpec {
     assert(collected.exists(_._3 > 0L))
   }
 
+  test("streaming containment verdicts converge to batch q143 across a kill + restart") {
+    // frozen containment index + cross-only per-doc verdicts ⇒ replays
+    // are idempotent and any micro-batching reproduces the batch table
+    val batchDocs = graft.sources.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 9)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(batchDocs.nonEmpty)
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = StreamingAnalytics.containmentVerdictsPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "text")) { verdicts =>
+      collected ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))
+    }
+    val q1 = start()
+    input.addData(batchDocs.take(2).toSeq); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, s"q1 died: ${q1.exception}")
+    q1.stop() // KILL mid-stream; rows arriving during the outage follow
+    input.addData(batchDocs.drop(2).toSeq)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"q2 died: ${q2.exception}")
+    q2.stop()
+    val batch = graft.operators.Dedup.containmentIncremental(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7))).toSet
+    // set-compare dedupes replayed rows: probing the frozen index is
+    // idempotent, so a replayed doc's verdicts are identical
+    assert(collected.toSet === batch,
+      "union of streamed verdicts across the restart must equal batch q143")
+    assert(batch.nonEmpty, "fixture must exercise the probe")
+  }
+
   test("span-dedup scrubber restarts from the checkpoint: no doc lost, rewrites match batch q106") {
     val batchDocs = graft.sources.Tables.documents(spark, sf0001)
       .where(org.apache.spark.sql.functions.pmod(
