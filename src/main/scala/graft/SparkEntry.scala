@@ -2243,7 +2243,7 @@ object SparkEntry {
       s"""WITH $q29cCtes,
         |t_dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
         |t_k AS (SELECT sh.doc_id, sh.s FROM sh JOIN t_dfq ON sh.s = t_dfq.s
-        |        WHERE t_dfq.df <= 50),
+        |        WHERE t_dfq.df <= ${operators.Dedup.MaxShingleDf}),
         |t_sz AS (SELECT doc_id, COUNT(*) AS n FROM t_k GROUP BY 1),
         |t_pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
         |         FROM t_k a JOIN t_k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object LogParser {
 
-  /** reference StreamingJob.scala:69, verbatim. */
+  /** reference StreamingJob.scala:69, with one deliberate tightening:
+    * the reference writes `HTTP/V?1.0` (unescaped dot, matching any
+    * char); here the dot is escaped (`1\.0`). Same accept set on all
+    * real CLF traffic — fixture-covered in ClfParserSpec — and strictly
+    * narrower on adversarial input (e.g. `HTTP/1x0`). */
   val Pattern: String =
     "^(\\S+) - - \\[(\\d\\d)/(\\w{1,3})/(\\d{4}):(\\d{2}):(\\d{2}):(\\d{2}) (-\\d{4})\\] \"(\\w{1,6}) ([^ \"]+) *(HTTP/V?1\\.0) *\" (\\d{3}) (\\d{1,9}|-)$"
 

@@ -342,8 +342,11 @@ object StreamingAnalytics {
     * and replaying those against surviving state would silently drop
     * every batch as "already applied". The state directory therefore
     * records the owning query's id (stable across restarts from the
-    * same checkpoint, regenerated with a fresh one) in `_QUERY_ID` and
-    * an applied batch REFUSES to proceed on mismatch (r13, advisory).
+    * same checkpoint, regenerated with a fresh one) in `_QUERY_ID`,
+    * written BEFORE the first version so no crash window can leave
+    * unowned versions; an applied batch REFUSES to proceed on owner
+    * mismatch AND on versions-without-owner state (r13 + r14,
+    * advisories).
     *
     * Old versions are PRUNED after each successful write — the current
     * version plus one fallback survive (the fallback covers a crash
@@ -394,9 +397,32 @@ object StreamingAnalytics {
                 "checkpointLocation must live and die together: wipe the " +
                 "state directory or restore the original checkpoint.")
           }
+        } else if (versionDirs().nonEmpty) {
+          // marker-absent-but-versions-present is a REFUSAL, not a pass
+          // (r14, advisory): such state was written either by pre-marker
+          // code or by a crash inside the old write-version-then-marker
+          // window — exactly the unowned state the guard exists to refuse,
+          // and silently adopting it would let a fresh checkpoint's
+          // batchId-0 replays skip-drop against it.
+          throw new IllegalStateException(
+            s"shardManifestPerBatch: state at $statePath has manifest " +
+              "versions but no _QUERY_ID owner marker - it predates this " +
+              "stream (or a crash interrupted its adoption) and cannot be " +
+              "proven to share this checkpoint's batchId sequence. Wipe the " +
+              "state directory or restore its original checkpoint.")
         }
         val vs = completeVersions()
         if (vs.isEmpty || batchId > vs.max) {
+          // claim ownership BEFORE the first version write (r14, advisory):
+          // marker-then-version means a crash between the two leaves an
+          // owned-but-empty state dir (harmless — next run re-merges from
+          // nothing), whereas the old version-then-marker order left
+          // unowned versions the refusal above would then reject forever.
+          if (!marker.exists())
+            qid.foreach { id =>
+              java.nio.file.Files.createDirectories(marker.toPath.getParent)
+              java.nio.file.Files.write(marker.toPath, id.getBytes("UTF-8")): Unit
+            }
           val partial = graft.operators.TextAnalysis.shardChecksumsOf(batch)
           val merged = vs.sorted.lastOption match {
             case Some(v) => graft.operators.TextAnalysis.mergeShardManifests(
@@ -404,8 +430,6 @@ object StreamingAnalytics {
             case None => partial
           }
           merged.coalesce(1).write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-          if (!marker.exists())
-            qid.foreach(id => java.nio.file.Files.write(marker.toPath, id.getBytes("UTF-8")))
           // prune: keep the just-written version and the newest prior
           // complete one (mid-write crash fallback); everything older —
           // complete or abandoned — is dead state

@@ -418,6 +418,20 @@ class StreamingSpec extends SparkSpec {
     assert(messages(died).exists(_.contains("live and die together")),
       s"fresh-checkpoint reuse must name the contract: ${messages(died).take(3)}")
     assert(updates === 3, "the refused batch must not have touched state")
+    // unowned-state refusal (r14, advisory): versions WITHOUT an owner
+    // marker (pre-marker state, or a crash in the old write-version-
+    // then-marker window) must refuse too — such state cannot be proven
+    // to share any checkpoint's batchId sequence, and silently adopting
+    // it is exactly the skip-drop the guard exists to prevent
+    java.nio.file.Files.delete(java.nio.file.Paths.get(state, "_QUERY_ID"))
+    val input3 = MemoryStream[(Long, String)](spark)
+    val q5 = StreamingAnalytics.shardManifestPerBatch(spark,
+      input3.toDF().toDF("doc_id", "text"), state, s"$base/ckpt-fresh-2") { _ => updates += 1 }
+    input3.addData(batchDocs.take(2).toSeq)
+    val died2 = intercept[Exception] { q5.processAllAvailable() }
+    assert(messages(died2).exists(_.contains("no _QUERY_ID owner marker")),
+      s"unowned state must refuse by name: ${messages(died2).take(3)}")
+    assert(updates === 3, "the unowned-state refusal must not have touched state")
   }
 
   test("streaming image dedup converges to the batch q137 verdicts under any micro-batching") {
