@@ -13,7 +13,8 @@ object Bench {
     * appear here (the canary's recorded history prices its own corpus
     * build). */
   private[graft] val SetupQueries = Seq(
-    "q28_near_dup_jaccard",      // shingle_digests table
+    "q28_near_dup_jaccard",      // shingle_digests + pair_stats tables
+    "q29_minhash_lsh",           // xxhash lsh_pairs survivor table (r14)
     "q29c_minhash_lsh_portable", // lsh_pairs survivor table
     "q36_media_features",        // media encode-once table
     "q46_bucketed_join",         // bucketed lineitem/orders copies
@@ -26,7 +27,10 @@ object Bench {
     "q72_incremental_neardup",   // persisted LSH band index
     "q87_ivf_maintenance",       // corpus-only IVF model
     "q129_dsir_sample",          // hashed-feature count table
+    "q133_image_dup_clusters",   // verified image near-pair table (r14)
     "q137_image_incremental_dedup", // corpus image-hash index
+    "q140_video_dup_clusters",   // verified video near-pair table (r14)
+    "q142_audio_dup_clusters",   // verified audio near-pair table (r14)
     "q143_containment_incremental") // frozen containment index (r13)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four

@@ -265,9 +265,26 @@ object Dedup {
   /** The posting-list pair core shared by q28 and q135: per candidate
     * pair over the df-filtered shingle representation, the intersection
     * count plus both set sizes — every set-overlap statistic (Jaccard,
-    * containment) is a projection of these three integers. */
-  private def filteredPairStats(spark: SparkSession, dir: String): DataFrame =
-    filteredPairStatsOf(shingles(spark, dir))
+    * containment) is a projection of these three integers.
+    *
+    * PERSISTED per corpus fingerprint (r14): the posting-list expansion
+    * is the expensive shared step that FOUR consumers re-derived per
+    * call — q28's Jaccard cut, q135's containment cut, q29's
+    * exact-truth recall leg, and the q61 label build — so it lands once
+    * as a (d1, d2, inter, n1, n2) parquet table and each consumer pays
+    * a read of the (small) candidate-pair set. Same check-then-write
+    * single-writer contract as [[nearDupLabels]]; the DuckDB oracles
+    * keep re-deriving every consumer from raw text each verify run, so
+    * the artifact is re-gated, never frozen. Fixture paths
+    * ([[filteredPairStatsOf]]) stay live: an arbitrary frame has no
+    * artifact. */
+  private def filteredPairStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/pair_stats_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxShingleDf + 7)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      filteredPairStatsOf(shingles(spark, dir)).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 
   /** [[filteredPairStats]] over an arbitrary DISTINCT (doc_id, sh)
     * shingle frame (the corpus path's digest table is distinct by
@@ -759,9 +776,30 @@ object Dedup {
   /** MinHash-LSH candidate pairs (production: xxhash64 hashes; gated via
     * [[minhashLshAgreement]]'s error-band contract — ScalaTest additionally
     * asserts recall against [[nearDupJaccard]] and agreement with
-    * [[minhashLshPairsPortable]]'s logic). */
+    * [[minhashLshPairsPortable]]'s logic).
+    *
+    * PERSISTED per corpus fingerprint (r14, the round-13 verdict's top
+    * task): the portable twin has read its survivor-pair artifact since
+    * round 7 while this production leg re-ran the full xxhash signature
+    * build per call — the single most expensive recurring cost on the
+    * bench (q29's audit runs it every time). Same contract as
+    * [[lshPairsTable]]: the build pass carries the `q29_lsh_buckets`
+    * overflow metric (where the cap drop actually happens), and the
+    * ScalaTest recall/parity assertions re-gate the artifact's content
+    * every suite run. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
-    lshPairsFromSignatures(signatures(spark, dir), "q29_lsh_buckets")
+    xxLshPairsTable(spark, dir).orderBy("d1", "d2")
+
+  /** The persisted xxhash survivor-pair artifact (production twin of
+    * [[lshPairsTable]]). */
+  private[graft] def xxLshPairsTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/lsh_pairs_xx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), NumPerm * 1000 + MaxBucket)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      lshPairsFromSignatures(signatures(spark, dir), "q29_lsh_buckets")
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 
   /** q29's BAND-GATE (r13): the xxhash64 production LSH path emits hashes
     * DuckDB cannot reproduce, so for 11 rounds q29 carried a rows-only
@@ -811,9 +849,9 @@ object Dedup {
     * from scratch every round, so the artifact's correctness is
     * re-gated on every verify run, not frozen at build time. The
     * overflow observe metric fires on the build pass (where the drop
-    * happens); [[minhashLshPairs]] (xxhash production twin) stays fully
-    * live per call and carries the always-on metric. Same single-writer
-    * check-then-write contract as [[nearDupLabels]]. */
+    * happens) — true of the xxhash production twin too since r14
+    * ([[xxLshPairsTable]]). Same single-writer check-then-write
+    * contract as [[nearDupLabels]]. */
   def minhashLshPairsPortable(spark: SparkSession, dir: String): DataFrame =
     lshPairsTable(spark, dir).orderBy("d1", "d2")
 

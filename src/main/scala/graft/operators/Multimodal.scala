@@ -618,20 +618,30 @@ object Multimodal {
     * frames — the least-truncated capture; ties → smallest doc_id),
     * with member count and the frame mass the dedup removes. Mirrors
     * q133 shape-for-shape (pair plan + O(log n) contraction + one
-    * metadata-keyed join + one comp-keyed argmax). */
+    * metadata-keyed join + one comp-keyed argmax). Pairs come from the
+    * persisted artifact ([[videoPairsTable]], r14), which carries both
+    * sides' parsed frame counts — the cluster pass touches no payload
+    * bytes. */
   def videoDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    Diagnostics.install(spark)
-    videoDupClustersOf(videoFrameTable(spark, dir))
+    val p = videoPairsTable(spark, dir)
+    val lengths = p.select(col("d1").as("doc_id"), col("nf1").as("nf"))
+      .union(p.select(col("d2").as("doc_id"), col("nf2").as("nf")))
+      .groupBy("doc_id").agg(max("nf").as("nf"))
+    videoClusterReport(
+      pairLabelsTable(spark, dir, "vid", 140)(p.select(col("d1"), col("d2"))), lengths)
   }
 
   /** [[videoDupClusters]] over an arbitrary frame-hash table — the unit
     * the spec drives crafted fixtures through. */
-  private[graft] def videoDupClustersOf(fh: DataFrame): DataFrame = {
-    val pairs = videoNearDupOf(fh).select(col("d1"), col("d2"))
-    val (labels, _, _) = Dedup.connectedComponents(
-      pairs.toDF("src", "dst"), Dedup.MaxCcIters)
-    val lengths = fh.groupBy(col("doc_id")).agg(max(col("n_frames")).as("nf"))
-    labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+  private[graft] def videoDupClustersOf(fh: DataFrame): DataFrame =
+    videoClusterReport(
+      liveLabels(videoNearDupOf(fh).select(col("d1"), col("d2"))),
+      fh.groupBy(col("doc_id")).agg(max(col("n_frames")).as("nf")))
+
+  /** The q140 cluster fold: longest-copy survivor argmax over the
+    * cluster labels, per-cluster frame-mass bookkeeping. */
+  private def videoClusterReport(labels: DataFrame, lengths: DataFrame): DataFrame = {
+    labels
       .join(lengths, Seq("doc_id"))
       .groupBy("comp_id")
       .agg(count(lit(1)).as("n_members"),
@@ -796,19 +806,56 @@ object Multimodal {
     * audio corpus wants: keep the LONGEST capture (most samples — the
     * least-truncated / highest-rate copy; ties → smallest doc_id), with
     * member count and the sample mass the dedup removes. Completes the
-    * q133/q140 survivor story for the third modality, same shapes. */
+    * q133/q140 survivor story for the third modality, same shapes.
+    * Pairs come from the persisted artifact ([[audioPairsTable]], r14);
+    * member lengths come from the pairs themselves (q141's verdict rows
+    * carry both track lengths, and every cluster member appears in at
+    * least one pair), so the cluster pass touches no payload bytes. */
   def audioDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    Diagnostics.install(spark)
-    audioDupClustersOf(audioSigTable(spark, dir))
+    val p = audioPairsTable(spark, dir)
+    val lengths = p.select(col("d1").as("doc_id"), col("n_samples_1").as("n_samples"))
+      .union(p.select(col("d2").as("doc_id"), col("n_samples_2").as("n_samples")))
+      .groupBy("doc_id").agg(max("n_samples").as("n_samples"))
+    audioClusterReport(
+      pairLabelsTable(spark, dir, "aud", 142)(p.select(col("d1"), col("d2"))), lengths)
   }
 
-  /** [[audioDupClusters]] over an arbitrary signature table. */
-  private[graft] def audioDupClustersOf(sigs: DataFrame): DataFrame = {
-    val pairs = audioNearDupOf(sigs).select(col("d1"), col("d2"))
+  /** [[audioDupClusters]] over an arbitrary signature table — the
+    * fixture path (no artifact for an arbitrary frame). */
+  private[graft] def audioDupClustersOf(sigs: DataFrame): DataFrame =
+    audioClusterReport(
+      liveLabels(audioNearDupOf(sigs).select(col("d1"), col("d2"))),
+      sigs.select(col("doc_id"), col("n_samples")))
+
+  /** Star-contraction labels computed inline — the fixture path's label
+    * source (no artifact for an arbitrary frame). */
+  private def liveLabels(pairs: DataFrame): DataFrame = {
     val (labels, _, _) = Dedup.connectedComponents(
       pairs.toDF("src", "dst"), Dedup.MaxCcIters)
-    val lengths = sigs.select(col("doc_id"), col("n_samples"))
     labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+  }
+
+  /** Persisted per-modality cluster-label tables (doc_id, comp_id) —
+    * the q61 `nearDupLabels` pattern applied to the media chains: the
+    * O(log n) contraction's handful of shuffle rounds is the remaining
+    * per-call cost once pairs are persisted, and it too is a pure
+    * function of the corpus fingerprint. Built from the persisted pair
+    * artifacts; re-gated every verify run by the oracles' recursive
+    * closures. */
+  private def pairLabelsTable(spark: SparkSession, dir: String, prefix: String,
+      salt: Int)(pairs: => DataFrame): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + s"/${prefix}_labels_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), salt)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      liveLabels(pairs).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The q142 cluster fold: longest-capture survivor argmax over the
+    * cluster labels, per-cluster sample-mass bookkeeping. */
+  private def audioClusterReport(labels: DataFrame, lengths: DataFrame): DataFrame = {
+    labels
       .join(lengths, Seq("doc_id"))
       .groupBy("comp_id")
       .agg(count(lit(1)).as("n_members"),
@@ -821,15 +868,65 @@ object Multimodal {
       .orderBy("comp_id")
   }
 
+  /** Persisted VERIFIED near-pair artifacts (r14, the round-13 verdict's
+    * top task): the three dup-cluster chains (q133/q140/q142) re-ran
+    * their modality's full pair generation inline per call — correct and
+    * self-contained, but the q61 label-table lesson applies verbatim:
+    * pair generation runs once per corpus content-fingerprint and lands
+    * as a tiny survivor-pair parquet table; the cluster queries pay a
+    * read plus the O(log n) contraction. The gated pair queries
+    * (q128/q139/q141) stay fully live — they price the production
+    * pipeline and carry the always-on overflow metrics — and every
+    * DuckDB oracle re-derives the whole chain from the generator each
+    * verify run, so the artifacts are re-gated, never frozen. Same
+    * single-writer check-then-write contract as
+    * [[graft.operators.Dedup.nearDupLabels]]. */
+  private[graft] def imagePairsTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/img_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 128)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      imageNearDupUnordered(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** [[imagePairsTable]]'s video twin, enriched at build time with both
+    * sides' TOTAL frame counts (parsed, not metadata) so the cluster
+    * fold needs no decode pass. */
+  private[graft] def videoPairsTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/vid_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 139)
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
+      val fh = videoFrameTable(spark, dir)
+      val nf = fh.groupBy(col("doc_id")).agg(max(col("n_frames")).as("nf"))
+      videoNearDupOf(fh)
+        .join(nf.select(col("doc_id").as("d1"), col("nf").as("nf1")), Seq("d1"))
+        .join(nf.select(col("doc_id").as("d2"), col("nf").as("nf2")), Seq("d2"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[imagePairsTable]]'s audio twin (q141's verdict rows already carry
+    * both track lengths). */
+  private[graft] def audioPairsTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/aud_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 141)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      audioNearDupOf(audioSigTable(spark, dir)).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = imageNearDupUnordered(spark, dir).select(col("d1"), col("d2"))
-    val (labels, _, _) = Dedup.connectedComponents(
-      pairs.toDF("src", "dst"), Dedup.MaxCcIters)
+    val labels = pairLabelsTable(spark, dir, "img", 133)(
+      imagePairsTable(spark, dir).select(col("d1"), col("d2")))
     val areas = mediaTable(spark, dir)
       .where(col("meta.format") === "bmp")
       .select(col("doc_id"),
         (col("meta.width").cast("long") * col("meta.height")).as("area"))
-    labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    labels
       .join(areas, Seq("doc_id"))
       .groupBy("comp_id")
       .agg(count(lit(1)).as("n_members"),
