@@ -163,6 +163,8 @@ object SparkEntry {
     "q141_audio_near_dup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
     "q142_audio_dup_clusters" -> ((s, d) => Multimodal.audioDupClusters(s, d)),
     "q143_containment_incremental" -> ((s, d) => Dedup.containmentIncremental(s, d)),
+    "q144_video_incremental_dedup" -> ((s, d) => Multimodal.videoIncrementalDedup(s, d)),
+    "q145_audio_incremental_dedup" -> ((s, d) => Multimodal.audioIncrementalDedup(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -1316,6 +1318,36 @@ object SparkEntry {
         |  hm.ham_min, hm.ham_max, hm.ham_mean_x100,
         |  COALESCE(hm.ham_mean_x100 < ${operators.Multimodal.LowMotionX100}, TRUE) AS low_motion
         |FROM chk LEFT JOIN hm USING (doc_id) ORDER BY chk.doc_id""".stripMargin,
+    // Incremental video dedup: the batch's exact perceptual signature
+    // keys (ordered sampled-frame aHash sequence, one ordered
+    // string_agg) probed against the corpus-split key index. Batch
+    // residue mod 7 (not q68's mod 10): the generator's video exact
+    // classes sit at delta 3840 = 0 (mod 10), so a mod-10 split could
+    // never observe a cross-split dup at any SF.
+    "q144_video_incremental_dedup" ->
+      s"""WITH $vidFrameCtes,
+        |seqk AS (SELECT doc_id, CAST(COUNT(*) AS VARCHAR) || '|' ||
+        |           string_agg(CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR), '|' ORDER BY si) AS sig_key
+        |         FROM fah GROUP BY doc_id),
+        |vidx AS (SELECT sig_key, MIN(doc_id) AS dup_of FROM seqk
+        |         WHERE doc_id % ${operators.Multimodal.VideoBatchMod} <> ${operators.Multimodal.VideoBatchResidue}
+        |         GROUP BY 1)
+        |SELECT b.doc_id, b.sig_key,
+        |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of
+        |FROM seqk b LEFT JOIN vidx i USING (sig_key)
+        |WHERE b.doc_id % ${operators.Multimodal.VideoBatchMod} = ${operators.Multimodal.VideoBatchResidue}
+        |ORDER BY b.doc_id""".stripMargin,
+    // Incremental audio dedup: the q68 batch's envelope hashes
+    // (resample-invariant q138 kernel) probed against the corpus-split
+    // envelope index — exact-key probing at q141's Hamming-0 point.
+    "q145_audio_incremental_dedup" ->
+      s"""WITH $audSigCtes,
+        |aidx AS (SELECT sig_hi, sig_lo, MIN(doc_id) AS dup_of FROM ah
+        |         WHERE doc_id % 10 <> 9 GROUP BY 1, 2)
+        |SELECT b.doc_id, b.sig_hi, b.sig_lo,
+        |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of
+        |FROM ah b LEFT JOIN aidx i USING (sig_hi, sig_lo)
+        |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
     // Video near-dup verdicts: per-frame hashes from the generator,
     // q128's banding keyed by (frame position, band), aligned-envelope
     // verify (same sampled count, every frame within the Hamming cap).

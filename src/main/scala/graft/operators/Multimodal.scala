@@ -611,6 +611,147 @@ object Multimodal {
         col("ham_total"), col("ham_max"))
   }
 
+  /** Typed per-video signature-key row for the incremental path. */
+  case class VideoKeyRow(doc_id: Long, sig_key: String)
+
+  /** Per-video EXACT perceptual key: the ordered sampled-frame aHash
+    * sequence (plus its length) rendered canonically as
+    * `"<ns>|<hi>:<lo>|<hi>:<lo>|…"`. Two videos share the key iff every
+    * sampled frame's perceptual hash matches at the same temporal
+    * position — the Hamming-0 point of q139's aligned-envelope verify,
+    * and the video twin of q137's exact (hi, lo) image probe. String
+    * form so the DuckDB oracle reproduces it with one ordered
+    * string_agg. */
+  private[graft] def videoSigKeysOf(fh: DataFrame): DataFrame =
+    fh.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("si"), col("hi"), col("lo"))).as("fr"))
+      .select(col("doc_id"),
+        expr("""concat_ws('|', cast(size(fr) AS STRING),
+                |  concat_ws('|', transform(array_sort(fr),
+                |    x -> concat(cast(x.hi AS STRING), ':', cast(x.lo AS STRING)))))""".stripMargin)
+          .as("sig_key"))
+
+  /** Crawl-increment split residue for the VIDEO incremental path.
+    * q68's convention (`doc_id % 10 = 9`) would be vacuous here: the
+    * generator's only video exact classes sit at Δ doc_id = 3840 ≡ 0
+    * (mod 10), so batch and corpus copies of one video always land on
+    * the SAME side of a mod-10 split and the probe could never observe
+    * a dup at any SF. Mod 7 (3840 ≡ 4) puts real cross-split copies in
+    * the sf0.1 corpus — a split you can actually watch work. */
+  val VideoBatchMod = 7
+  val VideoBatchResidue = 1
+
+  /** Persisted corpus video signature-key INDEX: sig_key → min doc_id
+    * over the corpus split's videos — the durable state the incremental
+    * video dedup probes (q137's index contract at video level). */
+  private[graft] def videoSigIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/vid_sig_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 144)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      videoSigKeysOf(videoFrameTable(spark, dir)
+          .where(pmod(col("doc_id"), lit(VideoBatchMod)) =!= VideoBatchResidue))
+        .groupBy("sig_key").agg(min("doc_id").as("dup_of"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q144 — INCREMENTAL video dedup: the crawl-increment batch's videos
+    * are decoded, per-sampled-frame hashed, folded to their exact
+    * perceptual signature key ([[videoSigKeysOf]]) and probed against
+    * the persisted corpus key index — an arriving video whose full
+    * sampled-frame hash sequence the corpus already holds is a dup of
+    * the earliest such video, everything else is new. Completes the
+    * q137 (image) / q143 (text containment) incremental story for the
+    * temporal modality; near-miss batches escalate to q139's banded
+    * machinery offline. Batch videos never index each other (q72's
+    * contract), so the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.videoDupVerdictsPerBatch]])
+    * reproduces this table under ANY micro-batching.
+    *
+    * Scale shape: decode + hash + key fold are map-side per video; the
+    * probe is one equi-join of the batch against a key-keyed index
+    * (bucketed at 100 TB → shuffle-free); one verdict row per batch
+    * video. */
+  def videoIncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    videoIncrementalDedupOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "vid" &&
+          pmod(col("doc_id"), lit(VideoBatchMod)) === VideoBatchResidue))
+
+  /** [[videoIncrementalDedup]] over an arbitrary (doc_id, payload)
+    * batch — the per-micro-batch core of the streaming twin. */
+  private[graft] def videoIncrementalDedupOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fh = batch.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          val (nf, hs) = videoFrameHashSeq(Option(m.payload).getOrElse(Array.emptyByteArray))
+          hs.iterator.zipWithIndex.map { case ((hi, lo), i) =>
+            VideoFrameRow(m.doc_id, nf, hs.length.toLong, i, hi, lo)
+          }
+        }
+      }
+      .toDF()
+    videoSigKeysOf(fh)
+      .join(videoSigIndex(spark, dir), Seq("sig_key"), "left")
+      .select(col("doc_id"), col("sig_key"),
+        when(col("dup_of").isNull, "new").otherwise("dup").as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** Persisted corpus audio envelope-hash INDEX: (sig_hi, sig_lo) → min
+    * doc_id over the corpus split's tracks (q68's doc_id % 10 = 9 batch
+    * held out) — the durable state the incremental audio dedup probes.
+    * The key is q138's 64-window equal-mass envelope hash, so the probe
+    * is RESAMPLE-INVARIANT: a re-encoded or upsampled copy of one
+    * recording lands on the identical key even though its byte payload
+    * and sample count differ (the case q68's content digest can never
+    * catch — spec-pinned through the real WAV kernel). */
+  private[graft] def audioSigIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/aud_sig_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 145)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      audioSigTableOf(mediaTable(spark, dir)
+          .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) =!= 9))
+        .groupBy("sig_hi", "sig_lo").agg(min("doc_id").as("dup_of"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q145 — INCREMENTAL audio dedup: the crawl-increment batch's tracks
+    * (doc_id % 10 = 9, the q68 split) decoded, envelope-hashed and
+    * probed against the persisted corpus envelope index — exact-key
+    * probing at the Hamming-0 point of q141's banded verify, the audio
+    * member of the q137/q143/q144 incremental family. Near-miss batches
+    * escalate to q141's banded machinery offline. Batch tracks never
+    * index each other (q72's contract) — the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.audioDupVerdictsPerBatch]])
+    * reproduces this table under ANY micro-batching.
+    *
+    * Scale shape: decode + envelope fold are map-side; one equi-join of
+    * the batch against the hash-keyed index; one verdict row per batch
+    * track. */
+  def audioIncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    audioIncrementalDedupOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) === 9))
+
+  /** [[audioIncrementalDedup]] over an arbitrary (doc_id, payload)
+    * batch — the per-micro-batch core of the streaming twin. */
+  private[graft] def audioIncrementalDedupOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame =
+    audioSigTableOf(batch)
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+      .join(audioSigIndex(spark, dir), Seq("sig_hi", "sig_lo"), "left")
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        when(col("dup_of").isNull, "new").otherwise("dup").as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+
   /** q140 — video DUP CLUSTERS + survivor selection: q139's verified
     * near-pairs folded into connected components (the q61 large-star/
     * small-star contraction) and reduced to the keep-list under the
@@ -727,10 +868,15 @@ object Multimodal {
 
   /** [[audioSignatures]] without the presentation sort — the form the
     * q141/q142 near-dup chain composes (their first move re-shuffles). */
-  private[graft] def audioSigTable(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .where(col("meta.format") === "wav")
+  private[graft] def audioSigTable(spark: SparkSession, dir: String): DataFrame =
+    audioSigTableOf(mediaTable(spark, dir).where(col("meta.format") === "wav"))
+
+  /** The signature kernel over an arbitrary (doc_id, payload) frame —
+    * shared by the corpus path, the q145 batch probe, and the streaming
+    * ingest twin (the [[imageAHashesOf]] pattern). */
+  private[graft] def audioSigTableOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .select(col("doc_id"), col("payload")).as[MediaIn]
       .mapPartitions { rows =>
         rows.map(m => audioSignature(m.doc_id, Option(m.payload).getOrElse(Array.emptyByteArray)))

@@ -299,6 +299,37 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming VIDEO dedup — the temporal modality's ingest twin
+    * (q144's per-batch core): each arriving (doc_id, payload) video
+    * micro-batch is decoded, per-sampled-frame hashed, folded to its
+    * exact perceptual signature key and probed against the PERSISTED
+    * corpus key index. Batch videos never index each other (q72's
+    * contract), so any micro-batching reproduces the batch q144 verdict
+    * table exactly (spec'd in StreamingSpec). */
+  def videoDupVerdictsPerBatch(spark: SparkSession, dir: String, media: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.videoIncrementalDedupOf(spark, dir, batch))
+      }
+      .start()
+
+  /** Streaming AUDIO dedup — q145's per-batch core: each arriving
+    * (doc_id, payload) track micro-batch is decoded, envelope-hashed
+    * (resample-invariant, q138's kernel) and probed against the
+    * PERSISTED corpus envelope index. Same q72 contract ⇒ any
+    * micro-batching reproduces the batch q145 verdict table (spec'd in
+    * StreamingSpec). */
+  def audioDupVerdictsPerBatch(spark: SparkSession, dir: String, media: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.audioIncrementalDedupOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming CONTAINMENT verdicts — the stream twin of q143: each
     * arriving document micro-batch is shingled and probed against the
     * FROZEN containment index (postings + stop list + sizes, built once

@@ -481,4 +481,89 @@ class MultimodalSpec extends SparkSpec {
         grays.zipWithIndex.map { case (g, t) => (t + 1) * g }.sum)
     }
   }
+
+  test("q144: byte-identical batch video probes as dup; novel stream is new; sf0.1 matches key recompute") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // fixture probe against the sf0.001 index: a corpus-side video
+    // re-tagged with a batch id must hit its own class; a crafted
+    // stream that exists nowhere must come back new
+    val corpusVid = Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "vid" &&
+        pmod(col("doc_id"), lit(Multimodal.VideoBatchMod)) =!= Multimodal.VideoBatchResidue)
+      .select("doc_id", "payload").limit(1).collect().head
+    val (srcId, srcPayload) = (corpusVid.getLong(0), corpusVid.getAs[Array[Byte]](1))
+    val novel = MediaCodecs.encodePpmStream(9, 9, 3, (f, i) => (f * 37 + i * 11 + 5) % 256)
+    import spark.implicits._
+    val batch = Seq((900001L, srcPayload), (900002L, novel)).toDF("doc_id", "payload")
+    val verdicts = Multimodal.videoIncrementalDedupOf(spark, sf0001, batch).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(verdicts(900001L)._1 === "dup", "byte-identical copy must probe as dup")
+    assert(verdicts(900001L)._2 !== null)
+    assert(verdicts(900002L) === (("new", null)), "novel stream must probe as new")
+    // the dup target must share the exact signature key and be the
+    // class minimum over the corpus split
+    val keys = Multimodal.videoSigKeysOf(Multimodal.videoFrameTable(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys.filter { case (id, k) =>
+      id % Multimodal.VideoBatchMod != Multimodal.VideoBatchResidue && k == keys(srcId)
+    }.keys.min === verdicts(900001L)._2)
+    // corpus run at sf0.1: the mod-7 split straddles the 3840-periodic
+    // exact classes, so real dup verdicts must appear, and every status
+    // must match a key-set recompute
+    val sf01 = "/root/testdata/sf0.1"
+    val out = Multimodal.videoIncrementalDedup(spark, sf01).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getString(2) == "dup"),
+      "sf0.1's cross-split video classes must produce corpus hits")
+    val keys01 = Multimodal.videoSigKeysOf(Multimodal.videoFrameTable(spark, sf01))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpusKeys = keys01.collect {
+      case (id, k) if id % Multimodal.VideoBatchMod != Multimodal.VideoBatchResidue => k
+    }.toSet
+    out.foreach { r =>
+      assert((r.getString(2) == "dup") === corpusKeys.contains(keys01(r.getLong(0))),
+        s"status must match the corpus key-set recompute: $r")
+      if (r.getString(2) == "dup")
+        assert(keys01(r.getLong(3)) === keys01(r.getLong(0)),
+          s"dup_of must share the batch video's signature key: $r")
+      else assert(r.isNullAt(3))
+    }
+  }
+
+  test("q145: resampled batch track probes as dup through the envelope index; statuses match recompute") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // END-TO-END resample-invariance through the INDEX: a 2x-upsampled
+    // re-encode of a corpus-side track (different n_samples, different
+    // bytes — invisible to q68's content digest) must probe as a dup of
+    // that track's envelope class. The source track's length must be a
+    // multiple of AudioWindows: exact-2x upsampling preserves window
+    // boundaries (sums double uniformly → threshold bits identical)
+    // only when the windows align; a non-aligned resample lands a few
+    // bits away and escalates to q141's banded machinery instead.
+    val srcId = Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) =!= 9 &&
+        pmod(pmod(col("doc_id"), lit(2000)) + 500, lit(Multimodal.AudioWindows)) === 0)
+      .select("doc_id").limit(1).collect().head.getLong(0)
+    val n = (srcId % 2000 + 500).toInt
+    val base = Array.tabulate[Short](n)(i => Multimodal.wavVal(srcId, i))
+    val resampled = base.flatMap(s => Array(s, s))
+    import spark.implicits._
+    val batch = Seq((900001L, MediaCodecs.encodeWav(resampled))).toDF("doc_id", "payload")
+    val verdicts = Multimodal.audioIncrementalDedupOf(spark, sf0001, batch).collect()
+    assert(verdicts.length === 1 && verdicts.head.getString(3) === "dup",
+      s"resampled copy must probe as dup: ${verdicts.toSeq}")
+    val sigs = Multimodal.audioSigTable(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sigs.filter { case (id, s) => id % 10 != 9 && s == sigs(srcId) }.keys.min
+      === verdicts.head.getLong(4), "dup_of must be the envelope-class minimum")
+    // corpus run: every status must match an envelope-set recompute
+    val out = Multimodal.audioIncrementalDedup(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val corpusSigs = sigs.collect { case (id, s) if id % 10 != 9 => s }.toSet
+    out.foreach { r =>
+      assert((r.getString(3) == "dup") ===
+        corpusSigs.contains((r.getLong(1), r.getLong(2))),
+        s"status must match the corpus envelope-set recompute: $r")
+    }
+  }
 }

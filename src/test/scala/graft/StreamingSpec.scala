@@ -462,6 +462,63 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === batchImgs.length)
   }
 
+  test("streaming video dedup converges to the batch q144 verdicts under any micro-batching") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchVids = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "vid" &&
+        pmod(col("doc_id"), lit(graft.operators.Multimodal.VideoBatchMod))
+          === graft.operators.Multimodal.VideoBatchResidue)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchVids.nonEmpty)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Any)]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamingAnalytics.videoDupVerdictsPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload")) { verdicts =>
+      collected ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))
+    }
+    input.addData(batchVids.take(4).toSeq); q.processAllAvailable()
+    input.addData(batchVids.slice(4, 5).toSeq); q.processAllAvailable()
+    input.addData(batchVids.drop(5).toSeq); q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val batch = graft.operators.Multimodal.videoIncrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(collected.toSet === batch,
+      "union of per-micro-batch video verdicts must equal the batch q144 table")
+    assert(collected.size === batchVids.length)
+  }
+
+  test("streaming audio dedup converges to the batch q145 verdicts under any micro-batching") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchTracks.nonEmpty)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Any)]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamingAnalytics.audioDupVerdictsPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload")) { verdicts =>
+      collected ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))
+    }
+    input.addData(batchTracks.take(5).toSeq); q.processAllAvailable()
+    input.addData(batchTracks.drop(5).toSeq); q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val batch = graft.operators.Multimodal.audioIncrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getLong(4))).toSet
+    assert(collected.toSet === batch,
+      "union of per-micro-batch audio verdicts must equal the batch q145 table")
+    assert(collected.size === batchTracks.length)
+  }
+
   test("streaming near-dup probe converges to the batch q72 verdicts under any micro-batching") {
     // the stream twin probes the SAME persisted corpus index per
     // micro-batch; since batch docs are judged against the corpus only,
