@@ -165,6 +165,7 @@ object SparkEntry {
     "q143_containment_incremental" -> ((s, d) => Dedup.containmentIncremental(s, d)),
     "q144_video_incremental_dedup" -> ((s, d) => Multimodal.videoIncrementalDedup(s, d)),
     "q145_audio_incremental_dedup" -> ((s, d) => Multimodal.audioIncrementalDedup(s, d)),
+    "q146_media_dedup_manifest" -> ((s, d) => Multimodal.mediaDedupManifest(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -264,7 +265,7 @@ object SparkEntry {
       |          AND vag.ham_max <= ${operators.Multimodal.ImgHammingMax})""".stripMargin
 
   // Audio envelope-hash derivation from the PCM generator in closed form
-  // — ends at `ah(doc_id, n, total_abs, peak_abs, n_clipped, sig_hi,
+  // — ends at `aah(doc_id, n, total_abs, peak_abs, n_clipped, sig_hi,
   // sig_lo)` — shared by q138 and the q141/q142 near-dup chain (r13).
   private val audSigCtes: String =
     s"""a AS (SELECT doc_id, doc_id % 2000 + 500 AS n
@@ -282,7 +283,7 @@ object SparkEntry {
       |             range((t*n + 63)//64, ((t+1)*n + 63)//64),
       |             i -> s[CAST(i + 1 AS INT)])) AS BIGINT)) AS e
       |       FROM sm),
-      |ah AS (SELECT doc_id, n, total_abs, peak_abs, n_clipped,
+      |aah AS (SELECT doc_id, n, total_abs, peak_abs, n_clipped,
       |         CAST(list_sum(list_transform(range(32, 64), t ->
       |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
       |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS sig_hi,
@@ -291,7 +292,7 @@ object SparkEntry {
       |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS sig_lo
       |       FROM en)""".stripMargin
 
-  // q141's banding + verify over audSigCtes' ah — ends at
+  // q141's banding + verify over audSigCtes' aah — ends at
   // `audpairs(d1, d2, hamming, n_samples_1, n_samples_2)`.
   private val audPairCtes: String =
     s"""abd AS (SELECT doc_id, sig_hi, sig_lo, CAST(n AS BIGINT) AS ns, unnest([
@@ -299,7 +300,7 @@ object SparkEntry {
       |         {'band_idx': 1, 'band_val': sig_hi % 65536},
       |         {'band_idx': 2, 'band_val': sig_lo // 65536},
       |         {'band_idx': 3, 'band_val': sig_lo % 65536}]) AS b
-      |       FROM ah),
+      |       FROM aah),
       |amem AS (SELECT doc_id, sig_hi, sig_lo, ns,
       |          b.band_idx AS band_idx, b.band_val AS band_val,
       |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
@@ -1248,9 +1249,9 @@ object SparkEntry {
         |  total_abs, peak_abs, total_abs // n AS mean_abs, n_clipped,
         |  total_abs // n < ${operators.Multimodal.LowEnergyAbs} AS low_energy,
         |  n < ${operators.Multimodal.AudioWindows} AS short_track
-        |FROM ah ORDER BY doc_id""".stripMargin,
+        |FROM aah ORDER BY doc_id""".stripMargin,
     // Audio near-dup verdicts: q128's banding + XOR-popcount verify over
-    // q138's envelope hashes (ah), replayed in closed form. No exact
+    // q138's envelope hashes (aah), replayed in closed form. No exact
     // generator class exists inside any test SF (65536-id envelope
     // cycle): gate-SF output is empty (the q139 empty-gate contract,
     // derivation pinned), while sf0.1's long near-uniform envelopes
@@ -1274,7 +1275,7 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
         |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
-        |lens AS (SELECT doc_id, CAST(n AS BIGINT) AS ns FROM ah),
+        |lens AS (SELECT doc_id, CAST(n AS BIGINT) AS ns FROM aah),
         |jn AS (SELECT c.comp_id, c.doc_id, l.ns FROM comps c JOIN lens l USING (doc_id)),
         |agg AS (SELECT comp_id, COUNT(*) AS n_members,
         |          CAST(SUM(ns) AS BIGINT) AS samples_total FROM jn GROUP BY 1),
@@ -1342,12 +1343,56 @@ object SparkEntry {
     // envelope index — exact-key probing at q141's Hamming-0 point.
     "q145_audio_incremental_dedup" ->
       s"""WITH $audSigCtes,
-        |aidx AS (SELECT sig_hi, sig_lo, MIN(doc_id) AS dup_of FROM ah
+        |aidx AS (SELECT sig_hi, sig_lo, MIN(doc_id) AS dup_of FROM aah
         |         WHERE doc_id % 10 <> 9 GROUP BY 1, 2)
         |SELECT b.doc_id, b.sig_hi, b.sig_lo,
         |  CASE WHEN i.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status, i.dup_of
-        |FROM ah b LEFT JOIN aidx i USING (sig_hi, sig_lo)
+        |FROM aah b LEFT JOIN aidx i USING (sig_hi, sig_lo)
         |WHERE b.doc_id % 10 = 9 ORDER BY b.doc_id""".stripMargin,
+    // Media dedup manifest: the three modality pair chains composed in
+    // one statement (modalities partition doc_id space, so ONE
+    // recursive closure over the unioned pair sets yields per-modality
+    // components), per-doc size metric by modality (image area / video
+    // frames / audio samples), survivor = max size tie min doc_id,
+    // verdict + dup_of per media document.
+    "q146_media_dedup_manifest" ->
+      s"""WITH RECURSIVE $q128Ctes,
+        |$vidFrameCtes,
+        |$vidPairCtes,
+        |$audSigCtes,
+        |$audPairCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM imgpairs
+        |          UNION ALL SELECT d2, d1 FROM imgpairs
+        |          UNION ALL SELECT d1, d2 FROM vidpairs
+        |          UNION ALL SELECT d2, d1 FROM vidpairs
+        |          UNION ALL SELECT d1, d2 FROM audpairs
+        |          UNION ALL SELECT d2, d1 FROM audpairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |msz AS (SELECT doc_id, CAST((doc_id % 24 + 8) * (doc_id % 16 + 8) AS BIGINT) AS sz
+        |        FROM documents WHERE doc_id % 3 = 0
+        |        UNION ALL SELECT doc_id, CAST(nf AS BIGINT) FROM v
+        |        UNION ALL SELECT doc_id, CAST(n AS BIGINT) FROM aah),
+        |jn AS (SELECT c.comp_id, c.doc_id, m.sz FROM comps c JOIN msz m USING (doc_id)),
+        |surv AS (SELECT comp_id, doc_id AS survivor_doc_id
+        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp_id
+        |                 ORDER BY sz DESC, doc_id ASC) AS rk FROM jn)
+        |         WHERE rk = 1),
+        |media AS (SELECT doc_id,
+        |            CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'vid' END AS modality
+        |          FROM documents)
+        |SELECT m.doc_id, m.modality, c.comp_id,
+        |  CASE WHEN c.comp_id IS NULL OR m.doc_id = s.survivor_doc_id
+        |       THEN 'keep' ELSE 'drop' END AS verdict,
+        |  CASE WHEN c.comp_id IS NOT NULL AND m.doc_id <> s.survivor_doc_id
+        |       THEN s.survivor_doc_id END AS dup_of
+        |FROM media m LEFT JOIN comps c USING (doc_id)
+        |             LEFT JOIN surv s USING (comp_id)
+        |ORDER BY m.doc_id""".stripMargin,
     // Video near-dup verdicts: per-frame hashes from the generator,
     // q128's banding keyed by (frame position, band), aligned-envelope
     // verify (same sampled count, every frame within the Hamming cap).

@@ -1065,6 +1065,47 @@ object Multimodal {
     spark.read.parquet(path)
   }
 
+  /** q146 — MEDIA DEDUP MANIFEST: the per-document keep/drop verdict
+    * table across ALL THREE modalities — the release artifact a
+    * multimodal training job actually consumes (r13 verdict gap 2: the
+    * dedup funnel and training manifest were text-only; the media
+    * keep-lists existed but nothing joined survivorship into one
+    * report). Every media document gets one row: its modality, its
+    * near-dup cluster (NULL when unclustered), `keep` (unclustered, or
+    * its cluster's survivor under that modality's policy — largest
+    * image / longest video / longest audio capture, ties smallest
+    * doc_id) or `drop` with `dup_of` naming the survivor to train on
+    * instead.
+    *
+    * Scale shape: three persisted label-table reads + the (tiny)
+    * survivor tables, one left join against a metadata-only projection
+    * of the media table (no payload bytes move), output one narrow row
+    * per media document. Modalities partition doc_id space, so the
+    * union carries no key collisions. */
+  def mediaDedupManifest(spark: SparkSession, dir: String): DataFrame = {
+    val img = pairLabelsTable(spark, dir, "img", 133)(
+        imagePairsTable(spark, dir).select(col("d1"), col("d2")))
+      .join(imageDupClusters(spark, dir).select(col("comp_id"), col("survivor_doc_id")),
+        Seq("comp_id"))
+    val vid = pairLabelsTable(spark, dir, "vid", 140)(
+        videoPairsTable(spark, dir).select(col("d1"), col("d2")))
+      .join(videoDupClusters(spark, dir).select(col("comp_id"), col("survivor_doc_id")),
+        Seq("comp_id"))
+    val aud = pairLabelsTable(spark, dir, "aud", 142)(
+        audioPairsTable(spark, dir).select(col("d1"), col("d2")))
+      .join(audioDupClusters(spark, dir).select(col("comp_id"), col("survivor_doc_id")),
+        Seq("comp_id"))
+    val clustered = img.unionByName(vid).unionByName(aud)
+    mediaTable(spark, dir).select(col("doc_id"), col("meta.format").as("modality"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("modality"), col("comp_id"),
+        when(col("comp_id").isNull || col("doc_id") === col("survivor_doc_id"), "keep")
+          .otherwise("drop").as("verdict"),
+        when(col("comp_id").isNotNull && col("doc_id") =!= col("survivor_doc_id"),
+          col("survivor_doc_id")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = pairLabelsTable(spark, dir, "img", 133)(
       imagePairsTable(spark, dir).select(col("d1"), col("d2")))

@@ -530,6 +530,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q146: manifest covers every media doc once; survivors agree with the three cluster tables") {
+    val sf01 = "/root/testdata/sf0.1"
+    val out = Multimodal.mediaDedupManifest(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))
+    val nMedia = Multimodal.mediaTable(spark, sf01).count()
+    assert(out.length.toLong === nMedia, "one manifest row per media document")
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.exists(_._4 == "drop"), "sf0.1's dup classes must produce drops")
+    // per cluster: exactly one keep; every drop's dup_of IS that keep
+    out.filter(_._3 != null).groupBy(_._3).foreach { case (comp, rows) =>
+      val keeps = rows.filter(_._4 == "keep")
+      assert(keeps.length === 1, s"cluster $comp must keep exactly one member")
+      rows.filter(_._4 == "drop").foreach { r =>
+        assert(r._5 === keeps.head._1, s"drop $r must point at its cluster's survivor")
+      }
+    }
+    // unclustered rows are keeps with no dup_of
+    out.filter(_._3 == null).foreach { r =>
+      assert(r._4 === "keep" && r._5 === null, s"unclustered row must be a plain keep: $r")
+    }
+    // survivor sets must agree with the three per-modality cluster tables
+    val expected = (Multimodal.imageDupClusters(spark, sf01).collect() ++
+      Multimodal.videoDupClusters(spark, sf01).collect() ++
+      Multimodal.audioDupClusters(spark, sf01).collect())
+      .map(r => r.getAs[Long]("survivor_doc_id")).toSet
+    val got = out.filter(r => r._3 != null && r._4 == "keep").map(_._1).toSet
+    assert(got === expected, "clustered keeps must be exactly the cluster survivors")
+    // modality tags partition by the generator's doc_id % 3 rule
+    out.foreach { case (id, m, _, _, _) =>
+      assert(m === Seq("bmp", "wav", "vid")((id % 3).toInt))
+    }
+  }
+
   test("q145: resampled batch track probes as dup through the envelope index; statuses match recompute") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     // END-TO-END resample-invariance through the INDEX: a 2x-upsampled
