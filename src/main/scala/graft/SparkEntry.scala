@@ -166,6 +166,7 @@ object SparkEntry {
     "q144_video_incremental_dedup" -> ((s, d) => Multimodal.videoIncrementalDedup(s, d)),
     "q145_audio_incremental_dedup" -> ((s, d) => Multimodal.audioIncrementalDedup(s, d)),
     "q146_media_dedup_manifest" -> ((s, d) => Multimodal.mediaDedupManifest(s, d)),
+    "q147_video_prefix_containment" -> ((s, d) => Multimodal.videoPrefixContainment(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -1393,6 +1394,63 @@ object SparkEntry {
         |FROM media m LEFT JOIN comps c USING (doc_id)
         |             LEFT JOIN surv s USING (comp_id)
         |ORDER BY m.doc_id""".stripMargin,
+    // Video prefix containment: EVERY frame hashed (dense stride-1
+    // table), candidates share a band of frame 0's hash (capped
+    // buckets), the overlapping prefix verified frame-by-frame at the
+    // per-frame Hamming cap, direction verdict by length.
+    "q147_video_prefix_containment" ->
+      s"""WITH va AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
+        |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |vafr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM va),
+        |vfg AS (SELECT doc_id, nf, f, w, h,
+        |        list_transform(range(0, 64), t ->
+        |          ( (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+        |       FROM vafr),
+        |vfgs AS (SELECT doc_id, nf, f, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM vfg),
+        |vaf AS (SELECT doc_id, nf, f AS fi,
+        |         CAST(list_sum(list_transform(range(32, 64), t ->
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+        |         CAST(list_sum(list_transform(range(0, 32), t ->
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+        |        FROM vfgs),
+        |vb0 AS (SELECT doc_id, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM vaf WHERE fi = 0),
+        |vmem0 AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
+        |        FROM vb0),
+        |vkept0 AS (SELECT * FROM vmem0 WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+        |vcand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM vkept0 a JOIN vkept0 b
+        |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |              AND a.doc_id < b.doc_id),
+        |vver AS (SELECT c.d1, c.d2, fa.nf AS nf1, fb.nf AS nf2,
+        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+        |        FROM vcand0 c JOIN vaf fa ON fa.doc_id = c.d1
+        |                   JOIN vaf fb ON fb.doc_id = c.d2 AND fb.fi = fa.fi),
+        |vpagg AS (SELECT d1, d2, CAST(MAX(nf1) AS BIGINT) AS n_frames_1,
+        |          CAST(MAX(nf2) AS BIGINT) AS n_frames_2,
+        |          COUNT(*) AS n_frames_aligned,
+        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+        |          CAST(MAX(ham) AS BIGINT) AS ham_max
+        |        FROM vver GROUP BY 1, 2)
+        |SELECT d1, d2, n_frames_1, n_frames_2, n_frames_aligned, ham_total, ham_max,
+        |  CASE WHEN n_frames_1 = n_frames_2 THEN 'mutual'
+        |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM vpagg
+        |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
     // Video near-dup verdicts: per-frame hashes from the generator,
     // q128's banding keyed by (frame position, band), aligned-envelope
     // verify (same sampled count, every frame within the Hamming cap).

@@ -450,13 +450,19 @@ object Multimodal {
   /** Shared decode for the video kernels: total frame count + one aHash
     * per sampled frame, in temporal order (real PPM byte parsing via
     * [[MediaCodecs.decodePpmStreamSampled]], the q36 sampling). */
-  private def videoFrameHashSeq(payload: Array[Byte]): (Long, Array[(Long, Long)]) = {
+  private def videoFrameHashSeq(payload: Array[Byte]): (Long, Array[(Long, Long)]) =
+    videoFrameHashSeq(payload, 5)
+
+  /** [[videoFrameHashSeq]] at sampling width `k` — `Int.MaxValue` hashes
+    * EVERY frame (the q147 dense representation; a 100 TB deployment
+    * samples at a stride instead). */
+  private def videoFrameHashSeq(payload: Array[Byte], k: Int): (Long, Array[(Long, Long)]) = {
     val (w, h) = MediaCodecs.ppmDims(payload)
     val frameBytes = w * h * 3
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     var cur: Array[Int] = null
     var idx = 0
-    MediaCodecs.decodePpmStreamSampled(payload, 5) { v =>
+    MediaCodecs.decodePpmStreamSampled(payload, k) { v =>
       if (idx % frameBytes == 0) { cur = new Array[Int](frameBytes); frames += cur }
       cur(idx % frameBytes) = v
       idx += 1
@@ -609,6 +615,104 @@ object Multimodal {
         && col("ham_max") <= lit(ImgHammingMax))
       .select(col("d1"), col("d2"), col("n_aligned").as("n_frames_aligned"),
         col("ham_total"), col("ham_max"))
+  }
+
+  /** One row per (video, frame) with EVERY frame's aHash — the q147
+    * dense frame representation ([[videoFrameTable]] with the sampling
+    * opened to stride 1; a 100 TB deployment strides instead, trading
+    * clip-boundary resolution for decode cost). */
+  private[graft] def videoAllFrameTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .where(col("meta.format") === "vid")
+      .select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          val (nf, hs) = videoFrameHashSeq(
+            Option(m.payload).getOrElse(Array.emptyByteArray), Int.MaxValue)
+          hs.iterator.zipWithIndex.map { case ((hi, lo), i) =>
+            VideoFrameRow(m.doc_id, nf, hs.length.toLong, i, hi, lo)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** q147 — video PREFIX CONTAINMENT: the q135 asymmetric-containment
+    * idea at frame level — detects a TRUNCATED or clipped re-encode
+    * (one video is a frame-prefix of another), which q139's
+    * equal-sampled-count alignment cut rejects BY DESIGN (and evenly
+    * spaced sampling of two different lengths lands on different source
+    * frames, so no sampled representation can align them). Over the
+    * dense per-frame hash table: candidates share a 16-bit band of
+    * their FIRST frame's aHash (a prefix copy shares frame 0 exactly,
+    * so pigeonhole gives full recall to 3 flipped first-frame bits;
+    * buckets capped at [[Dedup.MaxBucket]] with overflow observed);
+    * verification aligns the overlapping prefix frame-by-frame and
+    * requires every aligned pair within [[ImgHammingMax]] bits (q139's
+    * per-frame max cut). Verdict: `d1_in_d2` / `d2_in_d1` by which side
+    * is shorter, `mutual` when equal-length (q139's exact class, seen
+    * here at Hamming tolerance).
+    *
+    * The corpus's Δ doc_id = 768 video classes (same dims + pixel
+    * formula, DIFFERENT frame counts — frames don't depend on nf) are
+    * true prefix copies, so sf0.1 carries real directional verdicts;
+    * gate-SF output is empty (ids span no 768 class) and the spec
+    * drives a crafted truncation fixture from q139-reject to a
+    * direction verdict.
+    *
+    * Scale shape: decode is map-side; banding shuffles 4 rows per video
+    * (frame 0 only); pair expansion capped per bucket; the verify join
+    * touches only candidate pairs' frame rows, bounded by the SHORTER
+    * side's length. Never all-pairs. */
+  def videoPrefixContainment(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    videoPrefixContainmentOf(videoAllFrameTable(spark, dir))
+  }
+
+  /** [[videoPrefixContainment]] over an arbitrary dense frame-hash
+    * table — the unit the spec drives crafted fixtures through. */
+  private[graft] def videoPrefixContainmentOf(fh: DataFrame): DataFrame = {
+    val banded = fh.where(col("si") === 0).select(
+      col("doc_id"),
+      posexplode(array(
+        expr("hi div 65536"), expr("hi % 65536"),
+        expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+      .observe("q147_prefix_buckets",
+        sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+    val cand = buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('d1', x, 'd2', y))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val a = fh.select(col("doc_id").as("d1"), col("ns").as("ns1"),
+      col("si"), col("hi").as("hi1"), col("lo").as("lo1"))
+    val b = fh.select(col("doc_id").as("d2"), col("ns").as("ns2"),
+      col("si"), col("hi").as("hi2"), col("lo").as("lo2"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2", "si"))
+      .select(col("d1"), col("d2"), col("ns1"), col("ns2"),
+        expr("CAST(bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2) AS BIGINT)").as("ham"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_frames_aligned"), max("ns1").as("n_frames_1"),
+        max("ns2").as("n_frames_2"),
+        sum(col("ham")).as("ham_total"), max(col("ham")).as("ham_max"))
+      // the frame join aligns exactly the overlapping prefix (dense
+      // 0..ns-1 indices), so the count check is an invariant, not a cut
+      .where(col("n_frames_aligned") === least(col("n_frames_1"), col("n_frames_2"))
+        && col("ham_max") <= lit(ImgHammingMax))
+      .select(col("d1"), col("d2"), col("n_frames_1"), col("n_frames_2"),
+        col("n_frames_aligned"), col("ham_total"), col("ham_max"),
+        when(col("n_frames_1") === col("n_frames_2"), "mutual")
+          .when(col("n_frames_1") < col("n_frames_2"), "d1_in_d2")
+          .otherwise("d2_in_d1").as("relation"))
+      .orderBy("d1", "d2")
   }
 
   /** Typed per-video signature-key row for the incremental path. */

@@ -307,6 +307,82 @@ class MultimodalSpec extends SparkSpec {
       s"clusters: ${clusters.toSeq}")
   }
 
+  test("q147: truncated copy flips from q139-reject to a direction verdict; real-codec prefix leg; sf0.1 classes directional") {
+    import spark.implicits._
+    // fixture: A (6 frames, distinct hashes), B = A's first 3 frames
+    // (the clipped re-encode q139 rejects BY DESIGN), C = equal-length
+    // twin of A, D = B with a ruined middle frame (candidates via frame
+    // 0, per-frame cap must reject)
+    val hs = Seq(
+      (0x1234567890ABCDEFL, 0x0F0F0F0F0F0F0F0FL),
+      (0x0011223344556677L, 0x8899AABBCCDDEEFFL),
+      (0x7777777788888888L, 0x1111111122222222L),
+      (0x5A5A5A5A5A5A5A5AL, 0x3C3C3C3C3C3C3C3CL),
+      (0x0123456701234567L, 0x89AB89AB89AB89ABL),
+      (0x4444333322221111L, 0x6666555577770000L))
+    def rows(id: Long, seq: Seq[(Long, Long)]) =
+      seq.zipWithIndex.map { case ((hi, lo), i) =>
+        (id, seq.length.toLong, seq.length.toLong, i, hi, lo)
+      }
+    val fixture = (rows(1L, hs) ++ rows(2L, hs.take(3)) ++ rows(3L, hs) ++
+      rows(4L, Seq(hs(0), (hs(1)._1, hs(1)._2 ^ 0xFFFFFL), hs(2))))
+      .toDF("doc_id", "n_frames", "ns", "si", "hi", "lo")
+    // q139 rejects the truncation (different sampled counts)…
+    val q139pairs = Multimodal.videoNearDupOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!q139pairs.contains((1L, 2L)), "q139 must reject the clipped copy")
+    // …q147 flips it to a direction verdict
+    val out = Multimodal.videoPrefixContainmentOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6), r.getString(7))).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"verdicts: ${out.keySet}")
+    assert(out((1L, 2L)) === ((6L, 3L, 3L, 0L, "d2_in_d1")),
+      "the clipped copy must be contained in its source at distance 0")
+    assert(out((1L, 3L))._5 === "mutual", "equal-length twin is mutual")
+    assert(out((2L, 3L))._5 === "d1_in_d2")
+    // END-TO-END through the real PPM bytes: a 2-frame truncation IS a
+    // byte prefix of the 5-frame stream, and the decode→resize→hash
+    // kernels must land it as d2_in_d1 at distance 0
+    def fn(f: Int, i: Int) = (f * 53 + i * 17 + 9) % 256
+    val full = MediaCodecs.encodePpmStream(8, 8, 5, fn)
+    val clip = MediaCodecs.encodePpmStream(8, 8, 2, fn)
+    assert(java.util.Arrays.equals(full.take(clip.length), clip),
+      "the truncated encode must be a literal byte prefix")
+    def denseRows(id: Long, payload: Array[Byte]) = {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var cur: Array[Int] = null; var idx = 0
+      MediaCodecs.decodePpmStreamSampled(payload, Int.MaxValue) { v =>
+        if (idx % 192 == 0) { cur = new Array[Int](192); frames += cur }
+        cur(idx % 192) = v; idx += 1
+      }
+      frames.toSeq.zipWithIndex.map { case (vals, i) =>
+        val (hi, lo) = Multimodal.aHashOf(Multimodal.grayGridOf(vals, 8, 8))
+        (id, frames.length.toLong, frames.length.toLong, i, hi, lo)
+      }
+    }
+    val byteFixture = (denseRows(10L, full) ++ denseRows(11L, clip))
+      .toDF("doc_id", "n_frames", "ns", "si", "hi", "lo")
+    val byteOut = Multimodal.videoPrefixContainmentOf(byteFixture).collect()
+    assert(byteOut.length === 1)
+    assert(byteOut.head.getLong(0) === 10L && byteOut.head.getLong(1) === 11L
+      && byteOut.head.getLong(6) === 0L && byteOut.head.getString(7) === "d2_in_d1")
+    // corpus: sf0.1's Δ=768 classes (same pixel formula, different
+    // frame counts) are TRUE prefix copies — directional at distance 0;
+    // Δ=3840 equal-length classes surface as mutual
+    val sf01 = "/root/testdata/sf0.1"
+    val corpus = Multimodal.videoPrefixContainment(spark, sf01).collect()
+    val cls = corpus.filter(r => r.getLong(1) - r.getLong(0) === 768L && r.getLong(6) === 0L)
+    assert(cls.nonEmpty, "768-periodic prefix classes must surface")
+    cls.foreach { r =>
+      val (n1, n2) = (r.getLong(2), r.getLong(3))
+      assert(r.getString(7) ===
+        (if (n1 == n2) "mutual" else if (n1 < n2) "d1_in_d2" else "d2_in_d1"))
+      assert(r.getLong(4) === math.min(n1, n2), "aligned count is the shorter side")
+    }
+    assert(corpus.exists(r => r.getLong(1) - r.getLong(0) === 3840L
+      && r.getString(7) === "mutual"), "equal-length classes must be mutual")
+  }
+
   test("q139 corpus: gate-SF output is empty by generator design; sf0.1 carries the real classes") {
     // the generator's video dup classes need doc_id deltas of 3840
     // (lcm of the dims/frame-count periods and the 256 pixel cycle), so
