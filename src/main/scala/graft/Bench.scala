@@ -33,7 +33,8 @@ object Bench {
     "q142_audio_dup_clusters",   // verified audio near-pair table (r14)
     "q143_containment_incremental", // frozen containment index (r13)
     "q144_video_incremental_dedup", // corpus video signature-key index (r14)
-    "q145_audio_incremental_dedup") // corpus audio envelope index (r14)
+    "q145_audio_incremental_dedup", // corpus audio envelope index (r14)
+    "q148_video_prefix_incremental") // frozen video prefix index (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four
   // queries 4-12x over their isolated floors with no in-run evidence of

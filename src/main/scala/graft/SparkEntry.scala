@@ -167,6 +167,7 @@ object SparkEntry {
     "q145_audio_incremental_dedup" -> ((s, d) => Multimodal.audioIncrementalDedup(s, d)),
     "q146_media_dedup_manifest" -> ((s, d) => Multimodal.mediaDedupManifest(s, d)),
     "q147_video_prefix_containment" -> ((s, d) => Multimodal.videoPrefixContainment(s, d)),
+    "q148_video_prefix_incremental" -> ((s, d) => Multimodal.videoPrefixIncremental(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -1448,6 +1449,72 @@ object SparkEntry {
         |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
         |       ELSE 'd2_in_d1' END AS relation
         |FROM vpagg
+        |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Incremental video prefix containment: batch (doc_id % 7 = 1, the
+    // q144 video split) frame-0 bands probe the frozen corpus band
+    // index (capped at build, no >=2-member floor — a 1-member corpus
+    // bucket is a probe-able candidate), verify joins the candidates'
+    // frame rows, q147's cuts and verdict verbatim with d1 = batch doc.
+    "q148_video_prefix_incremental" ->
+      s"""WITH va AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
+        |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |vafr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM va),
+        |vfg AS (SELECT doc_id, nf, f, w, h,
+        |        list_transform(range(0, 64), t ->
+        |          ( (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+        |       FROM vafr),
+        |vfgs AS (SELECT doc_id, nf, f, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM vfg),
+        |vaf AS (SELECT doc_id, nf, f AS fi,
+        |         CAST(list_sum(list_transform(range(32, 64), t ->
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+        |         CAST(list_sum(list_transform(range(0, 32), t ->
+        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+        |        FROM vfgs),
+        |cb0 AS (SELECT doc_id, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM vaf
+        |       WHERE fi = 0 AND doc_id % ${operators.Multimodal.VideoBatchMod}
+        |         <> ${operators.Multimodal.VideoBatchResidue}),
+        |cmem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn
+        |        FROM cb0),
+        |ckept AS (SELECT * FROM cmem WHERE rn <= ${operators.Dedup.MaxBucket}),
+        |bb AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val
+        |       FROM (SELECT doc_id, unnest([
+        |              {'band_idx': 0, 'band_val': hi // 65536},
+        |              {'band_idx': 1, 'band_val': hi % 65536},
+        |              {'band_idx': 2, 'band_val': lo // 65536},
+        |              {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |             FROM vaf
+        |             WHERE fi = 0 AND doc_id % ${operators.Multimodal.VideoBatchMod}
+        |               = ${operators.Multimodal.VideoBatchResidue})),
+        |icand AS (SELECT DISTINCT bb.doc_id AS d1, ckept.doc_id AS d2
+        |          FROM bb JOIN ckept USING (band_idx, band_val)),
+        |iver AS (SELECT c.d1, c.d2, fa.nf AS nf1, fb.nf AS nf2,
+        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+        |        FROM icand c JOIN vaf fa ON fa.doc_id = c.d1
+        |                   JOIN vaf fb ON fb.doc_id = c.d2 AND fb.fi = fa.fi),
+        |ipagg AS (SELECT d1, d2, CAST(MAX(nf1) AS BIGINT) AS n_frames_1,
+        |          CAST(MAX(nf2) AS BIGINT) AS n_frames_2,
+        |          COUNT(*) AS n_frames_aligned,
+        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+        |          CAST(MAX(ham) AS BIGINT) AS ham_max
+        |        FROM iver GROUP BY 1, 2)
+        |SELECT d1, d2, n_frames_1, n_frames_2, n_frames_aligned, ham_total, ham_max,
+        |  CASE WHEN n_frames_1 = n_frames_2 THEN 'mutual'
+        |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM ipagg
         |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
         |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
         |ORDER BY d1, d2""".stripMargin,

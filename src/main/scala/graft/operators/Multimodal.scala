@@ -715,6 +715,118 @@ object Multimodal {
       .orderBy("d1", "d2")
   }
 
+  /** Frozen video prefix-containment INDEX (the q143 three-table
+    * pattern at video level), built once per corpus fingerprint:
+    *  - `bands`: the corpus split's frame-0 aHash bands, capped at
+    *    [[Dedup.MaxBucket]] smallest doc_ids per (band_idx, band_val)
+    *    with the drop frozen at build time (the q143 frozen-df-cut
+    *    contract — a batch never re-prices corpus band occupancy);
+    *  - `frames`: the corpus split's dense per-frame hashes — the
+    *    persisted frame-hash table a 100 TB deployment buckets by
+    *    doc_id for a shuffle-free verify join.
+    * `isBuilt` probes the bands path, written LAST, so its _SUCCESS
+    * certifies both tables. */
+  private[graft] def videoPrefixIndexPaths(dir: String): (String, String) = {
+    val base = graft.sources.Artifacts.Warehouse + "/vid_prefix_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 148)
+    (base + "/bands", base + "/frames")
+  }
+
+  private[graft] def videoPrefixIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (bPath, fPath) = videoPrefixIndexPaths(dir)
+    if (!graft.sources.Artifacts.isBuilt(spark, bPath)) {
+      val corpus = videoAllFrameTable(spark, dir)
+        .where(pmod(col("doc_id"), lit(VideoBatchMod)) =!= VideoBatchResidue)
+      corpus.write.mode("overwrite").parquet(fPath)
+      corpus.where(col("si") === 0).select(
+          col("doc_id"),
+          posexplode(array(
+            expr("hi div 65536"), expr("hi % 65536"),
+            expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("all_members"))
+        .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+        .observe("q148_index_bands",
+          sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+        .select(col("band_idx"), col("band_val"), explode(col("members")).as("doc_id"))
+        .write.mode("overwrite").parquet(bPath)
+    }
+    (spark.read.parquet(bPath), spark.read.parquet(fPath))
+  }
+
+  /** q148 — INCREMENTAL video prefix containment: q147's
+    * truncated-copy verdicts for a crawl increment WITHOUT re-pairing
+    * the corpus — the q143 incremental-containment story at frame
+    * level, completing the incremental family (exact q68/q137/q144,
+    * near-dup q72, span q106, containment q143). Each batch video
+    * (doc_id % [[VideoBatchMod]] = [[VideoBatchResidue]], the q144
+    * split) is densely frame-hashed map-side; its frame-0 bands probe
+    * the FROZEN corpus band index for candidates, and the verify joins
+    * only the candidates' corpus frame rows — q147's per-frame max cut
+    * and direction verdict verbatim, `d1` the batch video, `d2` its
+    * corpus relative. Batch videos never pair each other (q72's
+    * contract), so the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.videoContainmentPerBatch]])
+    * reproduces this table under ANY micro-batching.
+    *
+    * Scale shape: batch-proportional — only the batch is decoded; the
+    * corpus touches are two equi-joins against persisted tables
+    * ((band_idx, band_val)-keyed candidates, doc-keyed frame rows);
+    * no corpus re-decode, no re-banding, no batch self-pairs. */
+  def videoPrefixIncremental(spark: SparkSession, dir: String): DataFrame =
+    videoPrefixIncrementalOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "vid" &&
+          pmod(col("doc_id"), lit(VideoBatchMod)) === VideoBatchResidue))
+
+  /** [[videoPrefixIncremental]] over an arbitrary (doc_id, payload)
+    * batch — the per-micro-batch core of the streaming twin. */
+  private[graft] def videoPrefixIncrementalOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (bands, frames) = videoPrefixIndex(spark, dir)
+    val bfh = batch.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          val (nf, hs) = videoFrameHashSeq(
+            Option(m.payload).getOrElse(Array.emptyByteArray), Int.MaxValue)
+          hs.iterator.zipWithIndex.map { case ((hi, lo), i) =>
+            VideoFrameRow(m.doc_id, nf, hs.length.toLong, i, hi, lo)
+          }
+        }
+      }
+      .toDF()
+    val cand = bfh.where(col("si") === 0).select(
+        col("doc_id").as("d1"),
+        posexplode(array(
+          expr("hi div 65536"), expr("hi % 65536"),
+          expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+      .join(bands, Seq("band_idx", "band_val"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+    val a = bfh.select(col("doc_id").as("d1"), col("ns").as("ns1"),
+      col("si"), col("hi").as("hi1"), col("lo").as("lo1"))
+    val b = frames.select(col("doc_id").as("d2"), col("ns").as("ns2"),
+      col("si"), col("hi").as("hi2"), col("lo").as("lo2"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2", "si"))
+      .select(col("d1"), col("d2"), col("ns1"), col("ns2"),
+        expr("CAST(bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2) AS BIGINT)").as("ham"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_frames_aligned"), max("ns1").as("n_frames_1"),
+        max("ns2").as("n_frames_2"),
+        sum(col("ham")).as("ham_total"), max(col("ham")).as("ham_max"))
+      .where(col("n_frames_aligned") === least(col("n_frames_1"), col("n_frames_2"))
+        && col("ham_max") <= lit(ImgHammingMax))
+      .select(col("d1"), col("d2"), col("n_frames_1"), col("n_frames_2"),
+        col("n_frames_aligned"), col("ham_total"), col("ham_max"),
+        when(col("n_frames_1") === col("n_frames_2"), "mutual")
+          .when(col("n_frames_1") < col("n_frames_2"), "d1_in_d2")
+          .otherwise("d2_in_d1").as("relation"))
+      .orderBy("d1", "d2")
+  }
+
   /** Typed per-video signature-key row for the incremental path. */
   case class VideoKeyRow(doc_id: Long, sig_key: String)
 

@@ -330,6 +330,23 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming VIDEO-CONTAINMENT verdicts — the stream twin of q148:
+    * each arriving video micro-batch is densely frame-hashed and probed
+    * against the FROZEN corpus prefix index (frame-0 band buckets +
+    * per-frame hash table, built once per corpus fingerprint — the
+    * q143 frozen-index contract at frame level). Verdicts are a pure
+    * function of (batch video, frozen index) and batch videos never
+    * pair each other (q72's contract), so ANY micro-batching
+    * reproduces the batch q148 table (spec'd in StreamingSpec). */
+  def videoContainmentPerBatch(spark: SparkSession, dir: String, media: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.videoPrefixIncrementalOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming CONTAINMENT verdicts — the stream twin of q143: each
     * arriving document micro-batch is shingled and probed against the
     * FROZEN containment index (postings + stop list + sizes, built once

@@ -383,6 +383,45 @@ class MultimodalSpec extends SparkSpec {
       && r.getString(7) === "mutual"), "equal-length classes must be mutual")
   }
 
+  test("q148: clipped batch upload probes as contained in its corpus source; sf0.1 splits directionally") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // corpus-side source with enough frames to clip
+    val src = Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "vid" &&
+        pmod(col("doc_id"), lit(Multimodal.VideoBatchMod)) =!= Multimodal.VideoBatchResidue &&
+        col("meta.n_frames") >= 4)
+      .select("doc_id", "meta.width", "meta.height", "meta.n_frames")
+      .limit(1).collect().head
+    val (srcId, w, h, nf) = (src.getLong(0), src.getInt(1), src.getInt(2), src.getInt(3))
+    // a clipped re-upload: the first nf-2 frames, regenerated from the
+    // pixel formula (byte-identical to the stored payload's prefix)
+    val clip = MediaCodecs.encodePpmStream(w, h, nf - 2,
+      (f, i) => Multimodal.vidVal(srcId, f, i))
+    import spark.implicits._
+    val batch = Seq((900001L, clip)).toDF("doc_id", "payload")
+    val out = Multimodal.videoPrefixIncrementalOf(spark, sf0001, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getString(7))).toMap
+    assert(out.contains((900001L, srcId)),
+      s"clipped upload must hit its corpus source: ${out.keySet}")
+    assert(out((900001L, srcId)) === (((nf - 2).toLong, nf.toLong, 0L, "d1_in_d2")),
+      "the clip is contained in its source at distance 0")
+    // corpus run at sf0.1: batch side only on d1, corpus side only on
+    // d2, directions consistent with the frame counts
+    val sf01 = "/root/testdata/sf0.1"
+    val corpus = Multimodal.videoPrefixIncremental(spark, sf01).collect()
+    assert(corpus.nonEmpty, "sf0.1's cross-split 768 classes must produce verdicts")
+    corpus.foreach { r =>
+      assert(r.getLong(0) % Multimodal.VideoBatchMod === Multimodal.VideoBatchResidue.toLong)
+      assert(r.getLong(1) % Multimodal.VideoBatchMod !== Multimodal.VideoBatchResidue.toLong)
+      val (n1, n2) = (r.getLong(2), r.getLong(3))
+      assert(r.getString(7) ===
+        (if (n1 == n2) "mutual" else if (n1 < n2) "d1_in_d2" else "d2_in_d1"))
+    }
+    assert(corpus.exists(r => r.getLong(6) === 0L && r.getString(7) != "mutual"),
+      "true directional prefix copies must appear at distance 0")
+  }
+
   test("q139 corpus: gate-SF output is empty by generator design; sf0.1 carries the real classes") {
     // the generator's video dup classes need doc_id deltas of 3840
     // (lcm of the dims/frame-count periods and the 256 pixel cycle), so

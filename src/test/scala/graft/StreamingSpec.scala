@@ -492,6 +492,35 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === batchVids.length)
   }
 
+  test("streaming video containment converges to the batch q148 verdicts under any micro-batching") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchVids = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "vid" &&
+        pmod(col("doc_id"), lit(graft.operators.Multimodal.VideoBatchMod))
+          === graft.operators.Multimodal.VideoBatchResidue)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchVids.nonEmpty)
+    type Row8 = (Long, Long, Long, Long, Long, Long, Long, String)
+    def tup(r: org.apache.spark.sql.Row): Row8 =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row8]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamingAnalytics.videoContainmentPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload")) { verdicts =>
+      collected ++= verdicts.collect().map(tup)
+    }
+    input.addData(batchVids.take(3).toSeq); q.processAllAvailable()
+    input.addData(batchVids.drop(3).toSeq); q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val batch = graft.operators.Multimodal.videoPrefixIncremental(spark, sf0001)
+      .collect().map(tup).toSet
+    assert(collected.toSet === batch,
+      "union of per-micro-batch containment verdicts must equal the batch q148 table")
+  }
+
   test("streaming audio dedup converges to the batch q145 verdicts under any micro-batching") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
