@@ -34,7 +34,9 @@ object Bench {
     "q143_containment_incremental", // frozen containment index (r13)
     "q144_video_incremental_dedup", // corpus video signature-key index (r14)
     "q145_audio_incremental_dedup", // corpus audio envelope index (r14)
-    "q148_video_prefix_incremental") // frozen video prefix index (r14)
+    "q147_video_prefix_containment", // dense video frame-hash table (r14)
+    "q148_video_prefix_incremental", // frozen video prefix index (r14)
+    "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four
   // queries 4-12x over their isolated floors with no in-run evidence of

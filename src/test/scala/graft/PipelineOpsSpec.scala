@@ -280,16 +280,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("q28/q99 read the ONE persisted shingle-digest table, never re-exploding the corpus") {
+  test("q28/q99 read their persisted artifact tier, never re-exploding the corpus") {
     import graft.operators.Dedup
-    // same compute-once contract as the span table, for the 3-gram family
+    // same compute-once contract as the span table, for the 3-gram
+    // family — since r14 q28 reads the PAIR-STATS tier (the posting-list
+    // expansion persisted one stage further down), while q99 still
+    // probes the digest table for its exact-set recompute
     assert(Dedup.shingleDigests(spark, sf0001).count() > 0L)
-    for (df <- Seq(Dedup.nearDupJaccard(spark, sf0001),
-                   Dedup.minhashCalibration(spark, sf0001))) {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("shingle_digests_"), "shingle consumer must read the persisted digest table")
-      assert(!plan.contains("documents.parquet"), "shingle consumer must not re-explode the corpus")
-    }
+    val q28plan = Dedup.nearDupJaccard(spark, sf0001).queryExecution.executedPlan.toString
+    assert(q28plan.contains("pair_stats_"), "q28 must read the persisted pair-stats table")
+    assert(!q28plan.contains("documents.parquet"), "q28 must not re-explode the corpus")
+    val q99plan = Dedup.minhashCalibration(spark, sf0001).queryExecution.executedPlan.toString
+    assert(q99plan.contains("shingle_digests_"), "q99 must read the persisted digest table")
+    assert(!q99plan.contains("documents.parquet"), "q99 must not re-explode the corpus")
   }
 
   test("q77: RRF fusion matches a driver-side recompute of both arms") {
