@@ -168,6 +168,7 @@ object SparkEntry {
     "q146_media_dedup_manifest" -> ((s, d) => Multimodal.mediaDedupManifest(s, d)),
     "q147_video_prefix_containment" -> ((s, d) => Multimodal.videoPrefixContainment(s, d)),
     "q148_video_prefix_incremental" -> ((s, d) => Multimodal.videoPrefixIncremental(s, d)),
+    "q149_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2461,6 +2462,73 @@ object SparkEntry {
     "q29c_minhash_lsh_portable" ->
       s"""WITH $q29cCtes
         |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+    // Incremental cluster maintenance: the from-scratch truth the
+    // quotient merge must equal — clusters over (corpus-split LSH pairs
+    // ∪ the batch's q72 probe edges), computed here by recursive
+    // closure. Shares q72's signature/banding prefix; corpus pairs come
+    // from the corpus-capped buckets (idx), probe edges from batch band
+    // rows against the same idx. The Spark side never re-runs CC over
+    // the corpus — the hash gate IS the incremental-equals-batch proof.
+    "q149_incremental_clusters" ->
+      (s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks),
+        |hx AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(1, 9), i ->
+        |           (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |         )) AS BIGINT) AS x
+        |       FROM sh),
+        |sig AS (SELECT doc_id, ii.i AS perm_idx, MIN((PERMA[CAST(ii.i AS INT)]*x + PERMB[CAST(ii.i AS INT)]) % 4294967291) AS sig_value
+        |        FROM hx CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+        |        GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, CAST((perm_idx - 1) // 4 AS BIGINT) AS band_idx,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 0 THEN sig_value END) AS s0,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 1 THEN sig_value END) AS s1,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 2 THEN sig_value END) AS s2,
+        |         MIN(CASE WHEN (perm_idx - 1) % 4 = 3 THEN sig_value END) AS s3
+        |       FROM sig GROUP BY 1, 2),
+        |bkey AS (SELECT doc_id, band_idx,
+        |           ((((((s0 % 1000000007) * 1000003 + (s1 % 1000000007)) % 1000000007)
+        |               * 1000003 + (s2 % 1000000007)) % 1000000007)
+        |               * 1000003 + (s3 % 1000000007)) % 1000000007 AS band_key
+        |         FROM bk),
+        |mem AS (SELECT doc_id, band_idx, band_key,
+        |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+        |        FROM bkey WHERE doc_id % 10 <> 9),
+        |idx AS (SELECT doc_id, band_idx, band_key FROM mem WHERE rn <= ${operators.Dedup.MaxBucket}),
+        |ccand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM idx a JOIN idx b USING (band_idx, band_key)
+        |          WHERE a.doc_id < b.doc_id),
+        |cest AS (SELECT d1, d2,
+        |          ROUND(CAST(SUM(CASE WHEN s1.sig_value = s2.sig_value THEN 1 ELSE 0 END) AS DOUBLE)/64, 6) AS ej
+        |         FROM ccand
+        |         JOIN sig s1 ON s1.doc_id = d1
+        |         JOIN sig s2 ON s2.doc_id = d2 AND s2.perm_idx = s1.perm_idx
+        |         GROUP BY 1, 2),
+        |cp AS (SELECT d1, d2 FROM cest WHERE ej >= 0.5),
+        |bcand AS (SELECT DISTINCT b.doc_id AS bd, i.doc_id AS cd
+        |          FROM bkey b JOIN idx i USING (band_idx, band_key)
+        |          WHERE b.doc_id % 10 = 9),
+        |best AS (SELECT bd, cd,
+        |          ROUND(CAST(SUM(CASE WHEN s1.sig_value = s2.sig_value THEN 1 ELSE 0 END) AS DOUBLE)/64, 6) AS ej
+        |         FROM bcand
+        |         JOIN sig s1 ON s1.doc_id = bd
+        |         JOIN sig s2 ON s2.doc_id = cd AND s2.perm_idx = s1.perm_idx
+        |         GROUP BY 1, 2),
+        |bc AS (SELECT bd, cd FROM best WHERE ej >= 0.5),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM cp UNION ALL SELECT d2, d1 FROM cp
+        |          UNION ALL SELECT bd, cd FROM bc UNION ALL SELECT cd, bd FROM bc),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, MIN(comp) AS comp_id, id % 10 = 9 AS is_batch
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+        .replace("PERMA", graft.operators.Dedup.permALiteral)
+        .replace("PERMB", graft.operators.Dedup.permBLiteral)),
     // MinHash calibration audit: q29c's pair + estimate machinery as-is,
     // then the exact Jaccard over the SAME distinct raw shingle sets the
     // sketch estimates (no df cutoff), banded on |est − exact| permille.

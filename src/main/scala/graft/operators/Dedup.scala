@@ -1005,10 +1005,26 @@ object Dedup {
     * shared by q72 and its streaming twin (each micro-batch probes the
     * same persisted index via foreachBatch). */
   private[graft] def incrementalNearDupCandidatesOf(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    incrementalNearDupCandidatesFromSigs(spark, dir, portableSignaturesOf(batch))
+
+  /** The q68-split batch's probe via the PERSISTED digest table instead
+    * of re-tokenizing raw text — bit-identical signatures (the
+    * [[portableSignatures]] md5-injectivity argument applied to the
+    * batch split); q149's steady-state probe path. Arbitrary batches
+    * (streaming twin) keep the text-derived form above. */
+  private[graft] def incrementalNearDupCandidatesFromDigests(spark: SparkSession,
+      dir: String): DataFrame =
+    incrementalNearDupCandidatesFromSigs(spark, dir,
+      signaturesFromHash(
+        shingleDigests(spark, dir).where(batchPredicate).select(col("doc_id"), col("gh").as("sh")),
+        expr("CAST(conv(substr(hex(sh), 1, 8), 16, 10) AS BIGINT)")))
+
+  private def incrementalNearDupCandidatesFromSigs(spark: SparkSession, dir: String,
+      probeSigs: DataFrame): DataFrame = {
     val idx = spark.table(ensureLshBandIndex(spark, dir))
       .select(col("band_idx"), col("band_key"), col("doc_id").as("cd"), col("sig").as("csig"))
-    val probe = bandKeysOf(portableSignaturesOf(batch))
+    val probe = bandKeysOf(probeSigs)
       .select(col("band_idx"), col("band_key"), col("doc_id").as("bd"), col("sig").as("bsig"))
     probe.join(idx.hint("merge"), Seq("band_idx", "band_key"))
       .where(col("bd") =!= col("cd")) // no-op on the q68 split; guards a post-append re-probe
@@ -1044,6 +1060,104 @@ object Dedup {
         when(col("cd").isNull, lit("new")).otherwise(lit("dup")).as("status"),
         col("cd").as("dup_of"),
         col("est_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-split portable LSH survivor pairs — the pair graph the
+    * existing cluster state ([[corpusClusterLabels]]) is built over.
+    * Restriction happens BEFORE banding (caps computed within the
+    * corpus split), so this is exactly "the pair table the corpus had
+    * before the increment arrived", not a post-hoc filter of the
+    * whole-corpus pairs (whose caps would have seen batch members). */
+  private[graft] def corpusLshPairsTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/lsh_pairs_corpus_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), NumPerm * 1000 + MaxBucket + 9)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      lshPairsFromSignatures(
+        signaturesFromHash(
+          shingleDigests(spark, dir)
+            .where(pmod(col("doc_id"), lit(10)) =!= 9)
+            .select(col("doc_id"), col("gh").as("sh")),
+          expr("CAST(conv(substr(hex(sh), 1, 8), 16, 10) AS BIGINT)")),
+        "q149_corpus_buckets")
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The corpus split's cluster-label table (doc_id, comp_id) — the
+    * durable state q149 maintains incrementally. Same build-once
+    * contract as [[nearDupLabels]]. */
+  private[graft] def corpusClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = Warehouse + "/cluster_labels_corpus_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("documents"), MaxCcIters + 149)
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
+      val (labels, _, _) = connectedComponents(
+        corpusLshPairsTable(spark, dir).select(col("d1"), col("d2")).toDF("src", "dst"),
+        MaxCcIters)
+      labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** q149 — INCREMENTAL cluster MAINTENANCE: fold a crawl increment's
+    * near-dup probe edges into the PERSISTED corpus cluster labels
+    * WITHOUT re-running connected components over the corpus pair
+    * graph — the operation that keeps q61-style cluster state alive on
+    * a growing 100 TB corpus, where from-scratch CC per increment is
+    * unpayable. The batch's q72 probe edges (batch doc ↔ corpus doc,
+    * est ≥ 0.5 — batch docs never pair each other, q72's contract) are
+    * lifted to the QUOTIENT graph whose nodes are existing component
+    * ids plus batch/unlabeled doc ids; star contraction runs on THAT
+    * graph — O(batch) nodes, O(log batch) rounds — and the result
+    * relabels only the touched components. A batch doc bridging two
+    * existing clusters merges them (the case per-doc verdicts can't
+    * express); labels of untouched clusters pass through unchanged.
+    *
+    * CORRECTNESS IS THE GATE: the DuckDB oracle computes the clusters
+    * FROM SCRATCH (recursive closure over corpus pairs ∪ probe edges),
+    * so the hash gate IS the incremental-equals-batch proof. The
+    * quotient argument: every corpus component's label is its member
+    * minimum, so the quotient component's minimum node id equals the
+    * merged component's true member minimum.
+    *
+    * Label maintenance is a PER-INCREMENT batch job, not a per-record
+    * stream: two increment docs may bridge the same components, so
+    * micro-batch slices of the merge would not compose (unlike the
+    * verdict probes, which stream via q72's twin); a deployment
+    * refreshes the label table once per ingested increment.
+    *
+    * Scale shape: the corpus-sized inputs are two persisted reads
+    * (labels + capped band index); the batch is the only side that
+    * shuffles; the contraction input is bounded by the batch's edge
+    * count; the relabel is one broadcast-sized join against the label
+    * table. */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = corpusClusterLabels(spark, dir)
+    // the probe is the one expensive leg and THREE consumers reference
+    // it (quotient edges, unlabeled-doc sweep, and the contraction's
+    // own vertex derivation) — materialize it once; it is bounded by
+    // the batch's edge count, the same budget the contraction carries
+    val bc = incrementalNearDupCandidatesFromDigests(spark, dir)
+      .select(col("bd"), col("cd"))
+      .localCheckpoint(true)
+    // lift probe edges to the quotient graph: a labeled corpus doc is
+    // represented by its component id, an unlabeled one by itself
+    val e = bc.join(labels.withColumnRenamed("doc_id", "cd"), Seq("cd"), "left")
+      .select(col("bd").as("src"), coalesce(col("comp_id"), col("cd")).as("dst"))
+    val (qlabels, _, _) = connectedComponents(e, MaxCcIters)
+    val remap = qlabels.select(col("id").as("comp_id"), col("comp").as("new_comp"))
+    val corpusOut = labels.join(broadcast(remap), Seq("comp_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_comp"), col("comp_id")).as("comp_id"))
+    val unlabeledOut = bc.select(col("cd")).distinct()
+      .join(labels.withColumnRenamed("doc_id", "cd"), Seq("cd"), "left_anti")
+      .join(broadcast(remap), col("cd") === remap("comp_id"))
+      .select(col("cd").as("doc_id"), col("new_comp").as("comp_id"))
+    val batchOut = qlabels.where(pmod(col("id"), lit(10)) === 9)
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    corpusOut.unionByName(unlabeledOut).unionByName(batchOut)
+      .select(col("doc_id"), col("comp_id"),
+        (pmod(col("doc_id"), lit(10)) === 9).as("is_batch"))
       .orderBy("doc_id")
   }
 

@@ -664,4 +664,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.length === 640)
     out.foreach(r => assert(math.abs(r.getAs[Double]("centroid")) < 1.0))
   }
+
+  test("q149: quotient merge equals from-scratch CC; untouched clusters keep their labels") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val sf01 = "/root/testdata/sf0.1"
+    val out = Dedup.incrementalClusters(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    // independent from-scratch recompute IN SPARK: CC over (corpus
+    // pairs ∪ the batch's probe edges) must reproduce the incremental
+    // merge row for row — the in-suite twin of the DuckDB gate
+    val cp = Dedup.corpusLshPairsTable(spark, sf01).select(col("d1"), col("d2"))
+    val bc = Dedup.incrementalNearDupCandidatesOf(spark, sf01,
+        graft.sources.Tables.documents(spark, sf01).where(pmod(col("doc_id"), lit(10)) === 9))
+      .select(col("bd").as("d1"), col("cd").as("d2"))
+    val (labels, converged, _) = Dedup.connectedComponents(
+      cp.unionByName(bc).toDF("src", "dst"), Dedup.MaxCcIters)
+    assert(converged)
+    val scratch = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(0) % 10 == 9)).toSet
+    assert(out.toSet === scratch,
+      "incremental quotient merge must equal the from-scratch clustering")
+    // clusters the batch never touches must keep their exact labels
+    val before = Dedup.corpusClusterLabels(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touchedComps = bc.collect().map(_.getLong(1))
+      .flatMap(cd => before.get(cd).orElse(Some(cd))).toSet
+    val after = out.map(r => r._1 -> r._2).toMap
+    before.foreach { case (doc, comp) =>
+      if (!touchedComps.contains(comp))
+        assert(after(doc) === comp, s"untouched cluster $comp must keep doc $doc's label")
+    }
+    // at sf0.1 the merge genuinely rewrites state: some merged
+    // component minimum is a batch doc
+    assert(out.exists(r => !r._3 && r._2 % 10 == 9),
+      "a corpus doc must end up labeled by a batch-doc minimum")
+  }
 }
