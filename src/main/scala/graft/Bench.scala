@@ -37,6 +37,7 @@ object Bench {
     "q147_video_prefix_containment", // dense video frame-hash table (r14)
     "q148_video_prefix_incremental", // frozen video prefix index (r14)
     "q149_incremental_clusters",    // corpus-split pair + label tables (r14)
+    "q150_pq_ann",                  // PQ codebooks + code table (r14)
     "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four

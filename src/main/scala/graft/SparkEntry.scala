@@ -169,6 +169,7 @@ object SparkEntry {
     "q147_video_prefix_containment" -> ((s, d) => Multimodal.videoPrefixContainment(s, d)),
     "q148_video_prefix_incremental" -> ((s, d) => Multimodal.videoPrefixIncremental(s, d)),
     "q149_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
+    "q150_pq_ann" -> ((s, d) => Similarity.pqAnnTopK(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2757,6 +2758,10 @@ object SparkEntry {
     // SQL (3 unrolled Lloyd iterations over the deterministic 50% sample,
     // exact-decimal sums and norms), then replays the probe+rank pipeline.
     "q60_ann_ivf_kmeans" -> operators.Similarity.ivfOracleSql(iters = 3),
+    // PQ/ADC: unrolled per-subspace Lloyd in SQL re-derives the
+    // identical codebooks (decimal-exact distance/sum/mean arithmetic),
+    // then encode -> per-query LUT -> ADC rank -> exact-cosine audit.
+    "q150_pq_ann" -> operators.Similarity.pqOracleSql(),
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
     // global scale 127): integer code dots approximate 127^2*cosine

@@ -1064,6 +1064,294 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ------------------------------------------------------------------
+  // q150 — PRODUCT QUANTIZATION + ADC: the compression rung of the ANN
+  // ladder (brute q33 → sign-LSH q35 → IVF q47/q60 → SQ8 q81 → PQ).
+  // A 64-float vector (256 B) compresses to PqSubs 4-bit codes (4 B,
+  // 64× — Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011): the space splits into PqSubs 8-dim subspaces,
+  // each with its own PqCodes-codeword k-means codebook trained on the
+  // deterministic sample split; a vector's code is its per-subspace
+  // nearest codeword; queries score candidates ASYMMETRICALLY (ADC) —
+  // the full-precision query builds one 128-entry distance LUT per
+  // subspace×codeword, and each candidate costs 8 table adds. At 100 TB
+  // this is the RAM-resident scan path (codes 64× smaller than floats),
+  // and it composes with IVF (scan only the probed cells' codes).
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: [[Dim]] = [[PqSubs]] × [[PqSubDim]] dims; [[PqCodes]]
+    * codewords per subspace (4-bit codes). */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+  val PqIters = 2
+
+  /** Deterministic LCG seed codebooks (the [[ivfCentroids]] pattern;
+    * un-normalized — PQ k-means is plain L2 Lloyd, not spherical). */
+  private val pqSeeds: Array[Array[Array[Double]]] = {
+    var x = 0x00C0FFEEL
+    Array.fill(PqSubs, PqCodes, PqSubDim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  /** The PQ seed codebooks as a DuckDB nested-list literal. */
+  def pqSeedsSqlLiteral: String =
+    pqSeeds.map(_.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** Squared L2 distance between subvector `s` of `embedding` and a
+    * LITERAL codeword, as a Spark SQL string: each term is the
+    * IEEE-deterministic double product (x−u)² cast to DECIMAL(18,12)
+    * (the cross-engine-stable cast every cosine oracle already relies
+    * on), summed EXACTLY in decimals (order-free), rounded once, cast
+    * double — so aggregation order can never flip an argmin. */
+  private def pqDistSql(s: Int, u: Array[Double]): String = {
+    val terms = (0 until PqSubDim).map { i =>
+      val x = s"CAST(element_at(embedding, ${s * PqSubDim + i + 1}) AS DOUBLE)"
+      val c = u(i).toString
+      s"CAST((($x) - ($c)) * (($x) - ($c)) AS DECIMAL(18,12))"
+    }
+    s"CAST(ROUND(${terms.mkString(" + ")}, 12) AS DOUBLE)"
+  }
+
+  /** Driver-side twin of [[pqDistSql]], bit-identical by construction
+    * (same double products, same scale-12 decimals, same exact sum). */
+  private def pqDistDriver(x: Array[Double], u: Array[Double]): Double = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    var acc = JBD.ZERO
+    var i = 0
+    while (i < PqSubDim) {
+      val d = (x(i) - u(i)) * (x(i) - u(i))
+      acc = acc.add(new JBD(d).setScale(12, RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  /** Per-subspace code assignment columns for the current codebooks:
+    * argmin over the [[PqCodes]] decimal-exact distances, FIRST index on
+    * ties (the oracle's `ORDER BY dist ASC, code ASC`). */
+  private def pqCodeCols(cbs: Array[Array[Array[Double]]]): Seq[Column] =
+    (0 until PqSubs).map { s =>
+      val dists = array((0 until PqCodes).map(j => expr(pqDistSql(s, cbs(s)(j)))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Array[Double]]]]
+
+  /** Test hook: forget trained PQ models so retrain/reload is exercised. */
+  private[graft] def clearPqMemory(): Unit = pqCache.clear()
+
+  /** Train the [[PqSubs]] per-subspace codebooks: plain Lloyd k-means on
+    * the deterministic [[SampleMult]] hash sample, one distributed pass
+    * per iteration — map-side assignment (codegen'd decimal-exact
+    * distances), ONE shuffle of per-(subspace, code) decimal component
+    * sums + counts, and a PqSubs×PqCodes×PqSubDim driver update (mean =
+    * rounded-decimal sum ÷ count, an IEEE double division both engines
+    * share). Empty codes keep their previous codeword. Bit-deterministic
+    * across partitionings, runs, AND engines — the q150 oracle re-derives
+    * the identical model with unrolled Lloyd SQL. Memoized per (dir,
+    * iters) and persisted as a (sub, code, centroid) parquet table, the
+    * [[trainIvfCentroids]] contract. */
+  def trainPqCodebooks(spark: SparkSession, dir: String,
+      iters: Int = PqIters): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((dir, iters), {
+      val path = graft.sources.Artifacts.Warehouse + "/pq_model_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 1500 + iters)
+      if (graft.sources.Artifacts.isBuilt(spark, path)) {
+        val cbs = Array.ofDim[Array[Double]](PqSubs, PqCodes)
+        spark.read.parquet(path).collect().foreach { r =>
+          cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+        }
+        require(cbs.forall(_.forall(_ != null)), s"PQ model table $path is torn")
+        cbs
+      } else {
+        val sample = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+          .where(pmod(col("vec_id") * SampleMult, lit(SampleMod.toLong)) === 0)
+        var cbs = pqSeeds.map(_.map(_.clone()))
+        for (_ <- 1 to iters) {
+          val codeCols = pqCodeCols(cbs)
+          val subStructs = array((0 until PqSubs).map { s =>
+            struct(lit(s).as("sub"), codeCols(s).as("code"),
+              expr(s"slice(transform(embedding, v -> CAST(v AS DOUBLE)), ${s * PqSubDim + 1}, $PqSubDim)")
+                .as("sv"))
+          }: _*)
+          val sumAggs = (1 to PqSubDim).map(i =>
+            round(sum(expr(s"element_at(sv, $i)").cast("decimal(28,12)")), 12)
+              .cast("double").as(s"c$i")) :+ count(lit(1)).as("n")
+          val rows = sample.select(explode(subStructs).as("z"))
+            .select(col("z.sub").as("sub"), col("z.code").as("code"), col("z.sv").as("sv"))
+            .groupBy("sub", "code").agg(sumAggs.head, sumAggs.tail: _*)
+            .collect()
+          val next = cbs.map(_.map(_.clone()))
+          rows.foreach { r =>
+            val n = r.getLong(2 + PqSubDim)
+            if (n > 0)
+              next(r.getInt(0))(r.getInt(1)) =
+                Array.tabulate(PqSubDim)(i => r.getDouble(i + 2) / n)
+          }
+          cbs = next
+        }
+        val out = for { s <- 0 until PqSubs; j <- 0 until PqCodes }
+          yield (s, j, cbs(s)(j).toSeq)
+        spark.createDataFrame(out).toDF("sub", "code", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        cbs
+      }
+    })
+
+  /** The persisted PQ code table (vec_id, codes[PqSubs]) — encode-once
+    * per corpus fingerprint; the 64×-compressed representation the ADC
+    * scan reads. Same check-then-write contract as the IVF model. */
+  private[graft] def pqCodesTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/pq_codes_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 150)
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
+      val cbs = trainPqCodebooks(spark, dir)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), array(pqCodeCols(cbs): _*).as("codes"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** q150 — PQ/ADC top-k: each query (the q33 query set, vec_id ≤ 4)
+    * builds its 128-entry LUT on the driver (a bounded model-sized
+    * fetch, the [[trainIvfCentroids]] footprint), broadcast as a
+    * literal; every candidate's approximate distance is then 8 LUT adds
+    * over its stored codes — a whole-stage-codegen'd scan of the 4-byte
+    * representation, no float vectors touched until the top-k audit.
+    * Reported rows carry the exact-decimal cosine (`cos_exact`, the q81
+    * audit discipline) so the gate pins both the PQ arithmetic AND what
+    * the compression trades away. The LUT adds are decimal-exact like
+    * [[pqDistSql]] (order can't flip a rank), ties break on n_id. */
+  def pqAnnTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cbs = trainPqCodebooks(spark, dir)
+    val queries = Tables.embeddings(spark, dir).where(col("vec_id") <= 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val codes = pqCodesTable(spark, dir)
+    val perQuery = queries.map { case (qid, qe) =>
+      val lut = Array.tabulate(PqSubs * PqCodes) { idx =>
+        val s = idx / PqCodes
+        pqDistDriver(qe.slice(s * PqSubDim, (s + 1) * PqSubDim), cbs(s)(idx % PqCodes))
+      }
+      val adcTerms = (0 until PqSubs).map(s =>
+        s"CAST(element_at(lut, ${s * PqCodes} + element_at(codes, ${s + 1}) + 1) AS DECIMAL(18,12))")
+      codes.where(col("vec_id") =!= qid)
+        .withColumn("lut", typedlit(lut.toSeq))
+        .select(lit(qid).as("q_id"), col("vec_id").as("n_id"),
+          expr(s"CAST(ROUND(${adcTerms.mkString(" + ")}, 12) AS DOUBLE)").as("adc_dist"))
+    }
+    val byDist = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+    val top = perQuery.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(byDist).cast("long"))
+      .where(col("rank") <= k)
+    // exact decimal cosine audit on the <= 4k surviving rows only
+    val nr = withNorm(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    top
+      .join(nr.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")),
+        Seq("q_id"))
+      .join(nr.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("adc_dist"), col("rank"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_exact"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for q150, generated in lockstep with the Scala
+    * pipeline: seed literal → `iters` unrolled Lloyd iterations (same
+    * decimal-exact distance/sum/mean arithmetic) → full-corpus encode →
+    * per-query LUT → ADC ranking → exact-cosine audit tail. */
+  def pqOracleSql(iters: Int = PqIters, k: Int = 5): String = {
+    def distChain(v: String, u: String): String =
+      (1 to PqSubDim).map { i =>
+        val x = s"($v[CAST($i AS INT)])"
+        val c = s"($u[CAST($i AS INT)])"
+        s"CAST((($x) - ($c)) * (($x) - ($c)) AS DECIMAL(18,12))"
+      }.mkString("CAST(ROUND(", " + ", ", 12) AS DOUBLE)")
+    val sb = new StringBuilder
+    sb ++= s"WITH pqseeds AS (SELECT $pqSeedsSqlLiteral AS c),\n"
+    sb ++= s"pss AS (SELECT unnest(range(0, $PqSubs)) AS s),\n"
+    sb ++= s"pjj AS (SELECT unnest(range(0, $PqCodes)) AS j),\n"
+    sb ++= s"tv AS (SELECT vec_id, embedding FROM embeddings WHERE (vec_id * $SampleMult) % $SampleMod = 0),\n"
+    sb ++=
+      s"""psv AS (SELECT vec_id, pss.s AS sub,
+         |  list_transform(range(1, ${PqSubDim + 1}), i ->
+         |    CAST(embedding[CAST(pss.s * $PqSubDim + i AS INT)] AS DOUBLE)) AS v
+         | FROM tv CROSS JOIN pss),
+         |pc0 AS (SELECT pss.s AS sub, pjj.j AS code,
+         |  list_transform(range(1, ${PqSubDim + 1}), i ->
+         |    (p.c)[CAST(pss.s + 1 AS INT)][CAST(pjj.j + 1 AS INT)][CAST(i AS INT)]) AS u
+         | FROM pqseeds p CROSS JOIN pss CROSS JOIN pjj),
+         |""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = s"pc${t - 1}"
+      sb ++=
+        s"""pd$t AS (SELECT psv.vec_id, psv.sub, pc.code, ${distChain("psv.v", "pc.u")} AS dist
+           | FROM psv JOIN $prev pc ON pc.sub = psv.sub),
+           |pa$t AS (SELECT vec_id, sub, code FROM (
+           |  SELECT vec_id, sub, code,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+           |  FROM pd$t) z WHERE rn = 1),
+           |pm$t AS (SELECT a.sub, a.code, dd.i AS dim,
+           |  CAST(ROUND(SUM(CAST(psv.v[CAST(dd.i AS INT)] AS DECIMAL(28,12))), 12) AS DOUBLE)
+           |    / COUNT(*) AS u1
+           | FROM pa$t a JOIN psv ON psv.vec_id = a.vec_id AND psv.sub = a.sub
+           | CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) dd
+           | GROUP BY 1, 2, 3),
+           |pmu$t AS (SELECT sub, code, list(u1 ORDER BY dim) AS u FROM pm$t GROUP BY 1, 2),
+           |pc$t AS (SELECT p.sub, p.code, COALESCE(n.u, p.u) AS u
+           | FROM $prev p LEFT JOIN pmu$t n USING (sub, code)),
+           |""".stripMargin
+    }
+    val pcN = s"pc$iters"
+    val adcChain = (0 until PqSubs).map { s =>
+      s"CAST(l[CAST(${s * PqCodes} + codes[CAST(${s + 1} AS INT)] + 1 AS INT)] AS DECIMAL(18,12))"
+    }.mkString("CAST(ROUND(", " + ", ", 12) AS DOUBLE)")
+    sb ++=
+      s"""pav AS (SELECT vec_id, pss.s AS sub,
+         |  list_transform(range(1, ${PqSubDim + 1}), i ->
+         |    CAST(embedding[CAST(pss.s * $PqSubDim + i AS INT)] AS DOUBLE)) AS v
+         | FROM embeddings CROSS JOIN pss),
+         |pad AS (SELECT pav.vec_id, pav.sub, pc.code, ${distChain("pav.v", "pc.u")} AS dist
+         | FROM pav JOIN $pcN pc ON pc.sub = pav.sub),
+         |pac AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+         |  FROM pad) z WHERE rn = 1),
+         |cds AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM pac GROUP BY 1),
+         |lutl AS (SELECT vec_id AS q_id, list(dist ORDER BY sub * $PqCodes + code) AS l
+         | FROM pad WHERE vec_id <= 4 GROUP BY 1),
+         |adc AS (SELECT lutl.q_id, c.vec_id AS n_id, $adcChain AS adc_dist
+         | FROM lutl CROSS JOIN cds c WHERE c.vec_id <> lutl.q_id),
+         |pr AS (SELECT q_id, n_id, adc_dist,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS rank
+         | FROM adc),
+         |ptop AS (SELECT * FROM pr WHERE rank <= $k),
+         |pnr AS (SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+         | FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+         |pu AS (SELECT t.q_id, t.n_id, t.adc_dist, t.rank, a.nrm AS qn, b.nrm AS nn,
+         |  unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+         | FROM ptop t
+         | JOIN embeddings ea ON ea.vec_id = t.q_id JOIN embeddings eb ON eb.vec_id = t.n_id
+         | JOIN pnr a ON a.vec_id = t.q_id JOIN pnr b ON b.vec_id = t.n_id),
+         |pf AS (SELECT q_id, n_id, any_value(adc_dist) AS adc_dist, any_value(rank) AS rank,
+         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |    / (any_value(qn) * any_value(nn)) AS cos_exact
+         | FROM pu GROUP BY q_id, n_id)
+         |SELECT q_id, n_id, adc_dist, CAST(rank AS BIGINT) AS rank, cos_exact
+         |FROM pf ORDER BY q_id, rank""".stripMargin
+    sb.toString
+  }
+
   /** Runtime guard for [[embeddingDrift]]'s DECIMAL(38) headroom: the
     * per-label cross-product `sum(decimal(30,0)) × count(decimal(7,0))`
     * is exact only while every label holds < 10⁷ vectors on each side.

@@ -665,6 +665,55 @@ class DedupSimilaritySpec extends SparkSpec {
     out.foreach(r => assert(math.abs(r.getAs[Double]("centroid")) < 1.0))
   }
 
+  test("q150: PQ codes are valid 4-bit words; ADC matches a driver recompute; model reloads bit-identically") {
+    import org.apache.spark.sql.functions.col
+    val cbs = Similarity.trainPqCodebooks(spark, sf0001)
+    assert(cbs.length === Similarity.PqSubs &&
+      cbs.forall(_.length === Similarity.PqCodes) &&
+      cbs.forall(_.forall(_.length === Similarity.PqSubDim)))
+    // model persistence: a fresh memory must RELOAD the identical model
+    Similarity.clearPqMemory()
+    val reloaded = Similarity.trainPqCodebooks(spark, sf0001)
+    assert(reloaded.flatten.flatten.toSeq === cbs.flatten.flatten.toSeq,
+      "persisted PQ model must reload bit-identically")
+    val codes = Similarity.pqCodesTable(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val nVecs = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(codes.size.toLong === nVecs, "every vector must encode")
+    codes.values.foreach { cs =>
+      assert(cs.length === Similarity.PqSubs)
+      cs.foreach(c => assert(c >= 0 && c < Similarity.PqCodes, s"code out of range: $c"))
+    }
+    // codes must be the argmin of the shared distance kernel, and the
+    // emitted ADC distance must equal a driver recompute from codes +
+    // codebooks (the asymmetric-distance contract)
+    val out = Similarity.pqAnnTopK(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val qe = graft.sources.Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") <= 4).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dist(x: Array[Double], u: Array[Double]): BigDecimal =
+      x.zip(u).map { case (a, b) =>
+        BigDecimal((a - b) * (a - b)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      val expected = (0 until Similarity.PqSubs).map { s =>
+        val sub = qe(q).slice(s * Similarity.PqSubDim, (s + 1) * Similarity.PqSubDim)
+        BigDecimal(dist(sub, cbs(s)(codes(n)(s))).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(r.getDouble(2) === expected, s"ADC($q, $n) must match the driver recompute")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, "audit cosine must be a cosine")
+    }
+    // per query: ranks 1..5 with non-decreasing ADC distance
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 5L))
+      assert(sorted.map(_.getDouble(2)).toSeq === sorted.map(_.getDouble(2)).sortBy(identity).toSeq)
+    }
+  }
+
   test("q149: quotient merge equals from-scratch CC; untouched clusters keep their labels") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val sf01 = "/root/testdata/sf0.1"
