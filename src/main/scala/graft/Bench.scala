@@ -38,6 +38,8 @@ object Bench {
     "q148_video_prefix_incremental", // frozen video prefix index (r14)
     "q149_incremental_clusters",    // corpus-split pair + label tables (r14)
     "q150_pq_ann",                  // PQ codebooks + code table (r14)
+    "q151_ivfpq_ann",               // partitioned IVFPQ index (r14)
+    "q152_pq_incremental",          // corpus-only PQ codebooks (r14)
     "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four

@@ -170,6 +170,8 @@ object SparkEntry {
     "q148_video_prefix_incremental" -> ((s, d) => Multimodal.videoPrefixIncremental(s, d)),
     "q149_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
     "q150_pq_ann" -> ((s, d) => Similarity.pqAnnTopK(s, d)),
+    "q151_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q152_pq_incremental" -> ((s, d) => Similarity.pqIncrementalEncode(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2762,6 +2764,12 @@ object SparkEntry {
     // identical codebooks (decimal-exact distance/sum/mean arithmetic),
     // then encode -> per-query LUT -> ADC rank -> exact-cosine audit.
     "q150_pq_ann" -> operators.Similarity.pqOracleSql(),
+    // IVFPQ: both trained models re-derived in SQL (IVF Lloyd prefix +
+    // PQ Lloyd chain), then probe -> ADC over probed cells only -> rank.
+    "q151_ivfpq_ann" -> operators.Similarity.ivfPqOracleSql(),
+    // Incremental PQ: batch encodes against codebooks trained with the
+    // batch held out; oracle re-trains the held-out model and re-encodes.
+    "q152_pq_incremental" -> operators.Similarity.pqIncrementalOracleSql(),
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
     // global scale 127): integer code dots approximate 127^2*cosine

@@ -1140,7 +1140,7 @@ object Similarity {
     }
 
   private val pqCache =
-    new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Array[Double]]]]
+    new scala.collection.concurrent.TrieMap[(String, Int, Boolean), Array[Array[Array[Double]]]]
 
   /** Test hook: forget trained PQ models so retrain/reload is exercised. */
   private[graft] def clearPqMemory(): Unit = pqCache.clear()
@@ -1156,10 +1156,11 @@ object Similarity {
     * the identical model with unrolled Lloyd SQL. Memoized per (dir,
     * iters) and persisted as a (sub, code, centroid) parquet table, the
     * [[trainIvfCentroids]] contract. */
-  def trainPqCodebooks(spark: SparkSession, dir: String,
-      iters: Int = PqIters): Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate((dir, iters), {
+  def trainPqCodebooks(spark: SparkSession, dir: String, iters: Int = PqIters,
+      corpusOnly: Boolean = false): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((dir, iters, corpusOnly), {
       val path = graft.sources.Artifacts.Warehouse + "/pq_model_" +
+        (if (corpusOnly) s"corpus${BatchResidue}_" else "") +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 1500 + iters)
       if (graft.sources.Artifacts.isBuilt(spark, path)) {
@@ -1173,6 +1174,11 @@ object Similarity {
         val sample = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding"))
           .where(pmod(col("vec_id") * SampleMult, lit(SampleMod.toLong)) === 0)
+          // corpusOnly: hold out the incremental batch so the model is a
+          // pure function of the pre-batch corpus (the q87 IVF rule —
+          // BatchResidue is even, so the holdout intersects the
+          // parity-hash training sample and is never vacuous)
+          .where(if (corpusOnly) pmod(col("vec_id"), lit(10L)) =!= BatchResidue else lit(true))
         var cbs = pqSeeds.map(_.map(_.clone()))
         for (_ <- 1 to iters) {
           val codeCols = pqCodeCols(cbs)
@@ -1266,27 +1272,40 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** DuckDB oracle for q150, generated in lockstep with the Scala
-    * pipeline: seed literal → `iters` unrolled Lloyd iterations (same
-    * decimal-exact distance/sum/mean arithmetic) → full-corpus encode →
-    * per-query LUT → ADC ranking → exact-cosine audit tail. */
-  def pqOracleSql(iters: Int = PqIters, k: Int = 5): String = {
-    def distChain(v: String, u: String): String =
-      (1 to PqSubDim).map { i =>
-        val x = s"($v[CAST($i AS INT)])"
-        val c = s"($u[CAST($i AS INT)])"
-        s"CAST((($x) - ($c)) * (($x) - ($c)) AS DECIMAL(18,12))"
-      }.mkString("CAST(ROUND(", " + ", ", 12) AS DOUBLE)")
+  /** DuckDB per-subspace squared-L2 distance chain — the SQL twin of
+    * [[pqDistSql]]/[[pqDistDriver]] over list-typed operands. */
+  private def pqDistChainSql(v: String, u: String): String =
+    (1 to PqSubDim).map { i =>
+      val x = s"($v[CAST($i AS INT)])"
+      val c = s"($u[CAST($i AS INT)])"
+      s"CAST((($x) - ($c)) * (($x) - ($c)) AS DECIMAL(18,12))"
+    }.mkString("CAST(ROUND(", " + ", ", 12) AS DOUBLE)")
+
+  /** DuckDB ADC expression: 8 LUT adds over `l` (the flattened per-query
+    * LUT) indexed by `codes`, decimal-exact like the Spark side. */
+  private def pqAdcChainSql: String =
+    (0 until PqSubs).map { s =>
+      s"CAST(l[CAST(${s * PqCodes} + codes[CAST(${s + 1} AS INT)] + 1 AS INT)] AS DECIMAL(18,12))"
+    }.mkString("CAST(ROUND(", " + ", ", 12) AS DOUBLE)")
+
+  /** Shared DuckDB CTE chain re-deriving the PQ MODEL: seed literal →
+    * deterministic sample `ptv` (optionally further filtered by
+    * `trainWhere` — q152 holds out the incremental batch) → `iters`
+    * unrolled Lloyd iterations → `pc$iters(sub, code, u)`. Emitted
+    * WITHOUT a leading WITH and WITH a trailing comma so callers can
+    * prepend other chains (q151 prepends the trained-IVF prefix) and
+    * append their own tails. */
+  private def pqModelChainSql(iters: Int = PqIters, trainWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH pqseeds AS (SELECT $pqSeedsSqlLiteral AS c),\n"
+    sb ++= s"pqseeds AS (SELECT $pqSeedsSqlLiteral AS c),\n"
     sb ++= s"pss AS (SELECT unnest(range(0, $PqSubs)) AS s),\n"
     sb ++= s"pjj AS (SELECT unnest(range(0, $PqCodes)) AS j),\n"
-    sb ++= s"tv AS (SELECT vec_id, embedding FROM embeddings WHERE (vec_id * $SampleMult) % $SampleMod = 0),\n"
+    sb ++= s"ptv AS (SELECT vec_id, embedding FROM embeddings WHERE (vec_id * $SampleMult) % $SampleMod = 0$trainWhere),\n"
     sb ++=
       s"""psv AS (SELECT vec_id, pss.s AS sub,
          |  list_transform(range(1, ${PqSubDim + 1}), i ->
          |    CAST(embedding[CAST(pss.s * $PqSubDim + i AS INT)] AS DOUBLE)) AS v
-         | FROM tv CROSS JOIN pss),
+         | FROM ptv CROSS JOIN pss),
          |pc0 AS (SELECT pss.s AS sub, pjj.j AS code,
          |  list_transform(range(1, ${PqSubDim + 1}), i ->
          |    (p.c)[CAST(pss.s + 1 AS INT)][CAST(pjj.j + 1 AS INT)][CAST(i AS INT)]) AS u
@@ -1295,7 +1314,7 @@ object Similarity {
     for (t <- 1 to iters) {
       val prev = s"pc${t - 1}"
       sb ++=
-        s"""pd$t AS (SELECT psv.vec_id, psv.sub, pc.code, ${distChain("psv.v", "pc.u")} AS dist
+        s"""pd$t AS (SELECT psv.vec_id, psv.sub, pc.code, ${pqDistChainSql("psv.v", "pc.u")} AS dist
            | FROM psv JOIN $prev pc ON pc.sub = psv.sub),
            |pa$t AS (SELECT vec_id, sub, code FROM (
            |  SELECT vec_id, sub, code,
@@ -1312,25 +1331,37 @@ object Similarity {
            | FROM $prev p LEFT JOIN pmu$t n USING (sub, code)),
            |""".stripMargin
     }
-    val pcN = s"pc$iters"
-    val adcChain = (0 until PqSubs).map { s =>
-      s"CAST(l[CAST(${s * PqCodes} + codes[CAST(${s + 1} AS INT)] + 1 AS INT)] AS DECIMAL(18,12))"
-    }.mkString("CAST(ROUND(", " + ", ", 12) AS DOUBLE)")
-    sb ++=
-      s"""pav AS (SELECT vec_id, pss.s AS sub,
-         |  list_transform(range(1, ${PqSubDim + 1}), i ->
-         |    CAST(embedding[CAST(pss.s * $PqSubDim + i AS INT)] AS DOUBLE)) AS v
-         | FROM embeddings CROSS JOIN pss),
-         |pad AS (SELECT pav.vec_id, pav.sub, pc.code, ${distChain("pav.v", "pc.u")} AS dist
-         | FROM pav JOIN $pcN pc ON pc.sub = pav.sub),
-         |pac AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
-         |  FROM pad) z WHERE rn = 1),
-         |cds AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM pac GROUP BY 1),
-         |lutl AS (SELECT vec_id AS q_id, list(dist ORDER BY sub * $PqCodes + code) AS l
+    sb.toString
+  }
+
+  /** Shared DuckDB ENCODE chain against the `pc$iters` model: `pav`
+    * (per-subspace views of the rows selected by `where`) → `pad`
+    * (per-(vec, sub, code) distances — the LUT source) → `pac` (argmin
+    * codes) → `cds(vec_id, codes)`. Trailing comma, same composition
+    * contract as [[pqModelChainSql]]. */
+  private def pqEncodeChainSql(iters: Int = PqIters, where: String = ""): String =
+    s"""pav AS (SELECT vec_id, pss.s AS sub,
+       |  list_transform(range(1, ${PqSubDim + 1}), i ->
+       |    CAST(embedding[CAST(pss.s * $PqSubDim + i AS INT)] AS DOUBLE)) AS v
+       | FROM embeddings CROSS JOIN pss$where),
+       |pad AS (SELECT pav.vec_id, pav.sub, pc.code, ${pqDistChainSql("pav.v", "pc.u")} AS dist
+       | FROM pav JOIN pc$iters pc ON pc.sub = pav.sub),
+       |pac AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM pad) z WHERE rn = 1),
+       |cds AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM pac GROUP BY 1),
+       |""".stripMargin
+
+  /** DuckDB oracle for q150, generated in lockstep with the Scala
+    * pipeline: seed literal → `iters` unrolled Lloyd iterations (same
+    * decimal-exact distance/sum/mean arithmetic) → full-corpus encode →
+    * per-query LUT → ADC ranking → exact-cosine audit tail. */
+  def pqOracleSql(iters: Int = PqIters, k: Int = 5): String =
+    "WITH " + pqModelChainSql(iters) + pqEncodeChainSql(iters) +
+      s"""lutl AS (SELECT vec_id AS q_id, list(dist ORDER BY sub * $PqCodes + code) AS l
          | FROM pad WHERE vec_id <= 4 GROUP BY 1),
-         |adc AS (SELECT lutl.q_id, c.vec_id AS n_id, $adcChain AS adc_dist
+         |adc AS (SELECT lutl.q_id, c.vec_id AS n_id, $pqAdcChainSql AS adc_dist
          | FROM lutl CROSS JOIN cds c WHERE c.vec_id <> lutl.q_id),
          |pr AS (SELECT q_id, n_id, adc_dist,
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS rank
@@ -1349,8 +1380,180 @@ object Similarity {
          | FROM pu GROUP BY q_id, n_id)
          |SELECT q_id, n_id, adc_dist, CAST(rank AS BIGINT) AS rank, cos_exact
          |FROM pf ORDER BY q_id, rank""".stripMargin
-    sb.toString
+
+  // ------------------------------------------------------------------
+  // q151 — IVFPQ: the composition q150's header promises ("composes
+  // with IVF — scan only the probed cells' codes"). The persisted index
+  // is the classic inverted-file layout: (vec_id, codes) rows
+  // PARTITIONED BY the trained coarse cell, so a query's nprobe cell
+  // filter becomes parquet PARTITION PRUNING — the scan physically
+  // touches only the probed cells' files, which at 100 TB is the whole
+  // point (FAISS IVFPQ with by_residual=false: PQ codes of the raw
+  // vectors, coarse cells only route; the residual-encoding variant
+  // changes the codebook input, not this plan shape).
+  // ------------------------------------------------------------------
+
+  /** The persisted IVFPQ index: trained-IVF cell + PQ codes per vector,
+    * written `partitionBy("cell")` (posting-list layout — probes prune
+    * partitions). Build-once per corpus fingerprint, the
+    * [[pqCodesTable]] contract. */
+  private[graft] def ivfPqIndexTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/ivfpq_index_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 151)
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
+      val cents = trainIvfCentroids(spark, dir)
+      val cbs = trainPqCodebooks(spark, dir)
+      ivfAssignments(spark, dir, cents)
+        .select(col("vec_id"), array(pqCodeCols(cbs): _*).as("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+    spark.read.parquet(path)
   }
+
+  /** q151 — IVFPQ top-k: each query ranks the 16 trained cells by the
+    * exact-decimal scores (the q60 probe rule: score DESC, cell ASC),
+    * builds its 128-entry ADC LUT on the driver (bounded model-sized
+    * fetch), and ADC-scans ONLY the `nprobe` probed cells' codes — the
+    * cell filter prunes index partitions, so candidates never shuffle
+    * and the unprobed 12/16 of the corpus is never read. `n_scanned`
+    * (per-query scanned-candidate count) is computed as a parallel
+    * partial aggregation joined onto survivors, NOT a corpus-wide
+    * window; top-k uses the two-phase salted ranking of [[annIvfTopK]].
+    * Survivors carry the exact-decimal cosine (`cos_exact`, the q81/q150
+    * audit discipline). Oracle-gated end-to-end: the DuckDB oracle
+    * re-derives BOTH trained models (IVF Lloyd + PQ Lloyd) and replays
+    * probe → ADC → rank → audit. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val cents = trainIvfCentroids(spark, dir)
+    val cbs = trainPqCodebooks(spark, dir)
+    val idx = ivfPqIndexTable(spark, dir)
+    // bounded driver fetch (<= 5 query rows): exact-decimal cell scores
+    // computed by the same cellScoresDecCol the gated q60 family uses
+    val qRows = withNorm(spark, dir).where(col("vec_id") <= 4)
+      .withColumn("dscores", cellScoresDecCol(cents))
+      .select(col("vec_id"), col("embedding"), col("dscores")).collect()
+      .sortBy(_.getLong(0))
+    val perQuery = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qe = r.getSeq[Float](1).map(_.toDouble).toArray
+      val scores = r.getSeq[Double](2).toArray
+      val probes = scores.zipWithIndex.sortBy { case (s, c) => (-s, c) }
+        .take(nprobe).map(_._2)
+      val lut = Array.tabulate(PqSubs * PqCodes) { i =>
+        val s = i / PqCodes
+        pqDistDriver(qe.slice(s * PqSubDim, (s + 1) * PqSubDim), cbs(s)(i % PqCodes))
+      }
+      val adcTerms = (0 until PqSubs).map(s =>
+        s"CAST(element_at(lut, ${s * PqCodes} + element_at(codes, ${s + 1}) + 1) AS DECIMAL(18,12))")
+      idx.where(col("cell").isin(probes.toSeq: _*)) // partition pruning
+        .where(col("vec_id") =!= qid)
+        .withColumn("lut", typedlit(lut.toSeq))
+        .select(lit(qid).as("q_id"), col("vec_id").as("n_id"),
+          col("cell").cast("long").as("cell"),
+          expr(s"CAST(ROUND(${adcTerms.mkString(" + ")}, 12) AS DOUBLE)").as("adc_dist"))
+    }
+    val cand = perQuery.reduce(_ unionByName _)
+    val scanned = cand.groupBy("q_id").agg(count(lit(1)).as("n_scanned"))
+    val byDist = Seq(col("adc_dist").asc, col("n_id").asc)
+    val local = Window.partitionBy(col("q_id"), pmod(hash(col("n_id")), lit(32)))
+      .orderBy(byDist: _*)
+    val global = Window.partitionBy("q_id").orderBy(byDist: _*)
+    val top = cand
+      .withColumn("r", row_number().over(local)).where(col("r") <= k).drop("r")
+      .withColumn("rank", row_number().over(global).cast("long")).where(col("rank") <= k)
+    val nr = withNorm(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    top
+      .join(broadcast(scanned), Seq("q_id"))
+      .join(nr.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")),
+        Seq("q_id"))
+      .join(nr.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("cell"), col("adc_dist"), col("rank"),
+        col("n_scanned"), (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_exact"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for q151: the trained-IVF prefix ([[ivfModelPrefixSql]],
+    * ending at `w(vec_id, embedding, cell, nrm)`) + the PQ model/encode
+    * chains, then probe (`fsc` scores, s DESC / cell ASC) → candidates
+    * restricted to probed cells → ADC rank → exact-cosine audit. */
+  def ivfPqOracleSql(ivfIters: Int = 3, pqIters: Int = PqIters,
+      nprobe: Int = 4, k: Int = 5): String =
+    ivfModelPrefixSql(ivfIters) + pqModelChainSql(pqIters) + pqEncodeChainSql(pqIters) +
+      s"""pk AS (SELECT q_id, cell AS pcell FROM (
+         |  SELECT vec_id AS q_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS prn
+         |  FROM fsc WHERE vec_id <= 4) z WHERE prn <= $nprobe),
+         |lutl AS (SELECT vec_id AS q_id, list(dist ORDER BY sub * $PqCodes + code) AS l
+         | FROM pad WHERE vec_id <= 4 GROUP BY 1),
+         |icand AS (SELECT pk.q_id, w.vec_id AS n_id, CAST(w.cell AS BIGINT) AS cell, c.codes
+         | FROM pk JOIN w ON w.cell = pk.pcell JOIN cds c ON c.vec_id = w.vec_id
+         | WHERE w.vec_id <> pk.q_id),
+         |adc AS (SELECT icand.q_id, icand.n_id, icand.cell, $pqAdcChainSql AS adc_dist,
+         |  COUNT(*) OVER (PARTITION BY icand.q_id) AS n_scanned
+         | FROM icand JOIN lutl ON lutl.q_id = icand.q_id),
+         |pr AS (SELECT q_id, n_id, cell, adc_dist, n_scanned,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS rank
+         | FROM adc),
+         |ptop AS (SELECT * FROM pr WHERE rank <= $k),
+         |pu AS (SELECT t.q_id, t.n_id, t.cell, t.adc_dist, t.rank, t.n_scanned,
+         |  a.nrm AS qn, b.nrm AS nn,
+         |  unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+         | FROM ptop t
+         | JOIN embeddings ea ON ea.vec_id = t.q_id JOIN embeddings eb ON eb.vec_id = t.n_id
+         | JOIN nr a ON a.vec_id = t.q_id JOIN nr b ON b.vec_id = t.n_id),
+         |pf AS (SELECT q_id, n_id, any_value(cell) AS cell, any_value(adc_dist) AS adc_dist,
+         |  any_value(rank) AS rank, any_value(n_scanned) AS n_scanned,
+         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |    / (any_value(qn) * any_value(nn)) AS cos_exact
+         | FROM pu GROUP BY q_id, n_id)
+         |SELECT q_id, n_id, cell, adc_dist, CAST(rank AS BIGINT) AS rank,
+         |  CAST(n_scanned AS BIGINT) AS n_scanned, cos_exact
+         |FROM pf ORDER BY q_id, rank""".stripMargin
+
+  /** q152 — incremental PQ encode (the q87 maintenance convention
+    * applied to q150): the arriving batch (vec_id % 10 == [[BatchResidue]])
+    * encodes against FROZEN codebooks trained on the pre-batch corpus
+    * only — the index grows by appending 4-byte codes, no retrain, no
+    * corpus touch (the batch never joins corpus rows at all; the model
+    * is bounded driver state). Each row reports its codes and the
+    * decimal-exact reconstruction error (sum over subspaces of the
+    * distance to the chosen codeword) — the quantization-health number
+    * an index operator watches to decide WHEN a retrain is due (recon
+    * drift = the batch has left the codebooks' distribution; q112's
+    * drift logic one level down the ANN stack). */
+  def pqIncrementalEncode(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = trainPqCodebooks(spark, dir, corpusOnly = true)
+    val dists = (0 until PqSubs).map { s =>
+      array((0 until PqCodes).map(j => expr(pqDistSql(s, cbs(s)(j)))): _*)
+    }
+    val codes = dists.map(d => (array_position(d, array_min(d)) - 1).cast("int"))
+    val recon = round(dists.map(d => array_min(d).cast("decimal(18,12)"))
+      .reduce(_ + _), 12).cast("double")
+    Tables.embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(10L)) === BatchResidue)
+      .select(col("vec_id"),
+        concat_ws("-", array(codes: _*).cast("array<string>")).as("codes"),
+        recon.as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for q152: PQ Lloyd chain with the batch held out of
+    * the training sample, encode of the batch rows only, then codes as
+    * a '-'-joined string + the decimal-exact reconstruction error. */
+  def pqIncrementalOracleSql(iters: Int = PqIters): String =
+    "WITH " + pqModelChainSql(iters, s" AND vec_id % 10 <> $BatchResidue") +
+      pqEncodeChainSql(iters, s" WHERE vec_id % 10 = $BatchResidue") +
+      s"""bsel AS (SELECT vec_id, sub, dist FROM (
+         |  SELECT vec_id, sub, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+         |  FROM pad) z WHERE rn = 1),
+         |rec AS (SELECT vec_id, CAST(ROUND(SUM(CAST(dist AS DECIMAL(18,12))), 12) AS DOUBLE) AS recon_err
+         | FROM bsel GROUP BY 1),
+         |cstr AS (SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes
+         | FROM pac GROUP BY 1)
+         |SELECT c.vec_id, c.codes, r.recon_err
+         |FROM cstr c JOIN rec r USING (vec_id) ORDER BY vec_id""".stripMargin
 
   /** Runtime guard for [[embeddingDrift]]'s DECIMAL(38) headroom: the
     * per-label cross-product `sum(decimal(30,0)) × count(decimal(7,0))`

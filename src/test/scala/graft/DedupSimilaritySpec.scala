@@ -714,6 +714,76 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q151: IVFPQ = q150 ADC restricted to probed cells; index partition pruning is physical") {
+    val out = Similarity.ivfPqTopK(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf0001).count()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to 5L))
+      val scanned = rows.head.getLong(5)
+      assert(rows.forall(_.getLong(5) === scanned))
+      // the probe must actually prune: 4 of 16 cells scanned, so the
+      // candidate count is far below the corpus
+      assert(scanned < nVecs, s"n_scanned=$scanned must be < corpus=$nVecs")
+      assert(rows.map(_.getLong(2)).distinct.length <= 4, "survivors span > nprobe cells")
+    }
+    // composition contract: on any (q, n) pair both queries emit, the
+    // ADC distance must be IDENTICAL to q150's full-scan ADC (same
+    // codes, same LUT — the IVF stage only restricts candidates)
+    val full = Similarity.pqAnnTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = out.filter(r => full.contains((r.getLong(0), r.getLong(1))))
+    assert(shared.nonEmpty, "fixture should have overlap between IVFPQ and full-scan top-k")
+    shared.foreach(r =>
+      assert(r.getDouble(3) === full((r.getLong(0), r.getLong(1))),
+        "IVFPQ ADC must equal full-scan ADC on shared pairs"))
+    // physical pruning: a cell-filtered scan of the persisted index must
+    // read ONLY the probed cells' partition files
+    val idx = Similarity.ivfPqIndexTable(spark, sf0001)
+    val files = idx.where(col("cell").isin(0, 1))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("cell=0") || f.contains("cell=1")),
+      s"cell filter must prune to cell=0/1 partition files, read: ${files.mkString(",")}")
+  }
+
+  test("q152: batch encodes against FROZEN corpus-only codebooks; recon matches driver recompute") {
+    val out = Similarity.pqIncrementalEncode(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 === Similarity.BatchResidue, "only batch rows encode")
+      assert(r.getString(1).matches("\\d+(-\\d+){7}"), s"codes shape: ${r.getString(1)}")
+      assert(r.getDouble(2) >= 0.0, "reconstruction error is a squared distance")
+    }
+    // the frozen model must be the held-out one, not the full-corpus one
+    val full = Similarity.trainPqCodebooks(spark, sf0001)
+    val held = Similarity.trainPqCodebooks(spark, sf0001, corpusOnly = true)
+    assert(full.flatten.flatten.toSeq !== held.flatten.flatten.toSeq,
+      "holding out the batch must perturb at least one codeword")
+    // driver recompute of one row: argmin codes + decimal recon against
+    // the held-out codebooks (the shared distance kernel)
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .where(pmod(col("vec_id"), lit(10L)) === Similarity.BatchResidue)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dist(x: Array[Double], u: Array[Double]): Double =
+      x.zip(u).map { case (a, b) =>
+        BigDecimal((a - b) * (a - b)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    out.take(5).foreach { r =>
+      val e = vecs(r.getLong(0))
+      val perSub = (0 until Similarity.PqSubs).map { s =>
+        val sub = e.slice(s * Similarity.PqSubDim, (s + 1) * Similarity.PqSubDim)
+        val ds = (0 until Similarity.PqCodes).map(j => dist(sub, held(s)(j)))
+        (ds.indexOf(ds.min), ds.min)
+      }
+      assert(r.getString(1) === perSub.map(_._1).mkString("-"), "codes must be the argmin")
+      val recon = perSub.map(d => BigDecimal(d._2).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(r.getDouble(2) === recon, "recon_err must match the driver recompute")
+    }
+  }
+
   test("q149: quotient merge equals from-scratch CC; untouched clusters keep their labels") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val sf01 = "/root/testdata/sf0.1"
