@@ -1524,14 +1524,38 @@ object Similarity {
     * drift logic one level down the ANN stack). */
   def pqIncrementalEncode(spark: SparkSession, dir: String): DataFrame = {
     val cbs = trainPqCodebooks(spark, dir, corpusOnly = true)
-    val dists = (0 until PqSubs).map { s =>
-      array((0 until PqCodes).map(j => expr(pqDistSql(s, cbs(s)(j)))): _*)
-    }
-    val codes = dists.map(d => (array_position(d, array_min(d)) - 1).cast("int"))
-    val recon = round(dists.map(d => array_min(d).cast("decimal(18,12)"))
-      .reduce(_ + _), 12).cast("double")
-    Tables.embeddings(spark, dir)
+    // Codebooks enter as nested-array LITERALS and distances fold through
+    // a transform/aggregate lambda — the same per-term CAST((x−u)² AS
+    // DECIMAL(18,12)) + exact decimal sum as [[pqDistSql]], but the
+    // Catalyst tree is ~10² nodes per subspace instead of the unrolled
+    // form's ~10⁴ (whose per-run analysis cost dominated at ~6 s/run;
+    // the lambda runs interpreted, which is nothing at batch row counts).
+    // The running sum is cast back to DECIMAL(18,12) each step: exact
+    // while the subspace distance < 10⁶, guaranteed by unit-scale
+    // embeddings (the unrolled twin's headroom argument, scale-grown).
+    def distsCol(s: Int): Column =
+      transform(typedlit(cbs(s).map(_.toSeq).toSeq), u =>
+        round(org.apache.spark.sql.functions.aggregate(
+          sequence(lit(1), lit(PqSubDim)),
+          expr("CAST(0 AS DECIMAL(18,12))"),
+          (acc, i) => {
+            val x = element_at(col(s"sv$s"), i.cast("int"))
+            val c = element_at(u, i.cast("int"))
+            (acc + ((x - c) * (x - c)).cast("decimal(18,12)")).cast("decimal(18,12)")
+          }), 12).cast("double"))
+    val subViews = Tables.embeddings(spark, dir)
       .where(pmod(col("vec_id"), lit(10L)) === BatchResidue)
+      .select(col("vec_id") +: (0 until PqSubs).map { s =>
+        expr(s"slice(transform(embedding, v -> CAST(v AS DOUBLE)), ${s * PqSubDim + 1}, $PqSubDim)")
+          .as(s"sv$s")
+      }: _*)
+    val withD = subViews.select(
+      col("vec_id") +: (0 until PqSubs).map(s => distsCol(s).as(s"d$s")): _*)
+    val dcols = (0 until PqSubs).map(s => col(s"d$s"))
+    val codes = dcols.map(d => (array_position(d, array_min(d)) - 1).cast("int"))
+    val recon = round(dcols.map(d => array_min(d).cast("decimal(18,12)"))
+      .reduce(_ + _), 12).cast("double")
+    withD
       .select(col("vec_id"),
         concat_ws("-", array(codes: _*).cast("array<string>")).as("codes"),
         recon.as("recon_err"))
