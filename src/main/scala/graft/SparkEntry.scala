@@ -172,6 +172,9 @@ object SparkEntry {
     "q150_pq_ann" -> ((s, d) => Similarity.pqAnnTopK(s, d)),
     "q151_ivfpq_ann" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q152_pq_incremental" -> ((s, d) => Similarity.pqIncrementalEncode(s, d)),
+    "q153_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerank(s, d)),
+    "q154_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
+    "q155_ivfpq_deletes" -> ((s, d) => Similarity.ivfPqDeletes(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2770,6 +2773,13 @@ object SparkEntry {
     // Incremental PQ: batch encodes against codebooks trained with the
     // batch held out; oracle re-trains the held-out model and re-encodes.
     "q152_pq_incremental" -> operators.Similarity.pqIncrementalOracleSql(),
+    // Two-stage serving: ADC shortlist -> exact-decimal cosine rerank.
+    "q153_ivfpq_rerank" -> operators.Similarity.ivfPqRerankOracleSql(),
+    // Recall@5 of the ADC top-k vs the exact brute-force truth — both
+    // legs deterministic, so the recall numbers hash-gate directly.
+    "q154_ivfpq_recall" -> operators.Similarity.ivfPqRecallOracleSql(),
+    // Tombstone-aware probe: deletes excluded before ranking.
+    "q155_ivfpq_deletes" -> operators.Similarity.ivfPqDeletesOracleSql(),
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
     // global scale 127): integer code dots approximate 127^2*cosine

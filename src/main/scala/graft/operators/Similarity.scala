@@ -1424,7 +1424,15 @@ object Similarity {
     * audit discipline). Oracle-gated end-to-end: the DuckDB oracle
     * re-derives BOTH trained models (IVF Lloyd + PQ Lloyd) and replays
     * probe → ADC → rank → audit. */
-  def ivfPqTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
+  /** The live IVFPQ probe: per pinned query, rank cells by the
+    * exact-decimal scores, build the 128-entry ADC LUT on the driver,
+    * and scan ONLY the probed cells' codes (partition pruning). Returns
+    * the candidate set (q_id, n_id, cell, adc_dist) — the serving-path
+    * kernel q151 times live; the q153/q154/q155 audit/maintenance
+    * queries read its persisted twin [[ivfPqCandTable]] (the q29
+    * artifact contract: oracles re-derive everything regardless). */
+  private[graft] def ivfPqCandidates(spark: SparkSession, dir: String,
+      nprobe: Int = 4): DataFrame = {
     val cents = trainIvfCentroids(spark, dir)
     val cbs = trainPqCodebooks(spark, dir)
     val idx = ivfPqIndexTable(spark, dir)
@@ -1453,7 +1461,23 @@ object Similarity {
           col("cell").cast("long").as("cell"),
           expr(s"CAST(ROUND(${adcTerms.mkString(" + ")}, 12) AS DOUBLE)").as("adc_dist"))
     }
-    val cand = perQuery.reduce(_ unionByName _)
+    perQuery.reduce(_ unionByName _)
+  }
+
+  /** Persisted [[ivfPqCandidates]] output per corpus fingerprint —
+    * the shared input of the q153/q154/q155 audit & maintenance family
+    * (check-then-write, built by the q153 setup entry). */
+  private[graft] def ivfPqCandTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/ivfpq_cand_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 153)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      ivfPqCandidates(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  def ivfPqTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val cand = ivfPqCandidates(spark, dir, nprobe)
     val scanned = cand.groupBy("q_id").agg(count(lit(1)).as("n_scanned"))
     val byDist = Seq(col("adc_dist").asc, col("n_id").asc)
     val local = Window.partitionBy(col("q_id"), pmod(hash(col("n_id")), lit(32)))
@@ -1478,8 +1502,13 @@ object Similarity {
     * ending at `w(vec_id, embedding, cell, nrm)`) + the PQ model/encode
     * chains, then probe (`fsc` scores, s DESC / cell ASC) → candidates
     * restricted to probed cells → ADC rank → exact-cosine audit. */
-  def ivfPqOracleSql(ivfIters: Int = 3, pqIters: Int = PqIters,
-      nprobe: Int = 4, k: Int = 5): String =
+  /** Shared DuckDB chain re-deriving the full IVFPQ probe: trained-IVF
+    * prefix ([[ivfModelPrefixSql]], ends at `w(vec_id, embedding, cell,
+    * nrm)` + `nr`) + PQ model/encode chains, then probe → `adc(q_id,
+    * n_id, cell, adc_dist, n_scanned)`. Trailing comma — q151/q153/
+    * q154/q155 append their own tails. */
+  private def ivfPqAdcChainSql(ivfIters: Int = 3, pqIters: Int = PqIters,
+      nprobe: Int = 4): String =
     ivfModelPrefixSql(ivfIters) + pqModelChainSql(pqIters) + pqEncodeChainSql(pqIters) +
       s"""pk AS (SELECT q_id, cell AS pcell FROM (
          |  SELECT vec_id AS q_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS prn
@@ -1492,7 +1521,12 @@ object Similarity {
          |adc AS (SELECT icand.q_id, icand.n_id, icand.cell, $pqAdcChainSql AS adc_dist,
          |  COUNT(*) OVER (PARTITION BY icand.q_id) AS n_scanned
          | FROM icand JOIN lutl ON lutl.q_id = icand.q_id),
-         |pr AS (SELECT q_id, n_id, cell, adc_dist, n_scanned,
+         |""".stripMargin
+
+  def ivfPqOracleSql(ivfIters: Int = 3, pqIters: Int = PqIters,
+      nprobe: Int = 4, k: Int = 5): String =
+    ivfPqAdcChainSql(ivfIters, pqIters, nprobe) +
+      s"""pr AS (SELECT q_id, n_id, cell, adc_dist, n_scanned,
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS rank
          | FROM adc),
          |ptop AS (SELECT * FROM pr WHERE rank <= $k),
@@ -1578,6 +1612,145 @@ object Similarity {
          | FROM pac GROUP BY 1)
          |SELECT c.vec_id, c.codes, r.recon_err
          |FROM cstr c JOIN rec r USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  /** q153 — two-stage serving (the production retrieval pattern: coarse
+    * quantized recall, exact precision): the IVFPQ candidates' ADC
+    * shortlist (top-`r` per query) is re-scored with the exact decimal
+    * cosine and re-ranked; `promoted` marks neighbors the rerank rescued
+    * from outside the ADC top-k — the number an operator watches to size
+    * `r`. Reads the persisted candidate artifact ([[ivfPqCandTable]] —
+    * the audit leg never re-prices the live probe q151 times); the
+    * rerank joins float vectors for ONLY the ≤ r·|queries| shortlist
+    * rows, so at 100 TB the exact leg touches r·q vectors, not the
+    * corpus. */
+  def ivfPqRerank(spark: SparkSession, dir: String, r: Int = 20, k: Int = 5): DataFrame = {
+    val cand = ivfPqCandTable(spark, dir)
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+    val shortlist = cand
+      .withColumn("adc_rank", row_number().over(byAdc).cast("long"))
+      .where(col("adc_rank") <= r)
+    val nr = withNorm(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    val scored = shortlist
+      .join(nr.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")),
+        Seq("q_id"))
+      .join(nr.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("adc_rank"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_exact"))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(byCos).cast("long")).where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc_rank"), col("cos_exact"),
+        (col("adc_rank") > k).as("promoted"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for q153: the shared ADC chain, then shortlist
+    * (ADC rank ≤ r) → exact decimal cosine via positional unnest →
+    * rerank → top-k with the promoted flag. */
+  def ivfPqRerankOracleSql(r: Int = 20, k: Int = 5): String =
+    ivfPqAdcChainSql() +
+      s"""rsl AS (SELECT q_id, n_id, adc_dist,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS adc_rank
+         | FROM adc QUALIFY adc_rank <= $r),
+         |rru AS (SELECT t.q_id, t.n_id, t.adc_rank, a.nrm AS qn, b.nrm AS nn,
+         |  unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+         | FROM rsl t
+         | JOIN embeddings ea ON ea.vec_id = t.q_id JOIN embeddings eb ON eb.vec_id = t.n_id
+         | JOIN nr a ON a.vec_id = t.q_id JOIN nr b ON b.vec_id = t.n_id),
+         |rrf AS (SELECT q_id, n_id, any_value(adc_rank) AS adc_rank,
+         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |    / (any_value(qn) * any_value(nn)) AS cos_exact
+         | FROM rru GROUP BY q_id, n_id),
+         |rrk AS (SELECT q_id, n_id, adc_rank, cos_exact,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, n_id ASC) AS rank
+         | FROM rrf)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, CAST(adc_rank AS BIGINT) AS adc_rank,
+         |  cos_exact, adc_rank > $k AS promoted
+         |FROM rrk WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** q154 — IVFPQ recall audit (the q88 discipline applied to the top of
+    * the ANN ladder): per pinned query, recall@k of the ADC top-k
+    * against the exact brute-force cosine top-k ([[knnBrute]]'s truth,
+    * co-computed live — the audit prices its own truth leg). Both legs
+    * are deterministic, so the recall NUMBERS are hash-gated directly —
+    * no error band needed. Constant audit slice at any corpus size
+    * (5 queries); the retrieved leg reads the persisted candidates. */
+  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = knnBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+    val retrieved = ivfPqCandTable(spark, dir)
+      .withColumn("r", row_number().over(byAdc)).where(col("r") <= k)
+      .select(col("q_id"), col("n_id"))
+    val hits = truth.join(retrieved, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    truth.select("q_id").distinct()
+      .join(broadcast(hits), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for q154: exact truth via a positional-unnest cosine
+    * over the 5 pinned queries × corpus (the [[knnBruteOracleSql]]
+    * arithmetic on the prefix's `w`), ADC top-k from the shared chain,
+    * then per-query intersection counts. */
+  def ivfPqRecallOracleSql(k: Int = 5): String =
+    ivfPqAdcChainSql() +
+      s"""xu AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.nrm AS qn, c.nrm AS cn,
+         |  unnest(q.embedding) AS x, unnest(c.embedding) AS y
+         | FROM w q JOIN w c ON c.vec_id <> q.vec_id WHERE q.vec_id <= 4),
+         |xc AS (SELECT q_id, n_id,
+         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |    / (any_value(qn) * any_value(cn)) AS cos_sim
+         | FROM xu GROUP BY q_id, n_id),
+         |xt AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rn
+         |  FROM xc) z WHERE rn <= $k),
+         |rt AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS rn
+         |  FROM adc) z WHERE rn <= $k),
+         |hs AS (SELECT xt.q_id, COUNT(*) AS hits
+         | FROM xt JOIN rt ON rt.q_id = xt.q_id AND rt.n_id = xt.n_id GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / $k AS recall
+         |FROM (SELECT DISTINCT q_id FROM xt) q LEFT JOIN hs h USING (q_id)
+         |ORDER BY q_id""".stripMargin
+
+  /** q155 — tombstone-aware serving (ANN index delete handling): a
+    * deterministic delete set (vec_id % 17 = 3, the demo stand-in for a
+    * production tombstone side table) is EXCLUDED on the probe path —
+    * candidates anti-filtered before ranking, per-query excluded counts
+    * reported (the compaction-due signal: when a cell's dead ratio
+    * passes threshold, rewrite that one partition — the partitionBy
+    * layout makes compaction per-cell, never a full-index rewrite).
+    * Reads the persisted candidates; production composes the same
+    * anti-join with the live probe. */
+  def ivfPqDeletes(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cand = ivfPqCandTable(spark, dir)
+    val dead = pmod(col("n_id"), lit(17L)) === 3
+    val excluded = cand.groupBy("q_id")
+      .agg(sum(when(dead, 1L).otherwise(0L)).as("n_excluded"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("n_id").asc)
+    cand.where(!dead)
+      .withColumn("rank", row_number().over(byAdc).cast("long")).where(col("rank") <= k)
+      .join(broadcast(excluded), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc_dist"), col("n_excluded"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for q155: the shared ADC chain, tombstones excluded
+    * before ranking, per-query excluded counts joined on. */
+  def ivfPqDeletesOracleSql(k: Int = 3): String =
+    ivfPqAdcChainSql() +
+      s"""dx AS (SELECT q_id,
+         |  CAST(SUM(CASE WHEN n_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
+         | FROM adc GROUP BY 1),
+         |lv AS (SELECT q_id, n_id, adc_dist,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS rank
+         | FROM adc WHERE n_id % 17 <> 3)
+         |SELECT l.q_id, l.n_id, CAST(l.rank AS BIGINT) AS rank, l.adc_dist, d.n_excluded
+         |FROM lv l JOIN dx d USING (q_id) WHERE l.rank <= $k ORDER BY q_id, rank""".stripMargin
 
   /** Runtime guard for [[embeddingDrift]]'s DECIMAL(38) headroom: the
     * per-label cross-product `sum(decimal(30,0)) × count(decimal(7,0))`

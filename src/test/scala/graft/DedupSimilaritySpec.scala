@@ -784,6 +784,71 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q153: rerank orders the ADC shortlist by exact cosine; promoted = rescued from outside ADC top-k") {
+    val out = Similarity.ivfPqRerank(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 5L))
+      // exact rank order == descending cosine order
+      val byRank = rows.sortBy(_.getLong(2))
+      assert(byRank.map(_.getDouble(4)).toSeq === byRank.map(_.getDouble(4)).sortBy(-_).toSeq)
+      // promoted is literally adc_rank > 5
+      rows.foreach(r => assert(r.getBoolean(5) === (r.getLong(3) > 5L)))
+      // every survivor came from the r=20 shortlist
+      assert(rows.forall(_.getLong(3) <= 20L))
+    }
+    // the top-1 exact neighbor within the shortlist must agree with
+    // brute-force truth whenever truth's #1 was among the candidates
+    val cand = Similarity.ivfPqCandTable(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth1 = Similarity.knnBrute(spark, sf0001).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(_.getLong(2) == 1L).foreach { r =>
+      val q = r.getLong(0)
+      if (cand.contains((q, truth1(q))))
+        assert(r.getLong(1) === truth1(q),
+          s"q$q: exact rerank top-1 must equal brute truth when truth is a candidate")
+    }
+  }
+
+  test("q154: recall numbers equal a driver-side set intersection of the two legs") {
+    val out = Similarity.ivfPqRecall(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val truth = Similarity.knnBrute(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val cand = Similarity.ivfPqCandTable(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(r => (r.getDouble(3), r.getLong(1))).take(5).map(_.getLong(1)).toSet
+      }
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val hits = (truth(q) intersect cand(q)).size.toLong
+      assert(r.getLong(1) === hits)
+      assert(r.getDouble(2) === hits / 5.0)
+    }
+    // the audit has teeth on this fixture: some query must retrieve
+    // something real (else the gate would pass on an all-zero column)
+    assert(out.map(_.getLong(1)).sum > 0L, "IVFPQ recall is 0 across all queries")
+  }
+
+  test("q155: tombstones never surface; excluded counts match; ranks are dense over the live set") {
+    val out = Similarity.ivfPqDeletes(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) % 17 !== 3L, "a tombstoned vec_id surfaced"))
+    val cand = Similarity.ivfPqCandTable(spark, sf0001).collect()
+    val deadByQ = cand.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.count(_.getLong(1) % 17 == 3).toLong }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 3L))
+      assert(rows.forall(_.getLong(4) === deadByQ(q)))
+      // ranking over the live set = ADC order with tombstones removed
+      val live = cand.filter(r => r.getLong(0) == q && r.getLong(1) % 17 != 3)
+        .sortBy(r => (r.getDouble(3), r.getLong(1))).take(3).map(_.getLong(1)).toSeq
+      assert(rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq === live)
+    }
+    assert(deadByQ.values.sum > 0L, "fixture has no tombstoned candidates — the test is vacuous")
+  }
+
   test("q149: quotient merge equals from-scratch CC; untouched clusters keep their labels") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val sf01 = "/root/testdata/sf0.1"
