@@ -175,6 +175,8 @@ object SparkEntry {
     "q153_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerank(s, d)),
     "q154_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
     "q155_ivfpq_deletes" -> ((s, d) => Similarity.ivfPqDeletes(s, d)),
+    "q156_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
+    "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2780,6 +2782,11 @@ object SparkEntry {
     "q154_ivfpq_recall" -> operators.Similarity.ivfPqRecallOracleSql(),
     // Tombstone-aware probe: deletes excluded before ranking.
     "q155_ivfpq_deletes" -> operators.Similarity.ivfPqDeletesOracleSql(),
+    // Domain-mixture reweighting: uniform target over `source`, half-
+    // corpus token budget, clamped per-domain inclusion rates.
+    "q156_source_mixture" -> operators.TextAnalysis.sourceMixtureOracleSql,
+    // Per-IVF-cell prototypes: top-m by exact-decimal centroid score.
+    "q157_cell_representatives" -> operators.Similarity.cellRepresentativesOracleSql(),
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
     // global scale 127): integer code dots approximate 127^2*cosine

@@ -299,7 +299,7 @@ object Similarity {
 
   /** vec_id, embedding, nrm, fscores, cell (hybrid decimal-portable
     * argmax — see [[hybridCellCol]]). */
-  private def ivfAssignments(spark: SparkSession, dir: String,
+  private[graft] def ivfAssignments(spark: SparkSession, dir: String,
       centroids: Array[Array[Double]] = ivfCentroids): DataFrame =
     withNorm(spark, dir)
       .withColumn("fscores", cellScoresCol(centroids))
@@ -1751,6 +1751,58 @@ object Similarity {
          | FROM adc WHERE n_id % 17 <> 3)
          |SELECT l.q_id, l.n_id, CAST(l.rank AS BIGINT) AS rank, l.adc_dist, d.n_excluded
          |FROM lv l JOIN dx d USING (q_id) WHERE l.rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** q157 — per-cluster representatives (coreset/prototype selection,
+    * the SemDeDup-prototype step of cluster-balanced curation): for each
+    * trained-IVF cell, the `m` vectors with the highest exact-decimal
+    * score to the cell's unit centroid — the members a curation pipeline
+    * keeps as cluster prototypes (or shows a human as the cluster's
+    * face). Assignment + scoring are map-side (the gated q60/q73 model);
+    * top-m per cell rides the two-phase salted ranking, so no single
+    * reducer ever sees a whole cell's rows (cells hold ~n/16 rows — at
+    * 100 TB a naive per-cell window is the bottleneck this avoids).
+    * `cell_size` comes from a parallel partial aggregation of the
+    * bounded (16-row) per-cell counts. */
+  def cellRepresentatives(spark: SparkSession, dir: String, m: Int = 3): DataFrame = {
+    val cents = trainIvfCentroids(spark, dir)
+    // ONE decimal dot per row (against the broadcast-joined assigned
+    // centroid), not 16: selecting element_at(cellScoresDecCol, cell+1)
+    // would force all 16 interpreted decimal folds per row — measured
+    // 16× slower for the same bit-identical score.
+    val centsDf = broadcast(spark.createDataFrame(
+      cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+      .toDF("cell", "centroid"))
+    val asg = ivfAssignments(spark, dir, cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("embedding"))
+      .join(centsDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr(dotDec("embedding", "centroid")).as("score"))
+    val sizes = asg.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    val byScore = Seq(col("score").desc, col("vec_id").asc)
+    val local = Window.partitionBy(col("cell"), pmod(hash(col("vec_id")), lit(32)))
+      .orderBy(byScore: _*)
+    val global = Window.partitionBy("cell").orderBy(byScore: _*)
+    asg
+      .withColumn("r", row_number().over(local)).where(col("r") <= m).drop("r")
+      .withColumn("rep_rank", row_number().over(global).cast("long")).where(col("rep_rank") <= m)
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("rep_rank"), col("score"), col("cell_size"))
+      .orderBy("cell", "rep_rank")
+  }
+
+  /** DuckDB oracle for q157: the trained-IVF prefix's full-corpus scores
+    * (`fsc`) restricted to each vector's assigned cell (`fas`), ranked
+    * per cell (score DESC, vec_id ASC), with per-cell sizes. */
+  def cellRepresentativesOracleSql(m: Int = 3): String =
+    ivfModelPrefixSql(3) +
+      s"""csz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size FROM fas GROUP BY 1),
+         |rp AS (SELECT a.cell, f.vec_id, f.s AS score,
+         |  ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY f.s DESC, f.vec_id ASC) AS rep_rank
+         | FROM fas a JOIN fsc f ON f.vec_id = a.vec_id AND f.cell = a.cell)
+         |SELECT CAST(r.cell AS BIGINT) AS cell, r.vec_id, CAST(r.rep_rank AS BIGINT) AS rep_rank,
+         |  r.score, c.cell_size
+         |FROM rp r JOIN csz c ON c.cell = r.cell WHERE r.rep_rank <= $m
+         |ORDER BY cell, rep_rank""".stripMargin
 
   /** Runtime guard for [[embeddingDrift]]'s DECIMAL(38) headroom: the
     * per-label cross-product `sum(decimal(30,0)) × count(decimal(7,0))`

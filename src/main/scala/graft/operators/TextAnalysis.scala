@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
@@ -160,6 +161,56 @@ object TextAnalysis {
       .withColumn("chars_per_bpe_token",
         round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
       .orderBy("doc_id")
+
+  /** q156 — domain-mixture reweighting (the fixed-mixture resampling
+    * step of a training-data pipeline, The-Pile/RefinedWeb-style): given
+    * a token budget (half the corpus) and a UNIFORM target mixture over
+    * `source`, emit each domain's natural share, its budget allocation,
+    * the per-domain inclusion rate a sampler would apply (clamped at 1 —
+    * `upsample_needed` marks domains whose allocation exceeds supply,
+    * i.e. where hitting the target mixture requires epochs/upsampling,
+    * not subsampling). Everything derives from per-SOURCE aggregates, so
+    * the windowed totals run over a domain-count-bounded table — one
+    * groupBy shuffle over the corpus, map-side token counting, nothing
+    * corpus-sized past the aggregate. Double arithmetic is written in
+    * the identical operation order on both engines (IEEE-deterministic);
+    * integer division through `div`. */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(expr(toksExpr)).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    val all = Window.partitionBy()
+    val withTotals = perSrc
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("n_src", count(lit(1)).over(all))
+    val tok = col("n_tokens").cast("double")
+    val alloc = expr("total_tokens div 2").cast("double") / col("n_src").cast("double")
+    val rate = least(lit(1.0), alloc / tok)
+    withTotals
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (tok / col("total_tokens").cast("double")).as("natural_share"),
+        (lit(1.0) / col("n_src").cast("double")).as("target_share"),
+        rate.as("sample_rate"),
+        floor(rate * tok).cast("long").as("expected_tokens"),
+        (alloc > tok).as("upsample_needed"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for q156 — same aggregate, same operation order. */
+  def sourceMixtureOracleSql: String =
+    s"""WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+       | FROM documents GROUP BY 1),
+       |tt AS (SELECT ps.*, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+       |  CAST(COUNT(*) OVER () AS BIGINT) AS n_src FROM ps)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share,
+       |  1.0 / CAST(n_src AS DOUBLE) AS target_share,
+       |  LEAST(1.0, (CAST(total_tokens // 2 AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+       |  CAST(FLOOR(LEAST(1.0, (CAST(total_tokens // 2 AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(n_tokens AS DOUBLE)) * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens,
+       |  (CAST(total_tokens // 2 AS DOUBLE) / CAST(n_src AS DOUBLE)) > CAST(n_tokens AS DOUBLE) AS upsample_needed
+       |FROM tt ORDER BY source""".stripMargin
 
   /** Document fingerprints: raw md5, whitespace-normalized md5, and a
     * 64-char-prefix hash (cheap shingle-free near-dup prefilter). */

@@ -849,6 +849,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(deadByQ.values.sum > 0L, "fixture has no tombstoned candidates — the test is vacuous")
   }
 
+  test("q157: representatives are the per-cell decimal-score argmax members; sizes partition the corpus") {
+    val out = Similarity.cellRepresentatives(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // driver recompute of the whole model application: decimal dot to
+    // every trained centroid (dotDecPlane arithmetic), first-index
+    // argmax assignment, per-cell top-3 by (score DESC, vec_id ASC)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dotDec(x: Array[Double], c: Array[Double]): Double = {
+      var acc = JBD.ZERO; var i = 0
+      while (i < x.length) {
+        acc = acc.add(new JBD(x(i) * c(i)).setScale(12, RoundingMode.HALF_UP)); i += 1
+      }
+      acc.doubleValue()
+    }
+    val cents = Similarity.trainIvfCentroids(spark, sf0001)
+    val assigned = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        val scores = cents.map(dotDec(e, _))
+        val cell = scores.indexOf(scores.max)
+        (r.getLong(0), cell.toLong, scores(cell))
+      }
+    val expect = assigned.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+      ms.sortBy { case (id, _, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _, s), i) => (cell, id, i + 1L, s, ms.length.toLong) }
+    }.toSet
+    val got = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got === expect)
+    // sizes partition the corpus
+    val sizes = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sizes.values.sum === assigned.length.toLong)
+  }
+
   test("q149: quotient merge equals from-scratch CC; untouched clusters keep their labels") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val sf01 = "/root/testdata/sf0.1"

@@ -493,6 +493,37 @@ class PipelineOpsSpec extends SparkSpec {
       "quota window must partition by source, not run on one task")
   }
 
+  test("q156: mixture rates match a driver recompute; the selection never overshoots the budget") {
+    val out = TextAnalysis.sourceMixture(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+", -1).length.toLong))
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> (ds.length.toLong, ds.map(_._2).sum)
+    }
+    val total = bySrc.values.map(_._2).sum
+    val nSrc = bySrc.size.toLong
+    val alloc = (total / 2).toDouble / nSrc.toDouble
+    assert(out.length === nSrc.toInt)
+    out.foreach { r =>
+      val (nd, nt) = bySrc(r.getString(0))
+      assert(r.getLong(1) === nd)
+      assert(r.getLong(2) === nt)
+      assert(r.getDouble(3) === nt.toDouble / total.toDouble)
+      assert(r.getDouble(4) === 1.0 / nSrc.toDouble)
+      val rate = math.min(1.0, alloc / nt.toDouble)
+      assert(r.getDouble(5) === rate)
+      assert(r.getLong(6) === math.floor(rate * nt.toDouble).toLong)
+      assert(r.getBoolean(7) === (alloc > nt.toDouble))
+    }
+    // shares partition the corpus; the clamped selection can't overshoot
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(out.map(_.getLong(6)).sum <= total / 2)
+    // rates actually subsample somewhere (budget = half the corpus)
+    assert(out.exists(_.getDouble(5) < 1.0))
+  }
+
   test("q85: whole-bit surprisal matches a driver-side unigram model") {
     def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
     val docs = graft.sources.Tables.documents(spark, sf0001)
