@@ -41,6 +41,8 @@ object Bench {
     "q151_ivfpq_ann",               // partitioned IVFPQ index (r14)
     "q152_pq_incremental",          // corpus-only PQ codebooks (r14)
     "q153_ivfpq_rerank",            // persisted IVFPQ candidate set (r14)
+    "q154_ivfpq_recall",            // persisted knn truth table (r14)
+    "q157_cell_representatives",    // persisted cell-reps table (r14)
     "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four

@@ -20,7 +20,6 @@ class PlanGuardSpec extends SparkSpec {
   private val allowed: Map[String, String] = Map(
     "q20_above_avg_parts" -> "1-row scalar AVG broadcast (Relational.scala crossJoin(broadcast(thr)))",
     "q33_knn_brute" -> "fixed 5-query-row broadcast against the corpus — the deliberate exact baseline",
-    "q154_ivfpq_recall" -> "composes q33's 5-row broadcast truth leg (the audit prices its own exact truth)",
     "q102_sql_knn_brute" -> "q33 as SQL text; same 5-row broadcast build side (spec pins BuildRight)",
     "q34_emb_near_dup" -> "all-pairs confined to a constant ~128-row audit slice (pmod modulus)",
     "q81_quantized_ann" -> "≤5-row query side over int8 codes; exact re-score ≤ k rows",
