@@ -43,6 +43,8 @@ object Bench {
     "q153_ivfpq_rerank",            // persisted IVFPQ candidate set (r14)
     "q154_ivfpq_recall",            // persisted knn truth table (r14)
     "q157_cell_representatives",    // persisted cell-reps table (r14)
+    "q73_semantic_dedup",           // persisted semdedup label table (r14)
+    "q105_span_dedup_rewrite",      // persisted span-rewrite table (r14)
     "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four

@@ -1337,7 +1337,7 @@ class PipelineOpsSpec extends SparkSpec {
     // frame reduces to starts before any exchange.
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val df = TextAnalysis.spanDedupRewrite(s, sf0001)
+    val df = TextAnalysis.spanDedupRewriteCompute(s, sf0001)
     val ex = shuffleExchanges(df)
     assert(ex.size === 5, s"want exactly 5 shuffle exchanges, got ${ex.size}:\n${ex.mkString("\n")}")
   }
