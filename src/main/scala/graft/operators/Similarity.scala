@@ -1569,7 +1569,16 @@ object Similarity {
     * an index operator watches to decide WHEN a retrain is due (recon
     * drift = the batch has left the codebooks' distribution; q112's
     * drift logic one level down the ANN stack). */
-  def pqIncrementalEncode(spark: SparkSession, dir: String): DataFrame = {
+  def pqIncrementalEncode(spark: SparkSession, dir: String): DataFrame =
+    pqIncrementalEncodeOf(spark, dir,
+      Tables.embeddings(spark, dir).where(pmod(col("vec_id"), lit(10L)) === BatchResidue))
+
+  /** [[pqIncrementalEncode]] against an ARBITRARY batch frame (vec_id,
+    * embedding, ...) — the core the streaming twin feeds micro-batches
+    * through. Every row's encode depends only on itself plus the FROZEN
+    * corpus-only codebooks, so any micro-batching of the batch set
+    * reproduces the batch q152 table exactly (spec'd in StreamingSpec). */
+  def pqIncrementalEncodeOf(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     val cbs = trainPqCodebooks(spark, dir, corpusOnly = true)
     // Codebooks enter as nested-array LITERALS and distances fold through
     // a transform/aggregate lambda — the same per-term CAST((x−u)² AS
@@ -1590,8 +1599,7 @@ object Similarity {
             val c = element_at(u, i.cast("int"))
             (acc + ((x - c) * (x - c)).cast("decimal(18,12)")).cast("decimal(18,12)")
           }), 12).cast("double"))
-    val subViews = Tables.embeddings(spark, dir)
-      .where(pmod(col("vec_id"), lit(10L)) === BatchResidue)
+    val subViews = batch
       .select(col("vec_id") +: (0 until PqSubs).map { s =>
         expr(s"slice(transform(embedding, v -> CAST(v AS DOUBLE)), ${s * PqSubDim + 1}, $PqSubDim)")
           .as(s"sv$s")

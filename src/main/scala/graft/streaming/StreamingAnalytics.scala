@@ -315,6 +315,22 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming PQ encode — q152's per-batch core: each arriving
+    * (vec_id, embedding) micro-batch encodes against the FROZEN
+    * corpus-only codebooks (bounded driver state, loaded once). Rows
+    * are independent given the frozen model, so any micro-batching
+    * reproduces the batch q152 table exactly (spec'd in StreamingSpec) —
+    * the ingest path that grows an IVFPQ index by appending 4-byte
+    * codes without touching the corpus. */
+  def pqEncodePerBatch(spark: SparkSession, dir: String, vecs: DataFrame)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity.pqIncrementalEncodeOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming AUDIO dedup — q145's per-batch core: each arriving
     * (doc_id, payload) track micro-batch is decoded, envelope-hashed
     * (resample-invariant, q138's kernel) and probed against the

@@ -434,6 +434,32 @@ class StreamingSpec extends SparkSpec {
     assert(updates === 3, "the unowned-state refusal must not have touched state")
   }
 
+  test("streaming PQ encode converges to the batch q152 table under any micro-batching") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchVecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .where(pmod(col("vec_id"), lit(10L)) === graft.operators.Similarity.BatchResidue)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(batchVecs.nonEmpty)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingAnalytics.pqEncodePerBatch(spark, sf0001,
+      input.toDF().toDF("vec_id", "embedding")) { encoded =>
+      collected ++= encoded.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2)))
+    }
+    input.addData(batchVecs.take(3).toSeq); q.processAllAvailable()
+    input.addData(batchVecs.slice(3, 4).toSeq); q.processAllAvailable()
+    input.addData(batchVecs.drop(4).toSeq); q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val batch = graft.operators.Similarity.pqIncrementalEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(collected.toSet === batch,
+      "union of per-micro-batch PQ encodes must equal the batch q152 table")
+    assert(collected.size === batchVecs.length)
+  }
+
   test("streaming image dedup converges to the batch q137 verdicts under any micro-batching") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val batchImgs = graft.operators.Multimodal.mediaTable(spark, sf0001)
