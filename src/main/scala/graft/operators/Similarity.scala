@@ -1499,15 +1499,19 @@ object Similarity {
     val top = cand
       .withColumn("r", row_number().over(local)).where(col("r") <= k).drop("r")
       .withColumn("rank", row_number().over(global).cast("long")).where(col("rank") <= k)
-    val nr = withNorm(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    // audit tail joins RAW embeddings and computes the decimal dot/norms
+    // on the ≤ k·|queries| survivors only — computing withNorm's
+    // interpreted decimal fold corpus-wide to serve 25 rows scaled 4×
+    // worse at the 8× probe
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     top
       .join(broadcast(scanned), Seq("q_id"))
-      .join(nr.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-        Seq("q_id"))
-      .join(nr.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")),
-        Seq("n_id"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
       .select(col("q_id"), col("n_id"), col("cell"), col("adc_dist"), col("rank"),
-        col("n_scanned"), (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_exact"))
+        col("n_scanned"),
+        (expr(dotDec("qe", "ne"))
+          / (sqrt(expr(dotDec("qe", "qe"))) * sqrt(expr(dotDec("ne", "ne"))))).as("cos_exact"))
       .orderBy("q_id", "rank")
   }
 
@@ -1650,14 +1654,15 @@ object Similarity {
     val shortlist = cand
       .withColumn("adc_rank", row_number().over(byAdc).cast("long"))
       .where(col("adc_rank") <= r)
-    val nr = withNorm(spark, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+    // raw-embedding joins; the decimal dot/norm folds run on the ≤ r·|q|
+    // shortlist survivors only (the q151 audit-tail rule)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val scored = shortlist
-      .join(nr.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-        Seq("q_id"))
-      .join(nr.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")),
-        Seq("n_id"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
       .select(col("q_id"), col("n_id"), col("adc_rank"),
-        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_exact"))
+        (expr(dotDec("qe", "ne"))
+          / (sqrt(expr(dotDec("qe", "qe"))) * sqrt(expr(dotDec("ne", "ne"))))).as("cos_exact"))
     val byCos = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(byCos).cast("long")).where(col("rank") <= k)
