@@ -177,6 +177,7 @@ object SparkEntry {
     "q155_ivfpq_deletes" -> ((s, d) => Similarity.ivfPqDeletes(s, d)),
     "q156_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
     "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
+    "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2787,6 +2788,9 @@ object SparkEntry {
     "q156_source_mixture" -> operators.TextAnalysis.sourceMixtureOracleSql,
     // Per-IVF-cell prototypes: top-m by exact-decimal centroid score.
     "q157_cell_representatives" -> operators.Similarity.cellRepresentativesOracleSql(),
+    // Gopher duplication-fraction metrics (occurrence-mass half; q64
+    // covers the top-element half) + composite flag.
+    "q158_duplication_fractions" -> operators.TextAnalysis.duplicationFractionsOracleSql,
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
     // global scale 127): integer code dots approximate 127^2*cosine

@@ -197,6 +197,69 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q158 — duplication-FRACTION metrics (the occurrence-mass half of
+    * the Gopher repetition battery, Rae et al. 2021 Table A1; q64
+    * covers the top-ELEMENT half): per doc the duplicate-token fraction
+    * (1 − distinct/total) and the fraction of trigram occurrences that
+    * are repeats of another trigram in the same doc, plus the composite
+    * flag a curation gate would act on. ENTIRELY map-side — distincts
+    * via `array_distinct`, trigram repeat mass via a sort + linear
+    * run-length fold over each doc's own trigram array — zero shuffles,
+    * a pure scan→project pipeline at any corpus size (q64's scale
+    * shape). Thresholds are literals shared with the oracle. */
+  def duplicationFractions(spark: SparkSession, dir: String): DataFrame = {
+    // run-length fold over the SORTED trigram array: total occurrences
+    // of every trigram whose count ≥ 2 ('' never equals a real trigram,
+    // so the seed prev is safe)
+    val dup3Occ = expr(
+      """aggregate(
+        |  array_sort(transform(slice(t, 1, greatest(size(t) - 2, 0)),
+        |    (x, i) -> concat(x, ' ', element_at(t, i + 2), ' ', element_at(t, i + 3)))),
+        |  named_struct('prev', '', 'run', 0L, 'dup', 0L),
+        |  (acc, x) -> IF(x = acc.prev,
+        |    named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup),
+        |    named_struct('prev', x, 'run', 1L,
+        |      'dup', acc.dup + IF(acc.run >= 2L, acc.run, 0L))),
+        |  acc -> acc.dup + IF(acc.run >= 2L, acc.run, 0L))""".stripMargin)
+    val dupTokFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double")
+    val dup3Frac = col("dup3_occ").cast("double") /
+      greatest(col("tot3_occ"), lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        dup3Occ.as("dup3_occ"),
+        greatest(size(col("t")) - 2, lit(0)).cast("long").as("tot3_occ"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        dupTokFrac.as("dup_token_frac"),
+        col("dup3_occ"), col("tot3_occ"),
+        dup3Frac.as("dup3_frac"),
+        (dup3Frac > 0.50 || dupTokFrac > 0.90).as("repetition_flag"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for q158 — trigram repeat mass via unnest + GROUP BY
+    * (the oracle has no shuffle constraint); same threshold literals. */
+  def duplicationFractionsOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |rbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |  CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS tot3_occ FROM tk),
+       |rtg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tk),
+       |rtgc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM rtg GROUP BY 1, 2),
+       |rtga AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup3_occ FROM rtgc GROUP BY 1)
+       |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       |  1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_token_frac,
+       |  COALESCE(a.dup3_occ, 0) AS dup3_occ, b.tot3_occ,
+       |  CAST(COALESCE(a.dup3_occ, 0) AS DOUBLE) / CAST(GREATEST(b.tot3_occ, 1) AS DOUBLE) AS dup3_frac,
+       |  (CAST(COALESCE(a.dup3_occ, 0) AS DOUBLE) / CAST(GREATEST(b.tot3_occ, 1) AS DOUBLE) > 0.50
+       |   OR 1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) > 0.90) AS repetition_flag
+       |FROM rbase b LEFT JOIN rtga a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for q156 — same aggregate, same operation order. */
   def sourceMixtureOracleSql: String =
     s"""WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -524,6 +524,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getDouble(5) < 1.0))
   }
 
+  test("q158: duplication fractions match a token-level driver recompute; the plan is shuffle-free") {
+    val df = TextAnalysis.duplicationFractions(spark, sf0001)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val byId = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+", -1).toSeq).toMap
+    out.foreach { r =>
+      val t = byId(r.getLong(0))
+      assert(r.getLong(1) === t.length.toLong)
+      assert(r.getLong(2) === t.distinct.length.toLong)
+      assert(r.getDouble(3) === 1.0 - t.distinct.length.toDouble / t.length.toDouble)
+      val tgs = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val dup3 = tgs.groupBy(identity).values.map(_.length.toLong).filter(_ >= 2L).sum
+      assert(r.getLong(4) === dup3)
+      assert(r.getLong(5) === math.max(t.length - 2, 0).toLong)
+      assert(r.getDouble(6) === dup3.toDouble / math.max(r.getLong(5), 1L).toDouble)
+      assert(r.getBoolean(7) === (r.getDouble(6) > 0.50 || r.getDouble(3) > 0.90))
+    }
+    // teeth: the word-soup corpus must exhibit nonzero trigram repeats
+    // somewhere without flagging every doc
+    assert(out.exists(_.getLong(4) > 0L), "no doc has any repeated trigram — metric is vacuous")
+    assert(!out.forall(_.getBoolean(7)), "every corpus doc flagged — thresholds are vacuous")
+    // the scale claim: a pure scan→project pipeline, no shuffle before
+    // the contract sort
+    val ex = shuffleExchanges(df)
+    assert(ex.size <= 1, s"q158 must be map-side (only the ORDER BY range exchange), got:\n${ex.mkString("\n")}")
+  }
+
   test("q85: whole-bit surprisal matches a driver-side unigram model") {
     def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
     val docs = graft.sources.Tables.documents(spark, sf0001)
