@@ -60,6 +60,11 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         WinnowMin(children.head,
           foldableInt("graft_winnow_min", "window", children, 2, 1))),
+    (FunctionIdentifier("graft_ngram_dup_mass"),
+      new ExpressionInfo(classOf[NgramDupMass].getName, "graft_ngram_dup_mass"),
+      (children: Seq[Expression]) =>
+        NgramDupMass(children.head,
+          foldableInt("graft_ngram_dup_mass", "n", children, 2, 1))),
     (FunctionIdentifier("graft_eqcount"),
       new ExpressionInfo(classOf[LongVecEqCount].getName, "graft_eqcount"),
       (children: Seq[Expression]) => LongVecEqCount(children(0), children(1))),

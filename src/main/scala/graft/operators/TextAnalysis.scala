@@ -208,19 +208,13 @@ object TextAnalysis {
     * a pure scan→project pipeline at any corpus size (q64's scale
     * shape). Thresholds are literals shared with the oracle. */
   def duplicationFractions(spark: SparkSession, dir: String): DataFrame = {
-    // run-length fold over the SORTED trigram array: total occurrences
-    // of every trigram whose count ≥ 2 ('' never equals a real trigram,
-    // so the seed prev is safe)
-    val dup3Occ = expr(
-      """aggregate(
-        |  array_sort(transform(slice(t, 1, greatest(size(t) - 2, 0)),
-        |    (x, i) -> concat(x, ' ', element_at(t, i + 2), ' ', element_at(t, i + 3)))),
-        |  named_struct('prev', '', 'run', 0L, 'dup', 0L),
-        |  (acc, x) -> IF(x = acc.prev,
-        |    named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup),
-        |    named_struct('prev', x, 'run', 1L,
-        |      'dup', acc.dup + IF(acc.run >= 2L, acc.run, 0L))),
-        |  acc -> acc.dup + IF(acc.run >= 2L, acc.run, 0L))""".stripMargin)
+    // native one-pass kernel (build trigrams → sort → sum runs ≥ 2);
+    // the HOF sort+fold this replaces ran ~290 interpreted lambda
+    // invocations per doc (1.1 s at sf0.1)
+    val dup3Occ = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.of(graft.functions.NgramDupMass(ColumnBridge.expr(col("t")), 3))
+    }
     val dupTokFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double")
     val dup3Frac = col("dup3_occ").cast("double") /
       greatest(col("tot3_occ"), lit(1L)).cast("double")

@@ -45,6 +45,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), plan)
   }
 
+  test("ngram_dup_mass: codegen'd; repeat mass matches brute counts on edges") {
+    val df = spark.sql(
+      "SELECT graft_ngram_dup_mass(array('a','b','a','b','a','b'), 3) AS m FROM range(3)")
+    assertCodegendProject(df)
+    // trigrams: aba, bab, aba, bab → every occurrence is a repeat
+    assert(df.collect().forall(_.getLong(0) === 4L))
+    def one(sql: String): Long = spark.sql(s"SELECT $sql AS m").collect()(0).getLong(0)
+    assert(one("graft_ngram_dup_mass(array('a','b','c'), 3)") === 0L)     // single trigram
+    assert(one("graft_ngram_dup_mass(array('a','b'), 3)") === 0L)         // too short
+    assert(one("graft_ngram_dup_mass(CAST(array() AS ARRAY<STRING>), 3)") === 0L)
+    assert(one("graft_ngram_dup_mass(array('x','x','x','x'), 1)") === 4L) // unigram mode
+    assert(one("graft_ngram_dup_mass(array('x','y','x','z'), 2)") === 0L) // all distinct bigrams
+  }
+
   test("formerly-fallback text kernels participate in whole-stage codegen") {
     val runs = spark.sql(
       "SELECT graft_longest_run(array(CAST(id AS STRING), 'x', 'x')) AS r FROM range(5)")
