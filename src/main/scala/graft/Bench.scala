@@ -44,6 +44,7 @@ object Bench {
     "q154_ivfpq_recall",            // persisted knn truth table (r14)
     "q157_cell_representatives",    // persisted cell-reps table (r14)
     "q73_semantic_dedup",           // persisted semdedup label table (r14)
+    "q159_ivfpq_compaction",        // compacted v2 index (r14)
     "q105_span_dedup_rewrite",      // persisted span-rewrite table (r14)
     "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
 

@@ -178,6 +178,7 @@ object SparkEntry {
     "q156_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
     "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
     "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
+    "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
     // CLF at volume: deterministic 120k-line generated corpus, hash-gated
@@ -2791,6 +2792,9 @@ object SparkEntry {
     // Gopher duplication-fraction metrics (occurrence-mass half; q64
     // covers the top-element half) + composite flag.
     "q158_duplication_fractions" -> operators.TextAnalysis.duplicationFractionsOracleSql,
+    // Per-cell compaction report; flagged cells rewritten tombstone-free
+    // into the v2 index (spec pins v2 = v1 minus flagged-cell dead rows).
+    "q159_ivfpq_compaction" -> operators.Similarity.ivfPqCompactionOracleSql(),
     "q73_semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     // Int8 scalar quantization of the L2-NORMALIZED vectors (symmetric,
     // global scale 127): integer code dots approximate 127^2*cosine

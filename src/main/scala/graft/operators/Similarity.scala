@@ -1792,6 +1792,60 @@ object Similarity {
          |SELECT l.q_id, l.n_id, CAST(l.rank AS BIGINT) AS rank, l.adc_dist, d.n_excluded
          |FROM lv l JOIN dx d USING (q_id) WHERE l.rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** q159 — IVFPQ index compaction (the lifecycle step after q155's
+    * tombstone filtering): per cell, live/dead counts and the
+    * `compacted` verdict (dead fraction > `tau`); flagged cells are
+    * REWRITTEN without their tombstones into the v2 index artifact,
+    * unflagged cells carry over untouched — the `partitionBy(cell)`
+    * layout makes compaction a per-partition rewrite, never a full-index
+    * rebuild (at 100 TB the rewrite I/O is dead_cells/16 of the index,
+    * and probes against v2 need no tombstone anti-join for compacted
+    * cells). The spec pins v2 = v1 minus flagged-cell tombstones,
+    * byte-for-byte on codes. Gated output is the per-cell report; the
+    * oracle re-derives cell populations from the trained-IVF prefix. */
+  def ivfPqCompaction(spark: SparkSession, dir: String, tau: Double = 0.05): DataFrame = {
+    val idx = ivfPqIndexTable(spark, dir)
+    val dead = pmod(col("vec_id"), lit(17L)) === 3
+    val report = idx.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(dead, 1L).otherwise(0L)).as("n_dead"))
+      .select(col("cell"), col("n_total"), col("n_dead"),
+        (col("n_dead").cast("double") / col("n_total").cast("double")).as("dead_frac"))
+      .withColumn("compacted", col("dead_frac") > tau)
+    val path = graft.sources.Artifacts.Warehouse + "/ivfpq_index_v2_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 159 + (tau * 100).toInt)
+    if (!graft.sources.Artifacts.isBuilt(spark, path)) {
+      val flagged = report.where(col("compacted")).select("cell")
+        .collect().map(_.getLong(0)) // bounded: ≤ NumCells rows
+      idx.where(!(col("cell").isin(flagged.toSeq: _*) && dead))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+    report.orderBy("cell")
+  }
+
+  /** The compacted (v2) IVFPQ index q159 writes — exposed for the spec's
+    * byte-level v1-minus-tombstones equivalence check. */
+  private[graft] def ivfPqIndexV2(spark: SparkSession, dir: String, tau: Double = 0.05): DataFrame = {
+    ivfPqCompaction(spark, dir, tau).count() // ensure built
+    spark.read.parquet(graft.sources.Artifacts.Warehouse + "/ivfpq_index_v2_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"), 159 + (tau * 100).toInt))
+  }
+
+  /** DuckDB oracle for q159: cell populations from the trained-IVF
+    * prefix, dead counts by the q155 tombstone rule, threshold literal. */
+  def ivfPqCompactionOracleSql(tau: String = "0.05"): String =
+    ivfModelPrefixSql(3) +
+      s"""ccs AS (SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN vec_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+         | FROM fas GROUP BY 1)
+         |SELECT cell, n_total, n_dead,
+         |  CAST(n_dead AS DOUBLE) / CAST(n_total AS DOUBLE) AS dead_frac,
+         |  CAST(n_dead AS DOUBLE) / CAST(n_total AS DOUBLE) > $tau AS compacted
+         |FROM ccs ORDER BY cell""".stripMargin
+
   /** q157 — per-cluster representatives (coreset/prototype selection,
     * the SemDeDup-prototype step of cluster-balanced curation): for each
     * trained-IVF cell, the `m` vectors with the highest exact-decimal

@@ -849,6 +849,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(deadByQ.values.sum > 0L, "fixture has no tombstoned candidates — the test is vacuous")
   }
 
+  test("q159: v2 index = v1 minus flagged cells' tombstones, byte-identical codes; report is consistent") {
+    val report = Similarity.ivfPqCompaction(spark, sf0001).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1).toDouble)
+      assert(r.getBoolean(4) === (r.getDouble(3) > 0.05))
+    }
+    val flagged = report.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "no cell passed the compaction threshold — fixture is vacuous")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getAs[Number](2).longValue)).toSet
+    val v1 = rows(Similarity.ivfPqIndexTable(spark, sf0001))
+    val v2 = rows(Similarity.ivfPqIndexV2(spark, sf0001))
+    val expect = v1.filterNot { case (vid, _, cell) => flagged.contains(cell) && vid % 17 == 3 }
+    assert(v2 === expect, "v2 must drop exactly the flagged cells' tombstones")
+    // compacted cells are tombstone-free; uncompacted cells untouched
+    assert(!v2.exists { case (vid, _, cell) => flagged.contains(cell) && vid % 17 == 3 })
+    val keptCells = report.filterNot(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(v1.filter(r => keptCells.contains(r._3)) === v2.filter(r => keptCells.contains(r._3)))
+  }
+
   test("q157: representatives are the per-cell decimal-score argmax members; sizes partition the corpus") {
     val out = Similarity.cellRepresentatives(spark, sf0001).collect()
     assert(out.nonEmpty)
