@@ -148,6 +148,8 @@ object SparkEntry {
     "q35_ann_lsh"         -> ((s, d) => Similarity.annLshTop3(s, d)),
     "q47_ann_ivf"         -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "q60_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeansTopK(s, d)),
+    "q160_embedding_isolation" -> ((s, d) => Similarity.embeddingIsolation(s, d)),
+    "q162_filtered_ann"   -> ((s, d) => Similarity.annIvfFilteredTopK(s, d)),
     "q73_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q81_quantized_ann"   -> ((s, d) => Similarity.quantizedAnnTopK(s, d)),
     // Multimodal codec-free decode pipeline + CLF parity fixtures
@@ -176,6 +178,7 @@ object SparkEntry {
     "q154_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
     "q155_ivfpq_deletes" -> ((s, d) => Similarity.ivfPqDeletes(s, d)),
     "q156_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
+    "q161_epoch_plan"     -> ((s, d) => TextAnalysis.epochPlan(s, d)),
     "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
     "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
@@ -442,6 +445,42 @@ object SparkEntry {
       |        GROUP BY 1, 2)""".stripMargin
       .replace("PERMA", graft.operators.Dedup.permALiteral)
       .replace("PERMB", graft.operators.Dedup.permBLiteral))
+
+  /** q34b's full banded sign-LSH chain in DuckDB SQL (8 bands × 3 fixed
+    * hyperplanes with the DECIMAL-exact dot so the sign bits match
+    * Spark's; buckets capped at Dedup.MaxBucket smallest vec_ids;
+    * distinct candidates; exact decimal cosine), ending at
+    * `s(v1, v2, cos_sim)` — callers append their own SELECT tail.
+    * Shared by the q34b pair oracle and the q160 isolation oracle. */
+  private val embLshChainSql: String =
+    (s"""WITH pl AS (SELECT PLANES AS p),
+      |bits AS (
+      |  SELECT e.vec_id, bb.b AS band_idx,
+      |    CAST(list_sum(list_transform(range(0, 3), j ->
+      |      CASE WHEN CAST(ROUND(list_sum(list_transform(range(1, 65), i ->
+      |             CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+      |                  * (pl.p)[CAST(bb.b*3 + j + 1 AS INT)][CAST(i AS INT)] AS DECIMAL(18,12)))), 12) AS DOUBLE) >= 0
+      |           THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS band_key
+      |  FROM embeddings e CROSS JOIN pl CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+      |mem AS (SELECT vec_id, band_idx, band_key,
+      |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY vec_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY band_idx, band_key) AS n
+      |        FROM bits),
+      |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |         FROM kept a JOIN kept b
+      |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+      |nr AS (
+      |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
+      |u AS (SELECT c.v1, c.v2, a.nrm AS n1, b.nrm AS n2, unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      |      FROM cand c JOIN w a ON a.vec_id = c.v1 JOIN w b ON b.vec_id = c.v2),
+      |s AS (SELECT v1, v2,
+      |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+      |          / (any_value(n1) * any_value(n2)) AS cos_sim
+      |      FROM u GROUP BY v1, v2)""".stripMargin
+      .replace("PLANES", operators.Similarity.ndPlanesSqlLiteral))
 
   // q90's composite gate — shared verbatim by the q118 rejection
   // breakdown (CTE) and the q90 entry itself, the q116 composition rule.
@@ -2703,35 +2742,26 @@ object SparkEntry {
     // Dedup.MaxBucket smallest vec_ids, distinct candidates, exact decimal
     // cosine >= 0.4. Mirrors Similarity.embeddingNearDupPairsLsh.
     "q34b_emb_near_dup_lsh" ->
-      (s"""WITH pl AS (SELECT PLANES AS p),
-        |bits AS (
-        |  SELECT e.vec_id, bb.b AS band_idx,
-        |    CAST(list_sum(list_transform(range(0, 3), j ->
-        |      CASE WHEN CAST(ROUND(list_sum(list_transform(range(1, 65), i ->
-        |             CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
-        |                  * (pl.p)[CAST(bb.b*3 + j + 1 AS INT)][CAST(i AS INT)] AS DECIMAL(18,12)))), 12) AS DOUBLE) >= 0
-        |           THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS band_key
-        |  FROM embeddings e CROSS JOIN pl CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
-        |mem AS (SELECT vec_id, band_idx, band_key,
-        |          ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY vec_id) AS rn,
-        |          COUNT(*) OVER (PARTITION BY band_idx, band_key) AS n
-        |        FROM bits),
-        |kept AS (SELECT * FROM mem WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
-        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |         FROM kept a JOIN kept b
-        |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
-        |nr AS (
-        |  SELECT vec_id, sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)) AS nrm
-        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-        |w AS (SELECT e.vec_id, e.embedding, nr.nrm FROM embeddings e JOIN nr ON e.vec_id = nr.vec_id),
-        |u AS (SELECT c.v1, c.v2, a.nrm AS n1, b.nrm AS n2, unnest(a.embedding) AS x, unnest(b.embedding) AS y
-        |      FROM cand c JOIN w a ON a.vec_id = c.v1 JOIN w b ON b.vec_id = c.v2),
-        |s AS (SELECT v1, v2,
-        |        CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
-        |          / (any_value(n1) * any_value(n2)) AS cos_sim
-        |      FROM u GROUP BY v1, v2)
-        |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2""".stripMargin
-        .replace("PLANES", operators.Similarity.ndPlanesSqlLiteral)),
+      (embLshChainSql +
+        "\nSELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY v1, v2"),
+    // q160 isolation audit: the full q34b chain re-derived, then vectors
+    // absent from BOTH pair endpoints are the isolated set, rolled up per
+    // label. Mirrors Similarity.embeddingIsolation (which reads the
+    // persisted emb_pairs artifact — the oracle re-deriving from scratch
+    // is exactly what makes a stale artifact fail loudly).
+    "q160_embedding_isolation" ->
+      (embLshChainSql +
+        s""",
+        |p AS (SELECT v1 AS vec_id FROM s WHERE cos_sim >= 0.4
+        |      UNION SELECT v2 FROM s WHERE cos_sim >= 0.4)
+        |SELECT CAST(e.label AS BIGINT) AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated,
+        |  ROUND(CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS isolation_rate
+        |FROM embeddings e LEFT JOIN p ON p.vec_id = e.vec_id
+        |GROUP BY 1 ORDER BY label""".stripMargin),
     // Sign-LSH ANN: hybrid bucket bits reproduced with the decimal-exact
     // dot (mirrors Similarity.annLshTop3's hybridSign), then in-bucket
     // exact-cosine top-3.
@@ -2763,6 +2793,7 @@ object SparkEntry {
     // IVF ANN on the fixed seed centroids (generated in lockstep with the
     // Scala pipeline — see Similarity.ivfOracleSql).
     "q47_ann_ivf" -> operators.Similarity.ivfOracleSql(iters = 0),
+    "q162_filtered_ann" -> operators.Similarity.ivfFilteredOracleSql(),
     // k-means IVF: the oracle re-derives the identical trained model in
     // SQL (3 unrolled Lloyd iterations over the deterministic 50% sample,
     // exact-decimal sums and norms), then replays the probe+rank pipeline.
@@ -2787,6 +2818,7 @@ object SparkEntry {
     // Domain-mixture reweighting: uniform target over `source`, half-
     // corpus token budget, clamped per-domain inclusion rates.
     "q156_source_mixture" -> operators.TextAnalysis.sourceMixtureOracleSql,
+    "q161_epoch_plan" -> operators.TextAnalysis.epochPlanOracleSql,
     // Per-IVF-cell prototypes: top-m by exact-decimal centroid score.
     "q157_cell_representatives" -> operators.Similarity.cellRepresentativesOracleSql(),
     // Gopher duplication-fraction metrics (occurrence-mass half; q64

@@ -250,6 +250,56 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** The persisted FULL-CORPUS near-dup pair artifact: q34b's flagship
+    * banded-LSH chain ([[embeddingNearDupPairsLsh]]), built once per
+    * corpus fingerprint under the [[graft.sources.Artifacts]] contract —
+    * same pattern as Dedup's `lsh_pairs_xx`. q34b itself stays fully
+    * live (it's the gated pair query); downstream consumers (q160's
+    * isolation audit) read this instead of re-deriving the chain. */
+  private[graft] def embLshPairsTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/emb_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.sources.Bucketing.fingerprint(dir, Seq("embeddings"),
+        NdBands * 1000 + graft.operators.Dedup.MaxBucket)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      embeddingNearDupPairsLsh(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q160 — embedding ISOLATION audit (the OOD / diversity-keep signal;
+    * the complement of SemDeDup-style redundancy pruning — Abbas et al.
+    * 2023, and the D4 recipe of Tirumala et al. 2023, which protects
+    * sparse-neighborhood points precisely because they carry the
+    * distribution's tail): a vector is MATCHED when the flagship
+    * near-dup path found it at least one neighbor at exact cosine
+    * ≥ 0.4; vectors with none are ISOLATED. Per label: counts and the
+    * rounded isolation rate — the panel a curation run reads before
+    * deciding how hard to prune each class.
+    *
+    * Scale shape: the pair set is the persisted capped-LSH artifact
+    * ([[embLshPairsTable]]); the audit is a membership probe (union →
+    * distinct over pair endpoints, a pair-set-sized aggregate) + one
+    * label groupBy over the corpus — nothing quadratic, nothing
+    * corpus-sized past the groupBy. */
+  def embeddingIsolation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embLshPairsTable(spark, dir)
+    val matched = pairs.select(col("v1").as("vec_id"))
+      .union(pairs.select(col("v2").as("vec_id")))
+      .distinct()
+      .withColumn("m", lit(1))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(matched, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .select(col("label"), col("n_vecs"), col("n_matched"),
+        (col("n_vecs") - col("n_matched")).as("n_isolated"),
+        round((col("n_vecs") - col("n_matched")).cast("double") / col("n_vecs").cast("double"), 6)
+          .as("isolation_rate"))
+      .orderBy("label")
+  }
+
   /** IVF parameters: [[NumCells]] fixed unit-norm pseudo-centroids from
     * the LCG partition the space into Voronoi cells (by cosine = max dot
     * with a unit centroid). Production IVF would k-means these on a
@@ -480,6 +530,79 @@ object Similarity {
     * probe + rank pipeline. */
   def annIvfKmeansTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame =
     annIvfTopK(spark, dir, nprobe, k, trainIvfCentroids(spark, dir))
+
+  /** q162 — FILTERED vector search (label-constrained IVF top-k): each
+    * query (vec_id ≤ 4) retrieves only neighbors sharing its `label` —
+    * the tenant/category-scoped retrieval every production vector store
+    * names a first-class feature, and the classic recall trap: a
+    * POST-filter of an unfiltered top-k silently returns < k when the
+    * filter is selective. This is the PRE-filter form — the label
+    * predicate applies inside the probed cells BEFORE ranking, so the
+    * full candidate pool competes for k slots — and `n_found` (the
+    * filtered candidate count per query) makes the residual shortfall
+    * visible: when even the probed cells hold < k matching vectors, a
+    * server must widen nprobe, not fake the k.
+    *
+    * Scale shape: identical to q47 ([[annIvfTopK]]) — broadcast query
+    * side, candidate work bounded by the probed cells' population, the
+    * filter applied on the scan side of the join (fewer candidates than
+    * the unfiltered query, never more). The two-phase salted top-k is
+    * unnecessary here: the filter already cuts candidates, and `n_found`
+    * needs the per-query total anyway. */
+  def annIvfFilteredTopK(spark: SparkSession, dir: String, nprobe: Int = 4,
+      k: Int = 5): DataFrame = {
+    val centroids = ivfCentroids
+    val a = ivfAssignments(spark, dir, centroids)
+    val data = a.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("nrm").as("nn"), col("cell"), col("label").as("n_label"))
+    val q = withNorm(spark, dir).where(col("vec_id") <= 4)
+      .withColumn("dscores", cellScoresDecCol(centroids))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(expr(
+          s"""slice(transform(array_sort(transform(dscores, (s, i) ->
+             |  named_struct('negs', -s, 'idx', i))), x -> x.idx), 1, $nprobe)""".stripMargin))
+          .as("probe_cell"))
+    val cand = data
+      .join(broadcast(q), col("cell") === col("probe_cell")
+        && col("q_id") =!= col("n_id") && col("n_label") === col("q_label"))
+      .select(col("q_id"), col("n_id"), col("n_label").cast("long").as("label"),
+        col("cell").cast("long").as("cell"),
+        (expr(dotDec("qe", "ne")) / (col("qn") * col("nn"))).as("cos_sim"))
+    val global = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    cand
+      .withColumn("n_found", count(lit(1)).over(Window.partitionBy("q_id")))
+      .withColumn("rank", row_number().over(global).cast("long")).where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("label"), col("cell"),
+        col("cos_sim"), col("rank"), col("n_found"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for [[annIvfFilteredTopK]] — [[ivfOracleSql]]'s seed
+    * chain with the label equality pushed into the candidate join and
+    * the per-query filtered candidate count carried through. */
+  def ivfFilteredOracleSql(nprobe: Int = 4, k: Int = 5): String =
+    ivfModelPrefixSql(0) +
+      s"""pk AS (SELECT q_id, cell AS pcell FROM (
+         |  SELECT vec_id AS q_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS prn
+         |  FROM fsc WHERE vec_id <= 4) z WHERE prn <= $nprobe),
+         |qv AS (SELECT w.vec_id AS q_id, le.label AS q_label, w.embedding AS qe, w.nrm AS qn
+         |       FROM w JOIN embeddings le ON le.vec_id = w.vec_id WHERE w.vec_id <= 4),
+         |u AS (SELECT pk.q_id, w.vec_id AS n_id, ne.label, w.cell, qv.qn, w.nrm AS nn,
+         |  unnest(qv.qe) AS x, unnest(w.embedding) AS y
+         |  FROM pk JOIN qv ON qv.q_id = pk.q_id
+         |  JOIN w ON w.cell = pk.pcell AND w.vec_id <> pk.q_id
+         |  JOIN embeddings ne ON ne.vec_id = w.vec_id AND ne.label = qv.q_label),
+         |s2 AS (SELECT q_id, n_id, CAST(any_value(label) AS BIGINT) AS label,
+         |  CAST(any_value(cell) AS BIGINT) AS cell,
+         |  CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+         |    / (any_value(qn) * any_value(nn)) AS cos_sim
+         |  FROM u GROUP BY q_id, n_id),
+         |r AS (SELECT q_id, n_id, label, cell, cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank,
+         |  CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_found FROM s2)
+         |SELECT q_id, n_id, label, cell, cos_sim, rank, n_found FROM r WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB oracle for the IVF ANN family, generated so the SQL stays in
     * lockstep with the Scala pipeline: `iters = 0` replays [[annIvfTopK]]

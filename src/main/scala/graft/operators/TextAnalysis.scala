@@ -269,6 +269,75 @@ object TextAnalysis {
        |  (CAST(total_tokens // 2 AS DOUBLE) / CAST(n_src AS DOUBLE)) > CAST(n_tokens AS DOUBLE) AS upsample_needed
        |FROM tt ORDER BY source""".stripMargin
 
+  /** q161 — epoch-repeat plan under a token budget (the data-constrained
+    * scaling step, Muennighoff et al. 2023: when the budget exceeds the
+    * unique supply, decide how many EPOCHS each domain repeats and what
+    * the repeats are worth). Budget = 2× the corpus (so repeats are
+    * required), split uniformly across sources like q156's target
+    * mixture; per source: epochs = ceil(allocation / unique_tokens)
+    * capped at [[MaxEpochs]], effective tokens under a geometric
+    * diminishing-returns decay with ratio 1/2 — the k-th epoch is worth
+    * unique·2^{1−k}, so eff = 2U − 2U/2^k. The decay constant is a demo
+    * placeholder for the fitted per-corpus decay of the paper; 1/2 is
+    * chosen because 2^k is EXACT in IEEE doubles, keeping the column a
+    * hash match (not a tolerance) cross-engine. `value_ratio` =
+    * effective / (epochs · unique) makes the diminishing returns visible
+    * (1.0 at one epoch, → 0 as repeats pile up).
+    *
+    * Scale shape: identical to q156 — one groupBy shuffle over the
+    * corpus with map-side token counting, then source-count-bounded
+    * window totals. Integer math in BIGINT (`div`), the two doubles
+    * exact by construction. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(expr(toksExpr)).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(sum(col("tok")).as("unique_tokens"))
+    val all = Window.partitionBy()
+    val withTotals = perSrc
+      .withColumn("total_tokens", sum(col("unique_tokens")).over(all))
+      .withColumn("n_src", count(lit(1)).over(all))
+    val u = col("unique_tokens")
+    val eff = lit(2.0) * u.cast("double") -
+      lit(2.0) * u.cast("double") /
+        expr("cast(shiftleft(1L, cast(epochs as int)) as double)")
+    withTotals
+      .withColumn("alloc_t", expr("(total_tokens * 2) div n_src"))
+      .withColumn("epochs",
+        least(expr("(alloc_t + unique_tokens - 1) div unique_tokens"), lit(MaxEpochs.toLong)))
+      .withColumn("effective_tokens", eff)
+      .select(col("source"), col("unique_tokens"),
+        col("alloc_t").as("allocated_tokens"), col("epochs"),
+        col("effective_tokens"),
+        round(col("effective_tokens") / (col("epochs").cast("double") * u.cast("double")), 6)
+          .as("value_ratio"))
+      .orderBy("source")
+  }
+
+  /** Epoch cap: past this the geometric decay has extracted >99.6% of
+    * the attainable 2U, i.e. further repeats are worthless. */
+  private[graft] val MaxEpochs = 8
+
+  def epochPlanOracleSql: String =
+    s"""WITH ps AS (SELECT source,
+       |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS unique_tokens
+       | FROM documents GROUP BY 1),
+       |tt AS (SELECT ps.*, CAST(SUM(unique_tokens) OVER () AS BIGINT) AS total_tokens,
+       |  CAST(COUNT(*) OVER () AS BIGINT) AS n_src FROM ps),
+       |pl AS (SELECT source, unique_tokens,
+       |  (total_tokens * 2) // n_src AS allocated_tokens,
+       |  LEAST(((total_tokens * 2) // n_src + unique_tokens - 1) // unique_tokens,
+       |        $MaxEpochs) AS epochs
+       | FROM tt)
+       |SELECT source, unique_tokens, allocated_tokens, epochs,
+       |  2.0 * CAST(unique_tokens AS DOUBLE)
+       |    - 2.0 * CAST(unique_tokens AS DOUBLE) / CAST(1 << CAST(epochs AS INT) AS DOUBLE)
+       |    AS effective_tokens,
+       |  ROUND((2.0 * CAST(unique_tokens AS DOUBLE)
+       |    - 2.0 * CAST(unique_tokens AS DOUBLE) / CAST(1 << CAST(epochs AS INT) AS DOUBLE))
+       |    / (CAST(epochs AS DOUBLE) * CAST(unique_tokens AS DOUBLE)), 6) AS value_ratio
+       |FROM pl ORDER BY source""".stripMargin
+
   /** Document fingerprints: raw md5, whitespace-normalized md5, and a
     * 64-char-prefix hash (cheap shingle-free near-dup prefilter). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =

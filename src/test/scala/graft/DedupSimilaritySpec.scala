@@ -367,6 +367,63 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size} below 0.6 (theory: ~0.9 at cos=0.4)")
   }
 
+  test("q160 isolation: per-label counts replay from the pair set; matched vecs are true near-dups") {
+    val iso = Similarity.embeddingIsolation(spark, sf0001).collect()
+    assert(iso.nonEmpty)
+    val pairs = Similarity.embeddingNearDupPairsLsh(spark, sf0001)
+      .select("v1", "v2").collect()
+    val matched = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val labelOf = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso.map(_.getLong(1)).sum === labelOf.size.toLong, "labels partition the corpus")
+    iso.foreach { r =>
+      val l = r.getLong(0)
+      val ids = labelOf.collect { case (v, `l`) => v }.toSet
+      assert(r.getLong(1) === ids.size.toLong)
+      assert(r.getLong(2) === (ids & matched).size.toLong, s"label $l matched count")
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3), "matched + isolated = total")
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // no false matches: LSH pairs are exact-verified (subset test above),
+    // so every matched vec has a TRUE cos >= 0.4 neighbor
+    val trulyMatched = Similarity.embeddingNearDupPairs(spark, sf0001)
+      .select("v1", "v2").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(matched.subsetOf(trulyMatched), "isolation audit counted a false match")
+  }
+
+  test("q162 filtered ANN: label-pure, equals the same-label cut of the unfiltered probe, n_found honest") {
+    val res = Similarity.annIvfFilteredTopK(spark, sf0001).collect()
+    assert(res.nonEmpty)
+    val labelOf = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      assert(r.getLong(2) === labelOf(r.getLong(0)), "row label is the query's")
+      assert(r.getLong(2) === labelOf(r.getLong(1)), "neighbor shares the query's label")
+    }
+    res.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(5)).sorted.toSeq
+      assert(ranks === (1L to ranks.length.toLong), s"q$q ranks not contiguous")
+      val nf = rs.map(_.getLong(6)).distinct
+      assert(nf.length === 1, "n_found constant per query")
+      assert(ranks.length.toLong === math.min(5L, nf.head),
+        s"q$q returned ${ranks.length} rows for n_found=${nf.head}")
+    }
+    // pre-filter semantics: exactly the same-label cut of the UNFILTERED
+    // probe over the same cells, re-ranked — never a post-filtered top-k
+    val unfiltered = Similarity.annIvfTopK(spark, sf0001, nprobe = 4, k = 1000000).collect()
+    val expect = unfiltered.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.filter(r => labelOf(r.getLong(1)) == labelOf(q))
+        .sortBy(r => (-r.getDouble(3), r.getLong(1))).take(5).map(_.getLong(1)).toSeq
+    }
+    res.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getLong(5)).map(_.getLong(1)).toSeq
+      assert(got === expect(q), s"q$q filtered top-k diverges from the same-label cut")
+    }
+  }
+
   test("connected components: a 200-deep chain converges in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // a path graph 0-1-2-...-200: min-label propagation needed one round

@@ -524,6 +524,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getDouble(5) < 1.0))
   }
 
+  test("q161: epochs are capped ceil-division; effective tokens replay the exact decay formula") {
+    val rows = TextAnalysis.epochPlan(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalU = rows.map(_.getLong(1)).sum
+    val nSrc = rows.length.toLong
+    val alloc = totalU * 2 / nSrc
+    rows.foreach { r =>
+      assert(r.getLong(2) === alloc, "uniform budget split")
+      val u = r.getLong(1)
+      val k = r.getLong(3)
+      assert(k === math.min((alloc + u - 1) / u, TextAnalysis.MaxEpochs.toLong))
+      // exact by construction: 2U and 2U / 2^k are both exact doubles
+      val eff = 2.0 * u - 2.0 * u / (1L << k.toInt)
+      assert(r.getDouble(4) === eff)
+      val vr = r.getDouble(5)
+      assert(math.abs(vr - eff / (k * u.toDouble)) < 1e-6)
+      if (k === 1L) assert(vr === 1.0, "single epoch extracts full value")
+      assert(vr > 0.0 && vr <= 1.0)
+    }
+    // budget = 2x the corpus forces repeats for below-average sources
+    assert(rows.exists(_.getLong(3) > 1L), "no source repeats under a 2x budget")
+  }
+
   test("q158: duplication fractions match a token-level driver recompute; the plan is shuffle-free") {
     val df = TextAnalysis.duplicationFractions(spark, sf0001)
     val out = df.collect()
