@@ -117,6 +117,7 @@ object SparkEntry {
     "q72_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "q74_bloom_incremental_dedup" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
+    "q163_cross_source_dup_mass" -> ((s, d) => Dedup.crossSourceDupMass(s, d)),
     "q135_containment_dedup" -> ((s, d) => Dedup.containmentDedup(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q120_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q36_media_features"  -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q96_media_thumbnails" -> ((s, d) => Multimodal.mediaThumbnails(s, d)),
     "q128_image_near_dup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
+    "q164_media_contamination" -> ((s, d) => Multimodal.mediaContamination(s, d)),
     "q133_image_dup_clusters" -> ((s, d) => Multimodal.imageDupClusters(s, d)),
     "q134_video_signatures" -> ((s, d) => Multimodal.videoSignatures(s, d)),
     "q137_image_incremental_dedup" -> ((s, d) => Multimodal.imageIncrementalDedup(s, d)),
@@ -199,7 +201,10 @@ object SparkEntry {
     * cluster oracle): shingles with document frequency > MaxShingleDf are
     * dropped from sizes AND intersections, mirroring Dedup.nearDupJaccard's
     * stop-shingle cutoff. */
-  private val q28Sql: String =
+  /** q28's exact shingle-Jaccard chain, ending at `j(d1, d2, j)` —
+    * callers append their own SELECT tail. Shared by the q28 pair
+    * oracle and the q163 cross-source rollup oracle. */
+  private val q28ChainSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |              WHERE len(string_split_regex(text, '\\s+')) >= 3),
       |sh AS (SELECT DISTINCT doc_id,
@@ -211,8 +216,11 @@ object SparkEntry {
       |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
       |       FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |j AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS j
-      |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
-      |SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin
+      |      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)""".stripMargin
+
+  private val q28Sql: String =
+    q28ChainSql +
+      "\nSELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6 ORDER BY d1, d2"
 
   /** The q128 perceptual-hash CTE chain: generator-derived 8×8 gray
     * grids → aHash halves → 4×16 bands → capped buckets → candidate
@@ -1291,6 +1299,21 @@ object SparkEntry {
     "q128_image_near_dup" ->
       s"""WITH $q128Ctes
         |SELECT d1, d2, hamming FROM imgpairs ORDER BY d1, d2""".stripMargin,
+    // q164 image decontamination: the q128 pair chain re-derived, then an
+    // eval image (q65's split predicate) is contaminated when a verified
+    // near-pair links it to a train image. Mirrors
+    // Multimodal.mediaContamination (which reads the img_pairs artifact).
+    "q164_media_contamination" ->
+      s"""WITH $q128Ctes,
+        |prt AS (SELECT d1 AS e, d2 AS t FROM imgpairs
+        |        UNION ALL SELECT d2, d1 FROM imgpairs),
+        |hits AS (SELECT e, MIN(t) AS tm FROM prt
+        |         WHERE (e * 2654435761) % 100 < 20
+        |           AND (t * 2654435761) % 100 >= 20 GROUP BY 1),
+        |ev AS (SELECT doc_id FROM p WHERE (doc_id * 2654435761) % 100 < 20)
+        |SELECT ev.doc_id, (hits.tm IS NOT NULL) AS contaminated,
+        |  CAST(COALESCE(hits.tm, -1) AS BIGINT) AS train_match
+        |FROM ev LEFT JOIN hits ON hits.e = ev.doc_id ORDER BY ev.doc_id""".stripMargin,
     // Audio energy-envelope signatures: |PCM| mass folded into 64
     // windows (sample i -> window i*64//n, mirrored via ceil
     // boundaries), mean-threshold hashed like the image aHash, plus
@@ -1707,6 +1730,25 @@ object SparkEntry {
         .replace("PERMA", graft.operators.Dedup.permALiteral)
         .replace("PERMB", graft.operators.Dedup.permBLiteral)),
     "q28_near_dup_jaccard" -> q28Sql,
+    // q163: the q28 chain rolled up by unordered source pair, each cell's
+    // share of total dup mass, cross-source flag. Mirrors
+    // Dedup.crossSourceDupMass (which reads the pair_stats artifact; the
+    // oracle re-derives from raw text, re-gating the artifact).
+    "q163_cross_source_dup_mass" ->
+      (q28ChainSql +
+        s""",
+        |jj AS (SELECT d1, d2 FROM j WHERE j >= 0.6),
+        |ss AS (SELECT LEAST(da.source, db.source) AS source_a,
+        |              GREATEST(da.source, db.source) AS source_b
+        |       FROM jj JOIN documents da ON da.doc_id = jj.d1
+        |               JOIN documents db ON db.doc_id = jj.d2),
+        |g AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        |      FROM ss GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_dup_pairs,
+        |  ROUND(CAST(n_dup_pairs AS DOUBLE)
+        |        / CAST(SUM(n_dup_pairs) OVER () AS DOUBLE), 6) AS pair_share,
+        |  (source_a <> source_b) AS is_cross
+        |FROM g ORDER BY source_a, source_b""".stripMargin),
     // Connected components over the near-dup pair graph: DuckDB computes
     // the transitive closure with a recursive CTE (min reachable doc_id =
     // the component id Spark's star-contraction CC converges to).

@@ -313,6 +313,39 @@ object Dedup {
         col("s1.n_sh").as("n1"), col("s2.n_sh").as("n2"))
   }
 
+  /** q163 — cross-source duplicate-mass report: the q28 near-dup pairs
+    * rolled up by unordered source pair, with each cell's share of the
+    * total duplicate mass and a cross-source flag. This is the report a
+    * corpus curator reads to learn WHICH domains duplicate WHICH — the
+    * web-scale reality (mirror sites, syndication, crawl-snapshot
+    * overlap) that per-document dedup metrics can't show; C4/RefinedWeb
+    *-style pipelines publish exactly this cut before deciding
+    * source-level dedup policy.
+    *
+    * Scale shape: the pair set is the persisted artifact-backed q28
+    * candidate set (bounded by the df-capped posting lists), enriched
+    * with `source` via two doc_id equi-joins against a 2-column
+    * projection of documents; the rollup is a source-pair-bounded
+    * groupBy and the total a window over that bounded table. Nothing
+    * quadratic, nothing corpus-sized past the joins. */
+  def crossSourceDupMass(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupJaccardUnordered(spark, dir).select("d1", "d2")
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val g = pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
+      .groupBy(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    g.withColumn("tot", sum(col("n_dup_pairs")).over(Window.partitionBy()))
+      .select(col("source_a"), col("source_b"), col("n_dup_pairs"),
+        round(col("n_dup_pairs").cast("double") / col("tot").cast("double"), 6)
+          .as("pair_share"),
+        (col("source_a") =!= col("source_b")).as("is_cross"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Containment threshold (permille of the contained side's set). */
   val ContainmentPermille = 800L
 

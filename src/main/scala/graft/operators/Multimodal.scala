@@ -1269,6 +1269,43 @@ object Multimodal {
     spark.read.parquet(path)
   }
 
+  /** q164 — multimodal benchmark DECONTAMINATION (image leg): q65's
+    * eval/train split (`(doc_id·2654435761) % 100 < 20` holds out the
+    * eval slice) applied to the image corpus, with an eval image flagged
+    * CONTAMINATED when the perceptual near-dup chain (q128: aHash →
+    * 4×16-bit bands → capped buckets → Hamming ≤ ImgHammingMax verify)
+    * links it to ANY train image — the multimodal twin of q65's text
+    * n-gram decontamination, and the check a benchmark release runs
+    * before trusting eval numbers (a re-encoded/rescaled copy of a
+    * training image in the eval set is invisible to exact byte or hash
+    * equality; the perceptual chain is what actually catches it).
+    * `train_match` carries the smallest matching train doc_id for
+    * provenance (−1 when clean).
+    *
+    * Scale shape: the pair set is the persisted verified-pair artifact
+    * ([[imagePairsTable]] — banded, capped, never all-pairs); the audit
+    * is a direction union + one groupBy over that bounded set, then a
+    * left join against the eval slice of the image ids (a metadata
+    * projection — no decode on the live path). */
+  def mediaContamination(spark: SparkSession, dir: String): DataFrame = {
+    def isEval(c: org.apache.spark.sql.Column) =
+      pmod(c * lit(2654435761L), lit(100)) < 20
+    val pairs = imagePairsTable(spark, dir).select("d1", "d2")
+    val part = pairs.select(col("d1").as("e"), col("d2").as("t"))
+      .union(pairs.select(col("d2").as("e"), col("d1").as("t")))
+    val hits = part
+      .where(isEval(col("e")) && !isEval(col("t")))
+      .groupBy(col("e"))
+      .agg(min(col("t")).as("tm"))
+    mediaTable(spark, dir).where(col("meta.format") === "bmp")
+      .select(col("doc_id")).where(isEval(col("doc_id")))
+      .join(hits, col("doc_id") === col("e"), "left")
+      .select(col("doc_id"),
+        col("tm").isNotNull.as("contaminated"),
+        coalesce(col("tm"), lit(-1L)).as("train_match"))
+      .orderBy("doc_id")
+  }
+
   /** [[imagePairsTable]]'s video twin, enriched at build time with both
     * sides' TOTAL frame counts (parsed, not metadata) so the cluster
     * fold needs no decode pass. */

@@ -367,6 +367,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size} below 0.6 (theory: ~0.9 at cos=0.4)")
   }
 
+  test("q163: source-pair rollup replays from the q28 pairs; shares partition the dup mass") {
+    val rows = Dedup.crossSourceDupMass(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val srcOf = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.nearDupJaccard(spark, sf0001).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (d1, d2) =>
+      val (a, b) = (srcOf(d1), srcOf(d2))
+      if (a <= b) (a, b) else (b, a)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.length === expect.size, "one row per observed source pair")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getString(0) <= r.getString(1), "source pair is unordered-canonical")
+      assert(r.getLong(2) === expect(key), s"count for $key")
+      assert(r.getBoolean(4) === (r.getString(0) != r.getString(1)))
+    }
+    assert(rows.map(_.getLong(2)).sum === pairs.length.toLong, "cells partition the pair set")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5, "shares sum to 1 (mod rounding)")
+  }
+
   test("q160 isolation: per-label counts replay from the pair set; matched vecs are true near-dups") {
     val iso = Similarity.embeddingIsolation(spark, sf0001).collect()
     assert(iso.nonEmpty)

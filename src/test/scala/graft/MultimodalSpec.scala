@@ -199,6 +199,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_._3 <= Multimodal.ImgHammingMax))
   }
 
+  test("q164: contamination replays from q128's pairs under the q65 split; eval slice fully covered") {
+    val sf001 = "/root/testdata/sf0.01"
+    def isEval(id: Long): Boolean = math.floorMod(id * 2654435761L, 100L) < 20L
+    val rows = Multimodal.mediaContamination(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // every output row is an eval image, each exactly once
+    assert(rows.forall(r => isEval(r.getLong(0))))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // driver replay: contaminated iff a verified near-pair crosses the split
+    val pairs = Multimodal.imageNearDup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }.collect { case (e, t) if isEval(e) && !isEval(t) => e -> t }
+      .groupBy(_._1).map { case (e, ts) => e -> ts.map(_._2).min }
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      expect.get(id) match {
+        case Some(tm) =>
+          assert(r.getBoolean(1), s"image $id should be contaminated")
+          assert(r.getLong(2) === tm, s"image $id provenance")
+        case None =>
+          assert(!r.getBoolean(1), s"image $id should be clean")
+          assert(r.getLong(2) === -1L)
+      }
+    }
+    // the corpus's duplicate classes actually cross the split at this SF
+    assert(rows.exists(_.getBoolean(1)), "no contamination found — degenerate fixture")
+  }
+
   test("q133: image clusters match a driver union-find over q128's pairs; survivor is highest-res") {
     val sf001 = "/root/testdata/sf0.01"
     val pairs = Multimodal.imageNearDup(spark, sf001).collect()
