@@ -151,6 +151,7 @@ object SparkEntry {
     "q60_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeansTopK(s, d)),
     "q160_embedding_isolation" -> ((s, d) => Similarity.embeddingIsolation(s, d)),
     "q162_filtered_ann"   -> ((s, d) => Similarity.annIvfFilteredTopK(s, d)),
+    "q166_ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(s, d)),
     "q73_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q81_quantized_ann"   -> ((s, d) => Similarity.quantizedAnnTopK(s, d)),
     // Multimodal codec-free decode pipeline + CLF parity fixtures
@@ -181,6 +182,7 @@ object SparkEntry {
     "q155_ivfpq_deletes" -> ((s, d) => Similarity.ivfPqDeletes(s, d)),
     "q156_source_mixture" -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
     "q161_epoch_plan"     -> ((s, d) => TextAnalysis.epochPlan(s, d)),
+    "q165_post_dedup_mixture" -> ((s, d) => TextAnalysis.postDedupMixture(s, d)),
     "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
     "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
@@ -1790,6 +1792,40 @@ object SparkEntry {
         |  a.total_tokens - s.survivor_tokens AS tokens_removed
         |FROM agg a JOIN surv s ON a.comp_id = s.comp_id AND s.rn = 1
         |ORDER BY a.comp_id""".stripMargin,
+    // q165: q120's survivor rule (recursive closure + per-cluster argmax)
+    // inverted into the dropped set, then q156's per-source token rollup
+    // computed raw vs kept with the signed share delta. Mirrors
+    // TextAnalysis.postDedupMixture (which reads the persisted label
+    // artifact; the oracle re-derives the closure from raw text).
+    "q165_post_dedup_mixture" ->
+      s"""WITH RECURSIVE
+        |pairs AS ($q28Sql),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |t AS (SELECT doc_id, source, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+        |      FROM documents),
+        |jm AS (SELECT c.comp_id, c.doc_id, t.tok FROM comps c JOIN t USING (doc_id)),
+        |sv AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp_id
+        |         ORDER BY tok DESC, doc_id ASC) AS rn FROM jm),
+        |dropped AS (SELECT doc_id FROM sv WHERE rn > 1),
+        |pd AS (SELECT t.source, t.tok, (dr.doc_id IS NOT NULL) AS is_drop
+        |       FROM t LEFT JOIN dropped dr USING (doc_id)),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+        |        CAST(SUM(CASE WHEN is_drop THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_kept,
+        |        CAST(SUM(tok) AS BIGINT) AS tokens_raw,
+        |        CAST(SUM(CASE WHEN is_drop THEN 0 ELSE tok END) AS BIGINT) AS tokens_kept
+        |      FROM pd GROUP BY 1)
+        |SELECT source, n_docs_raw, n_docs_kept, tokens_raw, tokens_kept,
+        |  ROUND(CAST(tokens_raw AS DOUBLE) / CAST(SUM(tokens_raw) OVER () AS DOUBLE), 6) AS share_raw,
+        |  ROUND(CAST(tokens_kept AS DOUBLE) / CAST(SUM(tokens_kept) OVER () AS DOUBLE), 6) AS share_kept,
+        |  ROUND(CAST(tokens_kept AS DOUBLE) / CAST(SUM(tokens_kept) OVER () AS DOUBLE)
+        |      - CAST(tokens_raw AS DOUBLE) / CAST(SUM(tokens_raw) OVER () AS DOUBLE), 6) AS share_delta
+        |FROM g ORDER BY source""".stripMargin,
     // Cluster-aware split: near-dup clusters (the q61 recursive closure)
     // are keyed on their root; unclustered docs fall back to q82's
     // content-hash rule exactly.
@@ -2836,6 +2872,7 @@ object SparkEntry {
     // Scala pipeline — see Similarity.ivfOracleSql).
     "q47_ann_ivf" -> operators.Similarity.ivfOracleSql(iters = 0),
     "q162_filtered_ann" -> operators.Similarity.ivfFilteredOracleSql(),
+    "q166_ivf_cell_balance" -> operators.Similarity.ivfCellBalanceOracleSql(),
     // k-means IVF: the oracle re-derives the identical trained model in
     // SQL (3 unrolled Lloyd iterations over the deterministic 50% sample,
     // exact-decimal sums and norms), then replays the probe+rank pipeline.

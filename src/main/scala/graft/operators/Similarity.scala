@@ -531,6 +531,47 @@ object Similarity {
   def annIvfKmeansTopK(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 5): DataFrame =
     annIvfTopK(spark, dir, nprobe, k, trainIvfCentroids(spark, dir))
 
+  /** q166 — IVF cell-BALANCE report, the index-health panel a vector
+    * store watches: per trained cell its population, corpus share, and
+    * balance factor (share × number of populated cells — 1.0 is perfect
+    * balance), with an `overloaded` verdict at 2× fair share. Cell skew
+    * IS serving tail latency (a probe into a whale cell scans the
+    * whale), and the standard remedies — re-train, split the cell,
+    * raise nlist — all start from this table. Population counts only
+    * cells that received vectors; both engines derive the same
+    * assignment, so empty cells are absent on both sides.
+    *
+    * Scale shape: assignment is map-side (the hybrid cell argmax), the
+    * report one cell-bounded groupBy + windows over ≤ NumCells rows. */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssignments(spark, dir, trainIvfCentroids(spark, dir))
+    val per = a.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val all = Window.partitionBy()
+    per.withColumn("total", sum(col("n_vecs")).over(all))
+      .withColumn("nc", count(lit(1)).over(all))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total").cast("double"), 6).as("share"),
+        round(col("n_vecs").cast("double") * col("nc").cast("double")
+          / col("total").cast("double"), 6).as("balance_factor"),
+        (col("n_vecs") * col("nc") > col("total") * lit(2L)).as("overloaded"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for [[ivfCellBalance]]: the trained-model chain
+    * (q60's unrolled Lloyd derivation) down to full-corpus assignments,
+    * then the same cell-bounded rollup. */
+  def ivfCellBalanceOracleSql(iters: Int = 3): String =
+    ivfModelPrefixSql(iters) +
+      s"""per AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |        FROM w GROUP BY 1)
+         |SELECT cell, n_vecs,
+         |  ROUND(CAST(n_vecs AS DOUBLE) / CAST(SUM(n_vecs) OVER () AS DOUBLE), 6) AS share,
+         |  ROUND(CAST(n_vecs AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)
+         |        / CAST(SUM(n_vecs) OVER () AS DOUBLE), 6) AS balance_factor,
+         |  (n_vecs * COUNT(*) OVER () > SUM(n_vecs) OVER () * 2) AS overloaded
+         |FROM per ORDER BY cell""".stripMargin
+
   /** q162 — FILTERED vector search (label-constrained IVF top-k): each
     * query (vec_id ≤ 4) retrieves only neighbors sharing its `label` —
     * the tenant/category-scoped retrieval every production vector store

@@ -338,6 +338,49 @@ object TextAnalysis {
        |    / (CAST(epochs AS DOUBLE) * CAST(unique_tokens AS DOUBLE)), 6) AS value_ratio
        |FROM pl ORDER BY source""".stripMargin
 
+  /** q165 — POST-DEDUP mixture shift: q156/q161 plan mixtures over the
+    * RAW corpus, but near-dup removal is not source-neutral — a domain
+    * full of mirrors and syndication loses far more token mass than a
+    * clean one, so every mixture weight computed pre-dedup is wrong by
+    * the removal skew. This report joins the near-dup survivor verdicts
+    * (q120's rule: per cluster keep the most-token member, tie smallest
+    * id; unclustered docs always survive) back into the per-source
+    * rollup and emits raw vs kept token shares with the signed delta —
+    * the correction a pipeline applies between its dedup pass and its
+    * sampler.
+    *
+    * Scale shape: survivors come from the persisted cluster-label
+    * artifact (one anti-join over the label table, which is
+    * pair-graph-sized, not corpus-sized); the rollup is q156's one
+    * corpus groupBy with map-side token counts; share math over the
+    * source-count-bounded aggregate. */
+  def postDedupMixture(spark: SparkSession, dir: String): DataFrame = {
+    val surv = Dedup.dedupSurvivors(spark, dir)
+      .select(col("survivor_doc_id").as("doc_id"))
+    val dropped = Dedup.nearDupLabels(spark, dir).select("doc_id")
+      .join(surv, Seq("doc_id"), "left_anti")
+      .withColumn("drp", lit(1))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(expr(toksExpr)).cast("long").as("tok"))
+    val g = perDoc.join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_raw"),
+        sum(when(col("drp").isNull, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("tok")).as("tokens_raw"),
+        sum(when(col("drp").isNull, col("tok")).otherwise(0L)).as("tokens_kept"))
+    val all = Window.partitionBy()
+    val shareRaw = col("tokens_raw").cast("double") / col("tr").cast("double")
+    val shareKept = col("tokens_kept").cast("double") / col("tk").cast("double")
+    g.withColumn("tr", sum(col("tokens_raw")).over(all))
+      .withColumn("tk", sum(col("tokens_kept")).over(all))
+      .select(col("source"), col("n_docs_raw"), col("n_docs_kept"),
+        col("tokens_raw"), col("tokens_kept"),
+        round(shareRaw, 6).as("share_raw"),
+        round(shareKept, 6).as("share_kept"),
+        round(shareKept - shareRaw, 6).as("share_delta"))
+      .orderBy("source")
+  }
+
   /** Document fingerprints: raw md5, whitespace-normalized md5, and a
     * 64-char-prefix hash (cheap shingle-free near-dup prefilter). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =

@@ -416,6 +416,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(matched.subsetOf(trulyMatched), "isolation audit counted a false match")
   }
 
+  test("q166 cell balance: populations partition the corpus; factor and verdict replay") {
+    val rows = Similarity.ivfCellBalance(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = rows.map(_.getLong(1)).sum
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(total === n, "every vector lands in exactly one cell")
+    val nc = rows.length.toLong
+    rows.foreach { r =>
+      val (cell, nv) = (r.getLong(0), r.getLong(1))
+      assert(cell >= 0 && cell < 16)
+      assert(math.abs(r.getDouble(2) - nv.toDouble / total) < 1e-6, "share")
+      assert(math.abs(r.getDouble(3) - nv.toDouble * nc / total) < 1e-6, "balance factor")
+      assert(r.getBoolean(4) === (nv * nc > total * 2), "overloaded verdict")
+    }
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-5, "shares partition")
+  }
+
   test("q162 filtered ANN: label-pure, equals the same-label cut of the unfiltered probe, n_found honest") {
     val res = Similarity.annIvfFilteredTopK(spark, sf0001).collect()
     assert(res.nonEmpty)

@@ -547,6 +547,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 1L), "no source repeats under a 2x budget")
   }
 
+  test("q165: kept set replays from the survivor rule; shares partition both corpora") {
+    val rows = TextAnalysis.postDedupMixture(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver replay of the dropped set: cluster members minus survivors
+    val survivors = graft.operators.Dedup.dedupSurvivors(spark, sf0001)
+      .select("survivor_doc_id").collect().map(_.getLong(0)).toSet
+    val members = graft.operators.Dedup.nearDupLabels(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = members -- survivors
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split("\\s+", -1).length.toLong))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.length === bySrc.size)
+    val totRaw = docs.map(_._3).sum
+    val totKept = docs.collect { case (id, _, t) if !dropped(id) => t }.sum
+    rows.foreach { r =>
+      val ds = bySrc(r.getString(0))
+      val kept = ds.filterNot(d => dropped(d._1))
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === kept.length.toLong)
+      assert(r.getLong(3) === ds.map(_._3).sum)
+      assert(r.getLong(4) === kept.map(_._3).sum)
+      assert(math.abs(r.getDouble(7) -
+        (r.getLong(4).toDouble / totKept - r.getLong(3).toDouble / totRaw)) < 1e-6)
+    }
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-5)
+    assert(math.abs(rows.map(_.getDouble(6)).sum - 1.0) < 1e-5)
+    // dedup actually removes mass, and the shift is visible somewhere
+    assert(dropped.nonEmpty && rows.exists(_.getDouble(7) != 0.0),
+      "fixture carries no dedup-induced mixture shift")
+  }
+
   test("q158: duplication fractions match a token-level driver recompute; the plan is shuffle-free") {
     val df = TextAnalysis.duplicationFractions(spark, sf0001)
     val out = df.collect()
