@@ -46,7 +46,8 @@ object Bench {
     "q73_semantic_dedup",           // persisted semdedup label table (r14)
     "q159_ivfpq_compaction",        // compacted v2 index (r14)
     "q105_span_dedup_rewrite",      // persisted span-rewrite table (r14)
-    "q58_price_quantiles_approx")   // exact-quantile audit table (r14)
+    "q58_price_quantiles_approx",   // exact-quantile audit table (r14)
+    "q160_embedding_isolation")     // full-corpus emb_pairs table (r14)
 
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four
   // queries 4-12x over their isolated floors with no in-run evidence of

@@ -118,6 +118,7 @@ object SparkEntry {
     "q74_bloom_incremental_dedup" -> ((s, d) => Dedup.bloomIncrementalDedup(s, d)),
     "q28_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(s, d)),
     "q163_cross_source_dup_mass" -> ((s, d) => Dedup.crossSourceDupMass(s, d)),
+    "q167_dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "q135_containment_dedup" -> ((s, d) => Dedup.containmentDedup(s, d)),
     "q61_dup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q120_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
@@ -1751,6 +1752,29 @@ object SparkEntry {
         |        / CAST(SUM(n_dup_pairs) OVER () AS DOUBLE), 6) AS pair_share,
         |  (source_a <> source_b) AS is_cross
         |FROM g ORDER BY source_a, source_b""".stripMargin),
+    // Threshold operating curve: the q28 chain's (inter, n1, n2) pair
+    // core re-derived from raw text, integer-permille Jaccard, one row
+    // per candidate cutoff. Mirrors Dedup.dedupThresholdSweep (which
+    // reads the pair_stats artifact; this re-gates it every verify run).
+    "q167_dedup_threshold_sweep" ->
+      (q28ChainSql +
+        s""",
+        |jpc AS (SELECT d1, d2, (1000 * inter) // (s1.n + s2.n - inter) AS jp
+        |        FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id),
+        |dmx AS (SELECT doc_id, MAX(jp) AS mj FROM
+        |          (SELECT d1 AS doc_id, jp FROM jpc UNION ALL SELECT d2, jp FROM jpc)
+        |        GROUP BY 1),
+        |dmc AS (SELECT dmx.doc_id, dmx.mj, d.n_chars FROM dmx
+        |        JOIN documents d USING (doc_id)),
+        |ths AS (SELECT unnest([${operators.Dedup.SweepThresholds.mkString(", ")}]) AS th)
+        |SELECT CAST(th AS BIGINT) AS threshold_permille,
+        |  CAST((SELECT COUNT(*) FROM jpc WHERE jp >= th) AS BIGINT) AS n_pairs,
+        |  CAST((SELECT COUNT(*) FROM dmc WHERE mj >= th) AS BIGINT) AS n_docs_flagged,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM dmc WHERE mj >= th) AS BIGINT)
+        |    AS flagged_chars,
+        |  ROUND(CAST((SELECT COALESCE(SUM(n_chars), 0) FROM dmc WHERE mj >= th) AS DOUBLE)
+        |    / (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents), 6) AS flagged_char_share
+        |FROM ths ORDER BY threshold_permille""".stripMargin),
     // Connected components over the near-dup pair graph: DuckDB computes
     // the transitive closure with a recursive CTE (min reachable doc_id =
     // the component id Spark's star-contraction CC converges to).

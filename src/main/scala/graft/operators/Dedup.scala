@@ -346,6 +346,60 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Jaccard thresholds (permille) swept by [[dedupThresholdSweep]]. */
+  val SweepThresholds: Seq[Long] = Seq(500L, 600L, 700L, 800L, 900L)
+
+  /** q167 — dedup threshold OPERATING CURVE: for each candidate Jaccard
+    * cutoff, the pair count, the distinct documents any such pair
+    * touches, and the character mass those documents carry — the table a
+    * curator reads to PICK the threshold (q28 hardcodes 0.6; this shows
+    * what 0.5 vs 0.9 would flag and how much corpus mass is at stake,
+    * the sweep Lee et al. 2022 §4 run before fixing their cutoff).
+    * Jaccard here is the exact integer permille `(1000·inter) div
+    * union` so every cell is arithmetic-exact cross-engine.
+    *
+    * Scale shape: the candidate set is the persisted df-capped pair
+    * artifact (pair-graph-sized, NOT corpus-sized); per-doc max-Jaccard
+    * folds the pair endpoints once (so the sweep is conditional
+    * aggregation over one bounded table, not five scans); the only
+    * corpus touches are one n_chars equi-join against the flagged docs
+    * and one 1-row total-chars aggregate. The two crossJoins are 1-row
+    * scalar broadcasts (the PlanGuard-allowlisted pattern). */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ps = filteredPairStats(spark, dir)
+      .select(col("d1"), col("d2"),
+        expr("(1000L * inter) div (n1 + n2 - inter)").as("jp"))
+    val docMax = ps.select(col("d1").as("doc_id"), col("jp"))
+      .union(ps.select(col("d2").as("doc_id"), col("jp")))
+      .groupBy("doc_id").agg(max(col("jp")).as("mj"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val pairAgg = ps.agg(
+      SweepThresholds.map(t =>
+        sum(when(col("jp") >= t, 1L).otherwise(0L)).as(s"p$t")).head,
+      SweepThresholds.map(t =>
+        sum(when(col("jp") >= t, 1L).otherwise(0L)).as(s"p$t")).tail: _*)
+    val docAgg = docMax.agg(
+      SweepThresholds.flatMap(t => Seq(
+        sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"d$t"),
+        sum(when(col("mj") >= t, col("n_chars")).otherwise(0L)).as(s"c$t"))).head,
+      SweepThresholds.flatMap(t => Seq(
+        sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"d$t"),
+        sum(when(col("mj") >= t, col("n_chars")).otherwise(0L)).as(s"c$t"))).tail: _*)
+    val total = Tables.documents(spark, dir).agg(sum(col("n_chars")).as("total_chars"))
+    val stackArgs = SweepThresholds
+      .map(t => s"${t}L, p$t, d$t, c$t").mkString(", ")
+    pairAgg.crossJoin(broadcast(docAgg)).crossJoin(broadcast(total))
+      .selectExpr(
+        s"stack(${SweepThresholds.length}, $stackArgs) AS " +
+          "(threshold_permille, n_pairs, n_docs_flagged, flagged_chars)",
+        "total_chars")
+      .select(col("threshold_permille"), col("n_pairs"), col("n_docs_flagged"),
+        col("flagged_chars"),
+        round(col("flagged_chars").cast("double") / col("total_chars").cast("double"), 6)
+          .as("flagged_char_share"))
+      .orderBy("threshold_permille")
+  }
+
   /** Containment threshold (permille of the contained side's set). */
   val ContainmentPermille = 800L
 

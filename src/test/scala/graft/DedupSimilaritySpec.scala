@@ -464,6 +464,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q167: threshold sweep matches a driver recompute over df-filtered shingles; curve is monotone") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def sh(t: String): Set[String] = {
+      val tk = t.split("\\s+", -1)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val raw = docs.map { case (id, t, _) => id -> sh(t) }.toMap
+    val df = raw.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val kept = raw.view.mapValues(_.filter(s => df(s) <= Dedup.MaxShingleDf)).toMap
+    // pairs via a driver inverted index (mirrors the posting-list core)
+    val postings = kept.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val inter = scala.collection.mutable.Map[(Long, Long), Long]()
+    postings.foreach { ds =>
+      for (i <- ds.indices; jx <- i + 1 until ds.length)
+        inter((ds(i), ds(jx))) = inter.getOrElse((ds(i), ds(jx)), 0L) + 1L
+    }
+    val jp = inter.toSeq.map { case ((d1, d2), in) =>
+      (d1, d2, 1000L * in / (kept(d1).size + kept(d2).size - in))
+    }
+    val chars = docs.map(d => d._1 -> d._3).toMap
+    val totalChars = docs.map(_._3).sum
+    val rows = Dedup.dedupThresholdSweep(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Dedup.SweepThresholds)
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val hits = jp.filter(_._3 >= t)
+      val flagged = (hits.map(_._1) ++ hits.map(_._2)).distinct
+      assert(r.getLong(1) === hits.length.toLong, s"n_pairs at $t")
+      assert(r.getLong(2) === flagged.length.toLong, s"n_docs_flagged at $t")
+      assert(r.getLong(3) === flagged.map(chars).sum, s"flagged_chars at $t")
+      assert(math.abs(r.getDouble(4) - flagged.map(chars).sum.toDouble / totalChars) < 1e-6)
+    }
+    // the operating curve is monotone non-increasing in the threshold
+    val curve = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 >= b._1 && a._2 >= b._2 && a._3 >= b._3, "curve not monotone")
+    }
+    // the sweep actually discriminates: the loosest cut flags more than the tightest
+    assert(curve.head._1 > curve.last._1, "fixture gives a flat curve — thresholds indistinguishable")
+  }
+
   test("connected components: a 200-deep chain converges in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // a path graph 0-1-2-...-200: min-label propagation needed one round
