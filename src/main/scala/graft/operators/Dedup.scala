@@ -626,6 +626,48 @@ object Dedup {
     (labels, converged, iters)
   }
 
+  /** Edge-count bound below which a quotient/batch graph is solved in
+    * ONE task instead of O(log n) contraction rounds: 5 M canonical
+    * edges is ~80 MB of paired longs — comfortable for a single
+    * union-find pass, while each contraction ROUND costs a fixed
+    * scheduling quantum (job launch + 3 shuffles) that dwarfs the
+    * actual work on graphs this small. Above the cap the alternating
+    * star contraction takes over unchanged. */
+  val SmallGraphEdgeCap = 5000000L
+
+  /** Connected components of a SMALL canonical edge set (src > dst,
+    * deduped) in one task: union-find over the coalesced edge iterator
+    * via `mapPartitions` — still the distributed API (no driver
+    * collect; the task runs wherever the single partition lands), with
+    * roots always at the component MINIMUM id so labels are identical
+    * to [[connectedComponents]]'s fixpoint (union points the larger
+    * root at the smaller, so every tree root is its component's min).
+    * Callers gate on [[SmallGraphEdgeCap]] and fall back to the star
+    * contraction — see [[incrementalClusters]]. */
+  private[graft] def ccSingleTask(canonicalEdges: DataFrame): DataFrame = {
+    val spark = canonicalEdges.sparkSession
+    import spark.implicits._
+    canonicalEdges.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+        }
+        parent.keysIterator.map(v => (v, find(v))).toArray.iterator
+      }
+      .toDF("id", "comp")
+  }
+
   /** Persisted near-dup label table — the "compute clusters once, reuse
     * everywhere" production shape: pair generation + star contraction run
     * one time per corpus content-fingerprint and land as a (doc_id,
@@ -1232,7 +1274,20 @@ object Dedup {
     // represented by its component id, an unlabeled one by itself
     val e = bc.join(labels.withColumnRenamed("doc_id", "cd"), Seq("cd"), "left")
       .select(col("bd").as("src"), coalesce(col("comp_id"), col("cd")).as("dst"))
-    val (qlabels, _, _) = connectedComponents(e, MaxCcIters)
+    // quotient graphs are batch-bounded by construction, so nearly every
+    // increment fits [[SmallGraphEdgeCap]] and folds in ONE task — each
+    // contraction ROUND costs a fixed scheduling quantum that dominated
+    // this query's warm cost (driver r14: 2.9 s, ~80% contraction
+    // rounds). The count rides the already-materialized checkpoint; an
+    // over-cap increment takes the O(log n) star contraction unchanged.
+    val eCanon = e.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    val qlabels =
+      (if (eCanon.count() <= SmallGraphEdgeCap) ccSingleTask(eCanon)
+       else connectedComponents(eCanon, MaxCcIters)._1)
+        .localCheckpoint(true)
     val remap = qlabels.select(col("id").as("comp_id"), col("comp").as("new_comp"))
     val corpusOut = labels.join(broadcast(remap), Seq("comp_id"), "left")
       .select(col("doc_id"), coalesce(col("new_comp"), col("comp_id")).as("comp_id"))

@@ -552,6 +552,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = comps.flatMap(vs => vs.map(_ -> vs.min)).toMap
     assert(got === want)
+    // the single-task union-find (q149's under-cap fast path) labels the
+    // SAME canonical edge set identically to the star contraction
+    val canon = edges.toDF("src", "dst")
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val fast = graft.operators.Dedup.ccSingleTask(canon).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === want, "ccSingleTask diverged from the contraction labels")
   }
 
   test("incremental near-dup: the probe shuffles ONLY the batch; index side reads bucketed") {
