@@ -499,12 +499,18 @@ object Dedup {
       .distinct()
       .join(stop, Seq("gh"), "left_anti")
     val n1 = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
-    val inter = bsh
-      .join(postings.withColumnRenamed("doc_id", "d2"), Seq("gh"))
+    // the BATCH side broadcasts (it is the batch-proportional side by
+    // construction); the corpus-sized posting table is then scanned in
+    // place with a map-side hash join — no corpus shuffle per increment.
+    // An increment too large to broadcast would flip this to the
+    // bucketed-index probe (the q72 layout); the per-micro-batch
+    // streaming twin is always far under the threshold.
+    val inter = postings.withColumnRenamed("doc_id", "d2")
+      .join(broadcast(bsh), Seq("gh"))
       .groupBy(col("doc_id").as("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n1.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+    // pair-bounded side broadcasts again: sizes stays an unshuffled scan
+    broadcast(inter.join(n1.withColumnRenamed("doc_id", "d1"), Seq("d1")))
       .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         expr("(1000L * inter) div n1").as("cont1_permille"),
