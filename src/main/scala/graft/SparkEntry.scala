@@ -153,6 +153,7 @@ object SparkEntry {
     "q160_embedding_isolation" -> ((s, d) => Similarity.embeddingIsolation(s, d)),
     "q162_filtered_ann"   -> ((s, d) => Similarity.annIvfFilteredTopK(s, d)),
     "q166_ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(s, d)),
+    "q168_modality_skew"  -> ((s, d) => Similarity.modalitySkew(s, d)),
     "q73_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q81_quantized_ann"   -> ((s, d) => Similarity.quantizedAnnTopK(s, d)),
     // Multimodal codec-free decode pipeline + CLF parity fixtures
@@ -1775,6 +1776,29 @@ object SparkEntry {
         |  ROUND(CAST((SELECT COALESCE(SUM(n_chars), 0) FROM dmc WHERE mj >= th) AS DOUBLE)
         |    / (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents), 6) AS flagged_char_share
         |FROM ths ORDER BY threshold_permille""".stripMargin),
+    // Modality-skew audit: the q28 text pairs joined against the
+    // embedding table (vec_id = doc_id), exact-decimal cosine per pair
+    // (the q34 DECIMAL(18,12) routing), three-way status. Mirrors
+    // Similarity.modalitySkew (which reads the pair_stats artifact; the
+    // oracle re-derives the text chain from raw text).
+    "q168_modality_skew" ->
+      (q28ChainSql +
+        s""",
+        |tp AS (SELECT d1, d2, ROUND(j, 6) AS jaccard FROM j WHERE j >= 0.6),
+        |uz AS (SELECT tp.d1, tp.d2, unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |       FROM tp JOIN embeddings a ON a.vec_id = tp.d1
+        |                JOIN embeddings b ON b.vec_id = tp.d2),
+        |cs AS (SELECT d1, d2,
+        |         CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE)
+        |           / (sqrt(CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE))
+        |            * sqrt(CAST(ROUND(SUM(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(18,12))), 12) AS DOUBLE))) AS cos_sim
+        |       FROM uz GROUP BY 1, 2)
+        |SELECT tp.d1, tp.d2, tp.jaccard, cs.cos_sim,
+        |  CASE WHEN cs.cos_sim IS NULL THEN 'missing_embedding'
+        |       WHEN cs.cos_sim >= ${operators.Similarity.SkewCosineFloor} THEN 'aligned'
+        |       ELSE 'skewed' END AS status
+        |FROM tp LEFT JOIN cs ON tp.d1 = cs.d1 AND tp.d2 = cs.d2
+        |ORDER BY tp.d1, tp.d2""".stripMargin),
     // Connected components over the near-dup pair graph: DuckDB computes
     // the transitive closure with a recursive CTE (min reachable doc_id =
     // the component id Spark's star-contraction CC converges to).

@@ -300,6 +300,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Embedding-space agreement threshold for [[modalitySkew]] — the
+    * corpus's established near-dup cosine cut (q34/q34b). */
+  val SkewCosineFloor = 0.4
+
+  /** q168 — MODALITY-SKEW audit: for every near-dup TEXT pair (q28's
+    * exact-Jaccard verdicts), does the EMBEDDING table agree? A pipeline
+    * that re-crawls text but back-fills embeddings asynchronously drifts
+    * the two representations apart; every downstream consumer that mixes
+    * them (semantic dedup q73, ANN serving, cluster-safe splits) then
+    * acts on stale vectors. Per pair: the exact-decimal cosine and a
+    * three-way status — `aligned` (cosine ≥ [[SkewCosineFloor]]),
+    * `skewed` (near-dup text, far embeddings → re-embed these rows), or
+    * `missing_embedding` (one endpoint has no vector yet — the backfill
+    * backlog; at sf0.1 the embedding table genuinely covers only part of
+    * the corpus, so this leg carries live rows, not zeros).
+    *
+    * Scale shape: the pair set is the persisted artifact-backed q28
+    * candidate set (pair-graph-bounded); it BROADCASTS into two
+    * equi-joins against the embeddings scan, and every decimal fold
+    * (dot + both norms) runs POST-join on pair rows only — the q153
+    * lesson: never compute an interpreted per-row fold on the probe
+    * side of a broadcast join. */
+  def modalitySkew(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupJaccard(spark, dir)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val withE = broadcast(pairs)
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"), "left")
+    val both = broadcast(withE)
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"), "left")
+    val cos = expr(dotDec("e1", "e2")) /
+      (sqrt(expr(dotDec("e1", "e1"))) * sqrt(expr(dotDec("e2", "e2"))))
+    both
+      .select(col("d1"), col("d2"), col("jaccard"),
+        when(col("e1").isNotNull && col("e2").isNotNull, cos).as("cos_sim"))
+      .withColumn("status",
+        when(col("cos_sim").isNull, "missing_embedding")
+          .when(col("cos_sim") >= SkewCosineFloor, "aligned")
+          .otherwise("skewed"))
+      .orderBy("d1", "d2")
+  }
+
   /** IVF parameters: [[NumCells]] fixed unit-norm pseudo-centroids from
     * the LCG partition the space into Voronoi cells (by cosine = max dot
     * with a unit centroid). Production IVF would k-means these on a

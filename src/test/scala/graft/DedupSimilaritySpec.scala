@@ -510,6 +510,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(curve.head._1 > curve.last._1, "fixture gives a flat curve — thresholds indistinguishable")
   }
 
+  test("q168: per-pair cosine matches an exact-decimal driver recompute; statuses replay") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec(rows: Seq[Float], other: Seq[Float]): Double =
+      rows.zip(other).foldLeft(JBD.ZERO) { case (acc, (x, y)) =>
+        acc.add(new JBD(x.toDouble * y.toDouble).setScale(12, RoundingMode.HALF_UP))
+      }.setScale(12, RoundingMode.HALF_UP).doubleValue
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pairs = Dedup.nearDupJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val out = Similarity.modalitySkew(spark, sf0001).collect()
+    assert(out.length === pairs.length, "every text pair gets a verdict row")
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === pairs)
+    out.foreach { r =>
+      (embs.get(r.getLong(0)), embs.get(r.getLong(1))) match {
+        case (Some(a), Some(b)) =>
+          val cos = dec(a, b) / (math.sqrt(dec(a, a)) * math.sqrt(dec(b, b)))
+          assert(r.getDouble(3) === cos, s"pair ${r.getLong(0)}-${r.getLong(1)}")
+          assert(r.getString(4) ===
+            (if (cos >= Similarity.SkewCosineFloor) "aligned" else "skewed"))
+        case _ =>
+          assert(r.isNullAt(3) && r.getString(4) === "missing_embedding")
+      }
+    }
+    assert(out.nonEmpty, "fixture carries no near-dup text pairs")
+    // at sf0.1 the embedding table genuinely lags the corpus (vec_ids
+    // 0-1999 of 5000 docs): the missing leg must replay exactly as the
+    // coverage cut, and must be LIVE (non-zero), not a vacuous branch
+    val sf01 = "/root/testdata/sf0.1"
+    val covered = graft.sources.Tables.embeddings(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val out01 = Similarity.modalitySkew(spark, sf01).collect()
+    val missing = out01.count(_.getString(4) == "missing_embedding")
+    val expectMissing = out01.count(r =>
+      !covered(r.getLong(0)) || !covered(r.getLong(1)))
+    assert(missing === expectMissing)
+    assert(missing > 0, "sf0.1 coverage gap vanished — the missing leg is untested")
+    assert(out01.exists(_.getString(4) != "missing_embedding"),
+      "no pair with both embeddings present at sf0.1")
+  }
+
   test("connected components: a 200-deep chain converges in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // a path graph 0-1-2-...-200: min-label propagation needed one round
