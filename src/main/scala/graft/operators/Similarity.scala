@@ -317,23 +317,30 @@ object Similarity {
     * the corpus, so this leg carries live rows, not zeros).
     *
     * Scale shape: the pair set is the persisted artifact-backed q28
-    * candidate set (pair-graph-bounded); it BROADCASTS into two
-    * equi-joins against the embeddings scan, and every decimal fold
-    * (dot + both norms) runs POST-join on pair rows only — the q153
-    * lesson: never compute an interpreted per-row fold on the probe
-    * side of a broadcast join. */
+    * candidate set (pair-graph-bounded); it BROADCASTS as the build
+    * side of two INNER joins that stream the embeddings scan (a
+    * left-outer cannot build its preserved side, and broadcasting the
+    * corpus-sized embeddings instead would be the 100 TB scale bug —
+    * so the missing leg is recovered separately by a broadcast
+    * anti-join against the pair-bounded matched keys). Every decimal
+    * fold (dot + both norms) runs POST-join on pair rows only — the
+    * q153 lesson: never compute an interpreted per-row fold on the
+    * probe side of a broadcast join. */
   def modalitySkew(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.nearDupJaccard(spark, dir)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val withE = broadcast(pairs)
-      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"), "left")
-    val both = broadcast(withE)
-      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"), "left")
     val cos = expr(dotDec("e1", "e2")) /
       (sqrt(expr(dotDec("e1", "e1"))) * sqrt(expr(dotDec("e2", "e2"))))
-    both
+    val present = e.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .join(broadcast(pairs), Seq("d1"))
+    val both = e.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+      .join(broadcast(present), Seq("d2"))
+      .select(col("d1"), col("d2"), col("jaccard"), cos.as("cos_sim"))
+    val missing = pairs
+      .join(broadcast(both.select("d1", "d2")), Seq("d1", "d2"), "left_anti")
       .select(col("d1"), col("d2"), col("jaccard"),
-        when(col("e1").isNotNull && col("e2").isNotNull, cos).as("cos_sim"))
+        lit(null).cast("double").as("cos_sim"))
+    both.unionByName(missing)
       .withColumn("status",
         when(col("cos_sim").isNull, "missing_embedding")
           .when(col("cos_sim") >= SkewCosineFloor, "aligned")
