@@ -187,6 +187,7 @@ object SparkEntry {
     "q165_post_dedup_mixture" -> ((s, d) => TextAnalysis.postDedupMixture(s, d)),
     "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
     "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
+    "q169_balanced_shards" -> ((s, d) => TextAnalysis.balancedShards(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -2951,6 +2952,10 @@ object SparkEntry {
     // Gopher duplication-fraction metrics (occurrence-mass half; q64
     // covers the top-element half) + composite flag.
     "q158_duplication_fractions" -> operators.TextAnalysis.duplicationFractionsOracleSql,
+    // Mass-balanced export shards: exact global token prefix sum (q71's
+    // distributed machinery; the oracle's flat window), contiguous
+    // integer-exact shard boundaries, per-shard skew factor.
+    "q169_balanced_shards" -> operators.TextAnalysis.balancedShardsOracleSql,
     // Per-cell compaction report; flagged cells rewritten tombstone-free
     // into the v2 index (spec pins v2 = v1 minus flagged-cell dead rows).
     "q159_ivfpq_compaction" -> operators.Similarity.ivfPqCompactionOracleSql(),

@@ -1078,6 +1078,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shard count for [[balancedShards]]. */
+  val NumBalancedShards = 8L
+
+  /** q169 — MASS-balanced export shards: assign documents (in doc_id
+    * order) to [[NumBalancedShards]] contiguous shards carrying ~equal
+    * TOKEN mass, and report each shard's boundaries, mass, and skew
+    * factor. `repartitionByRange` balances ROW counts and q83's hash
+    * shards balance nothing per-shard deterministic — but training jobs
+    * consume shards as units of WORK, which is token mass: a shard twice
+    * as heavy as its siblings is the straggler that idles the rest of
+    * the fleet. shard_id = (cum_before · S) div total over the exact
+    * global token prefix sum, so shards are contiguous by construction
+    * and every boundary is integer-exact.
+    *
+    * Scale shape: q71's distributed prefix-sum machinery verbatim —
+    * parallel within-bucket running sums + [[PrefixSum.exclusive]] over
+    * the bucket totals (auto-stacking levels at 100 TB); the corpus
+    * total rides the BOUNDED bucket-totals table, not a second corpus
+    * scan; the final rollup is an S-row groupBy. */
+  def balancedShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = PackBucket
+    val estDocs = math.max(1L,
+      graft.sources.Bucketing.sourceFiles(dir, Seq("documents")).map(_.length).sum / 16)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("tok"),
+        floor(col("doc_id") / width).as("bkt"))
+    val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = docs.withColumn("loc", coalesce(sum(col("tok")).over(inBkt), lit(0L)))
+    val btot = docs.groupBy("bkt").agg(sum(col("tok")).as("bkt_total"))
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = PrefixSum.exclusive(btot, "bkt", "bkt_total", width, estDocs / width + 1)
+      .withColumnRenamed("off", "bkt_offset")
+      .join(btot.withColumn("total", sum(col("bkt_total")).over(whole))
+        .select("bkt", "total"), Seq("bkt"))
+    val s = NumBalancedShards
+    withLocal.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_before", col("bkt_offset") + col("loc"))
+      .withColumn("shard_id", expr(s"(cum_before * $s) div total"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"),
+        sum(col("tok")).as("shard_tokens"),
+        max(col("total")).as("t"))
+      .select(col("shard_id"), col("n_docs"), col("first_doc_id"), col("last_doc_id"),
+        col("shard_tokens"),
+        round(col("shard_tokens").cast("double") / col("t").cast("double"), 6)
+          .as("token_share"),
+        round(col("shard_tokens").cast("double") * s.toDouble / col("t").cast("double"), 6)
+          .as("skew_factor"))
+      .orderBy("shard_id")
+  }
+
+  /** DuckDB oracle for q169 — flat window prefix sum, same integer
+    * shard assignment. */
+  def balancedShardsOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok FROM documents),
+       |o AS (SELECT doc_id, tok,
+       |  COALESCE(SUM(tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |  (SELECT SUM(tok) FROM d) AS total FROM d),
+       |sh AS (SELECT doc_id, tok, (cb * $NumBalancedShards) // total AS shard_id, total FROM o),
+       |g AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc_id,
+       |  CAST(SUM(tok) AS BIGINT) AS shard_tokens,
+       |  CAST(MAX(total) AS BIGINT) AS t FROM sh GROUP BY 1)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, first_doc_id, last_doc_id,
+       |  shard_tokens,
+       |  ROUND(CAST(shard_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS token_share,
+       |  ROUND(CAST(shard_tokens AS DOUBLE) * $NumBalancedShards / CAST(t AS DOUBLE), 6) AS skew_factor
+       |FROM g ORDER BY shard_id""".stripMargin
+
   /** Heavy-hitter threshold denominator for [[heavyHitterTokens]]: report
     * every token whose corpus frequency exceeds total/HhK. */
   val HhK = 100

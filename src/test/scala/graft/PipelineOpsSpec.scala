@@ -1610,6 +1610,40 @@ class PipelineOpsSpec extends SparkSpec {
       "unrelated text should not collide with both (sanity, not a hard guarantee)")
   }
 
+  test("q169: shard assignment matches a flat driver prefix sum; shards are contiguous and mass-balanced") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1).length.toLong))
+      .sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val s = TextAnalysis.NumBalancedShards
+    var cum = 0L
+    val assign = docs.map { case (id, tok) =>
+      val sid = cum * s / total; cum += tok; (sid, id, tok)
+    }
+    val byShard = assign.groupBy(_._1)
+    val rows = TextAnalysis.balancedShards(spark, sf0001).collect()
+    assert(rows.length === byShard.size)
+    rows.foreach { r =>
+      val ds = byShard(r.getLong(0))
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === ds.map(_._2).min)
+      assert(r.getLong(3) === ds.map(_._2).max)
+      assert(r.getLong(4) === ds.map(_._3).sum)
+    }
+    // shards are CONTIGUOUS doc ranges in shard order, cover the corpus,
+    // and the mass balance is real (every skew factor within 2x of fair)
+    val ordered = rows.sortBy(_.getLong(0))
+    ordered.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2), "shard ranges overlap or disorder")
+    }
+    assert(ordered.map(_.getLong(4)).sum === total)
+    assert(ordered.map(_.getLong(1)).sum === docs.length.toLong)
+    ordered.foreach(r => assert(r.getDouble(6) > 0.5 && r.getDouble(6) < 2.0,
+      s"shard ${r.getLong(0)} skew ${r.getDouble(6)} — balance is broken"))
+    assert(rows.length.toLong === s, "fixture fills fewer shards than configured")
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
