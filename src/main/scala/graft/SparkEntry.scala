@@ -188,6 +188,7 @@ object SparkEntry {
     "q157_cell_representatives" -> ((s, d) => Similarity.cellRepresentatives(s, d)),
     "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
     "q169_balanced_shards" -> ((s, d) => TextAnalysis.balancedShards(s, d)),
+    "q170_padding_waste"  -> ((s, d) => TextAnalysis.paddingWaste(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -2956,6 +2957,9 @@ object SparkEntry {
     // distributed machinery; the oracle's flat window), contiguous
     // integer-exact shard boundaries, per-shard skew factor.
     "q169_balanced_shards" -> operators.TextAnalysis.balancedShardsOracleSql,
+    // Padding waste under pow2 length-bucketed batching vs pad-to-max;
+    // integer-exact pow2 ceiling via the bit-length identity.
+    "q170_padding_waste" -> operators.TextAnalysis.paddingWasteOracleSql,
     // Per-cell compaction report; flagged cells rewritten tombstone-free
     // into the v2 index (spec pins v2 = v1 minus flagged-cell dead rows).
     "q159_ivfpq_compaction" -> operators.Similarity.ivfPqCompactionOracleSql(),

@@ -1154,6 +1154,74 @@ object TextAnalysis {
        |  ROUND(CAST(shard_tokens AS DOUBLE) * $NumBalancedShards / CAST(t AS DOUBLE), 6) AS skew_factor
        |FROM g ORDER BY shard_id""".stripMargin
 
+  /** Smallest padding bucket for [[paddingWaste]] — very short docs
+    * share one bucket instead of fragmenting into 1/2/4/8. */
+  val MinPadBucket = 16L
+
+  /** q170 — PADDING-WASTE report for length-bucketed batching: assign
+    * each document to the smallest power-of-two token bucket ≥ its
+    * length (floored at [[MinPadBucket]]) and report, per bucket, the
+    * docs, real tokens, padding tokens, and waste fraction — plus the
+    * corpus-wide waste a FIXED pad-to-max policy would pay, the number
+    * that justifies bucketing at all. Inference/eval batching pads every
+    * sequence in a batch to a common length; tokens spent on pad are
+    * compute burned on nothing, and at fleet scale the gap between
+    * pad-to-max and pow2 buckets is a double-digit share of the bill.
+    * q71 packs for TRAINING (concat-and-chunk); this is the serving-side
+    * complement where documents must stay separate.
+    *
+    * The pow2 ceiling is integer-exact cross-engine via the bit-length
+    * identity `1 << length(bin(tok − 1))` (Spark and DuckDB `bin` both
+    * emit unpadded binary), so the gate carries no float log2.
+    *
+    * Scale shape: map-side bucket assignment, one bounded groupBy
+    * (≤ ~50 pow2 buckets for any real corpus), windows over the bounded
+    * aggregate only. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = Tables.documents(spark, dir)
+      .select(size(expr(toksExpr)).cast("long").as("tok"))
+      .withColumn("bucket_len",
+        greatest(lit(MinPadBucket),
+          expr("CASE WHEN tok <= 1 THEN 1L ELSE shiftleft(1L, length(bin(tok - 1))) END")))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("sum_tokens"),
+        max(col("tok")).as("max_tok"))
+    g.withColumn("padded_tokens", col("bucket_len") * col("n_docs") - col("sum_tokens"))
+      .withColumn("gmax", max(col("max_tok")).over(whole))
+      .withColumn("gdocs", sum(col("n_docs")).over(whole))
+      .withColumn("gtok", sum(col("sum_tokens")).over(whole))
+      .select(col("bucket_len"), col("n_docs"), col("sum_tokens"), col("padded_tokens"),
+        round(col("padded_tokens").cast("double")
+          / (col("bucket_len") * col("n_docs")).cast("double"), 6).as("waste_frac"),
+        round((col("gmax") * col("gdocs") - col("gtok")).cast("double")
+          / (col("gmax") * col("gdocs")).cast("double"), 6).as("fixed_pad_waste_frac"))
+      .orderBy("bucket_len")
+  }
+
+  /** DuckDB oracle for q170 — same bit-length pow2 ceiling. */
+  def paddingWasteOracleSql: String =
+    s"""WITH d AS (SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+       |  FROM documents),
+       |b AS (SELECT tok, GREATEST($MinPadBucket,
+       |  CASE WHEN tok <= 1 THEN 1 ELSE (1::BIGINT << length(bin(tok - 1))) END) AS bucket_len
+       | FROM d),
+       |g AS (SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens, CAST(MAX(tok) AS BIGINT) AS max_tok
+       | FROM b GROUP BY 1),
+       |t AS (SELECT g.*, CAST(bucket_len * n_docs - sum_tokens AS BIGINT) AS padded_tokens,
+       |  CAST(MAX(max_tok) OVER () AS BIGINT) AS gmax,
+       |  CAST(SUM(n_docs) OVER () AS BIGINT) AS gdocs,
+       |  CAST(SUM(sum_tokens) OVER () AS BIGINT) AS gtok FROM g)
+       |SELECT bucket_len, n_docs, sum_tokens, padded_tokens,
+       |  ROUND(CAST(padded_tokens AS DOUBLE) / CAST(bucket_len * n_docs AS DOUBLE), 6)
+       |    AS waste_frac,
+       |  ROUND(CAST(gmax * gdocs - gtok AS DOUBLE) / CAST(gmax * gdocs AS DOUBLE), 6)
+       |    AS fixed_pad_waste_frac
+       |FROM t ORDER BY bucket_len""".stripMargin
+
   /** Heavy-hitter threshold denominator for [[heavyHitterTokens]]: report
     * every token whose corpus frequency exceeds total/HhK. */
   val HhK = 100

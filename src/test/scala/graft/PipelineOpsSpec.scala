@@ -1644,6 +1644,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.length.toLong === s, "fixture fills fewer shards than configured")
   }
 
+  test("q170: padding waste matches a driver recompute; buckets are pow2 and bucketing beats pad-to-max") {
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select("text").collect()
+      .map(_.getString(0).split("\\s+", -1).length.toLong)
+    def pow2ceil(x: Long): Long =
+      if (x <= 1L) 1L else java.lang.Long.highestOneBit(x - 1L) << 1
+    val byBucket = toks.groupBy(t => math.max(TextAnalysis.MinPadBucket, pow2ceil(t)))
+    val gmax = toks.max
+    val fixedWaste = (gmax * toks.length - toks.sum).toDouble / (gmax * toks.length)
+    val rows = TextAnalysis.paddingWaste(spark, sf0001).collect()
+    assert(rows.length === byBucket.size)
+    rows.foreach { r =>
+      val b = r.getLong(0); val ds = byBucket(b)
+      assert((b & (b - 1)) === 0L, s"bucket $b is not a power of two")
+      ds.foreach(t => assert(t <= b, "doc longer than its bucket"))
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === ds.sum)
+      assert(r.getLong(3) === b * ds.length - ds.sum)
+      assert(math.abs(r.getDouble(4) - (b * ds.length - ds.sum).toDouble / (b * ds.length)) < 1e-6)
+      assert(math.abs(r.getDouble(5) - fixedWaste) < 1e-6)
+      // per-bucket pow2 padding never wastes half the bucket
+      assert(r.getDouble(4) < 0.5 + 1e-9)
+    }
+    // the report's reason to exist: bucketing beats pad-to-max overall
+    val totalPadded = rows.map(_.getLong(3)).sum
+    val totalBudget = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(totalPadded.toDouble / totalBudget < fixedWaste,
+      "pow2 bucketing failed to beat fixed pad-to-max on this corpus")
+  }
+
   test("q86: hashed sign projection matches an exact-decimal driver recompute") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val embs = graft.sources.Tables.embeddings(spark, sf0001)
