@@ -189,6 +189,7 @@ object SparkEntry {
     "q158_duplication_fractions" -> ((s, d) => TextAnalysis.duplicationFractions(s, d)),
     "q169_balanced_shards" -> ((s, d) => TextAnalysis.balancedShards(s, d)),
     "q170_padding_waste"  -> ((s, d) => TextAnalysis.paddingWaste(s, d)),
+    "q171_skew_advisor"   -> ((s, d) => Relational.skewAdvisor(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -2960,6 +2961,21 @@ object SparkEntry {
     // Padding waste under pow2 length-bucketed batching vs pad-to-max;
     // integer-exact pow2 ceiling via the bit-length identity.
     "q170_padding_waste" -> operators.TextAnalysis.paddingWasteOracleSql,
+    // Join-skew advisor: hottest join keys vs the fair per-key share,
+    // advised salt fanout. Mirrors Relational.skewAdvisor (top-k THEN
+    // the hot cut, same deterministic tie-break).
+    "q171_skew_advisor" ->
+      s"""WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS dk FROM c),
+        |t AS (SELECT c.l_orderkey, c.cnt, s.total // s.dk AS fair FROM c, s
+        |      ORDER BY c.cnt DESC, c.l_orderkey ASC LIMIT ${operators.Relational.SkewTopK})
+        |SELECT l_orderkey, cnt, fair,
+        |  (1000 * cnt) // fair AS ratio_permille,
+        |  LEAST(CAST(${operators.Relational.SkewMaxSalt} AS BIGINT),
+        |        (cnt + fair - 1) // fair) AS advised_salt
+        |FROM t WHERE cnt > ${operators.Relational.SkewHotFactor} * fair
+        |ORDER BY cnt DESC, l_orderkey ASC""".stripMargin,
     // Per-cell compaction report; flagged cells rewritten tombstone-free
     // into the v2 index (spec pins v2 = v1 minus flagged-cell dead rows).
     "q159_ivfpq_compaction" -> operators.Similarity.ivfPqCompactionOracleSql(),

@@ -261,6 +261,46 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** Hotness multiple over the fair per-key share at which
+    * [[skewAdvisor]] flags a key. */
+  val SkewHotFactor = 2L
+
+  /** Fanout ceiling the advisor will recommend (q42's demo factor). */
+  val SkewMaxSalt = 8L
+
+  /** Hot keys reported (top by count, deterministic tie-break). */
+  val SkewTopK = 10
+
+  /** q171 — join-skew ADVISOR: the pre-flight diagnostic that decides
+    * whether a join needs salting AT ALL and with what fanout — q42
+    * demonstrates the always-salt cost and q107 the differential join;
+    * this emits the REPORT both consume: the hottest join keys, each
+    * key's multiple of the fair per-key share (integer permille), and
+    * the advised salt fanout `min(`[[SkewMaxSalt]]`, ceil(cnt/fair))` —
+    * 1 means "don't salt this key". Keys are flagged hot above
+    * [[SkewHotFactor]]× fair; output is the top [[SkewTopK]] by count
+    * (count desc, key asc — deterministic under ties).
+    *
+    * Scale shape: the per-key count is the join's OWN shuffle shape
+    * (partial-aggregated groupBy on the join key); the corpus scalars
+    * (total rows, distinct keys) are a 1-row second-level aggregate
+    * crossJoined back as a broadcast (the q78 pattern, PlanGuard-
+    * allowlisted); the top-k is a bounded TakeOrdered, never a global
+    * sort of the key histogram. */
+  def skewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("dk"))
+    counts.orderBy(col("cnt").desc, col("l_orderkey").asc).limit(SkewTopK)
+      .crossJoin(broadcast(stats))
+      .withColumn("fair", expr("total div dk"))
+      .where(col("cnt") > lit(SkewHotFactor) * col("fair"))
+      .select(col("l_orderkey"), col("cnt"), col("fair"),
+        expr("(1000L * cnt) div fair").as("ratio_permille"),
+        least(lit(SkewMaxSalt), expr("(cnt + fair - 1) div fair")).as("advised_salt"))
+      .orderBy(col("cnt").desc, col("l_orderkey").asc)
+  }
+
   /** Shuffle (sort-merge) join, hint-forced: the strategy the optimizer
     * picks on its own when both sides are fact-sized (at 100 TB,
     * lineitem⋈orders can't broadcast). Semantically identical to the

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     "q123_zipf_audit" -> "1-row corpus-total broadcast over the k-row rank table",
     "q126_retrieval_eval" -> "composes q75's 1-row stats broadcast + its own 1-row totals over the k-row list",
     "q116_monitor_panel" -> "composes q111 (1-row totals broadcast; q115's totals are a window now)",
-    "q167_dedup_threshold_sweep" -> "two 1-row scalar aggregates crossJoined (pair sweep × doc sweep × total chars)")
+    "q167_dedup_threshold_sweep" -> "two 1-row scalar aggregates crossJoined (pair sweep × doc sweep × total chars)",
+    "q171_skew_advisor" -> "1-row (total, distinct) scalar crossJoined into the bounded top-k (the q78 pattern)")
 
   test("no unlisted cartesian/nested-loop join anywhere on the query surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -112,6 +112,30 @@ class RelationalSpec extends SparkSpec {
     assert(hot < allKeys, "every key classified hot — cold path untested")
   }
 
+  test("q171: advisor rows match a driver recompute; fanout is bounded and only hot keys appear") {
+    import graft.operators.Relational
+    val keys = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val counts = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = keys.length.toLong
+    val fair = total / counts.size
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(Relational.SkewTopK)
+    val expect = top.filter(_._2 > Relational.SkewHotFactor * fair).map { case (k, c) =>
+      (k, c, fair, 1000L * c / fair,
+        math.min(Relational.SkewMaxSalt, (c + fair - 1) / fair))
+    }
+    val rows = Relational.skewAdvisor(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === expect)
+    assert(rows.nonEmpty, "fixture carries no hot keys — the advisor is untested")
+    rows.foreach { case (_, cnt, f, ratio, salt) =>
+      assert(salt >= 2L && salt <= Relational.SkewMaxSalt,
+        "advised fanout for a flagged key must be a real split within the cap")
+      assert(ratio > 1000L * Relational.SkewHotFactor, s"non-hot key reported (ratio $ratio)")
+      assert(cnt > Relational.SkewHotFactor * f)
+    }
+  }
+
   test("q11 plan: lineitem pre-aggregates before the join, no expand for countDistinct") {
     val df = Relational.revenueByNation(spark, sf0001)
     df.collect()
