@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Common Log Format schema + parser — the reference's native input domain.
   *
-  * The regex is byte-for-byte the reference's
-  * (reference StreamingJob.scala:69), including its deliberate/accidental
+  * The regex is the reference's (reference StreamingJob.scala:69) with
+  * ONE deliberate tightening — the HTTP-version dot is escaped; see the
+  * [[Pattern]] comment — and otherwise keeps its deliberate/accidental
   * restrictions (SURVEY.md §2.3): ident/user must be `- -`, timezone only
   * negative offsets, HTTP version only 1.0/V1.0, no spaces in paths,
   * bytes is 1–9 digits or `-` (null).

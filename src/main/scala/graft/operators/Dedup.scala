@@ -491,6 +491,16 @@ object Dedup {
 
   /** [[containmentIncremental]] over an arbitrary (doc_id, text) batch —
     * the per-micro-batch core of the streaming twin. */
+  /** Batch-representation size (total text bytes — tracks kept shingle
+    * rows within a small constant) above which
+    * [[containmentIncrementalOf]] STOPS forcing broadcast joins: the
+    * `broadcast()` hint overrides autoBroadcastJoinThreshold, so an
+    * over-cap increment used to FAIL with a broadcast/driver OOM instead
+    * of degrading (r15, advisory). 128 MB of batch text ≈ a comfortably
+    * sub-GB shingle build side; above it the hints drop away and
+    * Catalyst/AQE pick the shuffle join — slower, never fatal. */
+  private[graft] val BroadcastBatchTextBytesCap = 128L * 1024 * 1024
+
   private[graft] def containmentIncrementalOf(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
     val (postings, stop, sizes) = containmentIndex(spark, dir)
@@ -502,15 +512,21 @@ object Dedup {
     // the BATCH side broadcasts (it is the batch-proportional side by
     // construction); the corpus-sized posting table is then scanned in
     // place with a map-side hash join — no corpus shuffle per increment.
-    // An increment too large to broadcast would flip this to the
-    // bucketed-index probe (the q72 layout); the per-micro-batch
+    // The hint is GATED on a one-scan size estimate of the batch (cheap:
+    // batch-proportional by definition): an increment over
+    // [[BroadcastBatchTextBytesCap]] degrades to the unhinted shuffle
+    // join instead of dying on the forced broadcast. The per-micro-batch
     // streaming twin is always far under the threshold.
+    val canBroadcast =
+      batch.agg(coalesce(sum(length(col("text"))), lit(0L))).head().getLong(0) <=
+        BroadcastBatchTextBytesCap
+    def hint(df: DataFrame): DataFrame = if (canBroadcast) broadcast(df) else df
     val inter = postings.withColumnRenamed("doc_id", "d2")
-      .join(broadcast(bsh), Seq("gh"))
+      .join(hint(bsh), Seq("gh"))
       .groupBy(col("doc_id").as("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     // pair-bounded side broadcasts again: sizes stays an unshuffled scan
-    broadcast(inter.join(n1.withColumnRenamed("doc_id", "d1"), Seq("d1")))
+    hint(inter.join(n1.withColumnRenamed("doc_id", "d1"), Seq("d1")))
       .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         expr("(1000L * inter) div n1").as("cont1_permille"),
@@ -656,20 +672,67 @@ object Dedup {
     canonicalEdges.select(col("src"), col("dst")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // Primitive-long open-addressing union-find (r15, advisory): the
+        // boxed mutable.HashMap[Long,Long] this replaces carried ~48 B of
+        // box/node overhead per entry — 0.5–1 GB at the 10 M-node worst
+        // case behind [[SmallGraphEdgeCap]], risking a single-task OOM
+        // right where the cap was supposed to make the single-task path
+        // safe. Two flat long arrays at ≤2× load are ~32 B/node worst
+        // case (~320 MB at 10 M nodes), with no per-entry allocation in
+        // the probe loop. Long.MinValue is the empty-slot sentinel — ids
+        // here are parquet doc/vec/node ids, never MinValue (guarded).
+        var cap = 1 << 16
+        var mask = cap - 1
+        var keys = Array.fill(cap)(Long.MinValue)
+        var vals = new Array[Long](cap)
+        var size = 0
+        def slot(k: Long): Int = {
+          var h = k * -7046029254386353131L // fmix-style spread
+          h ^= (h >>> 32)
+          var i = h.toInt & mask
+          while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & mask
+          i
+        }
+        def grow(): Unit = {
+          val ok = keys; val ov = vals
+          cap <<= 1; mask = cap - 1
+          keys = Array.fill(cap)(Long.MinValue); vals = new Array[Long](cap)
+          var j = 0
+          while (j < ok.length) {
+            if (ok(j) != Long.MinValue) { val i = slot(ok(j)); keys(i) = ok(j); vals(i) = ov(j) }
+            j += 1
+          }
+        }
+        def insertIfAbsent(k: Long): Unit = {
+          val i = slot(k)
+          if (keys(i) == Long.MinValue) {
+            keys(i) = k; vals(i) = k; size += 1
+            if (size * 2 > cap) grow()
+          }
+        }
+        def get(k: Long): Long = vals(slot(k))
+        def put(k: Long, v: Long): Unit = vals(slot(k)) = v // key present
         def find(x: Long): Long = {
           var r = x
-          while (parent(r) != r) r = parent(r)
+          while (get(r) != r) r = get(r)
           var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          while (get(c) != r) { val n = get(c); put(c, r); c = n }
           r
         }
         it.foreach { case (s, d) =>
-          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          require(s != Long.MinValue && d != Long.MinValue,
+            "ccSingleTask: Long.MinValue node id collides with the empty sentinel")
+          insertIfAbsent(s); insertIfAbsent(d)
           val rs = find(s); val rd = find(d)
-          if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+          if (rs != rd) { if (rs < rd) put(rd, rs) else put(rs, rd) }
         }
-        parent.keysIterator.map(v => (v, find(v))).toArray.iterator
+        val out = new Array[(Long, Long)](size)
+        var j = 0; var o = 0
+        while (j < cap) {
+          if (keys(j) != Long.MinValue) { out(o) = (keys(j), find(keys(j))); o += 1 }
+          j += 1
+        }
+        out.iterator
       }
       .toDF("id", "comp")
   }

@@ -333,9 +333,15 @@ object Similarity {
       (sqrt(expr(dotDec("e1", "e1"))) * sqrt(expr(dotDec("e2", "e2"))))
     val present = e.select(col("vec_id").as("d1"), col("embedding").as("e1"))
       .join(broadcast(pairs), Seq("d1"))
+    // MATERIALIZED once (r15, advisory): `both` feeds the union AND the
+    // missing-leg anti-join key set; left lazy, the anti-join re-executed
+    // both embeddings joins a second time (column pruning drops the
+    // cosine but not the corpus scan). The table is pair-bounded, so an
+    // eager localCheckpoint is a small in-memory pin, not a corpus cache.
     val both = e.select(col("vec_id").as("d2"), col("embedding").as("e2"))
       .join(broadcast(present), Seq("d2"))
       .select(col("d1"), col("d2"), col("jaccard"), cos.as("cos_sim"))
+      .localCheckpoint(true)
     val missing = pairs
       .join(broadcast(both.select("d1", "d2")), Seq("d1", "d2"), "left_anti")
       .select(col("d1"), col("d2"), col("jaccard"),
