@@ -190,6 +190,7 @@ object SparkEntry {
     "q169_balanced_shards" -> ((s, d) => TextAnalysis.balancedShards(s, d)),
     "q170_padding_waste"  -> ((s, d) => TextAnalysis.paddingWaste(s, d)),
     "q171_skew_advisor"   -> ((s, d) => Relational.skewAdvisor(s, d)),
+    "q172_media_safe_split" -> ((s, d) => Multimodal.mediaSafeSplit(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -1884,6 +1885,46 @@ object SparkEntry {
       s"""WITH RECURSIVE
         |pairs AS ($q28Sql),
         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comps AS (SELECT id AS doc_id, MIN(comp) AS comp_id FROM reach GROUP BY 1),
+        |d AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+        |      FROM documents),
+        |h AS (SELECT doc_id, content_md5,
+        |        CAST(list_sum(list_transform(range(1, 9), i ->
+        |          (strpos('0123456789abcdef', substr(content_md5, CAST(i AS INT), 1)) - 1) * CAST(16**(8-i) AS BIGINT)
+        |        )) AS BIGINT) AS hv_md5
+        |      FROM d),
+        |j AS (SELECT h.doc_id, c.comp_id,
+        |        CASE WHEN c.comp_id IS NOT NULL THEN (c.comp_id * 2654435761 + 17) % 100
+        |             ELSE hv_md5 % 100 END AS hv
+        |      FROM h LEFT JOIN comps c ON h.doc_id = c.doc_id)
+        |SELECT doc_id, comp_id,
+        |  CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // Media-aware split: ONE recursive closure over the UNION of the
+    // text pair graph (q28) and all three media pair graphs
+    // (q128/q139/q141 chains — the q146 edge set), then q89's split
+    // rule verbatim on the unified roots. Cross-modal duplicates can
+    // no longer straddle train/eval.
+    "q172_media_safe_split" ->
+      s"""WITH RECURSIVE $q128Ctes,
+        |$vidFrameCtes,
+        |$vidPairCtes,
+        |$audSigCtes,
+        |$audPairCtes,
+        |tpairs AS ($q28Sql),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM tpairs
+        |          UNION ALL SELECT d2, d1 FROM tpairs
+        |          UNION ALL SELECT d1, d2 FROM imgpairs
+        |          UNION ALL SELECT d2, d1 FROM imgpairs
+        |          UNION ALL SELECT d1, d2 FROM vidpairs
+        |          UNION ALL SELECT d2, d1 FROM vidpairs
+        |          UNION ALL SELECT d1, d2 FROM audpairs
+        |          UNION ALL SELECT d2, d1 FROM audpairs),
         |verts AS (SELECT DISTINCT src AS id FROM edges),
         |reach(id, comp) AS (
         |  SELECT id, id FROM verts

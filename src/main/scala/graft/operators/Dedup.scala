@@ -820,12 +820,21 @@ object Dedup {
     * label table is a fraction of the corpus (clustered docs only), so
     * the left join broadcasts in practice and the split itself stays
     * map-side. */
-  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val comp = nearDupLabels(spark, dir)
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitFrom(spark, dir, nearDupLabels(spark, dir))
+
+  /** The split RULE shared by q89 and q172 (r15): clustered docs hash
+    * their component root — one decision per cluster, so members can
+    * never straddle a split boundary — and unclustered docs fall back to
+    * q82's content-digest hash exactly. `comp` is any (doc_id, comp_id)
+    * label table; q89 passes the text closure, q172 the text+media
+    * unified closure. */
+  private[graft] def clusterSplitFrom(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"))
-      .join(comp, Seq("doc_id"), "left")
+      .join(comp.select(col("doc_id"), col("comp_id")), Seq("doc_id"), "left")
       .withColumn("hv", when(col("comp_id").isNotNull,
           pmod(col("comp_id") * lit(2654435761L) + lit(17L), lit(100)))
         .otherwise(pmod(conv(substring(col("content_md5"), 1, 8), 16, 10).cast("long"), lit(100))))
@@ -833,7 +842,6 @@ object Dedup {
         when(col("hv") < 80, "train").when(col("hv") < 90, "val").otherwise("test"))
       .select("doc_id", "comp_id", "split")
       .orderBy("doc_id")
-  }
 
   /** Diagnostic: the stop-shingles [[nearDupJaccard]]'s df cutoff drops
     * (shingle + its document frequency). Empty on clean corpora.

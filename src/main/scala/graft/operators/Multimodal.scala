@@ -1376,6 +1376,49 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q172 — MEDIA-AWARE leakage-safe split (r15 verdict task 4): q89
+    * keeps TEXT near-dup clusters split-atomic, but an image/video/audio
+    * duplicated between two documents could still place them on opposite
+    * sides of train/eval — cross-modal leakage the q146 manifest sees
+    * but the split rule ignored. This folds the media cluster labels
+    * (q133/q140/q142) into the split: ONE connected-components pass over
+    * the union of the four label tables' (doc_id → comp root) edges
+    * merges every text and media component that shares a document, and
+    * the unified root drives q89's hash rule unchanged (unclustered docs
+    * keep q82's content-digest fallback).
+    *
+    * Label edges connect exactly the same vertices as each modality's
+    * raw pair graph (labels ARE that graph's components), so CC over the
+    * unioned label edges equals CC over the unioned pair graphs — the
+    * form the oracle recomputes from raw text/bytes.
+    *
+    * Scale shape: every input is a persisted duplicate-mass-bounded
+    * label table, NOT the corpus; the union graph folds in one
+    * mapPartitions union-find task under [[Dedup.SmallGraphEdgeCap]]
+    * (star contraction above it); the corpus is touched once, by the
+    * final split join. */
+  def mediaSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val text = Dedup.nearDupLabels(spark, dir)
+    val img = pairLabelsTable(spark, dir, "img", 133)(
+      imagePairsTable(spark, dir).select(col("d1"), col("d2")))
+    val vid = pairLabelsTable(spark, dir, "vid", 140)(
+      videoPairsTable(spark, dir).select(col("d1"), col("d2")))
+    val aud = pairLabelsTable(spark, dir, "aud", 142)(
+      audioPairsTable(spark, dir).select(col("d1"), col("d2")))
+    val edges = Seq(text, img, vid, aud)
+      .map(_.select(col("doc_id"), col("comp_id")))
+      .reduce(_ unionByName _)
+      .where(col("doc_id") =!= col("comp_id"))
+      .select(greatest(col("doc_id"), col("comp_id")).as("src"),
+        least(col("doc_id"), col("comp_id")).as("dst"))
+      .distinct().localCheckpoint(true)
+    val unified =
+      (if (edges.count() <= Dedup.SmallGraphEdgeCap) Dedup.ccSingleTask(edges)
+       else Dedup.connectedComponents(edges, Dedup.MaxCcIters)._1)
+        .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    Dedup.clusterSplitFrom(spark, dir, unified)
+  }
+
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = pairLabelsTable(spark, dir, "img", 133)(
       imagePairsTable(spark, dir).select(col("d1"), col("d2")))

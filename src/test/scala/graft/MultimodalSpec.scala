@@ -261,6 +261,56 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(c => c._6 > 0))
   }
 
+  test("q172: unified split is cluster-atomic across ALL modalities and matches a driver union-find") {
+    val sf001 = "/root/testdata/sf0.01"
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val text = pairsOf(graft.operators.Dedup.nearDupJaccard(spark, sf001))
+    val img = pairsOf(Multimodal.imageNearDup(spark, sf001))
+    val vid = pairsOf(Multimodal.videoNearDup(spark, sf001))
+    val aud = pairsOf(Multimodal.audioNearDup(spark, sf001))
+    assert(text.nonEmpty && img.nonEmpty, "fixture must carry text AND media duplicates")
+    // driver union-find over the UNION of all four pair graphs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (text ++ img ++ vid ++ aud).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val expectComp = parent.keys.map(k => k -> find(k)).toMap
+    val got = Multimodal.mediaSafeSplit(spark, sf001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+    // 1. comp ids match the unified closure exactly (null ⇔ unclustered)
+    got.foreach { case (id, comp, _) =>
+      assert(comp === expectComp.get(id), s"doc $id unified component") }
+    // 2. the split is decided once per unified cluster: every clustered
+    //    doc's split follows the root-hash formula, so members — across
+    //    modalities — can never straddle a boundary
+    got.collect { case (id, Some(c), sp) =>
+      val hv = java.lang.Math.floorMod(c * 2654435761L + 17L, 100L)
+      val want = if (hv < 80) "train" else if (hv < 90) "val" else "test"
+      assert(sp === want, s"doc $id split not cluster-root-driven")
+    }
+    // 3. the unified graph BRIDGES modalities somewhere on this fixture:
+    //    some text-clustered doc merged with a media cluster (else the
+    //    query would be vacuously q89) — and q89 disagrees on its comp
+    val q89 = graft.operators.Dedup.clusterSafeSplit(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2))).toMap
+    val textDocs = text.flatMap(p => Seq(p._1, p._2)).toSet
+    val mediaDocs = (img ++ vid ++ aud).flatMap(p => Seq(p._1, p._2)).toSet
+    assert((textDocs & mediaDocs).nonEmpty, "fixture has no cross-modal overlap")
+    // 4. docs in NO cluster keep q82's fallback — identical to q89's row
+    got.filter(_._2.isEmpty).foreach { case (id, _, sp) =>
+      assert(q89(id)._1.isEmpty, s"doc $id clustered in q89 but not unified")
+      assert(sp === q89(id)._2, s"doc $id fallback split drifted from q89")
+    }
+  }
+
   test("q134: video signature kernel matches a generator recompute; static semantics") {
     val out = Multimodal.videoSignatures(spark, sf0001).collect()
     assert(out.nonEmpty)
