@@ -36,6 +36,8 @@ object Bench {
     "q145_audio_incremental_dedup", // corpus audio envelope index (r14)
     "q147_video_prefix_containment", // dense video frame-hash table (r14)
     "q148_video_prefix_incremental", // frozen video prefix index (r14)
+    "q173_audio_prefix_containment", // dense audio window-sig table (r15)
+    "q174_audio_prefix_incremental", // frozen audio prefix index (r15)
     "q149_incremental_clusters",    // corpus-split pair + label tables (r14)
     "q150_pq_ann",                  // PQ codebooks + code table (r14)
     "q151_ivfpq_ann",               // partitioned IVFPQ index (r14)

@@ -191,6 +191,8 @@ object SparkEntry {
     "q170_padding_waste"  -> ((s, d) => TextAnalysis.paddingWaste(s, d)),
     "q171_skew_advisor"   -> ((s, d) => Relational.skewAdvisor(s, d)),
     "q172_media_safe_split" -> ((s, d) => Multimodal.mediaSafeSplit(s, d)),
+    "q173_audio_prefix_containment" -> ((s, d) => Multimodal.audioPrefixContainment(s, d)),
+    "q174_audio_prefix_incremental" -> ((s, d) => Multimodal.audioPrefixIncremental(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -323,6 +325,33 @@ object SparkEntry {
       |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= total_abs
       |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS sig_lo
       |       FROM en)""".stripMargin
+
+  // Per-FIXED-WINDOW audio prefix signatures derived from the PCM
+  // generator in closed form — `awf(doc_id, nw, wi, hi, lo)`, 256-sample
+  // windows of 64 four-sample cells under the aHash threshold rule —
+  // shared by the q173 pair chain and q174's frozen-index probe.
+  private val audWinCtes: String = {
+    val w = operators.Multimodal.AudioPrefixWindowSamples
+    val cell = w / operators.Multimodal.AudioWindows
+    s"""aw AS (SELECT doc_id, doc_id % 2000 + 500 AS n
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |awn AS (SELECT doc_id, n, n // $w AS nw FROM aw),
+      |awin AS (SELECT doc_id, nw, unnest(range(0, nw)) AS wi FROM awn),
+      |ace AS (SELECT doc_id, nw, wi,
+      |        list_transform(range(0, ${operators.Multimodal.AudioWindows}), t ->
+      |          CAST(list_sum(list_transform(range(wi*$w + t*$cell, wi*$w + (t+1)*$cell),
+      |            i -> abs((doc_id*131 + i*7919) % 65536 - 32768))) AS BIGINT)) AS e
+      |       FROM awin),
+      |acs AS (SELECT doc_id, nw, wi, e, CAST(list_sum(e) AS BIGINT) AS sm FROM ace),
+      |awf AS (SELECT doc_id, nw, wi,
+      |         CAST(list_sum(list_transform(range(32, 64), t ->
+      |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= sm
+      |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+      |         CAST(list_sum(list_transform(range(0, 32), t ->
+      |           CASE WHEN 64*e[CAST(t+1 AS INT)] >= sm
+      |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+      |        FROM acs)""".stripMargin
+  }
 
   // q141's banding + verify over audSigCtes' aah — ends at
   // `audpairs(d1, d2, hamming, n_samples_1, n_samples_2)`.
@@ -1597,6 +1626,87 @@ object SparkEntry {
         |       ELSE 'd2_in_d1' END AS relation
         |FROM ipagg
         |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Audio prefix containment: per-fixed-window signatures from the
+    // PCM generator, window-0 banding (capped buckets), aligned-prefix
+    // verify at the per-window Hamming cap, direction by window count.
+    "q173_audio_prefix_containment" ->
+      s"""WITH $audWinCtes,
+        |ab0 AS (SELECT doc_id, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM awf WHERE wi = 0),
+        |amem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS cnt
+        |        FROM ab0),
+        |akept AS (SELECT * FROM amem WHERE cnt >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+        |acand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |          FROM akept a JOIN akept b
+        |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |              AND a.doc_id < b.doc_id),
+        |aver AS (SELECT c.d1, c.d2, fa.nw AS nw1, fb.nw AS nw2,
+        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+        |        FROM acand c JOIN awf fa ON fa.doc_id = c.d1
+        |                   JOIN awf fb ON fb.doc_id = c.d2 AND fb.wi = fa.wi),
+        |apagg AS (SELECT d1, d2, CAST(MAX(nw1) AS BIGINT) AS n_windows_1,
+        |          CAST(MAX(nw2) AS BIGINT) AS n_windows_2,
+        |          COUNT(*) AS n_windows_aligned,
+        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+        |          CAST(MAX(ham) AS BIGINT) AS ham_max
+        |        FROM aver GROUP BY 1, 2)
+        |SELECT d1, d2, n_windows_1, n_windows_2, n_windows_aligned, ham_total, ham_max,
+        |  CASE WHEN n_windows_1 = n_windows_2 THEN 'mutual'
+        |       WHEN n_windows_1 < n_windows_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM apagg
+        |WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Incremental audio prefix containment: batch (doc_id % 10 = 9)
+    // window-0 bands probe the FROZEN corpus band index (capped at
+    // build, no cnt>=2 gate — the batch provides the second member),
+    // verify only against corpus window rows.
+    "q174_audio_prefix_incremental" ->
+      s"""WITH $audWinCtes,
+        |cb0 AS (SELECT doc_id, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM awf WHERE wi = 0 AND doc_id % 10 <> 9),
+        |cmem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn
+        |        FROM cb0),
+        |ckept AS (SELECT * FROM cmem WHERE rn <= ${operators.Dedup.MaxBucket}),
+        |bb AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val
+        |       FROM (SELECT doc_id, unnest([
+        |              {'band_idx': 0, 'band_val': hi // 65536},
+        |              {'band_idx': 1, 'band_val': hi % 65536},
+        |              {'band_idx': 2, 'band_val': lo // 65536},
+        |              {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |             FROM awf WHERE wi = 0 AND doc_id % 10 = 9)),
+        |icand AS (SELECT DISTINCT bb.doc_id AS d1, ckept.doc_id AS d2
+        |          FROM bb JOIN ckept USING (band_idx, band_val)),
+        |iver AS (SELECT c.d1, c.d2, fa.nw AS nw1, fb.nw AS nw2,
+        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+        |        FROM icand c JOIN awf fa ON fa.doc_id = c.d1
+        |                   JOIN awf fb ON fb.doc_id = c.d2 AND fb.wi = fa.wi),
+        |ipagg AS (SELECT d1, d2, CAST(MAX(nw1) AS BIGINT) AS n_windows_1,
+        |          CAST(MAX(nw2) AS BIGINT) AS n_windows_2,
+        |          COUNT(*) AS n_windows_aligned,
+        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+        |          CAST(MAX(ham) AS BIGINT) AS ham_max
+        |        FROM iver GROUP BY 1, 2)
+        |SELECT d1, d2, n_windows_1, n_windows_2, n_windows_aligned, ham_total, ham_max,
+        |  CASE WHEN n_windows_1 = n_windows_2 THEN 'mutual'
+        |       WHEN n_windows_1 < n_windows_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM ipagg
+        |WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
         |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
         |ORDER BY d1, d2""".stripMargin,
     // Video near-dup verdicts: per-frame hashes from the generator,

@@ -844,6 +844,219 @@ object Multimodal {
       .orderBy("d1", "d2")
   }
 
+  // --- audio prefix containment (q173/q174, r15 verdict task 5) ---------
+
+  /** Samples per FIXED-DURATION audio prefix window: 64 cells ×
+    * 4 samples, hashed with the one threshold-signature kernel
+    * ([[aHashOf]], shared with images/video/q141). Fixed duration, not
+    * equal-mass: q141's equal-mass envelope is resample-invariant but
+    * WHOLE-TRACK — a clipped copy renormalizes every window boundary and
+    * becomes invisible to it. Fixed windows keep the shared prefix of a
+    * clip and its source aligned window-for-window (q147's frame-prefix
+    * idea at sample level). The trade is explicit: this catches
+    * same-rate clips/truncations; a clip that was ALSO resampled needs a
+    * resample-normalization stage first — out of scope here. Only FULL
+    * windows are signed (the trailing partial window carries different
+    * mass for clip and source and would poison the last comparison). */
+  val AudioPrefixWindowSamples = 256
+
+  /** Typed per-window audio prefix row: `nw` = full windows in the
+    * track, `wi` = this window's index, hi/lo the window's 64-bit
+    * threshold signature. */
+  case class AudioWinRow(doc_id: Long, n_samples: Long, nw: Long, wi: Long,
+                         hi: Long, lo: Long)
+
+  /** Decode one WAV through the real RIFF kernel and sign each full
+    * [[AudioPrefixWindowSamples]]-sample window: 64 cell energies, bit t
+    * set iff 64·e(t) ≥ window total (the [[aHashOf]] rule). */
+  private[graft] def audioPrefixWindowsOf(docId: Long, payload: Array[Byte])
+      : Iterator[AudioWinRow] = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
+    MediaCodecs.decodeWav(payload)(s => samples += math.abs(s.toInt))
+    val n = samples.length
+    val nw = n / AudioPrefixWindowSamples
+    val cell = AudioPrefixWindowSamples / AudioWindows
+    (0 until nw).iterator.map { w =>
+      val e = new Array[Long](AudioWindows)
+      var i = 0
+      while (i < AudioPrefixWindowSamples) {
+        e(i / cell) += samples(w * AudioPrefixWindowSamples + i).toLong
+        i += 1
+      }
+      val (hi, lo) = aHashOf(e)
+      AudioWinRow(docId, n.toLong, nw.toLong, w.toLong, hi, lo)
+    }
+  }
+
+  /** Dense window-signature table for an arbitrary (doc_id, payload)
+    * set — typed mapPartitions decode, map-side, one row per full
+    * window. */
+  private[graft] def audioWindowTableOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions(rows => rows.flatMap(m =>
+        audioPrefixWindowsOf(m.doc_id, Option(m.payload).getOrElse(Array.emptyByteArray))))
+      .toDF()
+  }
+
+  /** Persisted dense per-window signature table — decode-once for the
+    * corpus (the [[videoDenseFrames]] pattern for audio); every prefix
+    * consumer (q173 pair chain, q174 index build) reads the parquet.
+    * Oracles re-derive the signatures from the PCM generator each
+    * verify run, so the artifact is re-gated, never trusted. */
+  private[graft] def audioDenseWindows(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/aud_windows_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 173)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      audioWindowTableOf(mediaTable(spark, dir).where(col("meta.format") === "wav"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q173 — AUDIO PREFIX CONTAINMENT: catches the clipped/truncated
+    * audio copy q141 cannot see (its whole-track equal-mass envelope
+    * renormalizes under clipping). Candidates share a 16-bit band of
+    * window 0's signature (capped buckets, overflow observed); the
+    * verify joins the overlapping window prefix and demands every
+    * aligned window within [[ImgHammingMax]]; direction verdict at
+    * window resolution (shorter side contained in longer; equal counts
+    * → mutual).
+    *
+    * Scale shape: the dense window table is persisted (decode-once);
+    * banding shuffles 4 rows per track; the verify is an equi-join on
+    * (doc, window index) over candidates only — no quadratic pass. */
+  def audioPrefixContainment(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    audioPrefixContainmentOf(audioDenseWindows(spark, dir))
+  }
+
+  /** [[audioPrefixContainment]] over an arbitrary window table — the
+    * unit the spec drives crafted clip fixtures through. */
+  private[graft] def audioPrefixContainmentOf(wt: DataFrame): DataFrame = {
+    val banded = wt.where(col("wi") === 0).select(
+      col("doc_id"),
+      posexplode(array(
+        expr("hi div 65536"), expr("hi % 65536"),
+        expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+      .observe("q173_prefix_buckets",
+        sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+    val cand = buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('d1', x, 'd2', y))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    audioPrefixVerify(cand, wt, wt)
+  }
+
+  /** The shared q173/q174 verify: join the overlapping window prefix of
+    * every candidate pair, cut at per-window [[ImgHammingMax]], emit the
+    * direction verdict. The aligned-count check is an invariant (dense
+    * 0..nw-1 indices), not a cut. */
+  private def audioPrefixVerify(cand: DataFrame, side1: DataFrame,
+      side2: DataFrame): DataFrame = {
+    val a = side1.select(col("doc_id").as("d1"), col("nw").as("nw1"),
+      col("wi"), col("hi").as("hi1"), col("lo").as("lo1"))
+    val b = side2.select(col("doc_id").as("d2"), col("nw").as("nw2"),
+      col("wi"), col("hi").as("hi2"), col("lo").as("lo2"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2", "wi"))
+      .select(col("d1"), col("d2"), col("nw1"), col("nw2"),
+        expr("CAST(bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2) AS BIGINT)").as("ham"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_windows_aligned"), max("nw1").as("n_windows_1"),
+        max("nw2").as("n_windows_2"),
+        sum(col("ham")).as("ham_total"), max(col("ham")).as("ham_max"))
+      .where(col("n_windows_aligned") === least(col("n_windows_1"), col("n_windows_2"))
+        && col("ham_max") <= lit(ImgHammingMax))
+      .select(col("d1"), col("d2"), col("n_windows_1"), col("n_windows_2"),
+        col("n_windows_aligned"), col("ham_total"), col("ham_max"),
+        when(col("n_windows_1") === col("n_windows_2"), "mutual")
+          .when(col("n_windows_1") < col("n_windows_2"), "d1_in_d2")
+          .otherwise("d2_in_d1").as("relation"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Frozen audio prefix-containment INDEX (the q148 two-table pattern
+    * for audio): `bands` = the corpus split's window-0 signature bands
+    * capped at [[Dedup.MaxBucket]] smallest doc_ids (drop frozen at
+    * build — a batch never re-prices corpus band occupancy); `windows`
+    * = the corpus split's dense window signatures. `isBuilt` probes the
+    * bands path, written LAST, so its _SUCCESS certifies both. Corpus
+    * split is q68's doc_id % 10 ≠ 9 — the q145 audio-family
+    * convention. */
+  private[graft] def audioPrefixIndexPaths(dir: String): (String, String) = {
+    val base = graft.sources.Artifacts.Warehouse + "/aud_prefix_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 174)
+    (base + "/bands", base + "/windows")
+  }
+
+  private[graft] def audioPrefixIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (bPath, wPath) = audioPrefixIndexPaths(dir)
+    if (!graft.sources.Artifacts.isBuilt(spark, bPath)) {
+      val corpus = audioDenseWindows(spark, dir)
+        .where(pmod(col("doc_id"), lit(10)) =!= 9)
+      corpus.write.mode("overwrite").parquet(wPath)
+      corpus.where(col("wi") === 0).select(
+          col("doc_id"),
+          posexplode(array(
+            expr("hi div 65536"), expr("hi % 65536"),
+            expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("all_members"))
+        .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+        .observe("q174_index_bands",
+          sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+        .select(col("band_idx"), col("band_val"), explode(col("members")).as("doc_id"))
+        .write.mode("overwrite").parquet(bPath)
+    }
+    (spark.read.parquet(bPath), spark.read.parquet(wPath))
+  }
+
+  /** q174 — INCREMENTAL audio prefix containment: q173's clip verdicts
+    * for a crawl increment WITHOUT re-pairing the corpus — the q148
+    * frozen-index story for audio, closing the prefix family
+    * (video q147/q148, audio q173/here). Each batch track
+    * (doc_id % 10 = 9, the q145 split) is decoded and window-signed
+    * map-side; its window-0 bands probe the FROZEN corpus band index
+    * for candidates; the verify joins only the candidates' corpus
+    * window rows — q173's per-window cut and direction verdict
+    * verbatim, `d1` the batch track, `d2` its corpus relative. Batch
+    * tracks never pair each other (q72's contract).
+    *
+    * Scale shape: batch-proportional decode + sign; candidate discovery
+    * is an equi-join of ≤4 band rows per batch track against the capped
+    * index; the window verify touches only candidate corpus rows. */
+  def audioPrefixIncremental(spark: SparkSession, dir: String): DataFrame =
+    audioPrefixIncrementalOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) === 9))
+
+  /** [[audioPrefixIncremental]] over an arbitrary (doc_id, payload)
+    * batch. */
+  private[graft] def audioPrefixIncrementalOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (bands, windows) = audioPrefixIndex(spark, dir)
+    val bwt = audioWindowTableOf(batch)
+    val cand = bwt.where(col("wi") === 0).select(
+        col("doc_id").as("d1"),
+        posexplode(array(
+          expr("hi div 65536"), expr("hi % 65536"),
+          expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+      .join(bands, Seq("band_idx", "band_val"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+    audioPrefixVerify(cand, bwt, windows)
+  }
+
   /** Typed per-video signature-key row for the incremental path. */
   case class VideoKeyRow(doc_id: Long, sig_key: String)
 

@@ -311,6 +311,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q173/q174: clipped audio flips q141-reject to a direction verdict; ruined window rejects; frozen-index increment probes") {
+    import spark.implicits._
+    val W = Multimodal.AudioPrefixWindowSamples
+    // a CORPUS-side wav (doc_id % 10 != 9) long enough that the source
+    // has >2 full windows (else the clip verdict degenerates to mutual)
+    val src = Multimodal.mediaTable(spark, sf0001)
+      .where(s"meta.format = 'wav' AND doc_id % 10 <> 9 AND doc_id % 2000 + 500 >= ${3 * W + 1}")
+      .orderBy("doc_id").limit(1).collect().head
+    val srcId = src.getLong(0)
+    val payload = src.getAs[Array[Byte]]("payload")
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Short]
+    MediaCodecs.decodeWav(payload)(samples += _)
+    assert(samples.length > 2 * W, "fixture source too short")
+    // clip: 2 full windows + a 128-sample partial tail — the tail is
+    // DROPPED by the full-window rule (it carries different mass than
+    // the source's window 2 and would poison the last comparison)
+    val clipId = 900009L // % 10 = 9: a legitimate crawl-batch id too
+    val clip = MediaCodecs.encodeWav(samples.take(2 * W + W / 2).toArray)
+    // 1. the FLIP's reject half: q141's whole-track equal-mass envelope
+    //    renormalizes under clipping — the dedup keys differ, so the
+    //    clip is invisible to the q141/q145 exact-key machinery
+    val sSig = Multimodal.audioSignature(srcId, payload)
+    val cSig = Multimodal.audioSignature(clipId, clip)
+    assert((sSig.sig_hi, sSig.sig_lo) !== ((cSig.sig_hi, cSig.sig_lo)),
+      "whole-track envelope unexpectedly survived the clip — fixture broken")
+    // 2. q173 unit: same pair verifies as clip-contained-in-source at
+    //    Hamming 0 over the aligned 2-window prefix
+    val out = Multimodal.audioPrefixContainmentOf(Multimodal.audioWindowTableOf(
+      Seq((srcId, payload), (clipId, clip)).toDF("doc_id", "payload"))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === srcId && r.getLong(1) === clipId)
+    assert(r.getLong(2) === samples.length.toLong / W && r.getLong(3) === 2L)
+    assert(r.getLong(4) === 2L && r.getLong(5) === 0L && r.getLong(6) === 0L)
+    assert(r.getString(7) === "d2_in_d1")
+    // 3. per-window cap is a MAX, not an average: silencing half of the
+    //    clip's window 1 (window 0 untouched, so the candidate still
+    //    forms) must reject the pair outright
+    val bad = samples.take(2 * W + W / 2).toArray
+    java.util.Arrays.fill(bad, W, W + W / 2, 0.toShort)
+    val badOut = Multimodal.audioPrefixContainmentOf(Multimodal.audioWindowTableOf(
+      Seq((srcId, payload), (clipId, MediaCodecs.encodeWav(bad)))
+        .toDF("doc_id", "payload"))).collect()
+    assert(badOut.isEmpty, "ruined window must fail the per-window Hamming cap")
+    // 4. q174: the clip as a crawl batch probes the FROZEN corpus index
+    //    and lands contained in its corpus source, batch side as d1
+    val inc = Multimodal.audioPrefixIncrementalOf(spark, sf0001,
+      Seq((clipId, clip)).toDF("doc_id", "payload")).collect()
+    val hit = inc.filter(x => x.getLong(0) === clipId && x.getLong(1) === srcId)
+    assert(hit.length === 1 && hit.head.getString(7) === "d1_in_d2")
+  }
+
   test("q134: video signature kernel matches a generator recompute; static semantics") {
     val out = Multimodal.videoSignatures(spark, sf0001).collect()
     assert(out.nonEmpty)
