@@ -368,9 +368,14 @@ object Bench {
     val canaryRatio = results.toMap.get(canaryName)
       .map(rs => r3(rs.min / canaryAnchorSec))
     val trackJson = canaryTrack.map { case (p, s) => s"[$p,${r3(s)}]" }.mkString("[", ",", "]")
-    val canaryJson = canaryRatio.map(r =>
-      s"""{"query":"$canaryName","anchor_sec":$canaryAnchorSec,"ratio":$r,"track":$trackJson}""")
-      .getOrElse("null")
+    // "ratio" is the TIMED canary (null under a BENCH_ONLY filter that
+    // excludes it), but the end-of-run canary SAMPLE always runs — the
+    // track must survive even then, because an isolated adjudication run
+    // (the q46 protocol: min-of-N of one query "at a recorded canary")
+    // is exactly the case where q37b is filtered out (r15 fix; before
+    // this the track was dropped with the ratio).
+    val canaryJson =
+      s"""{"query":"$canaryName","anchor_sec":$canaryAnchorSec,"ratio":${canaryRatio.getOrElse("null")},"track":$trackJson}"""
     val healthJson = health.map { case (k, (gc, old, st, nc)) =>
       "\"" + k + "\":[" + gc + "," + old + "," + st + "," + nc + "]"
     }.mkString("{", ",", "}")
