@@ -221,7 +221,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] setup $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val canaryAnchorSec = 0.78
+    // RE-ANCHORED r15 (verdict task 2, q37b adjudication): the old 0.78 s
+    // anchor was recorded in ROUND 3, when q37b parsed a 120k-line
+    // corpus (BASELINE.md round-3 re-anchor JSON); round 4 grew the
+    // corpus to the reference's full 1,569,898 lines (13x the data —
+    // BASELINE.md "CLF at reference volume") and the anchor was never
+    // moved, so every later ratio overstated degradation: a PERFECT rig
+    // lands ~1.8 s at the current workload (post-round-5-rework healthy
+    // minima: 1.34 s r5 best, 1.73 s r13 closing, 1.78-1.90 r14).
+    // New anchor = 1.35 s, the best recorded healthy-window warm min at
+    // the 1.57M-line workload; the old "canary <=2.5x of 0.78" health
+    // read translates to <=1.5x of 1.35 (~2.0 s). anchor_sec is recorded
+    // in every capture, so historical ratios stay interpretable.
+    val canaryAnchorSec = 1.35
     val canaryName = "q37b_clf_parse_volume"
     // MULTI-POINT canary (r13 verdict task): the r12 driver run inflated
     // four queries 4-12x while the single end-of-run canary read healthy —

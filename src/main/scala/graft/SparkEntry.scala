@@ -196,8 +196,10 @@ object SparkEntry {
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
-    // CLF at volume: deterministic 120k-line generated corpus, hash-gated
-    // against DuckDB's regexp engine running the same 13-group pattern.
+    // CLF at volume: deterministic generated corpus at the reference's
+    // full 1.57M-line scale (LogCorpus.NumLines; 120k lines in round 3,
+    // grown in round 4), hash-gated against DuckDB's regexp engine
+    // running the same 13-group pattern.
     "q37b_clf_parse_volume" -> ((s, _) => graft.clf.LogCorpus.parsedValidVolume(s)),
     "q38b_clf_dead_letters_volume" -> ((s, _) => graft.clf.LogCorpus.deadLettersVolume(s)),
     // SQL-text reachability for the pipeline surface: pure spark.sql
