@@ -12,8 +12,11 @@ where
                      round 5; fixed 1.57M-line corpus, sf-independent), the
                      pure scan+parse+sort workload most sensitive to
                      co-tenant I/O/CPU contention;
-  * canary ratio   = canary / 0.789 (the historical fast anchor the judge
-                     adjudicates against);
+  * canary ratio   = canary / 1.35 (RE-ANCHORED r15: the old 0.789 was
+                     a round-3 number from a 120k-line corpus; round 4
+                     grew q37b to 1.57M lines and the anchor never moved.
+                     1.35 = best recorded healthy warm min at the current
+                     workload — see BASELINE.md r15 adjudication);
   * artifact reads = q29c/q61/q62/q63 warm-mins, the persisted-artifact
                      consumers that stay flat when slowness is the rig and
                      not the code;
@@ -50,12 +53,13 @@ import json
 import subprocess
 import sys
 
-ANCHOR = 0.789
+ANCHOR = 1.35  # r15 re-anchor (was 0.789 at the round-3 120k-line workload)
 CANARY = "q37b_clf_parse_volume"
 ARTIFACT_READS = ["q29c_minhash_lsh_portable", "q61_dup_clusters",
                   "q62_range_clustered", "q63_zorder_slice"]
-# clause (a): canary ratio above this = degraded rig window
-CANARY_DEGRADED = 5.0
+# clause (a): canary ratio above this = degraded rig window (2.9 at the
+# 1.35 anchor = the same ~3.9 s absolute bar the old 5.0x-of-0.789 set)
+CANARY_DEGRADED = 2.9
 # clause (b): artifact read passes iff <= max(RATIO_BOUND * floor,
 # floor + ABS_NOISE_SEC) — the absolute term absorbs single page-cache
 # misses on sub-quarter-second reads (round-10 amendment)
