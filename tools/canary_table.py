@@ -27,7 +27,7 @@ where
                      contention window).
 
 Adjudication rule (also in BASELINE.md): a slow total is rig-attributed,
-not a regression, iff (a) canary ratio > 5 AND (b) every artifact read is
+not a regression, iff (a) canary ratio > 2.9 (the CANARY_DEGRADED bar) AND (b) every artifact read is
 within max(2x floor, floor + 0.25 s) of its history floor AND (c) the
 slow queries are all-reps-slow in "reps".
 
@@ -44,9 +44,9 @@ warm-min above the noise threshold means every rep was. It still needs a
 manual reps-array read when adjudicating a single query's delta.
 
 The `adjudication` column makes the rule a table read:
-  fast-rig        ratio <= 5 (rule not invoked; the run speaks for itself)
-  rig-attributed  ratio > 5 and clause (b) passes
-  (b) FAIL qNN    ratio > 5 and artifact qNN read outside its noise bound
+  fast-rig        ratio <= 2.9 (rule not invoked; the run speaks for itself)
+  rig-attributed  ratio > 2.9 and clause (b) passes
+  (b) FAIL qNN    ratio > 2.9 and artifact qNN read outside its noise bound
 Usage: python3 tools/canary_table.py [--with-worktree]
 """
 import json
