@@ -113,13 +113,21 @@ object Bench {
     // gate-gradable or rig-degraded evidence.
     val requireCores = sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_CORES").map(_.toDouble)
     val coresWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES_WAIT_SEC", "0").toLong
+    // Probe interval while waiting. CAUTION (r15 forensics): this rig's
+    // cap is BURST-CREDIT shaped — idle accrues parallel capacity, load
+    // drains it — so each probe SPENDS the credit the loop is waiting
+    // for; a 60 s cadence holds the reading at steady state forever.
+    // Under a credit regime, probe sparsely (900 s+) or accrue with the
+    // JVM fully idle and launch without REQUIRE_CORES.
+    val probeIntervalSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_INTERVAL_SEC", "60").toLong
     var effCoresPre = effectiveCores()
     requireCores.foreach { m =>
       val deadline = System.nanoTime() + coresWaitSec * 1000000000L
       while (effCoresPre < m && System.nanoTime() < deadline) {
-        System.err.println(
-          s"[bench] preflight effective_cores=$effCoresPre < $m — degraded rig window, re-probing in 60s")
-        Thread.sleep(60000)
+        System.err.println(s"[bench] preflight effective_cores=$effCoresPre < $m — " +
+          s"degraded rig window, re-probing in ${probeIntervalSec}s")
+        Thread.sleep(probeIntervalSec * 1000)
         effCoresPre = effectiveCores()
       }
       if (effCoresPre < m)
