@@ -67,8 +67,8 @@ object Bench {
     while (i < iters) { x += i * i; i += 1 }
     burnSink += x
   }
-  private[graft] def effectiveCores(threads: Int = 32): Double = {
-    val iters = 200000000L // ~0.1-0.2 s single-thread on this rig
+  private[graft] def effectiveCores(threads: Int = 32,
+      iters: Long = 200000000L /* ~0.1-0.2 s single-thread on this rig */): Double = {
     burn(iters / 5) // JIT warm
     val t1a = System.nanoTime(); burn(iters)
     val t1 = (System.nanoTime() - t1a) / 1e9
@@ -117,18 +117,27 @@ object Bench {
     // cap is BURST-CREDIT shaped — idle accrues parallel capacity, load
     // drains it — so each probe SPENDS the credit the loop is waiting
     // for; a 60 s cadence holds the reading at steady state forever.
-    // Under a credit regime, probe sparsely (900 s+) or accrue with the
+    // Default is therefore SPARSE (900 s, r16 — the old 60 s default
+    // self-defeated under the credit regime); set lower only on a rig
+    // whose cap is known to be time-window shaped, or accrue with the
     // JVM fully idle and launch without REQUIRE_CORES.
     val probeIntervalSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_INTERVAL_SEC", "60").toLong
-    var effCoresPre = effectiveCores()
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_INTERVAL_SEC", "900").toLong
+    // The pre-capture probe uses a HALF-LENGTH burn (r16, advisory): the
+    // probe itself saturates 32 threads and so spends some of the burst
+    // credit the capture is about to rely on; ~0.05-0.1 s/thread is
+    // enough for a stable reading (same t1×N/tN estimator, reading
+    // rounded to one decimal either way). The postflight probe keeps the
+    // full burn — the capture is over, accuracy is all that matters.
+    val preProbeIters = 100000000L
+    var effCoresPre = effectiveCores(iters = preProbeIters)
     requireCores.foreach { m =>
       val deadline = System.nanoTime() + coresWaitSec * 1000000000L
       while (effCoresPre < m && System.nanoTime() < deadline) {
         System.err.println(s"[bench] preflight effective_cores=$effCoresPre < $m — " +
           s"degraded rig window, re-probing in ${probeIntervalSec}s")
         Thread.sleep(probeIntervalSec * 1000)
-        effCoresPre = effectiveCores()
+        effCoresPre = effectiveCores(iters = preProbeIters)
       }
       if (effCoresPre < m)
         System.err.println(s"[bench] preflight still degraded (effective_cores=$effCoresPre) — " +
@@ -379,12 +388,14 @@ object Bench {
         f"(> $setupAlarmSec%.0f s alarm; healthy-window history 29-55 s). " +
         s"Check BENCH_FULL.json setup per-query deltas and effective_cores before attributing.")
     // CANARY, recorded inside the capture itself so cross-round grading is
-    // self-adjudicating: q37b's fast-rig anchor is ~0.78 s (BASELINE.md
-    // canary history); ratio >~3 means this capture ran in a degraded rig
-    // window and round-over-round comparisons should lean on per-query
-    // minima + the all-reps-slow test, not the total. "track" holds the
-    // mid-run samples [position, sec] — a burst shows as a high sample in
-    // one position window with healthy neighbors.
+    // self-adjudicating: q37b's anchor is the RE-ANCHORED 1.35 s
+    // (canaryAnchorSec above — the r15 note explains the 0.78 → 1.35
+    // move); healthy is ratio <= 1.5 (~2.0 s), and ratio > 2.9 (the
+    // canary_table.py CANARY_DEGRADED bar) means this capture ran in a
+    // degraded rig window and round-over-round comparisons should lean on
+    // per-query minima + the all-reps-slow test, not the total. "track"
+    // holds the mid-run samples [position, sec] — a burst shows as a high
+    // sample in one position window with healthy neighbors.
     val canaryRatio = results.toMap.get(canaryName)
       .map(rs => r3(rs.min / canaryAnchorSec))
     val trackJson = canaryTrack.map { case (p, s) => s"[$p,${r3(s)}]" }.mkString("[", ",", "]")

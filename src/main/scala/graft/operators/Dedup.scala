@@ -504,7 +504,14 @@ object Dedup {
   private[graft] def containmentIncrementalOf(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
     val (postings, stop, sizes) = containmentIndex(spark, dir)
-    val bsh = rawShinglesOf(batch.select(col("doc_id"), col("text")))
+    // pin the batch ONCE (batch-proportional by contract, so a cheap
+    // pin): the size probe below is an extra Spark action, and without
+    // the pin it re-executed the batch's upstream lineage on every call
+    // — including once per micro-batch in the streaming twin (r15,
+    // advisory). The probe and the shingle build now both read the
+    // materialized copy.
+    val pinned = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    val bsh = rawShinglesOf(pinned)
       .select(col("doc_id"), unhex(md5(col("sh"))).as("gh"))
       .distinct()
       .join(stop, Seq("gh"), "left_anti")
@@ -518,7 +525,7 @@ object Dedup {
     // join instead of dying on the forced broadcast. The per-micro-batch
     // streaming twin is always far under the threshold.
     val canBroadcast =
-      batch.agg(coalesce(sum(length(col("text"))), lit(0L))).head().getLong(0) <=
+      pinned.agg(coalesce(sum(length(col("text"))), lit(0L))).head().getLong(0) <=
         BroadcastBatchTextBytesCap
     def hint(df: DataFrame): DataFrame = if (canBroadcast) broadcast(df) else df
     val inter = postings.withColumnRenamed("doc_id", "d2")

@@ -815,6 +815,10 @@ object Multimodal {
         }
       }
       .toDF()
+      // pinned: bfh feeds BOTH the frame-0 candidate probe and the
+      // verify side — without the pin the video-decode mapPartitions
+      // re-executed (the audio twin's r15 advisory applies here too).
+      .localCheckpoint(true)
     val cand = bfh.where(col("si") === 0).select(
         col("doc_id").as("d1"),
         posexplode(array(
@@ -1045,7 +1049,10 @@ object Multimodal {
   private[graft] def audioPrefixIncrementalOf(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
     val (bands, windows) = audioPrefixIndex(spark, dir)
-    val bwt = audioWindowTableOf(batch)
+    // pinned: bwt feeds BOTH the window-0 candidate probe and the verify
+    // side, so without the pin the WAV-decode mapPartitions re-executed
+    // (r15, advisory). Batch-proportional by contract — a cheap pin.
+    val bwt = audioWindowTableOf(batch).localCheckpoint(true)
     val cand = bwt.where(col("wi") === 0).select(
         col("doc_id").as("d1"),
         posexplode(array(
