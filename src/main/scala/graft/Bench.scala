@@ -38,6 +38,7 @@ object Bench {
     "q148_video_prefix_incremental", // frozen video prefix index (r14)
     "q173_audio_prefix_containment", // dense audio window-sig table (r15)
     "q174_audio_prefix_incremental", // frozen audio prefix index (r15)
+    "q176_audio_prefix_rate_normalized", // normalized window table (r16)
     "q149_incremental_clusters",    // corpus-split pair + label tables (r14)
     "q150_pq_ann",                  // PQ codebooks + code table (r14)
     "q151_ivfpq_ann",               // partitioned IVFPQ index (r14)
@@ -482,9 +483,15 @@ object Bench {
       if (java.nio.file.Files.exists(canonicalPath))
         Some(new String(java.nio.file.Files.readAllBytes(canonicalPath), "UTF-8"))
       else None
-    val displace = priorCanonical.forall(p => shouldDisplace(p, fullJson))
+    // a BENCH_ONLY-filtered run is never a full-surface capture: without
+    // this guard its (smaller) query set reads as "surface changed" and
+    // a 1-query adjudication run would clobber the canonical
+    val displace = only.isEmpty && priorCanonical.forall(p => shouldDisplace(p, fullJson))
     if (displace)
       java.nio.file.Files.write(canonicalPath, (fullJson + "\n").getBytes("UTF-8"))
+    else if (only.isDefined)
+      System.err.println("[bench] canonical untouched: BENCH_ONLY filter active — " +
+        "full JSON written to bench_captures/ only")
     else
       System.err.println(f"[bench] canonical kept: this capture (${r3(total)}%.3f s) is a " +
         "strictly-worse same-surface run than the existing BENCH_FULL.json — " +
@@ -506,7 +513,7 @@ object Bench {
     val trackSummary =
       if (trackRatios.nonEmpty) s"[${r3(trackRatios.min)},${r3(trackRatios.max)}]" else "[]"
     val headlineJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"floor_sum_ratio":${floorRatio.getOrElse("null")},"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"canonical":"${if (displace) "written" else "kept_prior_better"}","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"floor_sum_ratio":${floorRatio.getOrElse("null")},"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"canonical":"${if (displace) "written" else if (only.isDefined) "skipped_filtered" else "kept_prior_better"}","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
     // ONE print, emitted AFTER spark.stop(): the shutdown epilogue logs
     // would otherwise land between the JSON and process exit and the
     // harness keeps only the output tail (the old workaround printed the

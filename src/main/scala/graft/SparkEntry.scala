@@ -193,6 +193,8 @@ object SparkEntry {
     "q172_media_safe_split" -> ((s, d) => Multimodal.mediaSafeSplit(s, d)),
     "q173_audio_prefix_containment" -> ((s, d) => Multimodal.audioPrefixContainment(s, d)),
     "q174_audio_prefix_incremental" -> ((s, d) => Multimodal.audioPrefixIncremental(s, d)),
+    "q175_media_contamination_full" -> ((s, d) => Multimodal.mediaContaminationFull(s, d)),
+    "q176_audio_prefix_rate_normalized" -> ((s, d) => Multimodal.audioPrefixContainmentNormalized(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -354,6 +356,96 @@ object SparkEntry {
       |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
       |        FROM acs)""".stripMargin
   }
+
+  // Dense per-FRAME video aHashes (stride 1, ALL frames — not the q36
+  // sampled five) from the pixel generator in closed form —
+  // `vaf(doc_id, nf, fi, hi, lo)` — shared by the q147/q148 prefix
+  // chains and q175's video-prefix leg (r16: previously inlined in both
+  // prefix oracles).
+  private val vidDenseCtes: String =
+    """va AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
+      |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |vafr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM va),
+      |vfg AS (SELECT doc_id, nf, f, w, h,
+      |        list_transform(range(0, 64), t ->
+      |          ( (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
+      |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
+      |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
+      |       FROM vafr),
+      |vfgs AS (SELECT doc_id, nf, f, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM vfg),
+      |vaf AS (SELECT doc_id, nf, f AS fi,
+      |         CAST(list_sum(list_transform(range(32, 64), t ->
+      |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+      |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+      |         CAST(list_sum(list_transform(range(0, 32), t ->
+      |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
+      |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+      |        FROM vfgs)""".stripMargin
+
+  // q147's frame-0 banding (capped buckets, >=2-member floor) +
+  // aligned-prefix verify over vaf — ends at `vpagg(d1, d2,
+  // n_frames_1, n_frames_2, n_frames_aligned, ham_total, ham_max)`;
+  // the per-frame Hamming cut and direction verdict stay with the
+  // consumer (q147 lists verdicts, q175 only needs surviving pairs).
+  private val vidPfxPairCtes: String =
+    s"""vb0 AS (SELECT doc_id, unnest([
+      |         {'band_idx': 0, 'band_val': hi // 65536},
+      |         {'band_idx': 1, 'band_val': hi % 65536},
+      |         {'band_idx': 2, 'band_val': lo // 65536},
+      |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+      |       FROM vaf WHERE fi = 0),
+      |vmem0 AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+      |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
+      |        FROM vb0),
+      |vkept0 AS (SELECT * FROM vmem0 WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |vcand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM vkept0 a JOIN vkept0 b
+      |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |              AND a.doc_id < b.doc_id),
+      |vver AS (SELECT c.d1, c.d2, fa.nf AS nf1, fb.nf AS nf2,
+      |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+      |        FROM vcand0 c JOIN vaf fa ON fa.doc_id = c.d1
+      |                   JOIN vaf fb ON fb.doc_id = c.d2 AND fb.fi = fa.fi),
+      |vpagg AS (SELECT d1, d2, CAST(MAX(nf1) AS BIGINT) AS n_frames_1,
+      |          CAST(MAX(nf2) AS BIGINT) AS n_frames_2,
+      |          COUNT(*) AS n_frames_aligned,
+      |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+      |          CAST(MAX(ham) AS BIGINT) AS ham_max
+      |        FROM vver GROUP BY 1, 2)""".stripMargin
+
+  // q173's window-0 banding + aligned-prefix verify over audWinCtes'
+  // awf — ends at `apagg(d1, d2, n_windows_1, n_windows_2,
+  // n_windows_aligned, ham_total, ham_max)`. CTE names are ap-prefixed
+  // so the fragment composes with audPairCtes (whose amem/akept/acand
+  // would otherwise collide) inside the q175 oracle.
+  private val audPfxPairCtes: String =
+    s"""ab0 AS (SELECT doc_id, unnest([
+      |         {'band_idx': 0, 'band_val': hi // 65536},
+      |         {'band_idx': 1, 'band_val': hi % 65536},
+      |         {'band_idx': 2, 'band_val': lo // 65536},
+      |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+      |       FROM awf WHERE wi = 0),
+      |apmem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+      |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS cnt
+      |        FROM ab0),
+      |apkept AS (SELECT * FROM apmem WHERE cnt >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
+      |apcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM apkept a JOIN apkept b
+      |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |              AND a.doc_id < b.doc_id),
+      |apver AS (SELECT c.d1, c.d2, fa.nw AS nw1, fb.nw AS nw2,
+      |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+      |        FROM apcand c JOIN awf fa ON fa.doc_id = c.d1
+      |                   JOIN awf fb ON fb.doc_id = c.d2 AND fb.wi = fa.wi),
+      |apagg AS (SELECT d1, d2, CAST(MAX(nw1) AS BIGINT) AS n_windows_1,
+      |          CAST(MAX(nw2) AS BIGINT) AS n_windows_2,
+      |          COUNT(*) AS n_windows_aligned,
+      |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+      |          CAST(MAX(ham) AS BIGINT) AS ham_max
+      |        FROM apver GROUP BY 1, 2)""".stripMargin
 
   // q141's banding + verify over audSigCtes' aah — ends at
   // `audpairs(d1, d2, hamming, n_samples_1, n_samples_2)`.
@@ -1512,50 +1604,8 @@ object SparkEntry {
     // buckets), the overlapping prefix verified frame-by-frame at the
     // per-frame Hamming cap, direction verdict by length.
     "q147_video_prefix_containment" ->
-      s"""WITH va AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
-        |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
-        |           FROM documents WHERE doc_id % 3 = 2),
-        |vafr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM va),
-        |vfg AS (SELECT doc_id, nf, f, w, h,
-        |        list_transform(range(0, 64), t ->
-        |          ( (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
-        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
-        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
-        |       FROM vafr),
-        |vfgs AS (SELECT doc_id, nf, f, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM vfg),
-        |vaf AS (SELECT doc_id, nf, f AS fi,
-        |         CAST(list_sum(list_transform(range(32, 64), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
-        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
-        |         CAST(list_sum(list_transform(range(0, 32), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
-        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
-        |        FROM vfgs),
-        |vb0 AS (SELECT doc_id, unnest([
-        |         {'band_idx': 0, 'band_val': hi // 65536},
-        |         {'band_idx': 1, 'band_val': hi % 65536},
-        |         {'band_idx': 2, 'band_val': lo // 65536},
-        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
-        |       FROM vaf WHERE fi = 0),
-        |vmem0 AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
-        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
-        |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS n
-        |        FROM vb0),
-        |vkept0 AS (SELECT * FROM vmem0 WHERE n >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
-        |vcand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |          FROM vkept0 a JOIN vkept0 b
-        |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |              AND a.doc_id < b.doc_id),
-        |vver AS (SELECT c.d1, c.d2, fa.nf AS nf1, fb.nf AS nf2,
-        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
-        |        FROM vcand0 c JOIN vaf fa ON fa.doc_id = c.d1
-        |                   JOIN vaf fb ON fb.doc_id = c.d2 AND fb.fi = fa.fi),
-        |vpagg AS (SELECT d1, d2, CAST(MAX(nf1) AS BIGINT) AS n_frames_1,
-        |          CAST(MAX(nf2) AS BIGINT) AS n_frames_2,
-        |          COUNT(*) AS n_frames_aligned,
-        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
-        |          CAST(MAX(ham) AS BIGINT) AS ham_max
-        |        FROM vver GROUP BY 1, 2)
+      s"""WITH $vidDenseCtes,
+        |$vidPfxPairCtes
         |SELECT d1, d2, n_frames_1, n_frames_2, n_frames_aligned, ham_total, ham_max,
         |  CASE WHEN n_frames_1 = n_frames_2 THEN 'mutual'
         |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
@@ -1570,25 +1620,7 @@ object SparkEntry {
     // bucket is a probe-able candidate), verify joins the candidates'
     // frame rows, q147's cuts and verdict verbatim with d1 = batch doc.
     "q148_video_prefix_incremental" ->
-      s"""WITH va AS (SELECT doc_id, doc_id % 30 + 1 AS nf,
-        |             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
-        |           FROM documents WHERE doc_id % 3 = 2),
-        |vafr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM va),
-        |vfg AS (SELECT doc_id, nf, f, w, h,
-        |        list_transform(range(0, 64), t ->
-        |          ( (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 0)*7919)%256
-        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 1)*7919)%256
-        |          + (doc_id*131 + f*104729 + (((t//8)*h//8*w + (t%8)*w//8)*3 + 2)*7919)%256) // 3) AS gr
-        |       FROM vafr),
-        |vfgs AS (SELECT doc_id, nf, f, gr, CAST(list_sum(gr) AS BIGINT) AS sm FROM vfg),
-        |vaf AS (SELECT doc_id, nf, f AS fi,
-        |         CAST(list_sum(list_transform(range(32, 64), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
-        |                THEN (1::BIGINT << CAST(t - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
-        |         CAST(list_sum(list_transform(range(0, 32), t ->
-        |           CASE WHEN 64*gr[CAST(t+1 AS INT)] >= sm
-        |                THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END)) AS BIGINT) AS lo
-        |        FROM vfgs),
+      s"""WITH $vidDenseCtes,
         |cb0 AS (SELECT doc_id, unnest([
         |         {'band_idx': 0, 'band_val': hi // 65536},
         |         {'band_idx': 1, 'band_val': hi % 65536},
@@ -1635,31 +1667,7 @@ object SparkEntry {
     // verify at the per-window Hamming cap, direction by window count.
     "q173_audio_prefix_containment" ->
       s"""WITH $audWinCtes,
-        |ab0 AS (SELECT doc_id, unnest([
-        |         {'band_idx': 0, 'band_val': hi // 65536},
-        |         {'band_idx': 1, 'band_val': hi % 65536},
-        |         {'band_idx': 2, 'band_val': lo // 65536},
-        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
-        |       FROM awf WHERE wi = 0),
-        |amem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
-        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn,
-        |          COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS cnt
-        |        FROM ab0),
-        |akept AS (SELECT * FROM amem WHERE cnt >= 2 AND rn <= ${operators.Dedup.MaxBucket}),
-        |acand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |          FROM akept a JOIN akept b
-        |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |              AND a.doc_id < b.doc_id),
-        |aver AS (SELECT c.d1, c.d2, fa.nw AS nw1, fb.nw AS nw2,
-        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
-        |        FROM acand c JOIN awf fa ON fa.doc_id = c.d1
-        |                   JOIN awf fb ON fb.doc_id = c.d2 AND fb.wi = fa.wi),
-        |apagg AS (SELECT d1, d2, CAST(MAX(nw1) AS BIGINT) AS n_windows_1,
-        |          CAST(MAX(nw2) AS BIGINT) AS n_windows_2,
-        |          COUNT(*) AS n_windows_aligned,
-        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
-        |          CAST(MAX(ham) AS BIGINT) AS ham_max
-        |        FROM aver GROUP BY 1, 2)
+        |$audPfxPairCtes
         |SELECT d1, d2, n_windows_1, n_windows_2, n_windows_aligned, ham_total, ham_max,
         |  CASE WHEN n_windows_1 = n_windows_2 THEN 'mutual'
         |       WHEN n_windows_1 < n_windows_2 THEN 'd1_in_d2'
@@ -1708,6 +1716,68 @@ object SparkEntry {
         |       WHEN n_windows_1 < n_windows_2 THEN 'd1_in_d2'
         |       ELSE 'd2_in_d1' END AS relation
         |FROM ipagg
+        |WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Full-release media decontamination: every eval-side media doc of
+    // every modality, contaminated when ANY perceptual chain — image
+    // near-pairs, video aligned pairs OR video prefix containment,
+    // audio envelope pairs OR audio prefix containment — links it to a
+    // train-side doc. All five chains re-derived from the generators;
+    // the split predicate is q65's.
+    "q175_media_contamination_full" ->
+      s"""WITH $q128Ctes,
+        |$vidFrameCtes,
+        |$vidPairCtes,
+        |$vidDenseCtes,
+        |$vidPfxPairCtes,
+        |$audSigCtes,
+        |$audPairCtes,
+        |$audWinCtes,
+        |$audPfxPairCtes,
+        |vpfx AS (SELECT d1, d2 FROM vpagg
+        |         WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
+        |           AND ham_max <= ${operators.Multimodal.ImgHammingMax}),
+        |apfx AS (SELECT d1, d2 FROM apagg
+        |         WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
+        |           AND ham_max <= ${operators.Multimodal.ImgHammingMax}),
+        |allp AS (SELECT d1, d2 FROM imgpairs
+        |         UNION ALL SELECT d1, d2 FROM vidpairs
+        |         UNION ALL SELECT d1, d2 FROM vpfx
+        |         UNION ALL SELECT d1, d2 FROM audpairs
+        |         UNION ALL SELECT d1, d2 FROM apfx),
+        |prt AS (SELECT d1 AS e, d2 AS t FROM allp
+        |        UNION ALL SELECT d2, d1 FROM allp),
+        |hits AS (SELECT e, MIN(t) AS tm FROM prt
+        |         WHERE (e * 2654435761) % 100 < 20
+        |           AND (t * 2654435761) % 100 >= 20 GROUP BY 1),
+        |ev AS (SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'vid' END AS modality
+        |       FROM documents WHERE (doc_id * 2654435761) % 100 < 20)
+        |SELECT ev.doc_id, ev.modality, (hits.tm IS NOT NULL) AS contaminated,
+        |  CAST(COALESCE(hits.tm, -1) AS BIGINT) AS train_match
+        |FROM ev LEFT JOIN hits ON hits.e = ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    // Rate-normalized audio prefix containment: the q173 chain over
+    // header-rate-normalized windows, plus both sides' parsed rates.
+    // The generator encodes EVERY track at the canonical 8 kHz, where
+    // the nearest-neighbor normalization is provably the identity
+    // (i*8000/8000 = i) — so the closed form is q173's window chain
+    // with a constant rate column. The constants are not vacuous: the
+    // Spark side parses both rates from the real RIFF headers, so a
+    // mis-parse (or a normalization bug perturbing canonical-rate
+    // tracks) hash-mismatches here. The non-identity path is
+    // spec-proven with a crafted 16 kHz resampled+clipped fixture.
+    "q176_audio_prefix_rate_normalized" ->
+      s"""WITH $audWinCtes,
+        |$audPfxPairCtes
+        |SELECT d1, d2,
+        |  CAST(8000 AS INTEGER) AS sample_rate_1,
+        |  CAST(8000 AS INTEGER) AS sample_rate_2,
+        |  n_windows_1, n_windows_2, n_windows_aligned, ham_total, ham_max,
+        |  CASE WHEN n_windows_1 = n_windows_2 THEN 'mutual'
+        |       WHEN n_windows_1 < n_windows_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM apagg
         |WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
         |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
         |ORDER BY d1, d2""".stripMargin,

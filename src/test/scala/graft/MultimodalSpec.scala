@@ -229,6 +229,48 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(1)), "no contamination found — degenerate fixture")
   }
 
+  test("q175: full decontamination — image leg equals q164, prefix chains light the video/audio legs, crafted unit") {
+    import spark.implicits._
+    val sf001 = "/root/testdata/sf0.01"
+    def isEval(id: Long): Boolean = math.floorMod(id * 2654435761L, 100L) < 20L
+    // 1. crafted unit through the audit core: contamination only flows
+    //    train -> eval, provenance is the SMALLEST matching train id,
+    //    and eval-eval links never contaminate
+    val e1 = (0L until 100L).find(isEval).get
+    val e2 = (e1 + 1 until 200L).find(isEval).get
+    val t1 = (0L until 100L).find(!isEval(_)).get
+    val t2 = (t1 + 1 until 200L).find(id => !isEval(id) && id > t1).get
+    val cat = Seq(e1 -> "bmp", e2 -> "wav", t1 -> "bmp", t2 -> "wav")
+      .toDF("doc_id", "modality")
+    val unit = Multimodal.mediaContaminationFrom(
+      Seq(t2 -> e1, e1 -> t1, e1 -> e2).toDF("d1", "d2"), cat).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(unit.keySet === Set(e1, e2), "output must be exactly the eval slice")
+    assert(unit(e1) === ((true, math.min(t1, t2))),
+      "direction-symmetric links, smallest train id wins")
+    assert(unit(e2) === ((false, -1L)), "an eval-eval link must not contaminate")
+    // 2. the bmp leg is q164 verbatim (same pair artifact, and the
+    //    modality partition means no cross-modal pair can touch a bmp)
+    val q164 = Multimodal.mediaContamination(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val full = Multimodal.mediaContaminationFull(spark, sf001).collect()
+    val bmp = full.filter(_.getString(1) == "bmp")
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(bmp === q164, "image leg drifted from q164")
+    // 3. output = the full eval media slice, and the legs q164 could not
+    //    see are NON-VACUOUS at this SF: the prefix chains (q147/q173)
+    //    supply cross-split links the aligned-length/envelope chains
+    //    (q139/q141, both empty here) cannot
+    assert(full.forall(r => isEval(r.getLong(0))))
+    val evalDocs = Multimodal.mediaTable(spark, sf001).select("doc_id")
+      .collect().map(_.getLong(0)).filter(isEval)
+    assert(full.map(_.getLong(0)).sorted.toSeq === evalDocs.sorted.toSeq)
+    Seq("wav", "vid").foreach { m =>
+      assert(full.exists(r => r.getString(1) == m && r.getBoolean(2)),
+        s"no contaminated $m at sf0.01 — the $m leg is vacuous")
+    }
+  }
+
   test("q133: image clusters match a driver union-find over q128's pairs; survivor is highest-res") {
     val sf001 = "/root/testdata/sf0.01"
     val pairs = Multimodal.imageNearDup(spark, sf001).collect()
@@ -361,6 +403,67 @@ class MultimodalSpec extends SparkSpec {
       Seq((clipId, clip)).toDF("doc_id", "payload")).collect()
     val hit = inc.filter(x => x.getLong(0) === clipId && x.getLong(1) === srcId)
     assert(hit.length === 1 && hit.head.getString(7) === "d1_in_d2")
+  }
+
+  test("q176: a resampled+clipped copy — invisible to q141 AND q173 — flips to contained through rate normalization") {
+    import spark.implicits._
+    val W = Multimodal.AudioPrefixWindowSamples
+    val src = Multimodal.mediaTable(spark, sf0001)
+      .where(s"meta.format = 'wav' AND doc_id % 2000 + 500 >= ${3 * W + 1}")
+      .orderBy("doc_id").limit(1).collect().head
+    val srcId = src.getLong(0)
+    val payload = src.getAs[Array[Byte]]("payload")
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Short]
+    MediaCodecs.decodeWav(payload)(samples += _)
+    // copy: NN-upsample to 16 kHz (every source sample doubled) then clip
+    // to 2 full canonical windows + a partial tail — the adversary the
+    // q173 Scaladoc declared out of scope in r15
+    val copyId = 7777777L
+    val copy = MediaCodecs.encodeWav(
+      Array.tabulate((2 * W + W / 2) * 2)(j => samples(j / 2)), 16000)
+    // 0. the header parse the normalization stage rides on
+    assert(MediaCodecs.wavSampleRate(payload) === 8000)
+    assert(MediaCodecs.wavSampleRate(copy) === 16000)
+    // 1. invisible to q141: the clip breaks the whole-track envelope
+    val sSig = Multimodal.audioSignature(srcId, payload)
+    val cSig = Multimodal.audioSignature(copyId, copy)
+    assert((sSig.sig_hi, sSig.sig_lo) !== ((cSig.sig_hi, cSig.sig_lo)),
+      "envelope unexpectedly survived resample+clip — fixture broken")
+    // 2. invisible to q173's RAW kernel: the rate breaks window alignment
+    val rawOut = Multimodal.audioPrefixContainmentOf(Multimodal.audioWindowTableOf(
+      Seq((srcId, payload), (copyId, copy)).toDF("doc_id", "payload"))).collect()
+    assert(!rawOut.exists(r => Set(r.getLong(0), r.getLong(1)) === Set(srcId, copyId)),
+      "raw fixed-window kernel unexpectedly caught the resampled clip")
+    // 3. normalization is the IDENTITY on a canonical-rate track (the
+    //    property the q176 oracle replays in closed form)
+    val normSrc = Multimodal.audioPrefixWindowsNormalizedOf(srcId, payload).toSeq
+    val rawSrc = Multimodal.audioPrefixWindowsOf(srcId, payload).toSeq
+    assert(normSrc.map(r => (r.wi, r.hi, r.lo)) === rawSrc.map(r => (r.wi, r.hi, r.lo)))
+    assert(normSrc.forall(r => r.sample_rate === 8000 && r.n_samples === samples.length.toLong))
+    // 4. the FLIP: the normalized table maps the copy back onto its
+    //    source's windows — contained at Hamming 0, direction by length
+    val normOut = Multimodal.audioPrefixContainmentOf(Multimodal.audioNormWindowTableOf(
+      Seq((srcId, payload), (copyId, copy)).toDF("doc_id", "payload"))).collect()
+    assert(normOut.length === 1)
+    val r = normOut.head
+    assert(r.getLong(0) === srcId && r.getLong(1) === copyId)
+    assert(r.getLong(2) === samples.length.toLong / W, "source window count")
+    assert(r.getLong(3) === 2L, "normalized copy keeps exactly the 2 full clipped windows")
+    assert(r.getLong(4) === 2L && r.getLong(5) === 0L && r.getLong(6) === 0L,
+      "aligned prefix must verify at Hamming 0")
+    assert(r.getString(7) === "d2_in_d1")
+    // 5. gated chain: on the all-canonical corpus q176 is q173's verdict
+    //    set verbatim with both parsed rates = 8000
+    val sf001 = "/root/testdata/sf0.01"
+    val got = Multimodal.audioPrefixContainmentNormalized(spark, sf001).collect()
+    val raw173 = Multimodal.audioPrefixContainment(spark, sf001).collect()
+    assert(got.nonEmpty && got.length === raw173.length)
+    got.zip(raw173).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+      assert(a.getInt(2) === 8000 && a.getInt(3) === 8000)
+      assert((4 to 8).forall(i => a.getLong(i) === b.getLong(i - 2)))
+      assert(a.getString(9) === b.getString(7))
+    }
   }
 
   test("q134: video signature kernel matches a generator recompute; static semantics") {
