@@ -363,6 +363,28 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming AUDIO-CONTAINMENT verdicts — the stream twin of q174,
+    * closing the family convention (the video prefix increment has had
+    * one since r14): each arriving track micro-batch is decoded and
+    * window-signed map-side, then probed against the FROZEN corpus
+    * audio prefix index (window-0 band buckets + dense window table,
+    * built once per corpus fingerprint). Verdicts are a pure function
+    * of (batch track, frozen index) and batch tracks never pair each
+    * other (q72's contract), so ANY micro-batching reproduces the batch
+    * q174 table; replays are idempotent per track, so at-least-once
+    * delivery needs only a set-union sink. Checkpointed — the kill +
+    * restart leg is spec'd in StreamingSpec. */
+  def audioContainmentPerBatch(spark: SparkSession, dir: String, media: DataFrame,
+      checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.audioPrefixIncrementalOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming CONTAINMENT verdicts — the stream twin of q143: each
     * arriving document micro-batch is shingled and probed against the
     * FROZEN containment index (postings + stop list + sizes, built once

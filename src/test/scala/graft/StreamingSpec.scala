@@ -547,6 +547,43 @@ class StreamingSpec extends SparkSpec {
       "union of per-micro-batch containment verdicts must equal the batch q148 table")
   }
 
+  test("streaming audio containment restarts from the checkpoint and converges to the batch q174 verdicts") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchTracks.nonEmpty)
+    type Row8 = (Long, Long, Long, Long, Long, Long, Long, String)
+    def tup(r: org.apache.spark.sql.Row): Row8 =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-audctn-ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row8]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    def start() = StreamingAnalytics.audioContainmentPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload"), ckpt) { verdicts =>
+      collected ++= verdicts.collect().map(tup)
+    }
+    // micro-batch 1, then KILL the query
+    val q1 = start()
+    input.addData(batchTracks.take(3).toSeq); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, s"q1 died: ${q1.exception}")
+    q1.stop()
+    // tracks arriving while the query is down; the restart picks them up
+    input.addData(batchTracks.drop(3).toSeq)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"q2 died: ${q2.exception}")
+    q2.stop()
+    // set-union of per-micro-batch verdicts across the kill = batch q174
+    // (idempotent per track, so a crash-replayed micro-batch is harmless)
+    val batch = graft.operators.Multimodal.audioPrefixIncremental(spark, sf0001)
+      .collect().map(tup).toSet
+    assert(collected.toSet === batch,
+      "verdicts across kill+restart must equal the batch q174 table")
+  }
+
   test("streaming audio dedup converges to the batch q145 verdicts under any micro-batching") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
