@@ -39,6 +39,8 @@ object Bench {
     "q173_audio_prefix_containment", // dense audio window-sig table (r15)
     "q174_audio_prefix_incremental", // frozen audio prefix index (r15)
     "q176_audio_prefix_rate_normalized", // normalized window table (r16)
+    "q177_audio_prefix_incremental_normalized", // frozen normalized audio index (r17)
+    "q178_video_prefix_time_normalized", // time-normalized dense frame table (r17)
     "q175_media_contamination_full", // persisted prefix-verdict pair tables (r16)
     "q149_incremental_clusters",    // corpus-split pair + label tables (r14)
     "q150_pq_ann",                  // PQ codebooks + code table (r14)

@@ -195,6 +195,8 @@ object SparkEntry {
     "q174_audio_prefix_incremental" -> ((s, d) => Multimodal.audioPrefixIncremental(s, d)),
     "q175_media_contamination_full" -> ((s, d) => Multimodal.mediaContaminationFull(s, d)),
     "q176_audio_prefix_rate_normalized" -> ((s, d) => Multimodal.audioPrefixContainmentNormalized(s, d)),
+    "q177_audio_prefix_incremental_normalized" -> ((s, d) => Multimodal.audioPrefixIncrementalNormalized(s, d)),
+    "q178_video_prefix_time_normalized" -> ((s, d) => Multimodal.videoPrefixContainmentTimeNormalized(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -1779,6 +1781,83 @@ object SparkEntry {
         |       ELSE 'd2_in_d1' END AS relation
         |FROM apagg
         |WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Rate-normalized incremental audio prefix containment: q174's
+    // frozen-index probe over HEADER-RATE-NORMALIZED windows, plus both
+    // sides' parsed rates. The generator encodes every track at the
+    // canonical 8 kHz, where the NN normalization is the identity — so
+    // the closed form is q174's incremental chain with constant rate
+    // columns. The constants are not vacuous: the Spark side parses
+    // both rates from the real RIFF headers through the real
+    // normalization kernel, so a mis-parse or a normalization bug
+    // perturbing canonical-rate tracks hash-mismatches here. The
+    // non-identity path (a 16 kHz resampled+clipped INCREMENT flipping
+    // new → contained, which raw q174 misses) is spec-proven.
+    "q177_audio_prefix_incremental_normalized" ->
+      s"""WITH $audWinCtes,
+        |cb0 AS (SELECT doc_id, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM awf WHERE wi = 0 AND doc_id % 10 <> 9),
+        |cmem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn
+        |        FROM cb0),
+        |ckept AS (SELECT * FROM cmem WHERE rn <= ${operators.Dedup.MaxBucket}),
+        |bb AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val
+        |       FROM (SELECT doc_id, unnest([
+        |              {'band_idx': 0, 'band_val': hi // 65536},
+        |              {'band_idx': 1, 'band_val': hi % 65536},
+        |              {'band_idx': 2, 'band_val': lo // 65536},
+        |              {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |             FROM awf WHERE wi = 0 AND doc_id % 10 = 9)),
+        |icand AS (SELECT DISTINCT bb.doc_id AS d1, ckept.doc_id AS d2
+        |          FROM bb JOIN ckept USING (band_idx, band_val)),
+        |iver AS (SELECT c.d1, c.d2, fa.nw AS nw1, fb.nw AS nw2,
+        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+        |        FROM icand c JOIN awf fa ON fa.doc_id = c.d1
+        |                   JOIN awf fb ON fb.doc_id = c.d2 AND fb.wi = fa.wi),
+        |ipagg AS (SELECT d1, d2, CAST(MAX(nw1) AS BIGINT) AS n_windows_1,
+        |          CAST(MAX(nw2) AS BIGINT) AS n_windows_2,
+        |          COUNT(*) AS n_windows_aligned,
+        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+        |          CAST(MAX(ham) AS BIGINT) AS ham_max
+        |        FROM iver GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(8000 AS INTEGER) AS sample_rate_1,
+        |  CAST(8000 AS INTEGER) AS sample_rate_2,
+        |  n_windows_1, n_windows_2, n_windows_aligned, ham_total, ham_max,
+        |  CASE WHEN n_windows_1 = n_windows_2 THEN 'mutual'
+        |       WHEN n_windows_1 < n_windows_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM ipagg
+        |WHERE n_windows_aligned = LEAST(n_windows_1, n_windows_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Time-normalized video prefix containment: q147's chain over
+    // header-time-base-normalized frames, plus both sides' parsed fps
+    // tags. The generator writes untagged streams (canonical 24 fps),
+    // where the NN re-timing is the identity — so the closed form is
+    // q147's frame chain with constant fps columns. The constants are
+    // not vacuous: the Spark side runs the real tag parse + re-time
+    // branch, so a parser or re-timing bug perturbing canonical streams
+    // hash-mismatches here. The non-identity path (a 48 fps
+    // frame-doubled re-encode flipping reject → contained) is
+    // spec-proven through the real PPM kernel.
+    "q178_video_prefix_time_normalized" ->
+      s"""WITH $vidDenseCtes,
+        |$vidPfxPairCtes
+        |SELECT d1, d2,
+        |  CAST(24 AS INTEGER) AS fps_1,
+        |  CAST(24 AS INTEGER) AS fps_2,
+        |  n_frames_1, n_frames_2, n_frames_aligned, ham_total, ham_max,
+        |  CASE WHEN n_frames_1 = n_frames_2 THEN 'mutual'
+        |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM vpagg
+        |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
         |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
         |ORDER BY d1, d2""".stripMargin,
     // Video near-dup verdicts: per-frame hashes from the generator,

@@ -467,9 +467,9 @@ object Multimodal {
       cur(idx % frameBytes) = v
       idx += 1
     }
-    // frames are uniform (header + pixels), so the stream length IS the
-    // frame count times the per-frame size — parsed layout, not metadata
-    val nFrames = payload.length / (MediaCodecs.ppmHeaderSize(w, h) + frameBytes)
+    // frame count from the validated header walk (size arithmetic broke
+    // on fps-tagged fixture streams, whose headers are non-uniform)
+    val nFrames = MediaCodecs.ppmFrameCount(payload)
     (nFrames.toLong, frames.map(vals => aHashOf(grayGridOf(vals, w, h))).toArray)
   }
 
@@ -1168,6 +1168,196 @@ object Multimodal {
       .join(rates.select(col("doc_id").as("d2"), col("sr").as("sample_rate_2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("sample_rate_1"), col("sample_rate_2"),
         col("n_windows_1"), col("n_windows_2"), col("n_windows_aligned"),
+        col("ham_total"), col("ham_max"), col("relation"))
+      .orderBy("d1", "d2")
+  }
+
+  // --- rate-normalized INCREMENTAL audio prefix containment (q177,
+  //     r17 verdict task 2) ------------------------------------------
+
+  /** Frozen RATE-NORMALIZED audio prefix index (the q174 two-table
+    * pattern over [[audioNormWindows]]): `bands` = the corpus split's
+    * normalized window-0 signature bands capped at [[Dedup.MaxBucket]]
+    * smallest doc_ids (drop frozen at build); `windows` = the corpus
+    * split's normalized window signatures WITH parsed header rates.
+    * This closes the r16 gap the q174 raw index left open: a
+    * resampled+clipped copy ARRIVING AS AN INCREMENT evaded ingest
+    * (the raw index signs at the raw rate) and was only caught by the
+    * next full q176 audit. Corpus split is q68's doc_id % 10 ≠ 9 —
+    * the audio-family convention. `isBuilt` probes the bands path,
+    * written LAST, so its _SUCCESS certifies both. */
+  private[graft] def audioPrefixNormIndexPaths(dir: String): (String, String) = {
+    val base = graft.sources.Artifacts.Warehouse + "/aud_norm_prefix_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 177)
+    (base + "/bands", base + "/windows")
+  }
+
+  private[graft] def audioPrefixNormIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (bPath, wPath) = audioPrefixNormIndexPaths(dir)
+    if (!graft.sources.Artifacts.isBuilt(spark, bPath)) {
+      val corpus = audioNormWindows(spark, dir)
+        .where(pmod(col("doc_id"), lit(10)) =!= 9)
+      corpus.write.mode("overwrite").parquet(wPath)
+      corpus.where(col("wi") === 0).select(
+          col("doc_id"),
+          posexplode(array(
+            expr("hi div 65536"), expr("hi % 65536"),
+            expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("all_members"))
+        .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+        .observe("q177_index_bands",
+          sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+        .select(col("band_idx"), col("band_val"), explode(col("members")).as("doc_id"))
+        .write.mode("overwrite").parquet(bPath)
+    }
+    (spark.read.parquet(bPath), spark.read.parquet(wPath))
+  }
+
+  /** q177 — rate-normalized INCREMENTAL audio prefix containment:
+    * q176's resample-proof verdicts for a crawl increment WITHOUT
+    * re-pairing the corpus. Each batch track (doc_id % 10 = 9) is
+    * decoded, header-rate-NORMALIZED ([[audioPrefixWindowsNormalizedOf]])
+    * and window-signed map-side; its normalized window-0 bands probe
+    * the FROZEN normalized corpus index; the verify is q173's
+    * per-window cut and direction verdict over normalized windows, plus
+    * both sides' parsed header rates for provenance. Batch tracks never
+    * pair each other (q72's contract), so the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.audioContainmentNormalizedPerBatch]])
+    * reproduces this table under ANY micro-batching.
+    *
+    * Scale shape: q174's — batch-proportional decode+normalize+sign
+    * (the resample is map-side, O(batch samples)); candidate discovery
+    * is ≤4 band rows per batch track against the capped frozen index;
+    * the window verify touches only candidate corpus rows; the rate
+    * projections are pair-bounded equi-joins. */
+  def audioPrefixIncrementalNormalized(spark: SparkSession, dir: String): DataFrame =
+    audioPrefixIncrementalNormalizedOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) === 9))
+
+  /** [[audioPrefixIncrementalNormalized]] over an arbitrary
+    * (doc_id, payload) batch — the per-micro-batch core of the
+    * streaming twin and the unit the spec drives the resampled-clip
+    * fixture through. */
+  private[graft] def audioPrefixIncrementalNormalizedOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (bands, windows) = audioPrefixNormIndex(spark, dir)
+    // pinned: bwt feeds the candidate probe, the verify side AND the
+    // batch-rate projection (the q174 r15 advisory, one consumer more)
+    val bwt = audioNormWindowTableOf(batch).localCheckpoint(true)
+    val cand = bwt.where(col("wi") === 0).select(
+        col("doc_id").as("d1"),
+        posexplode(array(
+          expr("hi div 65536"), expr("hi % 65536"),
+          expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+      .join(bands, Seq("band_idx", "band_val"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+    val r1 = bwt.groupBy(col("doc_id")).agg(max(col("sample_rate")).as("sr"))
+    val r2 = windows.groupBy(col("doc_id")).agg(max(col("sample_rate")).as("sr"))
+    audioPrefixVerify(cand, bwt, windows)
+      .join(r1.select(col("doc_id").as("d1"), col("sr").as("sample_rate_1")), Seq("d1"))
+      .join(r2.select(col("doc_id").as("d2"), col("sr").as("sample_rate_2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("sample_rate_1"), col("sample_rate_2"),
+        col("n_windows_1"), col("n_windows_2"), col("n_windows_aligned"),
+        col("ham_total"), col("ham_max"), col("relation"))
+      .orderBy("d1", "d2")
+  }
+
+  // --- time-normalized video prefix containment (q178, r17 verdict
+  //     task 3) ------------------------------------------------------
+
+  /** Canonical video frame rate the time-normalization stage maps every
+    * stream to — the generator's (untagged) encode rate. */
+  val VideoCanonicalFps = 24
+
+  /** [[VideoFrameRow]] plus the stream's parsed time-base tag; `ns`
+    * and `si` count POST-normalization frames. */
+  case class VideoNormFrameRow(doc_id: Long, fps: Int, n_frames: Long, ns: Long,
+                               si: Int, hi: Long, lo: Long)
+
+  /** The q178 kernel: decode every frame's aHash, read the header
+    * time-base ([[MediaCodecs.ppmFrameRate]]), NEAREST-NEIGHBOR
+    * re-time to [[VideoCanonicalFps]] (out(t) = in(⌊t·fps/canon⌋),
+    * length ⌊n·canon/fps⌋) — sampling at canonical TIMESTAMPS instead
+    * of integer frame positions. This closes the video analog of the
+    * q173 audio trade (r16 verdict): a re-timed re-encode (frame-rate
+    * changed) shifts every integer-position-sampled frame and evaded
+    * BOTH q139's aligned-envelope verify and q147's prefix containment;
+    * mapping every stream to the canonical time base first lands the
+    * copy back on its source's frames (spec-proven flip through the
+    * real PPM kernel with a 48 fps frame-doubled fixture). At the
+    * canonical rate the map is the identity (⌊t·24/24⌋ = t), so on the
+    * untagged generator corpus this table equals the dense raw
+    * table's — the closed form the q178 oracle replays. NN re-timing
+    * keeps the stage integer-exact (oracle-replayable); the CONTRACT —
+    * header-driven canonical-time-base sampling before frame hashing —
+    * is what a production frame-interpolating retimer slots into,
+    * map-side either way. */
+  private[graft] def videoFrameHashSeqNormalized(docId: Long, payload: Array[Byte])
+      : Iterator[VideoNormFrameRow] = {
+    val (nf, hs) = videoFrameHashSeq(payload, Int.MaxValue)
+    val fps = MediaCodecs.ppmFrameRate(payload, VideoCanonicalFps)
+    val norm: Array[(Long, Long)] =
+      if (fps == VideoCanonicalFps) hs
+      else {
+        val m = (hs.length.toLong * VideoCanonicalFps / fps).toInt
+        Array.tabulate(m)(t => hs((t.toLong * fps / VideoCanonicalFps).toInt))
+      }
+    norm.iterator.zipWithIndex.map { case ((hi, lo), i) =>
+      VideoNormFrameRow(docId, fps, nf, norm.length.toLong, i, hi, lo)
+    }
+  }
+
+  /** Time-normalized dense frame-hash table for an arbitrary
+    * (doc_id, payload) set — map-side decode + re-time + hash. */
+  private[graft] def videoNormFrameTableOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaIn]
+      .mapPartitions(rows => rows.flatMap(m =>
+        videoFrameHashSeqNormalized(m.doc_id,
+          Option(m.payload).getOrElse(Array.emptyByteArray))))
+      .toDF()
+  }
+
+  /** Persisted time-normalized dense frame table (decode-once, the
+    * [[videoDenseFrames]] pattern; fingerprint key 178). On the
+    * all-untagged generator corpus its hashes are provably identical
+    * to the raw dense table's — the artifact still runs the REAL
+    * normalization kernel (header tag parse + re-time branch) so the
+    * gated query prices the production path, and the oracle re-derives
+    * every frame hash from the pixel generator each verify run. */
+  private[graft] def videoNormFrames(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Artifacts.Warehouse + "/vid_norm_frames_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 178)
+    if (!graft.sources.Artifacts.isBuilt(spark, path))
+      videoNormFrameTableOf(mediaTable(spark, dir).where(col("meta.format") === "vid"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** q178 — TIME-NORMALIZED video prefix containment: q147's pair
+    * machinery over the time-normalized frame table, plus both sides'
+    * parsed time-base tags for provenance — the q176 rate-normalization
+    * story at video level, closing the r16 verdict's "no video
+    * time-base normalization" gap.
+    *
+    * Scale shape: q147's — persisted decode-once table, 4 band rows per
+    * video, candidate-only frame verify — plus two pair-bounded
+    * equi-joins against a one-row-per-video time-base projection. */
+  def videoPrefixContainmentTimeNormalized(spark: SparkSession, dir: String): DataFrame = {
+    Diagnostics.install(spark)
+    val ft = videoNormFrames(spark, dir)
+    val rates = ft.groupBy(col("doc_id")).agg(max(col("fps")).as("f"))
+    videoPrefixContainmentOf(ft)
+      .join(rates.select(col("doc_id").as("d1"), col("f").as("fps_1")), Seq("d1"))
+      .join(rates.select(col("doc_id").as("d2"), col("f").as("fps_2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("fps_1"), col("fps_2"),
+        col("n_frames_1"), col("n_frames_2"), col("n_frames_aligned"),
         col("ham_total"), col("ham_max"), col("relation"))
       .orderBy("d1", "d2")
   }
@@ -2061,6 +2251,47 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** [[encodePpmStream]] carrying a TIME-BASE tag: every frame header
+    * gets a `# fps=<n>` comment (netpbm comments are legal between
+    * header tokens). The generator never tags (canonical untagged
+    * streams keep the corpus byte-identical); this overload exists for
+    * crafted re-timed fixtures — the [[encodeWav]] `rate` parameter
+    * pattern for video (q178's spec). */
+  def encodePpmStream(w: Int, h: Int, nFrames: Int, fps: Int,
+      value: (Int, Int) => Int): Array[Byte] = {
+    check(fps > 0, "PPM: non-positive fps tag")
+    val out = new java.io.ByteArrayOutputStream(ppmStreamSize(w, h, nFrames))
+    var f = 0
+    while (f < nFrames) {
+      out.write(s"P6\n# fps=$fps\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var i = 0
+      while (i < w * h * 3) { out.write(value(f, i)); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Skip PPM header whitespace AND `#` comment lines (legal anywhere
+    * between header tokens per the netpbm format; the generator never
+    * writes them — they carry the optional q178 time-base tag in
+    * crafted re-timed fixtures). Returns the new position. */
+  private def skipPpmSpace(b: Array[Byte], start: Int): Int = {
+    var pos = start
+    var moved = true
+    while (moved) {
+      moved = false
+      while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) {
+        pos += 1; moved = true
+      }
+      if (pos < b.length && b(pos) == '#') {
+        while (pos < b.length && b(pos) != '\n') pos += 1
+        moved = true
+      }
+    }
+    pos
+  }
+
   /** Parsed (width, height) of a P6 stream's first frame header
     * (validated magic; all frames share dims — enforced by the full
     * decoder's per-frame check). */
@@ -2068,7 +2299,7 @@ object MediaCodecs {
     check(b.length >= 2 && b(0) == 'P' && b(1) == '6', "PPM: bad magic")
     var pos = 2
     def parseInt(): Int = {
-      while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+      pos = skipPpmSpace(b, pos)
       check(pos < b.length && b(pos) >= '0' && b(pos) <= '9', "PPM: expected integer in header")
       var v = 0
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') { v = v * 10 + (b(pos) - '0'); pos += 1 }
@@ -2079,12 +2310,37 @@ object MediaCodecs {
     (w, h)
   }
 
-  /** Parse a concatenated P6 stream: discover the frame count from the
-    * stream itself, sample k evenly spaced frames via
-    * [[Multimodal.frameOffsets]], and emit their pixel bytes in frame
-    * order. Returns the number of frames sampled. */
-  def decodePpmStreamSampled(b: Array[Byte], k: Int)(emit: Int => Unit): Int = {
-    // pass 1: walk headers to index frame payload offsets
+  /** Parse the TIME-BASE tag out of a P6 stream's first frame header:
+    * an optional `# fps=<n>` comment between the magic and the dims.
+    * The one field the frame walk doesn't consume — the q178
+    * time-normalization stage reads it explicitly, the q176
+    * [[wavSampleRate]] pattern for video. Absent tag → `default` (the
+    * canonical rate; the generator writes untagged streams). */
+  def ppmFrameRate(b: Array[Byte], default: Int): Int = {
+    check(b.length >= 2 && b(0) == 'P' && b(1) == '6', "PPM: bad magic")
+    var pos = 2
+    while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+    while (pos < b.length && b(pos) == '#') {
+      val eol = { var e = pos; while (e < b.length && b(e) != '\n') e += 1; e }
+      val comment = ascii(b, pos, eol - pos)
+      val m = "fps=([0-9]+)".r.findFirstMatchIn(comment)
+      if (m.isDefined) {
+        val fps = m.get.group(1).toInt
+        check(fps > 0, "PPM: non-positive fps tag")
+        return fps
+      }
+      pos = eol
+      while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+    }
+    default
+  }
+
+  /** Pass-1 header walk of a concatenated P6 stream: validates every
+    * frame header (shared dims, maxval 255, complete pixel data) and
+    * returns (w, h, per-frame pixel-data offsets). The single parser
+    * behind [[decodePpmStreamSampled]] and [[ppmFrameCount]] —
+    * layout-derived, never metadata-trusted. */
+  private def ppmFrameOffsets(b: Array[Byte]): (Int, Int, Array[Int]) = {
     var pos = 0
     var dims: (Int, Int) = null
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -2092,7 +2348,7 @@ object MediaCodecs {
       check(pos + 2 <= b.length && b(pos) == 'P' && b(pos + 1) == '6', "PPM: bad magic")
       pos += 2
       def parseInt(): Int = {
-        while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+        pos = skipPpmSpace(b, pos)
         check(pos < b.length && b(pos) >= '0' && b(pos) <= '9', "PPM: expected integer in header")
         var v = 0
         while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') { v = v * 10 + (b(pos) - '0'); pos += 1 }
@@ -2109,8 +2365,20 @@ object MediaCodecs {
       pos += w * h * 3
     }
     check(offsets.nonEmpty, "PPM: empty stream")
-    // pass 2: emit only the sampled frames
-    val (w, h) = dims
+    (dims._1, dims._2, offsets.toArray)
+  }
+
+  /** Total frame count of a P6 stream, from the validated header walk
+    * (NOT size arithmetic — a crafted stream with header comments has
+    * non-uniform header sizes). */
+  def ppmFrameCount(b: Array[Byte]): Int = ppmFrameOffsets(b)._3.length
+
+  /** Parse a concatenated P6 stream: discover the frame count from the
+    * stream itself, sample k evenly spaced frames via
+    * [[Multimodal.frameOffsets]], and emit their pixel bytes in frame
+    * order. Returns the number of frames sampled. */
+  def decodePpmStreamSampled(b: Array[Byte], k: Int)(emit: Int => Unit): Int = {
+    val (w, h, offsets) = ppmFrameOffsets(b)
     val sampled = Multimodal.frameOffsets(offsets.length, k)
     sampled.foreach { f =>
       val base = offsets(f)

@@ -385,6 +385,30 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming RATE-NORMALIZED audio-containment verdicts — the stream
+    * twin of q177, closing the r16 verdict's ingest gap: the q174 twin
+    * above signs at the RAW rate, so a resampled+clipped copy arriving
+    * as an increment evaded ingest and was only caught by the next full
+    * q176 batch audit. Each arriving track micro-batch is decoded,
+    * header-rate-normalized and window-signed map-side, then probed
+    * against the FROZEN normalized corpus index (q177's two tables,
+    * built once per corpus fingerprint). Verdicts are a pure function
+    * of (batch track, frozen index) and batch tracks never pair each
+    * other (q72's contract), so ANY micro-batching reproduces the batch
+    * q177 table; replays are idempotent per track, so at-least-once
+    * delivery needs only a set-union sink. Checkpointed — the kill +
+    * restart leg is spec'd in StreamingSpec. */
+  def audioContainmentNormalizedPerBatch(spark: SparkSession, dir: String, media: DataFrame,
+      checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.audioPrefixIncrementalNormalizedOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming CONTAINMENT verdicts — the stream twin of q143: each
     * arriving document micro-batch is shingled and probed against the
     * FROZEN containment index (postings + stop list + sizes, built once

@@ -34,6 +34,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PPM stream walker: fps-tagged headers roundtrip pixels, frame count and dims; untagged default") {
+    val (w, h, nf) = (5, 3, 4)
+    def fn(f: Int, i: Int) = (f * 41 + i * 13 + 3) % 256
+    val tagged = MediaCodecs.encodePpmStream(w, h, nf, 48, fn)
+    val plain = MediaCodecs.encodePpmStream(w, h, nf, fn)
+    // the tag lives in comments only — pixel payload identical
+    assert(MediaCodecs.ppmFrameRate(tagged, 24) === 48)
+    assert(MediaCodecs.ppmFrameRate(plain, 24) === 24, "untagged stream must default")
+    assert(MediaCodecs.ppmFrameCount(tagged) === nf)
+    assert(MediaCodecs.ppmFrameCount(plain) === nf)
+    assert(MediaCodecs.ppmDims(tagged) === ((w, h)))
+    def pixels(b: Array[Byte]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      MediaCodecs.decodePpmStreamSampled(b, Int.MaxValue)(out += _)
+      out.toSeq
+    }
+    assert(pixels(tagged) === pixels(plain), "comments must be invisible to the pixel walk")
+    assert(pixels(plain) === (0 until nf).flatMap(f => (0 until w * h * 3).map(fn(f, _))))
+  }
+
   test("WAV encoder/decoder roundtrip signed 16-bit samples; walker skips unknown chunks") {
     val samples = Array.tabulate(777)(i => ((i * 1031) % 65536 - 32768).toShort)
     val enc = MediaCodecs.encodeWav(samples)
@@ -461,6 +481,176 @@ class MultimodalSpec extends SparkSpec {
     got.zip(raw173).foreach { case (a, b) =>
       assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
       assert(a.getInt(2) === 8000 && a.getInt(3) === 8000)
+      assert((4 to 8).forall(i => a.getLong(i) === b.getLong(i - 2)))
+      assert(a.getString(9) === b.getString(7))
+    }
+  }
+
+  test("q177: a resampled+clipped INCREMENT — invisible to raw q174 ingest — flips to contained through the frozen normalized index") {
+    import spark.implicits._
+    val W = Multimodal.AudioPrefixWindowSamples
+    // corpus-side source: in the frozen index split (doc_id % 10 <> 9)
+    // with enough samples for 3 full windows
+    val src = Multimodal.mediaTable(spark, sf0001)
+      .where(s"meta.format = 'wav' AND doc_id % 10 <> 9 AND doc_id % 2000 + 500 >= ${3 * W + 1}")
+      .orderBy("doc_id").limit(1).collect().head
+    val srcId = src.getLong(0)
+    val payload = src.getAs[Array[Byte]]("payload")
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Short]
+    MediaCodecs.decodeWav(payload)(samples += _)
+    // the q176 adversary ARRIVING AS AN INCREMENT: NN-upsampled to
+    // 16 kHz, clipped to 2 full canonical windows + a partial tail —
+    // the r16 verdict's "evades ingest, only the batch audit catches
+    // it after the fact" gap
+    val copyId = 8888888L
+    val copy = MediaCodecs.encodeWav(
+      Array.tabulate((2 * W + W / 2) * 2)(j => samples(j / 2)), 16000)
+    val batch = Seq((copyId, copy)).toDF("doc_id", "payload")
+    // 1. invisible to the RAW ingest path: q174's index signs at the
+    //    raw rate, so the resampled increment misses its source
+    val raw = Multimodal.audioPrefixIncrementalOf(spark, sf0001, batch).collect()
+    assert(!raw.exists(r => r.getLong(0) === copyId && r.getLong(1) === srcId),
+      "raw q174 ingest unexpectedly caught the resampled increment")
+    // 2. the FLIP: the frozen NORMALIZED index catches it at ingest,
+    //    with both parsed rates as provenance
+    val out = Multimodal.audioPrefixIncrementalNormalizedOf(spark, sf0001, batch).collect()
+    val hit = out.filter(r => r.getLong(0) === copyId && r.getLong(1) === srcId)
+    assert(hit.length === 1, s"normalized ingest must catch the increment: ${out.toSeq}")
+    val r = hit.head
+    assert(r.getInt(2) === 16000 && r.getInt(3) === 8000, "parsed rate provenance")
+    assert(r.getLong(4) === 2L, "normalized increment keeps exactly the 2 full clipped windows")
+    assert(r.getLong(5) === samples.length.toLong / W, "corpus source window count")
+    assert(r.getLong(6) === 2L && r.getLong(7) === 0L && r.getLong(8) === 0L,
+      "aligned prefix must verify at Hamming 0")
+    assert(r.getString(9) === "d1_in_d2")
+    // 3. gated chain: on the all-canonical corpus q177 is q174's
+    //    verdict set verbatim with both parsed rates = 8000
+    val sf001 = "/root/testdata/sf0.01"
+    val got = Multimodal.audioPrefixIncrementalNormalized(spark, sf001).collect()
+    val raw174 = Multimodal.audioPrefixIncremental(spark, sf001).collect()
+    assert(got.nonEmpty && got.length === raw174.length)
+    got.zip(raw174).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+      assert(a.getInt(2) === 8000 && a.getInt(3) === 8000)
+      assert((4 to 8).forall(i => a.getLong(i) === b.getLong(i - 2)))
+      assert(a.getString(9) === b.getString(7))
+    }
+  }
+
+  test("q178: a re-timed (48 fps frame-doubled) truncated re-encode — invisible to q139 AND raw q147 — flips to contained through time normalization") {
+    import spark.implicits._
+    // corpus source with >= 4 frames and real inter-frame motion: every
+    // consecutive dense-frame Hamming must exceed the per-frame cap, so
+    // the raw misaligned comparison (re-encode frame 2t+1 vs source
+    // frame t+1) cannot pass by luck
+    val cands = Multimodal.mediaTable(spark, sf0001)
+      .where("meta.format = 'vid' AND meta.n_frames >= 4")
+      .select("doc_id", "payload", "meta.width", "meta.height", "meta.n_frames")
+      .orderBy("doc_id").limit(12).collect()
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // q139's 5-point sampling can coincidentally land the re-encode on
+    // its source's exact sampled frames for some frame counts (nf = 6:
+    // offsets(6,5) = [0..4] and offsets(10,5)/2 = [0..4]) — there q139
+    // legitimately sees the class. The adversary of interest is a
+    // source where the sampling MISALIGNS, so select for that
+    // explicitly alongside the per-frame motion requirement.
+    def q139Evades(src: Seq[(Long, Long)], fix: Seq[(Long, Long)]): Boolean = {
+      val so = Multimodal.frameOffsets(src.length, 5)
+      val fo = Multimodal.frameOffsets(fix.length, 5)
+      so.length != fo.length ||
+        so.zip(fo).exists { case (a, b) => ham(src(a), fix(b)) > Multimodal.ImgHammingMax }
+    }
+    val pick = cands.find { row =>
+      val hs = Multimodal.videoFrameHashSeqNormalized(
+        row.getLong(0), row.getAs[Array[Byte]]("payload")).toSeq.map(r => (r.hi, r.lo))
+      val doubled = hs.take(hs.length - 1).flatMap(x => Seq(x, x))
+      hs.sliding(2).forall {
+        case Seq(a, b) => ham(a, b) > Multimodal.ImgHammingMax
+        case _ => true
+      } && q139Evades(hs, doubled)
+    }.getOrElse(fail("no high-motion sampling-misaligned source at this SF — fixture assumptions broken"))
+    val (srcId, payload) = (pick.getLong(0), pick.getAs[Array[Byte]]("payload"))
+    val (w, h, nf) = (pick.getInt(2), pick.getInt(3), pick.getInt(4))
+    // the re-timed clip: first nf-1 source frames transcoded 24→48 fps
+    // (NN re-timing doubles every frame), tagged in the header,
+    // regenerated from the pixel formula
+    val k = nf - 1
+    val fixId = 9999999L
+    val fix = MediaCodecs.encodePpmStream(w, h, 2 * k, 48,
+      (f, i) => Multimodal.vidVal(srcId, f / 2, i))
+    // 0. the header tag parse the normalization stage rides on; the
+    //    frame walk must survive the comment lines
+    assert(MediaCodecs.ppmFrameRate(fix, Multimodal.VideoCanonicalFps) === 48)
+    assert(MediaCodecs.ppmFrameRate(payload, Multimodal.VideoCanonicalFps) === 24)
+    assert(MediaCodecs.ppmFrameCount(fix) === 2 * k)
+    assert(MediaCodecs.ppmDims(fix) === ((w, h)))
+    // raw dense + sampled-5 rows through the real decode (comments and
+    // all), for the two raw-kernel invisibility legs
+    def denseHashes(p: Array[Byte]): Seq[(Long, Long)] = {
+      val fb = w * h * 3
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var cur: Array[Int] = null; var idx = 0
+      MediaCodecs.decodePpmStreamSampled(p, Int.MaxValue) { v =>
+        if (idx % fb == 0) { cur = new Array[Int](fb); frames += cur }
+        cur(idx % fb) = v; idx += 1
+      }
+      frames.toSeq.map(vals => Multimodal.aHashOf(Multimodal.grayGridOf(vals, w, h)))
+    }
+    def rows(id: Long, hs: Seq[(Long, Long)]) =
+      hs.zipWithIndex.map { case ((hi, lo), i) =>
+        (id, hs.length.toLong, hs.length.toLong, i, hi, lo)
+      }
+    val srcDense = denseHashes(payload)
+    val fixDense = denseHashes(fix)
+    assert(fixDense === srcDense.take(k).flatMap(x => Seq(x, x)),
+      "48 fps re-encode must be the frame-doubled source prefix")
+    // 1a. invisible to q139: sampled-position alignment compares
+    //     different source frames
+    def sampled(id: Long, hs: Seq[(Long, Long)]) = {
+      val off = Multimodal.frameOffsets(hs.length, 5)
+      off.toSeq.zipWithIndex.map { case (f, i) =>
+        (id, hs.length.toLong, off.length.toLong, i, hs(f)._1, hs(f)._2)
+      }
+    }
+    val q139pairs = Multimodal.videoNearDupOf(
+      (sampled(srcId, srcDense) ++ sampled(fixId, fixDense))
+        .toDF("doc_id", "n_frames", "ns", "si", "hi", "lo")).collect()
+    assert(!q139pairs.exists(r => Set(r.getLong(0), r.getLong(1)) === Set(srcId, fixId)),
+      "q139 unexpectedly caught the re-timed re-encode")
+    // 1b. invisible to RAW q147: frame 0 matches (candidate forms) but
+    //     the misaligned prefix fails the per-frame cap
+    val rawOut = Multimodal.videoPrefixContainmentOf(
+      (rows(srcId, srcDense) ++ rows(fixId, fixDense))
+        .toDF("doc_id", "n_frames", "ns", "si", "hi", "lo")).collect()
+    assert(!rawOut.exists(r => Set(r.getLong(0), r.getLong(1)) === Set(srcId, fixId)),
+      "raw prefix kernel unexpectedly caught the re-timed re-encode")
+    // 2. normalization is the IDENTITY on an untagged canonical stream
+    //    (the property the q178 oracle replays in closed form)
+    val normSrc = Multimodal.videoFrameHashSeqNormalized(srcId, payload).toSeq
+    assert(normSrc.map(r => (r.hi, r.lo)) === srcDense)
+    assert(normSrc.forall(r => r.fps === Multimodal.VideoCanonicalFps
+      && r.n_frames === nf.toLong && r.ns === nf.toLong))
+    // 3. the FLIP: time normalization maps the re-encode back onto its
+    //    source's frames — contained at Hamming 0, direction by length
+    val normOut = Multimodal.videoPrefixContainmentOf(Multimodal.videoNormFrameTableOf(
+      Seq((srcId, payload), (fixId, fix)).toDF("doc_id", "payload"))).collect()
+    assert(normOut.length === 1)
+    val n = normOut.head
+    assert(n.getLong(0) === srcId && n.getLong(1) === fixId)
+    assert(n.getLong(2) === nf.toLong && n.getLong(3) === k.toLong)
+    assert(n.getLong(4) === k.toLong && n.getLong(5) === 0L && n.getLong(6) === 0L,
+      "normalized prefix must verify at Hamming 0")
+    assert(n.getString(7) === "d2_in_d1")
+    // 4. gated chain: on the all-untagged corpus q178 is q147's verdict
+    //    set verbatim with both fps tags = 24
+    val sf001 = "/root/testdata/sf0.01"
+    val got = Multimodal.videoPrefixContainmentTimeNormalized(spark, sf001).collect()
+    val raw147 = Multimodal.videoPrefixContainment(spark, sf001).collect()
+    assert(got.length === raw147.length)
+    got.zip(raw147).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+      assert(a.getInt(2) === 24 && a.getInt(3) === 24)
       assert((4 to 8).forall(i => a.getLong(i) === b.getLong(i - 2)))
       assert(a.getString(9) === b.getString(7))
     }

@@ -584,6 +584,62 @@ class StreamingSpec extends SparkSpec {
       "verdicts across kill+restart must equal the batch q174 table")
   }
 
+  test("streaming rate-normalized audio containment catches a resampled increment at ingest and survives kill+restart (q177 twin)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val W = graft.operators.Multimodal.AudioPrefixWindowSamples
+    val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "wav" && pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchTracks.nonEmpty)
+    // the r16 ingest gap, replayed THROUGH the stream: a 16 kHz
+    // resampled+clipped copy of a corpus-side source arrives as one of
+    // the increments
+    val src = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(s"meta.format = 'wav' AND doc_id % 10 <> 9 AND doc_id % 2000 + 500 >= ${3 * W + 1}")
+      .orderBy("doc_id").limit(1).collect().head
+    val srcId = src.getLong(0)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Short]
+    graft.operators.MediaCodecs.decodeWav(src.getAs[Array[Byte]]("payload"))(samples += _)
+    val copyId = 8888889L
+    val copy = graft.operators.MediaCodecs.encodeWav(
+      Array.tabulate((2 * W + W / 2) * 2)(j => samples(j / 2)), 16000)
+    type Row10 = (Long, Long, Int, Int, Long, Long, Long, Long, Long, String)
+    def tup(r: org.apache.spark.sql.Row): Row10 =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getString(9))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-audnorm-ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row10]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    def start() = StreamingAnalytics.audioContainmentNormalizedPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload"), ckpt) { verdicts =>
+      collected ++= verdicts.collect().map(tup)
+    }
+    // micro-batch 1 carries the resampled increment, then KILL
+    val q1 = start()
+    input.addData(batchTracks.take(3).toSeq :+ (copyId, copy)); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, s"q1 died: ${q1.exception}")
+    q1.stop()
+    assert(collected.exists(v => v._1 === copyId && v._2 === srcId
+        && v._3 === 16000 && v._4 === 8000 && v._10 === "d1_in_d2"),
+      "the resampled increment must be caught AT INGEST, not by a later batch audit")
+    // tracks arriving while the query is down; the restart picks them up
+    input.addData(batchTracks.drop(3).toSeq)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"q2 died: ${q2.exception}")
+    q2.stop()
+    // set-union across the kill = batch q177 table ∪ the increment's
+    // own verdicts (both pure functions of (track, frozen index))
+    import spark.implicits._
+    val batch = graft.operators.Multimodal.audioPrefixIncrementalNormalized(spark, sf0001)
+      .collect().map(tup).toSet
+    val fixture = graft.operators.Multimodal.audioPrefixIncrementalNormalizedOf(spark, sf0001,
+      Seq((copyId, copy)).toDF("doc_id", "payload")).collect().map(tup).toSet
+    assert(collected.toSet === (batch ++ fixture),
+      "verdicts across kill+restart must equal batch q177 plus the increment's verdicts")
+  }
+
   test("streaming audio dedup converges to the batch q145 verdicts under any micro-batching") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
