@@ -515,8 +515,17 @@ object Bench {
     val trackRatios = canaryTrack.map(_._2 / canaryAnchorSec)
     val trackSummary =
       if (trackRatios.nonEmpty) s"[${r3(trackRatios.min)},${r3(trackRatios.max)}]" else "[]"
+    // One-line normalized adjudication so a degraded-window driver
+    // capture is self-explaining without the BASELINE.md archaeology:
+    // total ≈ floor_sum × floor_sum_ratio by construction, so the
+    // healthy-window expectation for THIS surface is floor_sum × ~1.2
+    // (the best recorded stable-window ratio; r16 attempt 6).
+    val adjudication =
+      if (atFloorSf && floorSum > 0 && only.isEmpty)
+        s""","adjudication":"healthy-window expectation ~${r3(floorSum * 1.2)}s at ratio 1.2 (floor_sum ${r3(floorSum)}s; this run ${floorRatio.getOrElse("?")}x) - see BASELINE.md 'Per-query healthy floors'""""
+      else ""
     val headlineJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"floor_sum_ratio":${floorRatio.getOrElse("null")},"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"canonical":"${if (displace) "written" else if (only.isDefined) "skipped_filtered" else "kept_prior_better"}","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"floor_sum_ratio":${floorRatio.getOrElse("null")},"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"canonical":"${if (displace) "written" else if (only.isDefined) "skipped_filtered" else "kept_prior_better"}","detail":"BENCH_FULL.json"$adjudication,"sf":"$sfDir"}"""
     // ONE print, emitted AFTER spark.stop(): the shutdown epilogue logs
     // would otherwise land between the JSON and process exit and the
     // harness keeps only the output tail (the old workaround printed the
