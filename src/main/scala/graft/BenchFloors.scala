@@ -117,13 +117,14 @@ object BenchFloors {
     // still likely above the true floor; lower from future captures)
     "q175_media_contamination_full" -> 0.718, // r16 artifact path (attempt-10 recorded min; pre-change floor was 1.575)
     "q176_audio_prefix_rate_normalized" -> 0.412,
-    // r17 additions — single-session builder measurements (isolated
-    // BENCH_ONLY run at sf0.1, min of 6 reps, recorded in
-    // bench_captures; the window was degraded — canary sample 4.2×,
-    // eff_cores 19.0→13.8 — so these sit well above the true floors;
-    // lower from the first healthier capture)
-    "q177_audio_prefix_incremental_normalized" -> 1.222,
-    "q178_video_prefix_time_normalized" -> 0.828,
+    // r17 additions — initial isolated BENCH_ONLY measurements
+    // (1.222/0.828, degraded window) lowered the same round by the
+    // full-surface capture series: q177 0.683 in attempt 4
+    // (BENCH_FULL_1786913680, committed), q178 0.56 in attempt 3
+    // (BENCH_FULL_1786909187, committed). All r17 windows ran capped
+    // (ratios 1.6–1.9), so still above the true floors.
+    "q177_audio_prefix_incremental_normalized" -> 0.683,
+    "q178_video_prefix_time_normalized" -> 0.56,
     "q17_customers_with_open_orders" -> 0.205,
     "q18_orders_per_month" -> 0.483,
     "q19_status_by_year" -> 0.144,
