@@ -124,7 +124,7 @@ object BenchFloors {
     // (BENCH_FULL_1786909187, committed). All r17 windows ran capped
     // (ratios 1.6–1.9), so still above the true floors.
     "q177_audio_prefix_incremental_normalized" -> 0.683,
-    "q178_video_prefix_time_normalized" -> 0.56,
+    "q178_video_prefix_time_normalized" -> 0.541, // attempt 5 (BENCH_FULL_1786917146)
     "q17_customers_with_open_orders" -> 0.205,
     "q18_orders_per_month" -> 0.483,
     "q19_status_by_year" -> 0.144,
