@@ -41,6 +41,7 @@ object Bench {
     "q176_audio_prefix_rate_normalized", // normalized window table (r16)
     "q177_audio_prefix_incremental_normalized", // frozen normalized audio index (r17)
     "q178_video_prefix_time_normalized", // time-normalized dense frame table (r17)
+    "q179_video_prefix_incremental_normalized", // frozen normalized video index (r18)
     "q175_media_contamination_full", // persisted prefix-verdict pair tables (r16)
     "q149_incremental_clusters",    // corpus-split pair + label tables (r14)
     "q150_pq_ann",                  // PQ codebooks + code table (r14)
@@ -518,11 +519,14 @@ object Bench {
     // One-line normalized adjudication so a degraded-window driver
     // capture is self-explaining without the BASELINE.md archaeology:
     // total ≈ floor_sum × floor_sum_ratio by construction, so the
-    // healthy-window expectation for THIS surface is floor_sum × ~1.2
-    // (the best recorded stable-window ratio; r16 attempt 6).
+    // healthy-window expectation for THIS surface is floor_sum ×
+    // [[BenchFloors.HealthyWindowRatio]] (single sourced constant —
+    // r17 advisory — so a better stable-window capture lowers it in
+    // exactly one recorded place).
+    val hwr = BenchFloors.HealthyWindowRatio
     val adjudication =
       if (atFloorSf && floorSum > 0 && only.isEmpty)
-        s""","adjudication":"healthy-window expectation ~${r3(floorSum * 1.2)}s at ratio 1.2 (floor_sum ${r3(floorSum)}s; this run ${floorRatio.getOrElse("?")}x) - see BASELINE.md 'Per-query healthy floors'""""
+        s""","adjudication":"healthy-window expectation ~${r3(floorSum * hwr)}s at ratio $hwr (floor_sum ${r3(floorSum)}s; this run ${floorRatio.getOrElse("?")}x) - see BASELINE.md 'Per-query healthy floors'""""
       else ""
     val headlineJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"nq":${results.size},"canary":${canaryRatio.getOrElse("null")},"canary_track_minmax":$trackSummary,"floor_sum_ratio":${floorRatio.getOrElse("null")},"setup_total":${r3(setupTotal)},"eff_cores":[$effCoresPre,$effCoresPost],"retried":$retriedJson,"canonical":"${if (displace) "written" else if (only.isDefined) "skipped_filtered" else "kept_prior_better"}","detail":"BENCH_FULL.json"$adjudication,"sf":"$sfDir"}"""

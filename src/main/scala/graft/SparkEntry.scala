@@ -197,6 +197,7 @@ object SparkEntry {
     "q176_audio_prefix_rate_normalized" -> ((s, d) => Multimodal.audioPrefixContainmentNormalized(s, d)),
     "q177_audio_prefix_incremental_normalized" -> ((s, d) => Multimodal.audioPrefixIncrementalNormalized(s, d)),
     "q178_video_prefix_time_normalized" -> ((s, d) => Multimodal.videoPrefixContainmentTimeNormalized(s, d)),
+    "q179_video_prefix_incremental_normalized" -> ((s, d) => Multimodal.videoPrefixIncrementalTimeNormalized(s, d)),
     "q159_ivfpq_compaction" -> ((s, d) => Similarity.ivfPqCompaction(s, d)),
     "q37_clf_parse"       -> ((s, _) => graft.clf.LogParser.fixtureValid(s)),
     "q38_clf_dead_letters" -> ((s, _) => graft.clf.LogParser.fixtureDead(s)),
@@ -1723,10 +1724,16 @@ object SparkEntry {
         |ORDER BY d1, d2""".stripMargin,
     // Full-release media decontamination: every eval-side media doc of
     // every modality, contaminated when ANY perceptual chain — image
-    // near-pairs, video aligned pairs OR video prefix containment,
-    // audio envelope pairs OR audio prefix containment — links it to a
-    // train-side doc. All five chains re-derived from the generators;
-    // the split predicate is q65's.
+    // near-pairs, video aligned pairs OR TIME-NORMALIZED video prefix
+    // containment (q178), audio envelope pairs OR RATE-NORMALIZED audio
+    // prefix containment (q176) — links it to a train-side doc. All
+    // five chains re-derived from the generators. The prefix legs read
+    // the NORMALIZED chains since r18; on the all-canonical generator
+    // corpus the normalization is the identity (q176/q178 oracle
+    // contract), so their closed form below IS the raw q147/q173 chain
+    // — the vpfx/apfx CTEs are unchanged by the swap, and a
+    // normalization bug perturbing canonical streams hash-mismatches
+    // here. The split predicate is q65's.
     "q175_media_contamination_full" ->
       s"""WITH $q128Ctes,
         |$vidFrameCtes,
@@ -1857,6 +1864,64 @@ object SparkEntry {
         |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
         |       ELSE 'd2_in_d1' END AS relation
         |FROM vpagg
+        |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
+        |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
+        |ORDER BY d1, d2""".stripMargin,
+    // Time-normalized incremental video prefix containment: q148's
+    // frozen-index probe over HEADER-TIME-BASE-NORMALIZED frames, plus
+    // both sides' parsed fps tags. The generator writes untagged
+    // streams (canonical 24 fps), where the NN re-timing is the
+    // identity — so the closed form is q148's incremental chain with
+    // constant fps columns. The constants are not vacuous: the Spark
+    // side runs the real tag parse + re-time branch on both the batch
+    // and the index build, so a parser or re-timing bug perturbing
+    // canonical streams hash-mismatches here. The non-identity path (a
+    // 48 fps frame-doubled clipped INCREMENT flipping new → contained,
+    // which raw q148 misses) is spec-proven through the real PPM
+    // kernel.
+    "q179_video_prefix_incremental_normalized" ->
+      s"""WITH $vidDenseCtes,
+        |cb0 AS (SELECT doc_id, unnest([
+        |         {'band_idx': 0, 'band_val': hi // 65536},
+        |         {'band_idx': 1, 'band_val': hi % 65536},
+        |         {'band_idx': 2, 'band_val': lo // 65536},
+        |         {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |       FROM vaf
+        |       WHERE fi = 0 AND doc_id % ${operators.Multimodal.VideoBatchMod}
+        |         <> ${operators.Multimodal.VideoBatchResidue}),
+        |cmem AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val,
+        |          ROW_NUMBER() OVER (PARTITION BY b.band_idx, b.band_val ORDER BY doc_id) AS rn
+        |        FROM cb0),
+        |ckept AS (SELECT * FROM cmem WHERE rn <= ${operators.Dedup.MaxBucket}),
+        |bb AS (SELECT doc_id, b.band_idx AS band_idx, b.band_val AS band_val
+        |       FROM (SELECT doc_id, unnest([
+        |              {'band_idx': 0, 'band_val': hi // 65536},
+        |              {'band_idx': 1, 'band_val': hi % 65536},
+        |              {'band_idx': 2, 'band_val': lo // 65536},
+        |              {'band_idx': 3, 'band_val': lo % 65536}]) AS b
+        |             FROM vaf
+        |             WHERE fi = 0 AND doc_id % ${operators.Multimodal.VideoBatchMod}
+        |               = ${operators.Multimodal.VideoBatchResidue})),
+        |icand AS (SELECT DISTINCT bb.doc_id AS d1, ckept.doc_id AS d2
+        |          FROM bb JOIN ckept USING (band_idx, band_val)),
+        |iver AS (SELECT c.d1, c.d2, fa.nf AS nf1, fb.nf AS nf2,
+        |          bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS ham
+        |        FROM icand c JOIN vaf fa ON fa.doc_id = c.d1
+        |                   JOIN vaf fb ON fb.doc_id = c.d2 AND fb.fi = fa.fi),
+        |ipagg AS (SELECT d1, d2, CAST(MAX(nf1) AS BIGINT) AS n_frames_1,
+        |          CAST(MAX(nf2) AS BIGINT) AS n_frames_2,
+        |          COUNT(*) AS n_frames_aligned,
+        |          CAST(SUM(ham) AS BIGINT) AS ham_total,
+        |          CAST(MAX(ham) AS BIGINT) AS ham_max
+        |        FROM iver GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(24 AS INTEGER) AS fps_1,
+        |  CAST(24 AS INTEGER) AS fps_2,
+        |  n_frames_1, n_frames_2, n_frames_aligned, ham_total, ham_max,
+        |  CASE WHEN n_frames_1 = n_frames_2 THEN 'mutual'
+        |       WHEN n_frames_1 < n_frames_2 THEN 'd1_in_d2'
+        |       ELSE 'd2_in_d1' END AS relation
+        |FROM ipagg
         |WHERE n_frames_aligned = LEAST(n_frames_1, n_frames_2)
         |  AND ham_max <= ${operators.Multimodal.ImgHammingMax}
         |ORDER BY d1, d2""".stripMargin,

@@ -106,13 +106,34 @@ object LogCorpus {
         col("httpMethod"), col("ressource"), col("httpVersion"),
         col("httpReplyCode"), col("replyBytes"))
 
-  /** q38b: the dead-letter stream at volume (raw unparseable lines).
-    * One regex run per line (the match test), narrow BIGINT sort key. */
-  def deadLettersVolume(spark: SparkSession): DataFrame =
-    corpus(spark)
-      .where(!col("value").rlike(LogParser.Pattern))
-      .select(col("line_id"), col("value").as("raw"))
-      .orderBy("line_id")
+  /** Dead-letter table location — versioned with [[Path]] (same
+    * "content is a pure function of this code" contract; bump both
+    * when generation or the parse contract changes). */
+  val DeadPath = Path + "_dead"
+
+  /** q38b: the dead-letter stream at volume (raw unparseable lines),
+    * read from the PERSISTED dead-letter table — the decode-once
+    * artifact pattern (q36/q147) applied to log ingest. At 100 TB the
+    * dead-letter stream is materialized ONCE, at ingest: it IS the
+    * dead-letter queue (reference StreamingJob.scala:145–147 — the
+    * reject side of the parse split), and every downstream audit reads
+    * the DLQ table rather than re-running the reject regex over the
+    * whole corpus. The build pass is one regex-match run per line
+    * (q37's reject predicate verbatim) behind the `_SUCCESS` build-once
+    * gate; the DuckDB oracle re-derives the rejects from the RAW corpus
+    * every verify run, so the artifact is re-gated, never trusted.
+    * (r18, verdict task 1b — this and the raw-line repartition were the
+    * only per-audit costs left; q37b, the canary, deliberately keeps
+    * pricing the live parse path.) */
+  def deadLettersVolume(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    if (!graft.sources.Artifacts.isBuilt(spark, DeadPath))
+      corpus(spark)
+        .where(!col("value").rlike(LogParser.Pattern))
+        .select(col("line_id"), col("value").as("raw"))
+        .write.mode("overwrite").parquet(DeadPath)
+    spark.read.parquet(DeadPath).orderBy("line_id")
+  }
 
   /** The corpus as a DuckDB FROM clause. */
   private val FromCorpus = s"read_parquet('$Path/*.parquet')"

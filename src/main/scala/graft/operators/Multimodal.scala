@@ -462,14 +462,15 @@ object Multimodal {
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     var cur: Array[Int] = null
     var idx = 0
-    MediaCodecs.decodePpmStreamSampled(payload, k) { v =>
+    // frame count from the SAME validated header walk as the pixel pass
+    // (size arithmetic broke on fps-tagged fixture streams, whose
+    // headers are non-uniform; a second ppmFrameCount walk was the r17
+    // redundant-scan advisory)
+    val (_, nFrames) = MediaCodecs.decodePpmStreamSampledCounted(payload, k) { v =>
       if (idx % frameBytes == 0) { cur = new Array[Int](frameBytes); frames += cur }
       cur(idx % frameBytes) = v
       idx += 1
     }
-    // frame count from the validated header walk (size arithmetic broke
-    // on fps-tagged fixture streams, whose headers are non-uniform)
-    val nFrames = MediaCodecs.ppmFrameCount(payload)
     (nFrames.toLong, frames.map(vals => aHashOf(grayGridOf(vals, w, h))).toArray)
   }
 
@@ -709,9 +710,19 @@ object Multimodal {
           |    named_struct('d1', x, 'd2', y))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    val a = fh.select(col("doc_id").as("d1"), col("ns").as("ns1"),
+    videoPrefixVerify(cand, fh, fh)
+  }
+
+  /** The shared q147/q148/q179 verify ([[audioPrefixVerify]]'s video
+    * twin, factored r18): join the overlapping frame prefix of every
+    * candidate pair, cut at per-frame [[ImgHammingMax]], emit the
+    * direction verdict. The aligned-count check is an invariant (dense
+    * 0..ns-1 indices), not a cut. */
+  private def videoPrefixVerify(cand: DataFrame, side1: DataFrame,
+      side2: DataFrame): DataFrame = {
+    val a = side1.select(col("doc_id").as("d1"), col("ns").as("ns1"),
       col("si"), col("hi").as("hi1"), col("lo").as("lo1"))
-    val b = fh.select(col("doc_id").as("d2"), col("ns").as("ns2"),
+    val b = side2.select(col("doc_id").as("d2"), col("ns").as("ns2"),
       col("si"), col("hi").as("hi2"), col("lo").as("lo2"))
     cand.join(a, Seq("d1")).join(b, Seq("d2", "si"))
       .select(col("d1"), col("d2"), col("ns1"), col("ns2"),
@@ -720,8 +731,6 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames_aligned"), max("ns1").as("n_frames_1"),
         max("ns2").as("n_frames_2"),
         sum(col("ham")).as("ham_total"), max(col("ham")).as("ham_max"))
-      // the frame join aligns exactly the overlapping prefix (dense
-      // 0..ns-1 indices), so the count check is an invariant, not a cut
       .where(col("n_frames_aligned") === least(col("n_frames_1"), col("n_frames_2"))
         && col("ham_max") <= lit(ImgHammingMax))
       .select(col("d1"), col("d2"), col("n_frames_1"), col("n_frames_2"),
@@ -827,25 +836,7 @@ object Multimodal {
       .join(bands, Seq("band_idx", "band_val"))
       .select(col("d1"), col("doc_id").as("d2"))
       .distinct()
-    val a = bfh.select(col("doc_id").as("d1"), col("ns").as("ns1"),
-      col("si"), col("hi").as("hi1"), col("lo").as("lo1"))
-    val b = frames.select(col("doc_id").as("d2"), col("ns").as("ns2"),
-      col("si"), col("hi").as("hi2"), col("lo").as("lo2"))
-    cand.join(a, Seq("d1")).join(b, Seq("d2", "si"))
-      .select(col("d1"), col("d2"), col("ns1"), col("ns2"),
-        expr("CAST(bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2) AS BIGINT)").as("ham"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_frames_aligned"), max("ns1").as("n_frames_1"),
-        max("ns2").as("n_frames_2"),
-        sum(col("ham")).as("ham_total"), max(col("ham")).as("ham_max"))
-      .where(col("n_frames_aligned") === least(col("n_frames_1"), col("n_frames_2"))
-        && col("ham_max") <= lit(ImgHammingMax))
-      .select(col("d1"), col("d2"), col("n_frames_1"), col("n_frames_2"),
-        col("n_frames_aligned"), col("ham_total"), col("ham_max"),
-        when(col("n_frames_1") === col("n_frames_2"), "mutual")
-          .when(col("n_frames_1") < col("n_frames_2"), "d1_in_d2")
-          .otherwise("d2_in_d1").as("relation"))
-      .orderBy("d1", "d2")
+    videoPrefixVerify(cand, bfh, frames)
   }
 
   // --- audio prefix containment (q173/q174, r15 verdict task 5) ---------
@@ -1162,7 +1153,11 @@ object Multimodal {
   def audioPrefixContainmentNormalized(spark: SparkSession, dir: String): DataFrame = {
     Diagnostics.install(spark)
     val wt = audioNormWindows(spark, dir)
-    val rates = wt.groupBy(col("doc_id")).agg(max(col("sample_rate")).as("sr"))
+    // one row per signed track: the rate is constant within a track, so
+    // its window-0 row IS the rate projection — no corpus-wide groupBy
+    // (r17 advisory; a track with zero full windows has no rows at all,
+    // and no verdicts either, so the inner join loses nothing)
+    val rates = wt.where(col("wi") === 0).select(col("doc_id"), col("sample_rate").as("sr"))
     audioPrefixContainmentOf(wt)
       .join(rates.select(col("doc_id").as("d1"), col("sr").as("sample_rate_1")), Seq("d1"))
       .join(rates.select(col("doc_id").as("d2"), col("sr").as("sample_rate_2")), Seq("d2"))
@@ -1256,8 +1251,11 @@ object Multimodal {
       .join(bands, Seq("band_idx", "band_val"))
       .select(col("d1"), col("doc_id").as("d2"))
       .distinct()
-    val r1 = bwt.groupBy(col("doc_id")).agg(max(col("sample_rate")).as("sr"))
-    val r2 = windows.groupBy(col("doc_id")).agg(max(col("sample_rate")).as("sr"))
+    // window-0 rows as the rate projections (rate constant per track;
+    // r17 advisory — the old corpus-wide groupBy re-aggregated the whole
+    // windows table per batch/micro-batch)
+    val r1 = bwt.where(col("wi") === 0).select(col("doc_id"), col("sample_rate").as("sr"))
+    val r2 = windows.where(col("wi") === 0).select(col("doc_id"), col("sample_rate").as("sr"))
     audioPrefixVerify(cand, bwt, windows)
       .join(r1.select(col("doc_id").as("d1"), col("sr").as("sample_rate_1")), Seq("d1"))
       .join(r2.select(col("doc_id").as("d2"), col("sr").as("sample_rate_2")), Seq("d2"))
@@ -1296,7 +1294,16 @@ object Multimodal {
     * keeps the stage integer-exact (oracle-replayable); the CONTRACT —
     * header-driven canonical-time-base sampling before frame hashing —
     * is what a production frame-interpolating retimer slots into,
-    * map-side either way. */
+    * map-side either way.
+    *
+    * A tagged stream whose canonical duration rounds below one frame
+    * (fps > n·[[VideoCanonicalFps]], reachable only via crafted
+    * payloads under the [[MediaCodecs.MaxPpmFps]] bound) emits ZERO
+    * rows — the explicit decision (r17 advisory): sub-one-frame
+    * canonical content has nothing to sign, exactly like an audio
+    * track shorter than one full [[AudioPrefixWindowSamples]] window
+    * (zero rows from [[audioPrefixWindowsNormalizedOf]]); the stream
+    * then has no verdicts and no rate-projection row, consistently. */
   private[graft] def videoFrameHashSeqNormalized(docId: Long, payload: Array[Byte])
       : Iterator[VideoNormFrameRow] = {
     val (nf, hs) = videoFrameHashSeq(payload, Int.MaxValue)
@@ -1352,10 +1359,116 @@ object Multimodal {
   def videoPrefixContainmentTimeNormalized(spark: SparkSession, dir: String): DataFrame = {
     Diagnostics.install(spark)
     val ft = videoNormFrames(spark, dir)
-    val rates = ft.groupBy(col("doc_id")).agg(max(col("fps")).as("f"))
+    // frame-0 rows as the time-base projection (fps constant per
+    // stream; r17 advisory — no corpus-wide groupBy)
+    val rates = ft.where(col("si") === 0).select(col("doc_id"), col("fps").as("f"))
     videoPrefixContainmentOf(ft)
       .join(rates.select(col("doc_id").as("d1"), col("f").as("fps_1")), Seq("d1"))
       .join(rates.select(col("doc_id").as("d2"), col("f").as("fps_2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("fps_1"), col("fps_2"),
+        col("n_frames_1"), col("n_frames_2"), col("n_frames_aligned"),
+        col("ham_total"), col("ham_max"), col("relation"))
+      .orderBy("d1", "d2")
+  }
+
+  // --- time-normalized INCREMENTAL video prefix containment (q179,
+  //     r18 verdict task 2) ------------------------------------------
+
+  /** Frozen TIME-NORMALIZED video prefix index (the q177 two-table
+    * pattern at video level, over [[videoNormFrames]]): `bands` = the
+    * corpus split's normalized frame-0 aHash bands capped at
+    * [[Dedup.MaxBucket]] smallest doc_ids (drop frozen at build);
+    * `frames` = the corpus split's normalized dense frame hashes WITH
+    * parsed time-base tags. This closes the r17 verdict's remaining
+    * ingest gap: q148 probes the RAW frame index, so a re-timed
+    * re-encode ARRIVING AS AN INCREMENT evaded ingest and was only
+    * caught by the next full q178 batch audit — exactly the audio gap
+    * q177 closed, transposed to video. Corpus split is q144's
+    * doc_id % [[VideoBatchMod]] ≠ [[VideoBatchResidue]] — the
+    * video-family convention. `isBuilt` probes the bands path, written
+    * LAST, so its _SUCCESS certifies both tables. */
+  private[graft] def videoPrefixNormIndexPaths(dir: String): (String, String) = {
+    val base = graft.sources.Artifacts.Warehouse + "/vid_norm_prefix_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 179)
+    (base + "/bands", base + "/frames")
+  }
+
+  private[graft] def videoPrefixNormIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (bPath, fPath) = videoPrefixNormIndexPaths(dir)
+    if (!graft.sources.Artifacts.isBuilt(spark, bPath)) {
+      val corpus = videoNormFrames(spark, dir)
+        .where(pmod(col("doc_id"), lit(VideoBatchMod)) =!= VideoBatchResidue)
+      corpus.write.mode("overwrite").parquet(fPath)
+      corpus.where(col("si") === 0).select(
+          col("doc_id"),
+          posexplode(array(
+            expr("hi div 65536"), expr("hi % 65536"),
+            expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("all_members"))
+        .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+        .observe("q179_index_bands",
+          sum(greatest(size(col("all_members")) - Dedup.MaxBucket, lit(0))).as("overflow_members_dropped"))
+        .select(col("band_idx"), col("band_val"), explode(col("members")).as("doc_id"))
+        .write.mode("overwrite").parquet(bPath)
+    }
+    (spark.read.parquet(bPath), spark.read.parquet(fPath))
+  }
+
+  /** q179 — time-normalized INCREMENTAL video prefix containment:
+    * q178's re-time-proof verdicts for a crawl increment WITHOUT
+    * re-pairing the corpus — the q177 story at video level. Each batch
+    * video (doc_id % [[VideoBatchMod]] = [[VideoBatchResidue]], the
+    * q144 split) is decoded, header-time-base-NORMALIZED
+    * ([[videoFrameHashSeqNormalized]]) and densely frame-hashed
+    * map-side; its normalized frame-0 bands probe the FROZEN normalized
+    * corpus index; the verify is q147's per-frame cut and direction
+    * verdict over normalized frames, plus both sides' parsed time-base
+    * tags for provenance. Batch videos never pair each other (q72's
+    * contract), so the streaming twin
+    * ([[graft.streaming.StreamingAnalytics.videoContainmentNormalizedPerBatch]])
+    * reproduces this table under ANY micro-batching.
+    *
+    * Scale shape: q148's — batch-proportional decode+re-time+hash (the
+    * re-timing is map-side integer arithmetic, O(batch frames));
+    * candidate discovery is ≤4 band rows per batch video against the
+    * capped frozen index; the frame verify touches only candidate
+    * corpus rows; the time-base projections are one-row-per-video
+    * frame-0 slices joined pair-bounded. */
+  def videoPrefixIncrementalTimeNormalized(spark: SparkSession, dir: String): DataFrame =
+    videoPrefixIncrementalTimeNormalizedOf(spark, dir,
+      mediaTable(spark, dir)
+        .where(col("meta.format") === "vid" &&
+          pmod(col("doc_id"), lit(VideoBatchMod)) === VideoBatchResidue))
+
+  /** [[videoPrefixIncrementalTimeNormalized]] over an arbitrary
+    * (doc_id, payload) batch — the per-micro-batch core of the
+    * streaming twin and the unit the spec drives the re-timed-increment
+    * fixture through. */
+  private[graft] def videoPrefixIncrementalTimeNormalizedOf(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (bands, frames) = videoPrefixNormIndex(spark, dir)
+    // pinned: bft feeds the candidate probe, the verify side AND the
+    // batch time-base projection (the q148 r15 decode-re-execution
+    // advisory, one consumer more)
+    val bft = videoNormFrameTableOf(batch).localCheckpoint(true)
+    val cand = bft.where(col("si") === 0).select(
+        col("doc_id").as("d1"),
+        posexplode(array(
+          expr("hi div 65536"), expr("hi % 65536"),
+          expr("lo div 65536"), expr("lo % 65536"))).as(Seq("band_idx", "band_val")))
+      .join(bands, Seq("band_idx", "band_val"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+    // frame-0 rows as the time-base projections (fps constant per
+    // stream — the q177 r17-advisory shape from day one)
+    val r1 = bft.where(col("si") === 0).select(col("doc_id"), col("fps").as("f"))
+    val r2 = frames.where(col("si") === 0).select(col("doc_id"), col("fps").as("f"))
+    videoPrefixVerify(cand, bft, frames)
+      .join(r1.select(col("doc_id").as("d1"), col("f").as("fps_1")), Seq("d1"))
+      .join(r2.select(col("doc_id").as("d2"), col("f").as("fps_2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("fps_1"), col("fps_2"),
         col("n_frames_1"), col("n_frames_2"), col("n_frames_aligned"),
         col("ham_total"), col("ham_max"), col("relation"))
@@ -1833,19 +1946,26 @@ object Multimodal {
     * chain links it to a train-side document:
     *   - images: the verified near-pair artifact (q128's chain);
     *   - video: q139's aligned-envelope pairs (same-length re-encodes)
-    *     OR q147's prefix containment (a clipped eval copy of a
-    *     training video — invisible to the aligned-length chain);
+    *     OR q178's TIME-NORMALIZED prefix containment (a clipped —
+    *     even re-timed — eval copy of a training video, invisible to
+    *     the aligned-length chain);
     *   - audio: q141's envelope pairs (resample-invariant re-encodes)
-    *     OR q173's prefix containment (same-rate clips the whole-track
-    *     envelope renormalizes away).
-    * `train_match` carries the smallest matching train doc_id for
-    * provenance (−1 when clean) — q164's contract, unchanged.
+    *     OR q176's RATE-NORMALIZED prefix containment (clips the
+    *     whole-track envelope renormalizes away, resampled or not).
+    * The prefix legs read the NORMALIZED chains since r18 (verdict
+    * task 3): the raw q147/q173 legs let a resampled or re-timed
+    * eval-set copy pass the release audit that exists precisely to
+    * catch it. On the all-canonical corpus the normalized and raw
+    * verdict sets are identical (spec-pinned), so the swap changes the
+    * contract, not the canonical result. `train_match` carries the
+    * smallest matching train doc_id for provenance (−1 when clean) —
+    * q164's contract, unchanged.
     *
     * Scale shape: ALL FIVE pair inputs are persisted duplicate-mass-
     * bounded artifacts — the three near-pair tables plus the two
     * prefix-verdict tables ([[videoPrefixPairsTable]] /
     * [[audioPrefixPairsTable]], built once per corpus fingerprint from
-    * the q147/q173 chains); the eval slice is a metadata projection of
+    * the q178/q176 normalized chains); the eval slice is a metadata projection of
     * the media table (no payload bytes move); the audit itself is
     * [[mediaContaminationFrom]] — a direction union + one groupBy over
     * the bounded pair set, then a left join against the eval slice. */
@@ -1912,30 +2032,38 @@ object Multimodal {
     spark.read.parquet(path)
   }
 
-  /** Persisted q147 containment verdicts — the prefix-pair artifact the
-    * q175 audit consumes, mirroring [[videoPairsTable]] for the aligned
-    * chain. q147 itself stays a live recompute (banding + verify from
-    * the dense frame table) so the gated query keeps pricing the chain;
-    * downstream audits read the verdicts the way a deployment would —
-    * containment is derived once per corpus fingerprint, not once per
-    * audit. The oracle re-derives containment from pixels every verify
-    * run, so the artifact is re-gated, never trusted. */
+  /** Persisted NORMALIZED containment verdicts (q178's time-normalized
+    * chain) — the prefix-pair artifact the q175 audit consumes,
+    * mirroring [[videoPairsTable]] for the aligned chain. Swapped from
+    * the raw q147 chain in r18 (verdict task 3): the release audit
+    * exists precisely to catch eval contamination, so it must read the
+    * resample/re-time-proof verdicts — a re-timed eval-set copy passed
+    * the raw-leg audit. On the all-canonical corpus the normalized and
+    * raw verdict sets are provably identical (the q178 spec pins it),
+    * so the swap is a contract fix, not a result change. q178 itself
+    * stays a live recompute (banding + verify from the normalized frame
+    * table) so the gated query keeps pricing the chain; downstream
+    * audits read the verdicts the way a deployment would — containment
+    * is derived once per corpus fingerprint, not once per audit. The
+    * oracle re-derives containment from pixels every verify run, so
+    * the artifact is re-gated, never trusted. */
   private[graft] def videoPrefixPairsTable(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Artifacts.Warehouse + "/vidpfx_pairs_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 175)
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 1780)
     if (!graft.sources.Artifacts.isBuilt(spark, path))
-      videoPrefixContainment(spark, dir).write.mode("overwrite").parquet(path)
+      videoPrefixContainmentTimeNormalized(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 
-  /** [[videoPrefixPairsTable]]'s audio twin (q173's verdicts). */
+  /** [[videoPrefixPairsTable]]'s audio twin (q176's rate-normalized
+    * verdicts; swapped from raw q173 in r18 for the same reason). */
   private[graft] def audioPrefixPairsTable(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Artifacts.Warehouse + "/audpfx_pairs_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 1750)
+      graft.sources.Bucketing.fingerprint(dir, Seq("documents"), 1760)
     if (!graft.sources.Artifacts.isBuilt(spark, path))
-      audioPrefixContainment(spark, dir).write.mode("overwrite").parquet(path)
+      audioPrefixContainmentNormalized(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 
@@ -2310,29 +2438,58 @@ object MediaCodecs {
     (w, h)
   }
 
+  /** Largest legal `# fps=` tag value. PPM headers are attacker-shaped
+    * input (crafted payloads reach this parser before any split gate),
+    * so the tag is bounded like every other header field: a saner-than-
+    * any-camera 1000 fps cap turns both an overlong digit run (which
+    * would overflow `toInt` into a raw NumberFormatException) and an
+    * absurd rate (which would normalize every stream to zero frames)
+    * into the parser family's validated `check` error. */
+  val MaxPpmFps = 1000
+
   /** Parse the TIME-BASE tag out of a P6 stream's first frame header:
-    * an optional `# fps=<n>` comment between the magic and the dims.
-    * The one field the frame walk doesn't consume — the q178
-    * time-normalization stage reads it explicitly, the q176
+    * an optional `# fps=<n>` comment between ANY of the header tokens
+    * (netpbm comments are legal at every inter-token position, and
+    * [[skipPpmSpace]] accepts them there — the tag parse scans the same
+    * positions: magic→width, width→height, height→maxval). The one
+    * field the frame walk doesn't consume — the q178/q179
+    * time-normalization stages read it explicitly, the q176
     * [[wavSampleRate]] pattern for video. Absent tag → `default` (the
-    * canonical rate; the generator writes untagged streams). */
+    * canonical rate; the generator writes untagged streams). Tag value
+    * is bounded by [[MaxPpmFps]] (validated error, not overflow). */
   def ppmFrameRate(b: Array[Byte], default: Int): Int = {
     check(b.length >= 2 && b(0) == 'P' && b(1) == '6', "PPM: bad magic")
     var pos = 2
-    while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
-    while (pos < b.length && b(pos) == '#') {
-      val eol = { var e = pos; while (e < b.length && b(e) != '\n') e += 1; e }
-      val comment = ascii(b, pos, eol - pos)
-      val m = "fps=([0-9]+)".r.findFirstMatchIn(comment)
-      if (m.isDefined) {
-        val fps = m.get.group(1).toInt
-        check(fps > 0, "PPM: non-positive fps tag")
-        return fps
+    var found = -1
+    // the first frame header has three inter-token gaps that can carry
+    // comments (before width, height, maxval); scan them all
+    var gap = 0
+    while (gap < 3) {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) {
+          pos += 1; moved = true
+        }
+        if (pos < b.length && b(pos) == '#') {
+          val eol = { var e = pos; while (e < b.length && b(e) != '\n') e += 1; e }
+          if (found < 0) {
+            val m = "fps=([0-9]+)".r.findFirstMatchIn(ascii(b, pos, eol - pos))
+            m.foreach { g =>
+              val digits = g.group(1)
+              check(digits.length <= 4 && digits.toInt > 0 && digits.toInt <= MaxPpmFps,
+                s"PPM: fps tag out of range (1..$MaxPpmFps)")
+              found = digits.toInt
+            }
+          }
+          pos = eol; moved = true
+        }
       }
-      pos = eol
-      while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' || b(pos) == '\r')) pos += 1
+      // consume the token this gap precedes (digits of w/h/maxval)
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+      gap += 1
     }
-    default
+    if (found > 0) found else default
   }
 
   /** Pass-1 header walk of a concatenated P6 stream: validates every
@@ -2377,7 +2534,15 @@ object MediaCodecs {
     * stream itself, sample k evenly spaced frames via
     * [[Multimodal.frameOffsets]], and emit their pixel bytes in frame
     * order. Returns the number of frames sampled. */
-  def decodePpmStreamSampled(b: Array[Byte], k: Int)(emit: Int => Unit): Int = {
+  def decodePpmStreamSampled(b: Array[Byte], k: Int)(emit: Int => Unit): Int =
+    decodePpmStreamSampledCounted(b, k)(emit)._1
+
+  /** [[decodePpmStreamSampled]] also reporting the TOTAL frame count
+    * from the same validated header walk — (sampled, total). The decode
+    * kernels need both, and walking every frame header twice per video
+    * (once for the pixel pass, once for [[ppmFrameCount]]) was a
+    * redundant hot-path scan (r17 advisory). */
+  def decodePpmStreamSampledCounted(b: Array[Byte], k: Int)(emit: Int => Unit): (Int, Int) = {
     val (w, h, offsets) = ppmFrameOffsets(b)
     val sampled = Multimodal.frameOffsets(offsets.length, k)
     sampled.foreach { f =>
@@ -2385,6 +2550,6 @@ object MediaCodecs {
       var i = 0
       while (i < w * h * 3) { emit(u8(b(base + i))); i += 1 }
     }
-    sampled.length
+    (sampled.length, offsets.length)
   }
 }

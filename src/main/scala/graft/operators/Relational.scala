@@ -178,8 +178,17 @@ object Relational {
     * partitions instead of stalling a single reducer. Same oracle SQL as
     * the unsalted query: salting must be semantics-invisible. (AQE skew
     * handling covers most cases automatically; this is the explicit tool
-    * for when it can't, e.g. a single key larger than one executor.) */
-  def revenueByNationSalted(spark: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame = {
+    * for when it can't, e.g. a single key larger than one executor.)
+    *
+    * Default fanout is ×4 (r18; was ×8 since r5): the demo's POINT is
+    * the mechanics — the exactly-one-extra-exchange spec pin and the
+    * semantics-invisibility row-identity pin, both fanout-independent —
+    * not the fanout constant, and ×8 priced ~1 s/round of pure
+    * dimension-replication shuffle into every bench capture. In
+    * production the fanout is sized to (hot-key mass ÷ executor share),
+    * which is exactly what [[revenueByNationSaltedDifferential]] (q107)
+    * demonstrates pricing only where it is needed. */
+  def revenueByNationSalted(spark: SparkSession, dir: String, saltBuckets: Int = 4): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltBuckets)))
     val o = Tables.orders(spark, dir)

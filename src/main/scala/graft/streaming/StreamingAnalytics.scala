@@ -409,6 +409,32 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming TIME-NORMALIZED video-containment verdicts — the stream
+    * twin of q179, closing the r17 verdict's last ingest gap: the q148
+    * twin above probes the RAW frame index, so a re-timed re-encode
+    * arriving as an increment evaded ingest and was only caught by the
+    * next full q178 batch audit (the audio gap q177 closed, transposed
+    * to video). Each arriving video micro-batch is decoded,
+    * header-time-base-normalized and densely frame-hashed map-side,
+    * then probed against the FROZEN normalized corpus index (q179's
+    * two tables, built once per corpus fingerprint). Verdicts are a
+    * pure function of (batch video, frozen index) and batch videos
+    * never pair each other (q72's contract), so ANY micro-batching
+    * reproduces the batch q179 table; replays are idempotent per
+    * video, so at-least-once delivery needs only a set-union sink.
+    * Checkpointed — the kill + restart leg is spec'd in
+    * StreamingSpec. */
+  def videoContainmentNormalizedPerBatch(spark: SparkSession, dir: String, media: DataFrame,
+      checkpointLocation: String)
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal.videoPrefixIncrementalTimeNormalizedOf(spark, dir, batch))
+      }
+      .start()
+
   /** Streaming CONTAINMENT verdicts — the stream twin of q143: each
     * arriving document micro-batch is shingled and probed against the
     * FROZEN containment index (postings + stop list + sizes, built once

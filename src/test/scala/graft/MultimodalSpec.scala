@@ -54,6 +54,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pixels(plain) === (0 until nf).flatMap(f => (0 until w * h * 3).map(fn(f, _))))
   }
 
+  test("fps tag parse covers every header-token gap and bounds the value (r17 advisories)") {
+    def bytes(s: String, pix: Int) =
+      (s.getBytes("US-ASCII").toSeq ++ Seq.fill(pix)(7.toByte)).toArray
+    // netpbm-legal tag positions the old parse silently ignored: after
+    // width/height, and after both dims — every gap must now parse
+    assert(MediaCodecs.ppmFrameRate(bytes("P6\n4 # fps=48\n4\n255\n", 48), 24) === 48)
+    assert(MediaCodecs.ppmFrameRate(bytes("P6\n4 4\n# fps=48\n255\n", 48), 24) === 48)
+    // first tag wins when crafted duplicates disagree (deterministic)
+    assert(MediaCodecs.ppmFrameRate(bytes("P6\n# fps=48\n4 4\n# fps=30\n255\n", 48), 24) === 48)
+    // unrelated comments stay transparent
+    assert(MediaCodecs.ppmFrameRate(bytes("P6\n# camera=x\n4 4\n255\n", 48), 24) === 24)
+    // the frame walk still accepts all of these header shapes
+    assert(MediaCodecs.ppmFrameCount(bytes("P6\n4 4\n# fps=48\n255\n", 48)) === 1)
+    // bound: an overlong digit run is a validated error, not a raw
+    // NumberFormatException; beyond-cap and zero values likewise
+    Seq("# fps=99999999999", s"# fps=${MediaCodecs.MaxPpmFps + 1}", "# fps=0").foreach { tag =>
+      val e = intercept[IllegalArgumentException] {
+        MediaCodecs.ppmFrameRate(bytes(s"P6\n$tag\n4 4\n255\n", 48), 24)
+      }
+      assert(e.getMessage.contains("fps tag out of range"), s"$tag: ${e.getMessage}")
+    }
+  }
+
   test("WAV encoder/decoder roundtrip signed 16-bit samples; walker skips unknown chunks") {
     val samples = Array.tabulate(777)(i => ((i * 1031) % 65536 - 32768).toShort)
     val enc = MediaCodecs.encodeWav(samples)
@@ -649,6 +672,72 @@ class MultimodalSpec extends SparkSpec {
     val raw147 = Multimodal.videoPrefixContainment(spark, sf001).collect()
     assert(got.length === raw147.length)
     got.zip(raw147).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+      assert(a.getInt(2) === 24 && a.getInt(3) === 24)
+      assert((4 to 8).forall(i => a.getLong(i) === b.getLong(i - 2)))
+      assert(a.getString(9) === b.getString(7))
+    }
+  }
+
+  test("q179: a re-timed clipped re-encode ARRIVING AS AN INCREMENT — invisible to raw q148's ingest probe — is caught by the normalized index") {
+    import spark.implicits._
+    // corpus-side source (doc_id outside the q144 batch split, so it
+    // sits in BOTH frozen indexes) with >= 4 frames and real per-frame
+    // motion, q178's fixture conditions otherwise
+    val cands = Multimodal.mediaTable(spark, sf0001)
+      .where(s"meta.format = 'vid' AND meta.n_frames >= 4 AND " +
+        s"doc_id % ${Multimodal.VideoBatchMod} <> ${Multimodal.VideoBatchResidue}")
+      .select("doc_id", "payload", "meta.width", "meta.height", "meta.n_frames")
+      .orderBy("doc_id").limit(12).collect()
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val pick = cands.find { row =>
+      val hs = Multimodal.videoFrameHashSeqNormalized(
+        row.getLong(0), row.getAs[Array[Byte]]("payload")).toSeq.map(r => (r.hi, r.lo))
+      hs.sliding(2).forall {
+        case Seq(a, b) => ham(a, b) > Multimodal.ImgHammingMax
+        case _ => true
+      }
+    }.getOrElse(fail("no high-motion corpus-side source at this SF — fixture assumptions broken"))
+    val (srcId, payload) = (pick.getLong(0), pick.getAs[Array[Byte]]("payload"))
+    val (w, h, nf) = (pick.getInt(2), pick.getInt(3), pick.getInt(4))
+    // the increment: first nf-1 source frames transcoded 24→48 fps
+    // (NN re-timing doubles every frame), tagged in the header
+    val k = nf - 1
+    val fixId = 9999998L
+    val fix = MediaCodecs.encodePpmStream(w, h, 2 * k, 48,
+      (f, i) => Multimodal.vidVal(srcId, f / 2, i))
+    val batch = Seq((fixId, fix)).toDF("doc_id", "payload")
+    // 1. the r17-verdict gap, reproduced: raw q148 probes the RAW frame
+    //    index — frame 0 still matches (the doubled prefix opens on the
+    //    source's frame 0, so a candidate forms), but the misaligned
+    //    raw prefix fails the per-frame cap and the increment sails
+    //    through ingest unflagged
+    val rawOut = Multimodal.videoPrefixIncrementalOf(spark, sf0001, batch).collect()
+    assert(!rawOut.exists(r => r.getLong(0) === fixId && r.getLong(1) === srcId),
+      "raw q148 unexpectedly caught the re-timed increment")
+    // 2. the FLIP: the normalized index re-times the increment onto its
+    //    source's frames — caught AT INGEST, Hamming 0, with parsed
+    //    time-base provenance on both sides
+    val normOut = Multimodal.videoPrefixIncrementalTimeNormalizedOf(spark, sf0001, batch)
+      .collect().filter(r => r.getLong(0) === fixId && r.getLong(1) === srcId)
+    assert(normOut.length === 1,
+      "normalized ingest probe must flag the re-timed increment against its source")
+    val n = normOut.head
+    assert(n.getInt(2) === 48 && n.getInt(3) === 24, "parsed time-base provenance")
+    assert(n.getLong(4) === k.toLong && n.getLong(5) === nf.toLong)
+    assert(n.getLong(6) === k.toLong && n.getLong(7) === 0L && n.getLong(8) === 0L,
+      "normalized prefix must verify at Hamming 0")
+    assert(n.getString(9) === "d1_in_d2")
+    // 3. gated chain: on the all-untagged corpus q179 is q148's verdict
+    //    set verbatim with both fps tags = 24 (the closed form the
+    //    oracle replays; empty==empty at gate SF is still the pin — the
+    //    non-vacuous leg is the crafted increment above)
+    val sf001 = "/root/testdata/sf0.01"
+    val got = Multimodal.videoPrefixIncrementalTimeNormalized(spark, sf001).collect()
+    val raw148 = Multimodal.videoPrefixIncremental(spark, sf001).collect()
+    assert(got.length === raw148.length)
+    got.zip(raw148).foreach { case (a, b) =>
       assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
       assert(a.getInt(2) === 24 && a.getInt(3) === 24)
       assert((4 to 8).forall(i => a.getLong(i) === b.getLong(i - 2)))

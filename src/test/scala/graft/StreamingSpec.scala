@@ -640,6 +640,75 @@ class StreamingSpec extends SparkSpec {
       "verdicts across kill+restart must equal batch q177 plus the increment's verdicts")
   }
 
+  test("streaming time-normalized video containment catches a re-timed increment at ingest and survives kill+restart (q179 twin)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val batchVids = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(col("meta.format") === "vid" &&
+        pmod(col("doc_id"), lit(graft.operators.Multimodal.VideoBatchMod))
+          === graft.operators.Multimodal.VideoBatchResidue)
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).sortBy(_._1)
+    assert(batchVids.nonEmpty)
+    // the r17 ingest gap, replayed THROUGH the stream: a 48 fps
+    // frame-doubled clipped re-encode of a corpus-side source arrives
+    // as one of the increments (q179's spec fixture)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val src = graft.operators.Multimodal.mediaTable(spark, sf0001)
+      .where(s"meta.format = 'vid' AND meta.n_frames >= 4 AND " +
+        s"doc_id % ${graft.operators.Multimodal.VideoBatchMod} <> " +
+        s"${graft.operators.Multimodal.VideoBatchResidue}")
+      .select("doc_id", "payload", "meta.width", "meta.height", "meta.n_frames")
+      .orderBy("doc_id").limit(12).collect()
+      .find { row =>
+        val hs = graft.operators.Multimodal.videoFrameHashSeqNormalized(
+          row.getLong(0), row.getAs[Array[Byte]]("payload")).toSeq.map(r => (r.hi, r.lo))
+        hs.sliding(2).forall {
+          case Seq(a, b) => ham(a, b) > graft.operators.Multimodal.ImgHammingMax
+          case _ => true
+        }
+      }.getOrElse(fail("no high-motion corpus-side source at this SF"))
+    val srcId = src.getLong(0)
+    val (w, h, nf) = (src.getInt(2), src.getInt(3), src.getInt(4))
+    val copyId = 9999997L
+    val copy = graft.operators.MediaCodecs.encodePpmStream(w, h, 2 * (nf - 1), 48,
+      (f, i) => graft.operators.Multimodal.vidVal(srcId, f / 2, i))
+    type Row10 = (Long, Long, Int, Int, Long, Long, Long, Long, Long, String)
+    def tup(r: org.apache.spark.sql.Row): Row10 =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getString(9))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vidnorm-ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row10]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    def start() = StreamingAnalytics.videoContainmentNormalizedPerBatch(spark, sf0001,
+      input.toDF().toDF("doc_id", "payload"), ckpt) { verdicts =>
+      collected ++= verdicts.collect().map(tup)
+    }
+    // micro-batch 1 carries the re-timed increment, then KILL
+    val q1 = start()
+    input.addData(batchVids.take(3).toSeq :+ (copyId, copy)); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, s"q1 died: ${q1.exception}")
+    q1.stop()
+    assert(collected.exists(v => v._1 === copyId && v._2 === srcId
+        && v._3 === 48 && v._4 === 24 && v._10 === "d1_in_d2"),
+      "the re-timed increment must be caught AT INGEST, not by a later batch audit")
+    // videos arriving while the query is down; the restart picks them up
+    input.addData(batchVids.drop(3).toSeq)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"q2 died: ${q2.exception}")
+    q2.stop()
+    // set-union across the kill = batch q179 table ∪ the increment's
+    // own verdicts (both pure functions of (video, frozen index))
+    import spark.implicits._
+    val batch = graft.operators.Multimodal.videoPrefixIncrementalTimeNormalized(spark, sf0001)
+      .collect().map(tup).toSet
+    val fixture = graft.operators.Multimodal.videoPrefixIncrementalTimeNormalizedOf(spark, sf0001,
+      Seq((copyId, copy)).toDF("doc_id", "payload")).collect().map(tup).toSet
+    assert(collected.toSet === (batch ++ fixture),
+      "verdicts across kill+restart must equal batch q179 plus the increment's verdicts")
+  }
+
   test("streaming audio dedup converges to the batch q145 verdicts under any micro-batching") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val batchTracks = graft.operators.Multimodal.mediaTable(spark, sf0001)
