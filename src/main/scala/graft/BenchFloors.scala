@@ -80,9 +80,9 @@ object BenchFloors {
     "q130_unigram_train" -> 0.499,
     "q131_unigram_encode" -> 0.631,
     "q132_k_anonymity" -> 0.118,
-    "q133_image_dup_clusters" -> 0.263,
+    "q133_image_dup_clusters" -> 0.244,
     "q134_video_signatures" -> 0.368,
-    "q135_containment_dedup" -> 0.172,
+    "q135_containment_dedup" -> 0.16,
     "q136_unigram_fertility" -> 0.666,
     "q137_image_incremental_dedup" -> 0.322,
     "q138_audio_signatures" -> 0.309,
@@ -92,58 +92,51 @@ object BenchFloors {
     "q141_audio_near_dup" -> 0.359,
     "q142_audio_dup_clusters" -> 0.263,
     "q143_containment_incremental" -> 0.677,
-    "q144_video_incremental_dedup" -> 0.313,
-    "q145_audio_incremental_dedup" -> 0.335,
+    "q144_video_incremental_dedup" -> 0.304,
+    "q145_audio_incremental_dedup" -> 0.316,
     "q146_media_dedup_manifest" -> 0.868,
     "q147_video_prefix_containment" -> 0.411,
     "q148_video_prefix_incremental" -> 0.491,
-    "q149_incremental_clusters" -> 0.968,
+    "q149_incremental_clusters" -> 0.962,
     "q14_rollup_returns" -> 0.725,
     "q150_pq_ann" -> 0.6,
-    "q151_ivfpq_ann" -> 0.816,
+    "q151_ivfpq_ann" -> 0.706,
     "q152_pq_incremental" -> 0.526,
-    "q153_ivfpq_rerank" -> 0.333,
-    "q154_ivfpq_recall" -> 0.267,
+    "q153_ivfpq_rerank" -> 0.296,
+    "q154_ivfpq_recall" -> 0.251,
     "q155_ivfpq_deletes" -> 0.214,
-    "q156_source_mixture" -> 0.137,
-    "q157_cell_representatives" -> 0.11,
+    "q156_source_mixture" -> 0.129,
+    "q157_cell_representatives" -> 0.103,
     "q158_duplication_fractions" -> 0.412,
-    "q159_ivfpq_compaction" -> 0.163,
+    "q159_ivfpq_compaction" -> 0.154,
     "q15_set_ops" -> 0.238,
-    "q160_embedding_isolation" -> 0.27,
-    "q161_epoch_plan" -> 0.147,
-    "q162_filtered_ann" -> 0.831,
+    "q160_embedding_isolation" -> 0.257,
+    "q161_epoch_plan" -> 0.127,
+    "q162_filtered_ann" -> 0.791,
     "q163_cross_source_dup_mass" -> 0.274,
     "q164_media_contamination" -> 0.274,
-    "q165_post_dedup_mixture" -> 0.43,
+    "q165_post_dedup_mixture" -> 0.408,
     "q166_ivf_cell_balance" -> 0.262,
-    "q167_dedup_threshold_sweep" -> 0.425,
-    "q168_modality_skew" -> 0.426,
-    "q169_balanced_shards" -> 0.314,
+    "q167_dedup_threshold_sweep" -> 0.358,
+    "q168_modality_skew" -> 0.375,
+    "q169_balanced_shards" -> 0.292,
     "q16_customers_without_orders" -> 0.194,
-    "q170_padding_waste" -> 0.141,
-    "q171_skew_advisor" -> 0.426,
-    "q172_media_safe_split" -> 0.575,
-    "q173_audio_prefix_containment" -> 0.383,
-    "q174_audio_prefix_incremental" -> 0.476,
-    // r16 additions — minima over this round's recorded captures (one
-    // fewer healthy window than the r5-r15 mined floors have seen, so
-    // still likely above the true floor; lower from future captures)
-    "q175_media_contamination_full" -> 0.718, // r16 artifact path (attempt-10 recorded min; pre-change floor was 1.575)
-    "q176_audio_prefix_rate_normalized" -> 0.412,
-    // r17 additions — initial isolated BENCH_ONLY measurements
-    // (1.222/0.828, degraded window) lowered the same round by the
-    // full-surface capture series: q177 0.683 in attempt 4
-    // (BENCH_FULL_1786913680, committed), q178 0.56 in attempt 3
-    // (BENCH_FULL_1786909187, committed). All r17 windows ran capped
-    // (ratios 1.6–1.9), so still above the true floors.
-    "q177_audio_prefix_incremental_normalized" -> 0.683,
-    "q178_video_prefix_time_normalized" -> 0.541, // attempt 5 (BENCH_FULL_1786917146)
-    // r18 addition — initial isolated BENCH_ONLY measurement
-    // (BENCH_FULL_1786929868, a deeply capped window: eff_cores
-    // 14.5→17.3, canary 4.08x — so this is a loose upper bound of the
-    // true floor; lower from future captures)
-    "q179_video_prefix_incremental_normalized" -> 1.765,
+    "q170_padding_waste" -> 0.129,
+    "q171_skew_advisor" -> 0.363,
+    "q172_media_safe_split" -> 0.498,
+    "q173_audio_prefix_containment" -> 0.379,
+    "q174_audio_prefix_incremental" -> 0.468,
+    // r16–r18 additions: every capped-window provisional floor in this
+    // family was re-recorded in the r18 healthy-window capture
+    // BENCH_FULL_1787101792 (89.657 s / 184, floor_sum_ratio 1.215,
+    // eff_cores 24.6→24.1, committed) — the first stable window since
+    // r16 attempt 6; 29 floors lowered from it in one sweep (BASELINE.md
+    // "Round 18" has the full before/after list)
+    "q175_media_contamination_full" -> 0.626,
+    "q176_audio_prefix_rate_normalized" -> 0.396,
+    "q177_audio_prefix_incremental_normalized" -> 0.493,
+    "q178_video_prefix_time_normalized" -> 0.388,
+    "q179_video_prefix_incremental_normalized" -> 0.465,
     "q17_customers_with_open_orders" -> 0.205,
     "q18_orders_per_month" -> 0.483,
     "q19_status_by_year" -> 0.144,
@@ -175,18 +168,19 @@ object BenchFloors {
     "q38_clf_dead_letters" -> 0.038,
     // r18 rework: q38b reads the persisted dead-letter table (the DLQ
     // artifact) instead of re-running the reject regex per audit;
-    // 0.383 recorded in BENCH_FULL_1786929868 under a 4.08x-canary cap,
-    // so still well above the true warm floor — lower from captures
-    "q38b_clf_dead_letters_volume" -> 0.383,
+    // floor re-recorded at the healthy window BENCH_FULL_1787101792
+    // (pre-rework floor was 0.57 — the artifact bought ~0.37 s)
+    "q38b_clf_dead_letters_volume" -> 0.198,
     "q39_merge_join" -> 0.469,
     "q3_avg_value" -> 0.174,
     "q40_cube_orders" -> 0.425,
     "q41_order_history" -> 0.148,
     // r18: fanout x8 -> x4 shrank the workload, so this x8-era floor is
-    // now STALE-HIGH by design (the contract forbids edits without a
-    // recorded capture; the only r18 measurement so far,
-    // BENCH_FULL_1786929868, ran at canary 4.08x and read 3.084) —
-    // lower it from the first healthier capture
+    // STALE-HIGH by design (the contract forbids edits without a
+    // recorded capture). The r18 healthy window BENCH_FULL_1787101792
+    // read 2.597 min-of-3 — above even the x8 floor, i.e. that window
+    // priced the big-join queries ~1.2-1.35x (q107 read 1.35x there);
+    // lower from the first capture that lands under 2.168.
     "q42_salted_revenue" -> 2.168,
     "q43_deterministic_sample" -> 0.116,
     "q44_union_parties" -> 0.193,

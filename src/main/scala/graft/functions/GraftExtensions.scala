@@ -77,7 +77,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CollapseRuns].getName, "graft_collapse_runs"),
       (children: Seq[Expression]) =>
         CollapseRuns(children.head,
-          foldableInt("graft_collapse_runs", "k", children, 2, 1))))
+          foldableInt("graft_collapse_runs", "k", children, 2, 1))),
+    (FunctionIdentifier("graft_dot_dec"),
+      new ExpressionInfo(classOf[DecVecDot].getName, "graft_dot_dec"),
+      (children: Seq[Expression]) => DecVecDot(children(0), children(1))),
+    // random_sign_project's output width is a plan-time constant, like
+    // graft_winnow_min's window.
+    (FunctionIdentifier("graft_random_sign_project"),
+      new ExpressionInfo(classOf[RandomSignProject].getName, "graft_random_sign_project"),
+      (children: Seq[Expression]) =>
+        RandomSignProject(children.head,
+          foldableInt("graft_random_sign_project", "dims", children, 2, 1))))
 
   /** Extract the plan-time Int constant at `children(idx)` for a SQL-text
     * registration, validating arity and range up front: a wrong argument

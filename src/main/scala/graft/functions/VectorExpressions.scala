@@ -256,6 +256,255 @@ object HexHamming64 {
   }
 }
 
+/** Exact-decimal dot product — the [[graft.operators.Similarity]] `dotDec`
+  * verify kernel (r18 optimization round), bit-identical to the HOF
+  * fragment it replaces:
+  *
+  * {{{
+  *   CAST(ROUND(aggregate(
+  *     zip_with(a, b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
+  *     CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)
+  * }}}
+  *
+  * That fragment is interpreted (two lambdas over boxed Decimals, one
+  * zip_with array materialization per evaluation) and sits on every
+  * exact-cosine verify in the ANN family — per CANDIDATE PAIR, which made
+  * it the family's dominant per-row cost. The kernel runs the identical
+  * arithmetic as a loop: per position an IEEE double multiply, then
+  * exactly Spark's double→DECIMAL(18,12) cast (`BigDecimal.valueOf`, i.e.
+  * `Double.toString`, HALF_UP to scale 12) to an unscaled long;
+  * accumulation in plain longs IS the decimal add (exact integer math),
+  * with the fold's per-step DECIMAL(18,12) cast-back replicated as an
+  * 18-digit bound check on every partial sum; one final
+  * `BigDecimal(acc, 12).doubleValue` — the same single conversion
+  * `CAST(... AS DOUBLE)` performs.
+  *
+  * NULL parity with the HOF: mismatched lengths (zip_with pads with
+  * NULL) or any NULL element poison the fold → NULL result; two empty
+  * arrays fold to the seed → 0.0. ExtensionsSpec pins generated ≡
+  * interpreted and scalacheck-drives kernel ≡ HOF equality. */
+case class DecVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_dec"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_dec expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  // the fold's NULL-poisoning means the result can be NULL even when
+  // both inputs are non-NULL
+  override def nullable: Boolean = true
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    DecVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxedDot")
+      s"""
+         |java.lang.Double $boxed = graft.functions.DecVecDot.dot($a, $b, $leftIsFloat, $rightIsFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecVecDot {
+  private val Scale = 12
+  /** DECIMAL(18,12) bound on every partial sum — the fold's per-step
+    * `CAST(acc + v AS DECIMAL(18,12))` overflow point. */
+  private val MaxUnscaled = 1000000000000000000L // 10^18
+
+  /** Static kernel, called from both interpreted eval and generated code.
+    * Returns null (boxed) when the HOF fold would: length mismatch or a
+    * NULL element. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val bd = java.math.BigDecimal.valueOf(x * y)
+        .setScale(Scale, java.math.RoundingMode.HALF_UP)
+      if (bd.precision - bd.scale > 18 - Scale)
+        throw new ArithmeticException(
+          s"graft_dot_dec: ${x * y} does not fit DECIMAL(18,$Scale)")
+      acc = Math.addExact(acc, bd.unscaledValue().longValueExact())
+      if (acc >= MaxUnscaled || acc <= -MaxUnscaled)
+        throw new ArithmeticException(
+          s"graft_dot_dec: partial sum overflows DECIMAL(18,$Scale)")
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(acc), Scale).doubleValue())
+  }
+}
+
+/** All [[RandomSignProject.dims]] hashed-sign projections of one vector in
+  * ONE map-side pass (the q86 kernel, r18 optimization round).
+  *
+  * Replaces the posexplode → groupBy(vec_id) → 16 conditional
+  * DECIMAL(18,12) SUM formulation: that shape shuffled 16 non-compact
+  * decimal buffers per vector and paid one BigDecimal add per
+  * (element, output-dim) pair — dims× more decimal arithmetic than the
+  * math needs — because each exploded row fed every sum. This expression
+  * converts each element to its DECIMAL(18,12) unscaled long ONCE
+  * (exactly Spark's double→decimal cast: `BigDecimal.valueOf` i.e.
+  * `Double.toString`, then HALF_UP to scale 12), accumulates the dims
+  * signed sums in plain longs (exact — the decimal sum it replaces is
+  * exact integer arithmetic on the same unscaled values), and converts
+  * each sum back through `new BigDecimal(unscaled, 12).doubleValue` —
+  * the same single correctly-rounded conversion `CAST(round(sum, 12) AS
+  * DOUBLE)` performs. Results are bit-identical by construction
+  * (PipelineOpsSpec pins the exact-decimal driver recompute;
+  * ExtensionsSpec pins generated ≡ interpreted).
+  *
+  * Parity notes: NULL elements are skipped but still advance the
+  * position index (posexplode semantics); an all-NULL/empty input yields
+  * all-NULL outputs (SUM over zero rows); long-overflowing sums
+  * (reachable only when elements approach the DECIMAL(18,12) bound)
+  * re-accumulate in BigInteger, and a sum past the old DECIMAL(28,12)
+  * buffer's 28-digit precision throws, as the ANSI sum would. */
+case class RandomSignProject(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_random_sign_project"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_random_sign_project expects array<float|double>, got ${child.dataType}")
+    else if (dims < 1) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_random_sign_project: dims must be >= 1, got $dims")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RandomSignProject.project(input.asInstanceOf[ArrayData], isFloat, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RandomSignProject.project($c, $isFloat, $dims);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RandomSignProject {
+  private val Scale = 12
+  /** Matches the replaced SUM's DECIMAL(28,12) buffer precision: a sum
+    * whose unscaled magnitude needs more than 28 digits overflowed the
+    * old aggregate too. */
+  private val MaxSumUnscaled = java.math.BigInteger.TEN.pow(28)
+
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def project(arr: ArrayData, isFloat: Boolean, dims: Int): ArrayData = {
+    val n = arr.numElements()
+    // element → unscaled DECIMAL(18,12) long, exactly Spark's
+    // double→decimal cast semantics (Double.toString, HALF_UP)
+    val us = new Array[Long](n)
+    val nonNull = new Array[Boolean](n)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val bd = java.math.BigDecimal.valueOf(d)
+          .setScale(Scale, java.math.RoundingMode.HALF_UP)
+        if (bd.precision - bd.scale > 18 - Scale)
+          throw new ArithmeticException(
+            s"graft_random_sign_project: $d does not fit DECIMAL(18,$Scale)")
+        us(i) = bd.unscaledValue().longValueExact()
+        nonNull(i) = true
+        cnt += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](dims)
+    if (cnt == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val sums = new Array[Long](dims)
+    var overflowed = false
+    i = 0
+    while (i < n && !overflowed) {
+      if (nonNull(i)) {
+        var j = 0
+        while (j < dims && !overflowed) {
+          val pos = ((i.toLong * dims + j) * 2654435761L) % 1000000007L % 2L == 0L
+          try sums(j) = Math.addExact(sums(j), if (pos) us(i) else -us(i))
+          catch { case _: ArithmeticException => overflowed = true }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!overflowed) {
+      var j = 0
+      while (j < dims) {
+        out(j) = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(sums(j)), Scale).doubleValue()
+        j += 1
+      }
+    } else {
+      // exact slow path (unreachable below |element| ~ 1e17/n): the same
+      // arithmetic in BigInteger
+      val big = Array.fill(dims)(java.math.BigInteger.ZERO)
+      i = 0
+      while (i < n) {
+        if (nonNull(i)) {
+          val u = java.math.BigInteger.valueOf(us(i))
+          var j = 0
+          while (j < dims) {
+            val pos = ((i.toLong * dims + j) * 2654435761L) % 1000000007L % 2L == 0L
+            big(j) = if (pos) big(j).add(u) else big(j).subtract(u)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < dims) {
+        if (big(j).abs.compareTo(MaxSumUnscaled) >= 0)
+          throw new ArithmeticException(
+            s"graft_random_sign_project: sum overflows DECIMAL(28,$Scale)")
+        out(j) = new java.math.BigDecimal(big(j), Scale).doubleValue()
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 // Round-1 note: a MinHashSig expression (tight-loop min(a_i*x+b_i) over a
 // collect_set'd hash array) lived here until round 2 replaced it with 64
 // declarative min() aggregates in Dedup.signaturesFromHash — algebraic

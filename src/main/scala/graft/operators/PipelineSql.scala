@@ -137,6 +137,9 @@ object PipelineSql {
     * form's explicit `broadcast(q)` — at 100 TB the corpus side stays a
     * map-side scan and the only shuffle is the per-query top-k window. */
   def sqlKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    // dotDec resolves to the registered graft_dot_dec kernel (r18) —
+    // retrofit harness-owned sessions like sqlSimhashNearPairs does
+    graft.functions.GraftExtensions.ensureRegistered(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
     spark.sql(
       s"""WITH n AS (

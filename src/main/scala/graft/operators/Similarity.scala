@@ -35,9 +35,17 @@ object Similarity {
     * The merge lambda re-casts because Spark's decimal addition widens
     * the type; the value always fits (|dot| ≤ 64). */
   private[graft] def dotDec(a: String, b: String): String =
-    s"""CAST(ROUND(aggregate(
-       |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
-       |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
+    // r18 optimization round: was the interpreted HOF fragment
+    //   CAST(ROUND(aggregate(zip_with($a, $b, (x, y) ->
+    //     CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
+    //     CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)
+    // — two boxed-Decimal lambdas + a zip_with array materialization per
+    // evaluation, sitting on every exact-cosine verify in the ANN family
+    // (per candidate pair). [[graft.functions.DecVecDot]] is the same
+    // arithmetic bit-identically as a codegen'd loop (ExtensionsSpec pins
+    // kernel ≡ HOF on open inputs + all edge shapes); every DuckDB oracle
+    // still re-derives the HOF form, so the gate covers the swap.
+    s"graft_dot_dec($a, $b)"
 
   /** Fast IEEE-double dot product via the native codegen expression
     * [[FloatVecDot]] — same sequential fold order as the HOF formulation
@@ -181,10 +189,14 @@ object Similarity {
     * DECIMAL(18,12) routing as [[dotDec]], so the SIGN (the LSH bit) is
     * bit-identical between Spark and DuckDB even when the dot is ~0. */
   private def dotDecPlane(e: Column, plane: Array[Double]): Column =
-    round(aggregate(
-      zip_with(e, typedlit(plane), (x, y) => (x.cast("double") * y).cast("decimal(18,12)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(18,12)"),
-      (acc, v) => (acc + v).cast("decimal(18,12)")), 12).cast("double")
+    // r18: same kernel swap as [[dotDec]] — the HOF form here was
+    // round(aggregate(zip_with(e, typedlit(plane), (x, y) ->
+    //   (x.cast(double) * y).cast(decimal(18,12))), 0(18,12),
+    //   (acc, v) -> (acc + v).cast(decimal(18,12))), 12).cast(double),
+    // arithmetic-identical to dotDec's (y is already double), so
+    // [[graft.functions.DecVecDot]] serves both
+    ColumnBridge.of(graft.functions.DecVecDot(
+      ColumnBridge.expr(e), ColumnBridge.expr(typedlit(plane))))
 
   /** Hybrid sign bit of dot(embedding, plane) — oracle-portable AND
     * codegen-fast: the codegen'd double dot decides whenever it is safely
@@ -1090,11 +1102,11 @@ object Similarity {
   /** Output dimensionality for [[randomProjection]]. */
   val ProjDims = 16
 
-  /** Sign of projection-matrix entry (i, j): parity of a multiplicative
-    * hash of the flattened index — deterministic, engine-independent, and
-    * never materialized (the "matrix" is an expression). */
-  private def projSign(j: Int): String =
-    s"((i * ${ProjDims}L + ${j}L) * 2654435761L) % 1000000007L % 2L = 0L"
+  // Sign of projection-matrix entry (i, j) = parity of a multiplicative
+  // hash of the flattened index (deterministic, engine-independent,
+  // never materialized): ((i*ProjDims + j) * 2654435761) % 1000000007
+  // % 2 == 0. Lives in [[graft.functions.RandomSignProject]] (the q86
+  // kernel) and, positionally 1-based, in [[randomProjectionOracleSql]].
 
   /** q86 — random sign projection (Achlioptas 2001): 64-dim float
     * embeddings down to [[ProjDims]] dims via a ±1 projection matrix whose
@@ -1119,15 +1131,30 @@ object Similarity {
     * 100 TB the buffers are 16 decimals/vector regardless of input
     * width. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
-    val term = col("v").cast("double").cast("decimal(18,12)")
-    val outCols = (0 until ProjDims).map { j =>
-      round(sum(when(expr(projSign(j)), term).otherwise(-term)), 12)
-        .cast("double").as(f"p$j%02d")
-    }
+    // r18 optimization round (guide §2.4 + §4): was posexplode →
+    // groupBy(vec_id) → 16 conditional DECIMAL(18,12) sums — one
+    // hash-agg shuffle of 16 non-compact decimal buffers per vector and
+    // ProjDims× redundant per-element decimal conversions (every
+    // exploded row fed every sum; the r6 probe flagged the decimal-
+    // buffer hash-agg pressure as superlinear, 4.9× at 8.35× data). Now
+    // ONE codegen'd map-side kernel per vector ([[graft.functions.
+    // RandomSignProject]]): 64 decimal conversions instead of 1024, long
+    // accumulation (exact — same unscaled integers), ZERO exchanges
+    // before the presentation sort. Bit-identical by construction;
+    // PipelineOpsSpec's exact-decimal recompute and the q86 oracle are
+    // unchanged. The size(...) > 0 guard preserves the old form's
+    // "no output row for empty/NULL embeddings" (posexplode emitted no
+    // rows for those); the two-level select is a CollapseProject
+    // boundary — the kernel is non-cheap and referenced ProjDims times,
+    // so it stays evaluated once.
+    val pr = org.apache.spark.sql.graft.ColumnBridge.of(
+      graft.functions.RandomSignProject(
+        org.apache.spark.sql.graft.ColumnBridge.expr(col("embedding")), ProjDims))
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy("vec_id")
-      .agg(outCols.head, outCols.tail: _*)
+      .where(size(col("embedding")) > 0)
+      .select(col("vec_id"), pr.as("pr"))
+      .select(col("vec_id") +: (0 until ProjDims).map(j =>
+        element_at(col("pr"), j + 1).as(f"p$j%02d")): _*)
       .orderBy("vec_id")
   }
 

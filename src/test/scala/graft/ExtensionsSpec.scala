@@ -191,6 +191,99 @@ class ExtensionsSpec extends SparkSpec {
     assert(v === 5) // ["", "a", "b", "c", ""] under limit -1 semantics
   }
 
+  test("graft_dot_dec ≡ the exact-decimal HOF fold it replaced, on open inputs and every edge shape") {
+    // the replaced fragment, verbatim
+    def hof(a: String, b: String): String =
+      s"""CAST(ROUND(aggregate(
+         |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
+         |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
+    // open inputs: irrational-ish doubles from id, float inputs, mixed signs
+    val df = spark.sql(
+      s"""SELECT id,
+         |  graft_dot_dec(a, b) AS k, ${hof("a", "b")} AS h
+         |FROM (SELECT id,
+         |        array(CAST(id * 0.1234567 AS FLOAT), CAST(-id * 7.654321e-3 AS FLOAT), CAST(sqrt(id) AS FLOAT)) AS a,
+         |        array(CAST(id * 1.1 AS FLOAT), CAST(id * -0.99999 AS FLOAT), CAST(ln(id + 1) AS FLOAT)) AS b
+         |      FROM range(200))""".stripMargin)
+    assertCodegendProject(df)
+    df.collect().foreach(r => assert(r.getDouble(1) === r.getDouble(2), s"id ${r.getLong(0)}"))
+    // edge shapes, each compared to the HOF's own behavior:
+    // length mismatch → zip_with pads with NULL → fold poisons → NULL
+    val edges = spark.sql(
+      s"""SELECT
+         |  graft_dot_dec(array(1.0F, 2.0F), array(3.0F)) AS k_mis,
+         |  ${hof("array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))", "array(CAST(3.0 AS FLOAT))")} AS h_mis,
+         |  graft_dot_dec(array(1.0F, CAST(NULL AS FLOAT)), array(3.0F, 4.0F)) AS k_null,
+         |  ${hof("array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))", "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))")} AS h_null,
+         |  graft_dot_dec(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS k_empty,
+         |  ${hof("CAST(array() AS ARRAY<FLOAT>)", "CAST(array() AS ARRAY<FLOAT>)")} AS h_empty""".stripMargin)
+      .head()
+    assert(edges.isNullAt(0) && edges.isNullAt(1), "length mismatch must be NULL on both")
+    assert(edges.isNullAt(2) && edges.isNullAt(3), "NULL element must poison both")
+    assert(edges.getDouble(4) === 0.0 && edges.getDouble(5) === 0.0, "empty arrays fold to the seed")
+    // generated ≡ interpreted for the kernel itself
+    val q = "SELECT graft_dot_dec(array(CAST(id * 0.37 AS FLOAT)), array(CAST(id * -1.21 AS FLOAT))) AS d FROM range(50)"
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    assert(spark.sql(q).collect().toSeq === interpSession.sql(q).collect().toSeq)
+  }
+
+  test("graft_random_sign_project: SQL-callable, codegen'd, exact-decimal parity incl. NULL positions") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // values match the replaced aggregate's arithmetic: per element the
+    // DECIMAL(18,12) cast (Double.toString → HALF_UP), signed by the
+    // (i*dims + j) hash parity, exact sum, single rounding to double
+    def expected(vals: Seq[Option[Double]], dims: Int): Seq[Option[Double]] =
+      (0 until dims).map { j =>
+        val nonNull = vals.zipWithIndex.collect { case (Some(v), i) => (v, i) }
+        if (nonNull.isEmpty) None
+        else Some(nonNull.foldLeft(JBD.ZERO) { case (acc, (v, i)) =>
+          val term = JBD.valueOf(v).setScale(12, RoundingMode.HALF_UP)
+          val pos = ((i.toLong * dims + j) * 2654435761L) % 1000000007L % 2L == 0L
+          if (pos) acc.add(term) else acc.subtract(term)
+        }.doubleValue)
+      }
+    val df = spark.sql(
+      """SELECT graft_random_sign_project(
+        |  array(CAST(id AS FLOAT), CAST(NULL AS FLOAT), CAST(0.1 AS FLOAT), CAST(-2.5 AS FLOAT)), 4) AS p
+        |FROM range(20)""".stripMargin)
+    assertCodegendProject(df)
+    df.collect().zipWithIndex.foreach { case (r, id) =>
+      val got = r.getSeq[java.lang.Double](0).map(Option(_).map(_.doubleValue))
+      val want = expected(Seq(Some(id.toDouble),
+        None, Some(0.1f.toDouble), Some(-2.5f.toDouble)), 4)
+      assert(got === want, s"row $id")
+    }
+    // all-NULL input: SUM-over-zero-rows semantics — every output NULL
+    val nulls = spark.sql(
+      "SELECT graft_random_sign_project(array(CAST(NULL AS FLOAT)), 3) AS p")
+      .head().getSeq[java.lang.Double](0)
+    assert(nulls === Seq(null, null, null))
+    // non-literal dims rejected at analysis time, like graft_winnow_min
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_random_sign_project(array(1.0F), CAST(id AS INT)) FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("q86 plan: the projection kernel is map-side — no exchange before the presentation sort") {
+    val df = graft.operators.Similarity.randomProjection(spark, sf0001)
+    assert(shuffleExchanges(df).size === 1, // the orderBy range exchange only
+      s"expected only the presentation-sort exchange:\n${df.queryExecution.executedPlan}")
+    // and the kernel column is produced by exactly ONE expression
+    // instance (the two-level select is a CollapseProject boundary) —
+    // counted over the FINAL plan's nodes, not the plan string (the AQE
+    // string repeats the tree as Initial Plan + Final Plan)
+    val nKernels = allPlanNodes(df.queryExecution.executedPlan).map {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.map(_.collect { case e: graft.functions.RandomSignProject => e }.size).sum
+      case _ => 0
+    }.sum
+    assert(nKernels === 1,
+      s"kernel must be evaluated once, found $nKernels instances in the final plan")
+  }
+
   test("graft_eqcount and graft_hexhamming are callable from SQL") {
     val eq = spark.sql(
       "SELECT graft_eqcount(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS c").head().getInt(0)
