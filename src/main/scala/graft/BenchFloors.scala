@@ -97,9 +97,9 @@ object BenchFloors {
     "q146_media_dedup_manifest" -> 0.868,
     "q147_video_prefix_containment" -> 0.411,
     "q148_video_prefix_incremental" -> 0.491,
-    "q149_incremental_clusters" -> 0.962,
+    "q149_incremental_clusters" -> 0.938,
     "q14_rollup_returns" -> 0.725,
-    "q150_pq_ann" -> 0.6,
+    "q150_pq_ann" -> 0.587,
     "q151_ivfpq_ann" -> 0.706,
     "q152_pq_incremental" -> 0.526,
     "q153_ivfpq_rerank" -> 0.296,
@@ -112,11 +112,11 @@ object BenchFloors {
     "q15_set_ops" -> 0.238,
     "q160_embedding_isolation" -> 0.257,
     "q161_epoch_plan" -> 0.127,
-    "q162_filtered_ann" -> 0.791,
+    "q162_filtered_ann" -> 0.593,
     "q163_cross_source_dup_mass" -> 0.274,
     "q164_media_contamination" -> 0.274,
     "q165_post_dedup_mixture" -> 0.408,
-    "q166_ivf_cell_balance" -> 0.262,
+    "q166_ivf_cell_balance" -> 0.215,
     "q167_dedup_threshold_sweep" -> 0.358,
     "q168_modality_skew" -> 0.375,
     "q169_balanced_shards" -> 0.292,
@@ -131,7 +131,12 @@ object BenchFloors {
     // BENCH_FULL_1787101792 (89.657 s / 184, floor_sum_ratio 1.215,
     // eff_cores 24.6→24.1, committed) — the first stable window since
     // r16 attempt 6; 29 floors lowered from it in one sweep (BASELINE.md
-    // "Round 18" has the full before/after list)
+    // "Round 18" has the full before/after list). A second r18 sweep
+    // (captures BENCH_FULL_1787105776 + 1787108320, committed) recorded
+    // the optimization round's kernel wins: q86 0.667→0.349 and the
+    // dotDec family q60 0.933→0.730, q47 0.946→0.705, q162 0.791→0.593,
+    // q35 0.411→0.310, q166 0.262→0.215 (+ q149/q150/q73 noise-level
+    // tightenings).
     "q175_media_contamination_full" -> 0.626,
     "q176_audio_prefix_rate_normalized" -> 0.396,
     "q177_audio_prefix_incremental_normalized" -> 0.493,
@@ -161,7 +166,7 @@ object BenchFloors {
     "q33_knn_brute" -> 0.705,
     "q34_emb_near_dup" -> 0.263,
     "q34b_emb_near_dup_lsh" -> 0.608,
-    "q35_ann_lsh" -> 0.411,
+    "q35_ann_lsh" -> 0.31,
     "q36_media_features" -> 0.329,
     "q37_clf_parse" -> 0.049,
     "q37b_clf_parse_volume" -> 1.342,
@@ -186,7 +191,7 @@ object BenchFloors {
     "q44_union_parties" -> 0.193,
     "q45_embedding_array_stats" -> 0.116,
     "q46_bucketed_join" -> 0.391,
-    "q47_ann_ivf" -> 0.946,
+    "q47_ann_ivf" -> 0.705,
     "q48_asof_join" -> 0.424,
     "q49_range_join" -> 0.744,
     "q4_global_parity" -> 0.158,
@@ -201,7 +206,7 @@ object BenchFloors {
     "q58_price_quantiles_approx" -> 0.201,
     "q59_sql_api" -> 0.767,
     "q5_sliding_activity" -> 0.245,
-    "q60_ann_ivf_kmeans" -> 0.933,
+    "q60_ann_ivf_kmeans" -> 0.73,
     "q61_dup_clusters" -> 0.103,
     "q62_range_clustered" -> 0.126,
     "q63_zorder_slice" -> 0.129,
@@ -215,7 +220,7 @@ object BenchFloors {
     "q70_frequency_quality" -> 0.42,
     "q71_sequence_packing" -> 0.199,
     "q72_incremental_neardup" -> 0.621,
-    "q73_semantic_dedup" -> 0.118,
+    "q73_semantic_dedup" -> 0.116,
     "q74_bloom_incremental_dedup" -> 0.336,
     "q75_bm25_search" -> 0.323,
     "q76_repeated_spans" -> 0.421,
@@ -229,7 +234,7 @@ object BenchFloors {
     "q83_shard_manifest" -> 0.142,
     "q84_token_budget_quota" -> 0.132,
     "q85_lm_surprisal" -> 0.286,
-    "q86_random_projection" -> 0.667,
+    "q86_random_projection" -> 0.349,
     "q87_ivf_maintenance" -> 0.25,
     "q88_source_contamination" -> 0.49,
     "q89_cluster_safe_split" -> 0.261,

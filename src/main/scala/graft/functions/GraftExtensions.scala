@@ -81,6 +81,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot_dec"),
       new ExpressionInfo(classOf[DecVecDot].getName, "graft_dot_dec"),
       (children: Seq[Expression]) => DecVecDot(children(0), children(1))),
+    (FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => LongVecDot(children(0), children(1))),
     // random_sign_project's output width is a plan-time constant, like
     // graft_winnow_min's window.
     (FunctionIdentifier("graft_random_sign_project"),

@@ -364,6 +364,77 @@ object DecVecDot {
   }
 }
 
+/** Integer dot product with NULL-poisoning fold semantics — the q81
+  * quantized-ANN ranking kernel (r18 optimization round), bit-identical
+  * to the HOF fragment it replaces:
+  *
+  * {{{
+  *   aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),
+  *             CAST(0 AS BIGINT), (acc, v) -> acc + v)
+  * }}}
+  *
+  * Same parity rules as [[DecVecDot]]: mismatched lengths (zip_with NULL
+  * padding) or a NULL element poison the fold → NULL; empty arrays fold
+  * to the 0 seed; a BIGINT-overflowing sum throws, as the ANSI add
+  * would. Integer math only — nothing to round. */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_long expects array<int|bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def leftIsInt: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+  private def rightIsInt: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsInt, rightIsInt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxedDotL")
+      s"""
+         |java.lang.Long $boxed = graft.functions.LongVecDot.dot($a, $b, $leftIsInt, $rightIsInt);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongVecDot {
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def dot(a: ArrayData, b: ArrayData, aInt: Boolean, bInt: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aInt) a.getInt(i).toLong else a.getLong(i)
+      val y = if (bInt) b.getInt(i).toLong else b.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(x, y))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
 /** All [[RandomSignProject.dims]] hashed-sign projections of one vector in
   * ONE map-side pass (the q86 kernel, r18 optimization round).
   *

@@ -940,8 +940,12 @@ object Similarity {
     val scored = qz.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("qe"), col("qn"),
         col("embedding").as("ne"), col("nrm").as("nn"),
-        expr("""aggregate(zip_with(qqv, qv, (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
-               |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("approx_dot"))
+        // r18: was the interpreted HOF fold
+        //   aggregate(zip_with(qqv, qv, (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+        //             CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        // — [[graft.functions.LongVecDot]] is the identical integer math
+        // as a codegen'd loop (ExtensionsSpec pins kernel ≡ HOF)
+        expr("graft_dot_long(qqv, qv)").as("approx_dot"))
     val byDot = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(byDot).cast("long"))

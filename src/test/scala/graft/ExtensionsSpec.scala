@@ -229,6 +229,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(q).collect().toSeq === interpSession.sql(q).collect().toSeq)
   }
 
+  test("graft_dot_long ≡ the BIGINT HOF fold it replaced (q81), on open inputs and edge shapes") {
+    def hof(a: String, b: String): String =
+      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),
+         |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
+    val df = spark.sql(
+      s"""SELECT id, graft_dot_long(a, b) AS k, ${hof("a", "b")} AS h
+         |FROM (SELECT id,
+         |        array(CAST(id % 127 AS INT), CAST(-(id % 89) AS INT), 127) AS a,
+         |        array(CAST(id % 113 AS INT), CAST((id % 7) - 3 AS INT), -127) AS b
+         |      FROM range(200))""".stripMargin)
+    assertCodegendProject(df)
+    df.collect().foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
+    val edges = spark.sql(
+      s"""SELECT
+         |  graft_dot_long(array(1, 2), array(3)) AS k_mis,
+         |  ${hof("array(1, 2)", "array(3)")} AS h_mis,
+         |  graft_dot_long(array(1, CAST(NULL AS INT)), array(3, 4)) AS k_null,
+         |  ${hof("array(1, CAST(NULL AS INT))", "array(3, 4)")} AS h_null,
+         |  graft_dot_long(CAST(array() AS ARRAY<INT>), CAST(array() AS ARRAY<INT>)) AS k_empty,
+         |  ${hof("CAST(array() AS ARRAY<INT>)", "CAST(array() AS ARRAY<INT>)")} AS h_empty""".stripMargin)
+      .head()
+    assert(edges.isNullAt(0) && edges.isNullAt(1), "length mismatch must be NULL on both")
+    assert(edges.isNullAt(2) && edges.isNullAt(3), "NULL element must poison both")
+    assert(edges.getLong(4) === 0L && edges.getLong(5) === 0L, "empty arrays fold to the seed")
+  }
+
   test("graft_random_sign_project: SQL-callable, codegen'd, exact-decimal parity incl. NULL positions") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     // values match the replaced aggregate's arithmetic: per element the
