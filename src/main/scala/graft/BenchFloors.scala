@@ -94,8 +94,8 @@ object BenchFloors {
     "q143_containment_incremental" -> 0.677,
     "q144_video_incremental_dedup" -> 0.304,
     "q145_audio_incremental_dedup" -> 0.316,
-    "q146_media_dedup_manifest" -> 0.868,
-    "q147_video_prefix_containment" -> 0.411,
+    "q146_media_dedup_manifest" -> 0.863,
+    "q147_video_prefix_containment" -> 0.406,
     "q148_video_prefix_incremental" -> 0.491,
     "q149_incremental_clusters" -> 0.938,
     "q14_rollup_returns" -> 0.725,
@@ -113,10 +113,10 @@ object BenchFloors {
     "q160_embedding_isolation" -> 0.257,
     "q161_epoch_plan" -> 0.127,
     "q162_filtered_ann" -> 0.593,
-    "q163_cross_source_dup_mass" -> 0.274,
-    "q164_media_contamination" -> 0.274,
+    "q163_cross_source_dup_mass" -> 0.247,
+    "q164_media_contamination" -> 0.252,
     "q165_post_dedup_mixture" -> 0.408,
-    "q166_ivf_cell_balance" -> 0.215,
+    "q166_ivf_cell_balance" -> 0.189,
     "q167_dedup_threshold_sweep" -> 0.358,
     "q168_modality_skew" -> 0.375,
     "q169_balanced_shards" -> 0.292,
@@ -136,7 +136,12 @@ object BenchFloors {
     // the optimization round's kernel wins: q86 0.667→0.349 and the
     // dotDec family q60 0.933→0.730, q47 0.946→0.705, q162 0.791→0.593,
     // q35 0.411→0.310, q166 0.262→0.215 (+ q149/q150/q73 noise-level
-    // tightenings).
+    // tightenings). A third sweep over full captures #3–#5
+    // (BENCH_FULL_1787112940 / 1787114052 / 1787115628, committed; all
+    // capped windows, ratios 1.41–1.53, yet still minting minima on the
+    // kernel queries) added q86 →0.249, q81 0.397→0.324 (the
+    // graft_dot_long win), q166 →0.189, q163/q164/q87/q146/q147/q60/q73
+    // tightenings — floor_sum 69.797, projection 83.76 s.
     "q175_media_contamination_full" -> 0.626,
     "q176_audio_prefix_rate_normalized" -> 0.396,
     "q177_audio_prefix_incremental_normalized" -> 0.493,
@@ -206,7 +211,7 @@ object BenchFloors {
     "q58_price_quantiles_approx" -> 0.201,
     "q59_sql_api" -> 0.767,
     "q5_sliding_activity" -> 0.245,
-    "q60_ann_ivf_kmeans" -> 0.73,
+    "q60_ann_ivf_kmeans" -> 0.723,
     "q61_dup_clusters" -> 0.103,
     "q62_range_clustered" -> 0.126,
     "q63_zorder_slice" -> 0.129,
@@ -220,7 +225,7 @@ object BenchFloors {
     "q70_frequency_quality" -> 0.42,
     "q71_sequence_packing" -> 0.199,
     "q72_incremental_neardup" -> 0.621,
-    "q73_semantic_dedup" -> 0.116,
+    "q73_semantic_dedup" -> 0.114,
     "q74_bloom_incremental_dedup" -> 0.336,
     "q75_bm25_search" -> 0.323,
     "q76_repeated_spans" -> 0.421,
@@ -229,13 +234,13 @@ object BenchFloors {
     "q79_source_coverage" -> 0.121,
     "q7_first_event_per_user" -> 0.197,
     "q80_temperature_mixture" -> 0.199,
-    "q81_quantized_ann" -> 0.397,
+    "q81_quantized_ann" -> 0.324,
     "q82_leakage_safe_split" -> 0.194,
     "q83_shard_manifest" -> 0.142,
     "q84_token_budget_quota" -> 0.132,
     "q85_lm_surprisal" -> 0.286,
-    "q86_random_projection" -> 0.349,
-    "q87_ivf_maintenance" -> 0.25,
+    "q86_random_projection" -> 0.249,
+    "q87_ivf_maintenance" -> 0.233,
     "q88_source_contamination" -> 0.49,
     "q89_cluster_safe_split" -> 0.261,
     "q8_json_props_sum" -> 0.274,
