@@ -90,7 +90,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RandomSignProject].getName, "graft_random_sign_project"),
       (children: Seq[Expression]) =>
         RandomSignProject(children.head,
-          foldableInt("graft_random_sign_project", "dims", children, 2, 1))))
+          foldableInt("graft_random_sign_project", "dims", children, 2, 1))),
+    (FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "graft_quantize_i8"),
+      (children: Seq[Expression]) => Int8Quantize(children(0), children(1))),
+    // count_replace's pattern and replacement are plan-time constants:
+    // require foldable string literals, the graft_winnow_min convention.
+    (FunctionIdentifier("graft_count_replace"),
+      new ExpressionInfo(classOf[RegexCountReplace].getName, "graft_count_replace"),
+      (children: Seq[Expression]) =>
+        RegexCountReplace(children.head,
+          foldableString("graft_count_replace", "regex", children, 3, 1),
+          foldableString("graft_count_replace", "replacement", children, 3, 2))))
 
   /** Extract the plan-time Int constant at `children(idx)` for a SQL-text
     * registration, validating arity and range up front: a wrong argument
@@ -109,6 +120,23 @@ object GraftExtensions {
         case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
         case other => throw new IllegalArgumentException(
           s"$fn: $arg must be a 32-bit integer literal, got $other")
+      }
+      case e => throw new IllegalArgumentException(
+        s"$fn: $arg must be a foldable literal, got $e")
+    }
+  }
+
+  /** Extract the plan-time String constant at `children(idx)`, the
+    * [[foldableInt]] convention for string-literal arguments. */
+  private def foldableString(fn: String, arg: String, children: Seq[Expression],
+      arity: Int, idx: Int): String = {
+    if (children.length != arity) throw new IllegalArgumentException(
+      s"$fn: expected $arity arguments, got ${children.length}")
+    children(idx) match {
+      case e if e.foldable => e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be a string literal, got $other")
       }
       case e => throw new IllegalArgumentException(
         s"$fn: $arg must be a foldable literal, got $e")

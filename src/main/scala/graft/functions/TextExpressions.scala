@@ -411,3 +411,76 @@ object CountWsTokens {
     runs + 1
   }
 }
+
+/** count_replace(s) — ONE regex pass producing BOTH the match count and
+  * the replaced string, as `struct(n: bigint, replaced: string)` — the
+  * q66 email-pass kernel (r19 optimization round). Replaces the pair
+  *
+  * {{{
+  *   size(regexp_extract_all(txt, RE, 0))   -- pass 1 over txt
+  *   regexp_replace(txt, RE, REPL)          -- pass 2 over txt
+  * }}}
+  *
+  * whose two passes walk the identical match sequence (`Matcher.find`
+  * from position 0; `regexp_extract_all` collects group 0 per find,
+  * `regexp_replace` appendReplacement's per find), so counting inside
+  * the replace loop is byte-identical by construction: n equals the
+  * extract_all length and `replaced` equals the regexp_replace output.
+  * The replacement string is applied via `Matcher.appendReplacement`
+  * exactly as Spark's RegExpReplace does (group references like `$1`
+  * behave identically; q66's literals contain none). Only the EMAIL
+  * pass merges this way — the later counts run over the ORIGINAL text
+  * while the later replaces chain over this pass's output, so their
+  * inputs differ and they stay separate (OPTIMIZATION_r18 "Not yet" #3).
+  *
+  * The pattern and replacement are plan-time constants (foldable string
+  * literals at registration), compiled once per expression instance and
+  * shipped to generated code as reference objects. NULL input → NULL. */
+case class RegexCountReplace(child: Expression, regex: String, replacement: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("replaced", StringType, nullable = false)))
+
+  override def prettyName: String = "graft_count_replace"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_count_replace expects string, got ${child.dataType}")
+
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(regex)
+
+  override protected def nullSafeEval(input: Any): Any =
+    RegexCountReplace.countReplace(input.asInstanceOf[UTF8String], pattern, replacement)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("crPattern", pattern,
+      classOf[java.util.regex.Pattern].getName)
+    val replRef = ctx.addReferenceObj("crRepl", replacement, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RegexCountReplace.countReplace($c, $patRef, $replRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RegexCountReplace {
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def countReplace(s: UTF8String, pattern: java.util.regex.Pattern,
+      replacement: String): InternalRow = {
+    val m = pattern.matcher(s.toString)
+    val result = new java.lang.StringBuffer
+    var cnt = 0L
+    while (m.find()) {
+      cnt += 1
+      m.appendReplacement(result, replacement)
+    }
+    m.appendTail(result)
+    InternalRow(cnt, UTF8String.fromString(result.toString))
+  }
+}

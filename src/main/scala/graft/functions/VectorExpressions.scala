@@ -576,6 +576,94 @@ object RandomSignProject {
   }
 }
 
+/** Symmetric int8 scalar quantizer — the q81 code-construction kernel
+  * (r19 optimization round), bit-identical to the HOF fragment it
+  * replaces:
+  *
+  * {{{
+  *   transform(embedding, x ->
+  *     CASE WHEN nrm = 0.0D THEN 0
+  *          ELSE CAST(FLOOR((CAST(x AS DOUBLE) / nrm) * 127.0D + 0.5D) AS INT) END)
+  * }}}
+  *
+  * That fragment was the last interpreted per-corpus-row HOF on the q81
+  * path after r18 kernelized the ranking dot ([[LongVecDot]]). The loop
+  * replicates each step exactly: IEEE double divide/multiply/add,
+  * `java.lang.Math.floor` + `(long)` cast (Spark's FLOOR(double)→BIGINT),
+  * then the BIGINT→INT cast under the session's ANSI mode captured at
+  * construction (overflow throws under ANSI, truncates otherwise — the
+  * values here are bounded by ±127.5 so neither fires on real data).
+  *
+  * Parity notes (the transform semantics): a NULL array or NULL nrm →
+  * NULL result; `nrm = 0.0` short-circuits EVERY element to 0 (including
+  * NULL elements — the CASE never evaluates them); otherwise NULL
+  * elements stay NULL; empty arrays → empty arrays. The q81 oracle
+  * re-derives the identical quantizer in DuckDB SQL, so the hash gate
+  * covers the swap; ExtensionsSpec pins kernel ≡ HOF on open inputs and
+  * the edge shapes, and generated ≡ interpreted. */
+case class Int8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (okL && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize_i8 expects (array<float|double>, double), got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // ANSI capture at construction, the Cast convention: the BIGINT→INT
+  // step must throw-on-overflow exactly when the CAST it replaces would
+  private val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Int8Quantize.quantize(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], isFloat, ansi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Int8Quantize.quantize($a, $b, $isFloat, $ansi);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8Quantize {
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def quantize(arr: ArrayData, nrm: Double, isFloat: Boolean, ansi: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    if (nrm == 0.0) {
+      // the CASE's zero branch never evaluates x: NULL elements quantize
+      // to 0 too
+      while (i < n) { out(i) = 0; i += 1 }
+    } else {
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          // FLOOR(double) is (long) Math.floor(d) — NaN→0, ±Inf clamp
+          val l = Math.floor((x / nrm) * 127.0 + 0.5).toLong
+          if (ansi && (l < Int.MinValue || l > Int.MaxValue))
+            throw new ArithmeticException(
+              s"graft_quantize_i8: $l overflows INT (ANSI cast)")
+          out(i) = l.toInt
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 // Round-1 note: a MinHashSig expression (tight-loop min(a_i*x+b_i) over a
 // collect_set'd hash array) lived here until round 2 replaced it with 64
 // declarative min() aggregates in Dedup.signaturesFromHash — algebraic

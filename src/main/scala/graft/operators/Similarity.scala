@@ -929,10 +929,16 @@ object Similarity {
     * 4× I/O win); here both live in one plan to stay self-contained. */
   def quantizedAnnTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val qz = withNorm(spark, dir)
-      .withColumn("qv", expr(
-        """transform(embedding, x ->
-          |  CASE WHEN nrm = 0.0D THEN 0
-          |       ELSE CAST(floor((CAST(x AS DOUBLE) / nrm) * 127.0D + 0.5D) AS INT) END)""".stripMargin))
+      // r19 optimization round: was the interpreted HOF quantizer
+      //   transform(embedding, x ->
+      //     CASE WHEN nrm = 0.0D THEN 0
+      //          ELSE CAST(floor((CAST(x AS DOUBLE) / nrm) * 127.0D + 0.5D) AS INT) END)
+      // — the last per-corpus-row interpreted lambda on this path after
+      // r18 kernelized the ranking dot. [[graft.functions.Int8Quantize]]
+      // is the same arithmetic bit-identically as a codegen'd loop
+      // (ExtensionsSpec pins kernel ≡ HOF + edge shapes); the q81 oracle
+      // still re-derives the HOF form, so the hash gate covers the swap.
+      .withColumn("qv", expr("graft_quantize_i8(embedding, nrm)"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("qv"))
     val q = qz.where(col("vec_id") <= 4)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),

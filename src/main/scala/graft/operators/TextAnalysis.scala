@@ -913,16 +913,30 @@ object TextAnalysis {
         .when(pmod(id, lit(4)) === 2,
           concat(col("text"), lit(" call 555-"), (pmod(id, lit(9000)) + 1000).cast("string"), lit(" today")))
         .otherwise(col("text")).as("txt"))
-    injected.select(
-      col("doc_id"),
-      size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col("txt"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      regexp_replace(
+    // r19 optimization round: the email pass ran the corpus twice —
+    //   size(regexp_extract_all(txt, EmailRe, 0))   (count)
+    //   regexp_replace(txt, EmailRe, '<EMAIL>')     (replace chain head)
+    // — the one cleanly mergeable pair (both walk txt's email match
+    // sequence; the later counts run over the ORIGINAL txt while the
+    // later replaces chain over this output, so those stay separate).
+    // [[graft.functions.RegexCountReplace]] computes both in ONE pass,
+    // byte-identically (same Matcher.find sequence, same
+    // appendReplacement); the q66 oracle still re-derives the split
+    // form, so the hash gate covers the merge. 6 regex passes/row → 5.
+    // built via ColumnBridge, not SQL text: the pattern's `\.` would not
+    // survive the SQL parser's string-literal unescaping
+    import org.apache.spark.sql.graft.ColumnBridge
+    injected
+      .withColumn("cr", ColumnBridge.of(graft.functions.RegexCountReplace(
+        ColumnBridge.expr(col("txt")), EmailRe, "<EMAIL>")))
+      .select(
+        col("doc_id"),
+        col("cr.n").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
         regexp_replace(
-          regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"))
+          regexp_replace(col("cr.replaced"), Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
       .orderBy("doc_id")
   }
 

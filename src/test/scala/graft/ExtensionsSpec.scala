@@ -255,6 +255,94 @@ class ExtensionsSpec extends SparkSpec {
     assert(edges.getLong(4) === 0L && edges.getLong(5) === 0L, "empty arrays fold to the seed")
   }
 
+  test("graft_quantize_i8 ≡ the transform quantizer it replaced (q81), on open inputs and edge shapes") {
+    // the replaced fragment, verbatim
+    def hof(a: String, nrm: String): String =
+      s"""transform($a, x ->
+         |  CASE WHEN $nrm = 0.0D THEN 0
+         |       ELSE CAST(floor((CAST(x AS DOUBLE) / $nrm) * 127.0D + 0.5D) AS INT) END)""".stripMargin
+    val df = spark.sql(
+      s"""SELECT id, graft_quantize_i8(a, nrm) AS k, ${hof("a", "nrm")} AS h
+         |FROM (SELECT id,
+         |        array(CAST(id * 0.1234567 AS FLOAT), CAST(-id * 7.654321e-3 AS FLOAT), CAST(sqrt(id) AS FLOAT)) AS a,
+         |        CAST(sqrt(id + 1) * 1.7 AS DOUBLE) AS nrm
+         |      FROM range(200))""".stripMargin)
+    assertCodegendProject(df)
+    df.collect().foreach(r => assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"id ${r.getLong(0)}"))
+    // edge shapes, each compared to the HOF's own behavior
+    val edges = spark.sql(
+      s"""SELECT
+         |  graft_quantize_i8(array(1.0F, CAST(NULL AS FLOAT)), 0.0D) AS k_zero,
+         |  ${hof("array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))", "0.0D")} AS h_zero,
+         |  graft_quantize_i8(array(1.0F, CAST(NULL AS FLOAT)), 2.0D) AS k_null,
+         |  ${hof("array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))", "2.0D")} AS h_null,
+         |  graft_quantize_i8(CAST(array() AS ARRAY<FLOAT>), 3.0D) AS k_empty,
+         |  graft_quantize_i8(array(1.0F), CAST(NULL AS DOUBLE)) AS k_nnrm""".stripMargin)
+      .head()
+    // nrm = 0 short-circuits EVERY element to 0, NULL elements included
+    assert(edges.getSeq[Any](0) === Seq(0, 0) && edges.getSeq[Any](1) === Seq(0, 0))
+    // NULL element stays NULL when nrm != 0
+    assert(edges.getSeq[Any](2) === edges.getSeq[Any](3))
+    assert(edges.getSeq[Any](2)(1) == null)
+    assert(edges.getSeq[Any](4) === Seq.empty)
+    assert(edges.isNullAt(5), "NULL nrm must be NULL")
+    // generated ≡ interpreted for the kernel itself
+    val q = "SELECT graft_quantize_i8(array(CAST(id * 0.37 AS FLOAT)), sqrt(CAST(id + 1 AS DOUBLE))) AS d FROM range(50)"
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    assert(spark.sql(q).collect().toSeq === interpSession.sql(q).collect().toSeq)
+  }
+
+  test("graft_count_replace ≡ one-pass (size(regexp_extract_all), regexp_replace) pair (q66)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val emailRe = graft.operators.TextAnalysis.EmailRe
+    val rows = Seq(
+      "contact a@b.com and c.d+e@f-g.org now", // two matches
+      "no pii here",                           // zero matches
+      "x@y.io",                                // match is the whole string
+      "trailing a@b.co",                       // match at end of input
+      "@not an email@, a@@b, a@b.c, a@b.comm") // near-misses + >2-char TLD
+      .toDF("txt")
+    val df = rows.select(
+      ColumnBridge.of(graft.functions.RegexCountReplace(
+        ColumnBridge.expr(col("txt")), emailRe, "<EMAIL>")).as("cr"),
+      size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).cast("long").as("n"),
+      regexp_replace(col("txt"), emailRe, "<EMAIL>").as("rep"))
+    // (codegen participation is asserted on the range-derived query below
+    // — this literal frame constant-folds to a LocalTableScan)
+    df.collect().foreach { r =>
+      val cr = r.getStruct(0)
+      assert(cr.getLong(0) === r.getLong(1), s"count mismatch on '${r.getString(2)}'")
+      assert(cr.getString(1) === r.getString(2), s"replace mismatch on '${r.getString(2)}'")
+    }
+    // group references in the replacement behave exactly like
+    // regexp_replace's (both go through Matcher.appendReplacement raw)
+    val grp = spark.sql(
+      """SELECT graft_count_replace('ab ab cd', '(a)(b)', '$2$1') AS cr,
+        |       regexp_replace('ab ab cd', '(a)(b)', '$2$1') AS rep""".stripMargin).head()
+    assert(grp.getStruct(0).getLong(0) === 2L)
+    assert(grp.getStruct(0).getString(1) === grp.getString(1))
+    // SQL-callable with literal args; non-literal pattern rejected
+    val viaSql = spark.sql("SELECT graft_count_replace('aXbXc', 'X', '-') AS cr").head().getStruct(0)
+    assert(viaSql.getLong(0) === 2L && viaSql.getString(1) === "a-b-c")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_count_replace('a', CAST(id AS STRING), '-') FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"), e.getMessage)
+    // NULL input → NULL struct
+    assert(spark.sql("SELECT graft_count_replace(CAST(NULL AS STRING), 'x', 'y') AS cr").head().isNullAt(0))
+    // generated ≡ interpreted for the kernel itself, and the projection
+    // stays inside whole-stage codegen on a non-constant input
+    val q = "SELECT graft_count_replace(concat('u', CAST(id AS STRING), '@example.com or not'), '[a-z0-9]+@[a-z.]+[a-z]', '<E>') AS cr FROM range(50)"
+    assertCodegendProject(spark.sql(q))
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    assert(spark.sql(q).collect().toSeq === interpSession.sql(q).collect().toSeq)
+  }
+
   test("graft_random_sign_project: SQL-callable, codegen'd, exact-decimal parity incl. NULL positions") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     // values match the replaced aggregate's arithmetic: per element the
