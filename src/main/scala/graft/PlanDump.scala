@@ -21,6 +21,10 @@ object PlanDump {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_PLAN_ONLY").map(_.split(',').toSet)
+    // extra session confs, "k=v;k=v" — e.g. spark.graft.bnljBarrier=false
+    // to dump a rule-off "before" twin
+    val extraConf = sys.env.get("SPARK_GRAFT_PLAN_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -28,6 +32,7 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     SparkEntry.queries

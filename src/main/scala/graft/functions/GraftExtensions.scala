@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // runs as a real optimizer rule so EVERY query — DataFrame or SQL
     // text — gets it without opting in
     ext.injectOptimizerRule(_ => graft.plans.RewriteTokenCount)
+    // physical prep rule: stop BroadcastNestedLoopJoin codegen from
+    // re-evaluating expensive streamed-side kernel projections per PAIR
+    // (once per build row) instead of once per streamed row — see
+    // graft.plans.InsertBnljStreamBarrier
+    ext.injectQueryStagePrepRule(_ => graft.plans.InsertBnljStreamBarrier)
   }
 }
 

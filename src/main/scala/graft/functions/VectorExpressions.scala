@@ -47,11 +47,35 @@ case class FloatVecDot(left: Expression, right: Expression)
       s"graft_fdot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+
+  // r19 optimization round: was an INLINED 64-iteration loop per call
+  // site. A projection evaluating many of these (q34b/q73's banded stage
+  // inlines 24, one per LSH plane) generated a consume method past the
+  // JIT's huge-method bytecode limit — HotSpot left the whole stage
+  // running as INTERPRETED BYTECODE, measurably slower than the pre-r18
+  // non-codegen plan (AbProbe q34b_banded: 0.41 s vs 0.23 s). A static
+  // call keeps every generated method small (the JVM inlines it where
+  // hot), exactly the [[DecVecDot]]/[[Simhash64]] convention.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FloatVecDot.dot($a, $b, $leftIsFloat, $rightIsFloat);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  /** Static kernel, called from both interpreted eval and generated code. */
+  def dot(x: ArrayData, y: ArrayData, leftIsFloat: Boolean, rightIsFloat: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
-    val leftIsFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val rightIsFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -62,26 +86,6 @@ case class FloatVecDot(left: Expression, right: Expression)
     }
     dot
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val la = elemAccessor(left)
-    val ra = elemAccessor(right)
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += ((double) $a.$la($i)) * ((double) $b.$ra($i));
-         |}
-         |${ev.value} = ${ev.value}_acc;
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash over an array<string> of tokens, emitted as 16 lowercase
@@ -331,6 +335,9 @@ case class DecVecDot(left: Expression, right: Expression)
 }
 
 object DecVecDot {
+  // TEMP diagnostic (r19 probe): counts kernel invocations when enabled
+  val DiagCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val DiagEnabled = java.lang.Boolean.getBoolean("graft.diag.deccount")
   private val Scale = 12
   /** DECIMAL(18,12) bound on every partial sum — the fold's per-step
     * `CAST(acc + v AS DECIMAL(18,12))` overflow point. */
@@ -340,6 +347,7 @@ object DecVecDot {
     * Returns null (boxed) when the HOF fold would: length mismatch or a
     * NULL element. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    if (DiagEnabled) DiagCount.incrementAndGet()
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0L

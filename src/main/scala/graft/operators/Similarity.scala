@@ -262,6 +262,90 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** MEASUREMENT-ONLY twin of [[knnBrute]] (q33) for the r19 fused-BNLJ
+    * adjudication (VERDICT r18 item 3) — same A/B contract as
+    * [[embLshProbeVariant]]. */
+  private[graft] def knnBruteProbeVariant(spark: SparkSession, dir: String,
+      useHof: Boolean): DataFrame = {
+    def dotDecS(a: String, b: String): String =
+      if (!useHof) dotDec(a, b)
+      else s"""CAST(ROUND(aggregate(zip_with($a, $b, (x, y) ->
+              |  CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
+              |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(expr(dotDecS("embedding", "embedding"))).as("nrm"))
+    val q = n.where(col("vec_id") <= 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr(dotDecS("qe", "ne")) / (col("qn") * col("nn"))).as("cos_sim"))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(byCos).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** MEASUREMENT-ONLY twin of [[embeddingNearDupPairsLsh]] for the r19
+    * q34b adjudication (VERDICT r18 item 2): the identical chain with the
+    * exact-decimal dot selectable between the r18 kernel
+    * ([[graft.functions.DecVecDot]]) and the pre-r18 interpreted HOF
+    * fold, so an interleaved same-session A/B (graft.AbProbe) can price
+    * the kernel swap on q34b alone. `useHof = false` reproduces the
+    * production plan minus the `observe` instrumentation; never part of
+    * the query surface. */
+  private[graft] def embLshProbeVariant(spark: SparkSession, dir: String,
+      useHof: Boolean, bandedOnly: Boolean = false): DataFrame = {
+    def dotDecS(a: String, b: String): String =
+      if (!useHof) dotDec(a, b)
+      else s"""CAST(ROUND(aggregate(zip_with($a, $b, (x, y) ->
+              |  CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),
+              |  CAST(0 AS DECIMAL(18,12)), (acc, v) -> CAST(acc + v AS DECIMAL(18,12))), 12) AS DOUBLE)""".stripMargin
+    def dotPlane(e: Column, plane: Array[Double]): Column =
+      if (!useHof) dotDecPlane(e, plane)
+      else round(aggregate(zip_with(e, typedlit(plane),
+          (x, y) => (x.cast("double") * y).cast("decimal(18,12)")),
+        lit(0).cast("decimal(18,12)"),
+        (acc, v) => (acc + v).cast("decimal(18,12)")), 12).cast("double")
+    def hybridSignP(plane: Array[Double]): Column = {
+      val fast = fdot(col("embedding"), typedlit(plane))
+      when(abs(fast) > 1e-6, fast >= 0d)
+        .otherwise(dotPlane(col("embedding"), plane) >= 0d)
+    }
+    def bandKey(b: Int): Column =
+      (0 until NdPlanesPerBand).map { j =>
+        when(hybridSignP(ndPlanes(b * NdPlanesPerBand + j)), lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(expr(dotDecS("embedding", "embedding"))).as("nrm"))
+    val banded = n.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until NdBands).map(bandKey): _*)).as(Seq("band_idx", "band_key")))
+    if (bandedOnly) return banded.select(col("vec_id"), col("band_idx"), col("band_key"))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("all_members"))
+      .where(size(col("all_members")) >= 2)
+      .withColumn("members", slice(col("all_members"), 1, Dedup.MaxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    named_struct('v1', x.vec_id, 'e1', x.embedding, 'n1', x.nrm,
+          |                 'v2', y.vec_id, 'e2', y.embedding, 'n2', y.nrm))))""".stripMargin)).as("p"))
+      .select(col("p.v1").as("v1"), col("p.e1").as("e1"), col("p.n1").as("n1"),
+        col("p.v2").as("v2"), col("p.e2").as("e2"), col("p.n2").as("n2"))
+      .where(fdot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.4 - 1e-6)
+      .distinct()
+      .select(col("v1"), col("v2"),
+        (expr(dotDecS("e1", "e2")) / (col("n1") * col("n2"))).as("cos_sim"))
+      .where(col("cos_sim") >= 0.4)
+      .orderBy("v1", "v2")
+  }
+
   /** The persisted FULL-CORPUS near-dup pair artifact: q34b's flagship
     * banded-LSH chain ([[embeddingNearDupPairsLsh]]), built once per
     * corpus fingerprint under the [[graft.sources.Artifacts]] contract —
