@@ -335,7 +335,9 @@ case class DecVecDot(left: Expression, right: Expression)
 }
 
 object DecVecDot {
-  // TEMP diagnostic (r19 probe): counts kernel invocations when enabled
+  // measurement hook (graft.AbProbe q33_count): counts kernel invocations
+  // when -Dgraft.diag.deccount=true; the flag is read once at class load,
+  // so production runs pay a constant-folded branch
   val DiagCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val DiagEnabled = java.lang.Boolean.getBoolean("graft.diag.deccount")
   private val Scale = 12
@@ -669,6 +671,261 @@ object Int8Quantize {
       }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** All per-subspace PQ code assignments of one vector in ONE pass — the
+  * r19 setup-cost kernel (VERDICT r18 item 4).
+  *
+  * Replaces the unrolled `pqDistSql` projection: `subs × codes` argmin
+  * columns, each an array of `codes` distances, each distance `subDim`
+  * terms of `CAST((x−u)·(x−u) AS DECIMAL(18,12))` — ~10⁴ Catalyst nodes
+  * per plan, REBUILT with fresh literals every Lloyd iteration and every
+  * encode pass, whose analysis + codegen time (not the 32k-row data) was
+  * the dominant share of the bench's untimed PQ provisioning (q150
+  * setup 23.5 s, q152 18.4 s, cold canonical run).
+  *
+  * Arithmetic is the SQL form's, step for step: per term an IEEE double
+  * (x−u)², then exactly Spark's double→DECIMAL(18,12) cast
+  * (`BigDecimal.valueOf`, i.e. `Double.toString`, HALF_UP to scale 12 —
+  * the [[DecVecDot]] convention) accumulated as exact unscaled longs;
+  * per-code distance converted once to double
+  * (`CAST(ROUND(...,12) AS DOUBLE)`); argmin by strict `<` first-index —
+  * `array_position(dists, array_min(dists))`'s tie rule. The q150/q152
+  * oracles re-derive the identical codes with unrolled SQL, so the hash
+  * gate covers the swap; ExtensionsSpec pins kernel ≡ unrolled-SQL
+  * column-for-column on open inputs and the edge shapes.
+  *
+  * NULL/edge parity with the SQL form: NULL array → every code NULL (the
+  * distances are NULL, `array_min` is NULL, `array_position(…, NULL)` is
+  * NULL — note: an array OF nulls, not a NULL array); a NULL element
+  * poisons exactly its own subspace's code; an array shorter than
+  * `subs × subDim` throws, as ANSI `element_at` past the end would. */
+case class PqAssignCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+    codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "graft_pq_assign: codebooks must be a non-empty subs × codes × subDim cube")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "graft_pq_assign"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_assign expects array<float|double>, got $other")
+    }
+
+  // a NULL input yields an array of NULL codes, not a NULL array — the
+  // array(...) constructor the SQL form runs is itself never NULL
+  override def nullable: Boolean = false
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any =
+    PqAssignCodes.assign(child.eval(input).asInstanceOf[ArrayData], codebooks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val c = child.genCode(ctx)
+    val callArgs = s"$cbRef, $isFloat"
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.PqAssignCodes.assign(
+            ${c.isNull} ? null : ${c.value}, $callArgs);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqAssignCodes {
+  /** Static kernel, called from both interpreted eval and generated code.
+    * `arr == null` encodes a NULL input array (all codes NULL). */
+  def assign(arr: ArrayData, cbs: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
+    val subs = cbs.length
+    val out = new Array[Any](subs)
+    if (arr == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val nCodes = cbs(0).length
+    val subDim = cbs(0)(0).length
+    if (arr.numElements() < subs * subDim)
+      throw new ArrayIndexOutOfBoundsException(
+        s"graft_pq_assign: input has ${arr.numElements()} elements, " +
+          s"need ${subs * subDim} (ANSI element_at would fail here)")
+    val x = new Array[Double](subDim)
+    var s = 0
+    while (s < subs) {
+      // a NULL element poisons every distance of this subspace → NULL code
+      var hasNull = false
+      var i = 0
+      while (i < subDim && !hasNull) {
+        val p = s * subDim + i
+        if (arr.isNullAt(p)) hasNull = true
+        else x(i) = if (isFloat) arr.getFloat(p).toDouble else arr.getDouble(p)
+        i += 1
+      }
+      if (!hasNull) {
+        val cb = cbs(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < nCodes) {
+          val u = cb(j)
+          var acc = 0L
+          var k = 0
+          while (k < subDim) {
+            val d = (x(k) - u(k)) * (x(k) - u(k))
+            // Spark's double→DECIMAL(18,12) cast: valueOf (Double.toString)
+            // then HALF_UP at scale 12; sums stay exact in unscaled longs
+            acc = Math.addExact(acc, java.math.BigDecimal.valueOf(d)
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact())
+            k += 1
+          }
+          val dist = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(acc), 12).doubleValue()
+          // array_position(dists, array_min(dists)): first strict minimum
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        out(s) = best
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Hybrid IVF cell assignment of one vector in ONE codegen'd call — the
+  * r19 twin of the `fscores`/`hybridCellCol` column pair (VERDICT r18
+  * item 4, and the map-side inner loop of the whole IVF query family).
+  *
+  * Replaces, per row: a 16-element `array(graft_fdot × 16)` projection,
+  * two `array_sort`s for the top-2 gap, an `array_position` argmax, and
+  * (on near-ties) a second 16-element exact-decimal score array. The
+  * kernel runs the IDENTICAL arithmetic by calling the same static
+  * kernels the column form compiles to — [[FloatVecDot.dot]] for the 16
+  * double scores and [[DecVecDot.dot]] for the decimal fallback — so
+  * there is no parallel implementation to drift: gap > 1e-6 decides on
+  * the double scores (first-index argmax, `array_position` tie rule),
+  * near-ties fall back to the exact-decimal argmax the oracle computes.
+  * ExtensionsSpec pins kernel ≡ column form on the corpus and edges.
+  *
+  * NULL parity: NULL array → NULL cell (the CASE's both branches are
+  * NULL); a NULL element inside the fallback's decimal scores poisons
+  * only those scores (`array_max` skips NULLs), matching DecVecDot. */
+case class IvfAssignCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids(0).length),
+    "graft_ivf_assign: centroids must be a non-empty rectangular matrix")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ivf_assign expects array<float|double>, got $other")
+    }
+
+  // the all-NULL-scores fallback row yields NULL even on non-NULL input
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // centroids wrapped once as ArrayData so the kernel calls the very same
+  // FloatVecDot.dot / DecVecDot.dot entry points the column form uses
+  @transient private lazy val centArrays: Array[ArrayData] =
+    centroids.map(c => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      c.map(java.lang.Double.valueOf(_): Any)))
+
+  override def nullSafeEval(a: Any): Any =
+    IvfAssignCell.assign(a.asInstanceOf[ArrayData], centArrays, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("ivfCentroids", centArrays,
+      "org.apache.spark.sql.catalyst.util.ArrayData[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("cellBoxed")
+      s"""
+         |java.lang.Integer $boxed = graft.functions.IvfAssignCell.assign($c, $centRef, $isFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfAssignCell {
+  /** Spark's `=` on doubles: IEEE equality plus NaN = NaN (array_position
+    * must find a NaN top; ±0.0 stay equal as IEEE has it). */
+  private def sqlEq(a: Double, b: Double): Boolean =
+    a == b || (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b))
+
+  /** Static kernel, called from both interpreted eval and generated code.
+    * Returns null (boxed) when the column form would (all fallback
+    * scores NULL). */
+  def assign(arr: ArrayData, cents: Array[ArrayData], isFloat: Boolean): java.lang.Integer = {
+    val k = cents.length
+    val f = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      f(j) = FloatVecDot.dot(arr, cents(j), isFloat, false)
+      j += 1
+    }
+    // element_at(array_sort(f), -1/-2): top-2 via Spark's double ordering
+    // (java.lang.Double.compare — NaN last, -0.0 before 0.0)
+    val sorted = f.clone()
+    java.util.Arrays.sort(sorted)
+    val top = sorted(k - 1)
+    val gap = top - sorted(k - 2)
+    if (gap > 1e-6) {
+      // (array_position(f, top) - 1): first index equal to the max
+      var i = 0
+      while (i < k) {
+        if (sqlEq(f(i), top)) return java.lang.Integer.valueOf(i)
+        i += 1
+      }
+      null // unreachable: top came from f
+    } else {
+      // exact-decimal fallback: argmax over DecVecDot scores, NULLs
+      // skipped (array_max), first index on ties (array_position)
+      val dsc = new Array[java.lang.Double](k)
+      var best = -1
+      var i = 0
+      while (i < k) {
+        dsc(i) = DecVecDot.dot(arr, cents(i), isFloat, false)
+        if (dsc(i) != null &&
+          (best < 0 || java.lang.Double.compare(dsc(i).doubleValue(), dsc(best).doubleValue()) > 0))
+          best = i
+        i += 1
+      }
+      if (best < 0) return null
+      // array_position returns the FIRST element equal to the max
+      i = 0
+      while (i < k) {
+        if (dsc(i) != null && sqlEq(dsc(i).doubleValue(), dsc(best).doubleValue()))
+          return java.lang.Integer.valueOf(i)
+        i += 1
+      }
+      null // unreachable
+    }
   }
 }
 

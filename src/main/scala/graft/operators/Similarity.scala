@@ -471,8 +471,10 @@ object Similarity {
   def ivfCentroidsSqlLiteral: String =
     ivfCentroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
-  /** Per-vector centroid dot scores (codegen'd native dot ×16). */
-  private def cellScoresCol(centroids: Array[Array[Double]]): Column =
+  /** Per-vector centroid dot scores (codegen'd native dot ×16).
+    * r19: feeds only the [[hybridCellCol]] reference form (spec parity)
+    * — production assignment is the [[ivfCellCol]] kernel. */
+  private[graft] def cellScoresCol(centroids: Array[Array[Double]]): Column =
     array(centroids.toIndexedSeq.map(c => fdot(col("embedding"), typedlit(c))): _*)
 
   /** Exact-decimal per-cell dot scores — the oracle-portable twin of
@@ -487,8 +489,14 @@ object Similarity {
     * double score differs from its decimal twin by < ~1e-10, so a wide
     * gap can't flip the winner), and only near-tied rows fall back to
     * the exact-decimal scores the oracle computes. Keeps assignment
-    * bit-portable to DuckDB while the hot path stays inside codegen. */
-  private def hybridCellCol(centroids: Array[Array[Double]]): Column = {
+    * bit-portable to DuckDB while the hot path stays inside codegen.
+    *
+    * r19: REFERENCE FORM ONLY (ExtensionsSpec pins [[ivfCellCol]] ≡ this
+    * over `fscores = cellScoresCol`). Production paths use the one-call
+    * kernel [[ivfCellCol]], which evaluates the same static dot kernels
+    * without materializing the two score arrays and their double
+    * array_sort per row, and shrinks the per-Lloyd-iteration plan. */
+  private[graft] def hybridCellCol(centroids: Array[Array[Double]]): Column = {
     val f = col("fscores")
     val top = element_at(array_sort(f), -1)
     val gap = top - element_at(array_sort(f), -2)
@@ -497,13 +505,20 @@ object Similarity {
       .otherwise((array_position(dsc, array_max(dsc)) - 1).cast("int"))
   }
 
-  /** vec_id, embedding, nrm, fscores, cell (hybrid decimal-portable
-    * argmax — see [[hybridCellCol]]). */
+  /** The hybrid argmax as ONE codegen'd kernel call (r19) — same
+    * assignment bit for bit as `fscores`/[[hybridCellCol]]; see
+    * [[graft.functions.IvfAssignCell]]. */
+  private[graft] def ivfCellCol(centroids: Array[Array[Double]]): Column =
+    ColumnBridge.of(graft.functions.IvfAssignCell(
+      ColumnBridge.expr(col("embedding")), centroids))
+
+  /** vec_id, embedding, nrm, cell (hybrid decimal-portable argmax — see
+    * [[ivfCellCol]]; no downstream consumer reads the intermediate
+    * `fscores`, so the r19 kernel form drops the column). */
   private[graft] def ivfAssignments(spark: SparkSession, dir: String,
       centroids: Array[Array[Double]] = ivfCentroids): DataFrame =
     withNorm(spark, dir)
-      .withColumn("fscores", cellScoresCol(centroids))
-      .withColumn("cell", hybridCellCol(centroids))
+      .withColumn("cell", ivfCellCol(centroids))
 
   private val Dim = 64
 
@@ -613,8 +628,7 @@ object Similarity {
       var cents = ivfCentroids
       for (_ <- 1 to iters) {
         val rows = sample
-          .withColumn("fscores", cellScoresCol(cents))
-          .withColumn("cell", hybridCellCol(cents))
+          .withColumn("cell", ivfCellCol(cents))
           .groupBy(col("cell")).agg(sumAggs.head, sumAggs.tail: _*)
           .collect()
         val next = cents.clone()
@@ -1484,12 +1498,27 @@ object Similarity {
 
   /** Per-subspace code assignment columns for the current codebooks:
     * argmin over the [[PqCodes]] decimal-exact distances, FIRST index on
-    * ties (the oracle's `ORDER BY dist ASC, code ASC`). */
-  private def pqCodeCols(cbs: Array[Array[Array[Double]]]): Seq[Column] =
+    * ties (the oracle's `ORDER BY dist ASC, code ASC`).
+    *
+    * r19: REFERENCE FORM ONLY (ExtensionsSpec pins kernel ≡ this,
+    * column for column). Production paths use [[pqAssignCol]] — this
+    * unrolled projection is ~10⁴ Catalyst nodes rebuilt with fresh
+    * literals per Lloyd iteration / encode pass, and its analysis +
+    * codegen time dominated the bench's untimed PQ provisioning. */
+  private[graft] def pqCodeCols(cbs: Array[Array[Array[Double]]]): Seq[Column] =
     (0 until PqSubs).map { s =>
       val dists = array((0 until PqCodes).map(j => expr(pqDistSql(s, cbs(s)(j)))): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
+
+  /** All [[PqSubs]] code assignments in ONE codegen'd kernel call — the
+    * same argmin over the same decimal-exact distances as [[pqCodeCols]]
+    * (bit-identical; see [[graft.functions.PqAssignCodes]]), as a single
+    * plan node instead of the unrolled ~10⁴-node projection (guide §4 +
+    * §5: the cost was driver-side planning, not data). */
+  private[graft] def pqAssignCol(cbs: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.of(graft.functions.PqAssignCodes(
+      ColumnBridge.expr(col("embedding")), cbs))
 
   private val pqCache =
     new scala.collection.concurrent.TrieMap[(String, Int, Boolean), Array[Array[Array[Double]]]]
@@ -1533,16 +1562,19 @@ object Similarity {
           .where(if (corpusOnly) pmod(col("vec_id"), lit(10L)) =!= BatchResidue else lit(true))
         var cbs = pqSeeds.map(_.map(_.clone()))
         for (_ <- 1 to iters) {
-          val codeCols = pqCodeCols(cbs)
+          // r19: one kernel call per row assigns all 8 codes (pqc), in
+          // place of the unrolled per-subspace argmin columns — same
+          // assignment bit for bit, ~10⁴ fewer plan nodes per iteration
           val subStructs = array((0 until PqSubs).map { s =>
-            struct(lit(s).as("sub"), codeCols(s).as("code"),
+            struct(lit(s).as("sub"), element_at(col("pqc"), s + 1).as("code"),
               expr(s"slice(transform(embedding, v -> CAST(v AS DOUBLE)), ${s * PqSubDim + 1}, $PqSubDim)")
                 .as("sv"))
           }: _*)
           val sumAggs = (1 to PqSubDim).map(i =>
             round(sum(expr(s"element_at(sv, $i)").cast("decimal(28,12)")), 12)
               .cast("double").as(s"c$i")) :+ count(lit(1)).as("n")
-          val rows = sample.select(explode(subStructs).as("z"))
+          val rows = sample.withColumn("pqc", pqAssignCol(cbs))
+            .select(explode(subStructs).as("z"))
             .select(col("z.sub").as("sub"), col("z.code").as("code"), col("z.sv").as("sv"))
             .groupBy("sub", "code").agg(sumAggs.head, sumAggs.tail: _*)
             .collect()
@@ -1573,7 +1605,7 @@ object Similarity {
     if (!graft.sources.Artifacts.isBuilt(spark, path)) {
       val cbs = trainPqCodebooks(spark, dir)
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), array(pqCodeCols(cbs): _*).as("codes"))
+        .select(col("vec_id"), pqAssignCol(cbs).as("codes"))
         .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
@@ -1757,7 +1789,7 @@ object Similarity {
       val cents = trainIvfCentroids(spark, dir)
       val cbs = trainPqCodebooks(spark, dir)
       ivfAssignments(spark, dir, cents)
-        .select(col("vec_id"), array(pqCodeCols(cbs): _*).as("codes"), col("cell"))
+        .select(col("vec_id"), pqAssignCol(cbs).as("codes"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
     }
     spark.read.parquet(path)

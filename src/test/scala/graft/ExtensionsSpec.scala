@@ -419,4 +419,95 @@ class ExtensionsSpec extends SparkSpec {
     val users = spark.table("bounded_dedup").collect().map(_.getAs[Long]("user_id")).sorted
     assert(users.toSeq === Seq(1L, 2L))
   }
+
+  test("graft_pq_assign ≡ the unrolled per-subspace argmin projection (PQ encode), corpus + edges") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // deterministic synthetic codebook cube in the production 8×16×8 shape
+    var x = 0x5EED5EEDL
+    val cbs = Array.fill(8, 16, 8) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val both = emb.select(col("vec_id"),
+      Similarity.pqAssignCol(cbs).as("k"),
+      array(Similarity.pqCodeCols(cbs): _*).as("h"))
+    assertCodegendProject(both)
+    val rows = both.collect()
+    assert(rows.nonEmpty, "sf0.001 fixture must exercise the kernel")
+    rows.foreach(r => assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"vec ${r.get(0)}"))
+    // edges, each compared to the unrolled form's own behavior: a NULL
+    // element poisons exactly its own subspace; a NULL array yields an
+    // array of 8 NULL codes (array(...) itself is never NULL)
+    val base = emb.limit(1).select(col("embedding"))
+    val edges = base.select(
+      expr("transform(embedding, (v, i) -> CASE WHEN i = 3 THEN CAST(NULL AS FLOAT) ELSE v END)")
+        .as("embedding"))
+      .unionByName(base.select(expr("CAST(NULL AS ARRAY<FLOAT>)").as("embedding")))
+    val er = edges.select(
+      Similarity.pqAssignCol(cbs).as("k"),
+      array(Similarity.pqCodeCols(cbs): _*).as("h")).collect()
+    er.foreach(r => assert(r.getSeq[Any](0) === r.getSeq[Any](1), r.toString))
+    assert(er(0).getSeq[Any](0).head == null, "subspace 0 must be poisoned")
+    assert(er(0).getSeq[Any](0).drop(1).forall(_ != null), "only subspace 0 poisoned")
+    assert(er(1).getSeq[Any](0) === Seq.fill(8)(null))
+    // an array shorter than subs×subDim throws, as ANSI element_at would
+    val short = base.select(expr("slice(embedding, 1, 10)").as("embedding"))
+    intercept[Exception](short.select(Similarity.pqAssignCol(cbs)).collect())
+    // generated ≡ interpreted for the kernel itself
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    val kInterp = graft.sources.Tables.embeddings(interpSession, sf0001)
+      .select(col("vec_id"), Similarity.pqAssignCol(cbs).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    rows.foreach(r => assert(kInterp(r.getLong(0)) === r.getSeq[Any](1)))
+  }
+
+  test("graft_ivf_assign ≡ the fscores/hybridCellCol column pair (IVF family), corpus + edges") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // deterministic synthetic centroid matrix in the production 16×64 shape
+    var x = 0xC411ED5L
+    val cents = Array.fill(16, 64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }.map { v => val n = math.sqrt(v.map(d => d * d).sum); v.map(_ / n) }
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val both = emb
+      .withColumn("fscores", Similarity.cellScoresCol(cents))
+      .select(col("vec_id"),
+        Similarity.ivfCellCol(cents).as("k"),
+        Similarity.hybridCellCol(cents).as("h"))
+    assertCodegendProject(both)
+    val rows = both.collect()
+    assert(rows.nonEmpty, "sf0.001 fixture must exercise the kernel")
+    rows.foreach(r => assert(r.get(1) === r.get(2), s"vec ${r.get(0)}"))
+    // a NULL embedding must yield a NULL cell on both forms
+    val nullRow = emb.limit(1)
+      .select(expr("CAST(NULL AS ARRAY<FLOAT>)").as("embedding"))
+      .withColumn("fscores", Similarity.cellScoresCol(cents))
+      .select(Similarity.ivfCellCol(cents).as("k"), Similarity.hybridCellCol(cents).as("h"))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    // near-tie fallback path: identical centroids 0 and 1 force gap = 0 —
+    // both forms must take the exact-decimal argmax (first index wins)
+    val tied = cents.clone(); tied(1) = tied(0).clone()
+    val tr = emb.limit(32)
+      .withColumn("fscores", Similarity.cellScoresCol(tied))
+      .select(Similarity.ivfCellCol(tied).as("k"), Similarity.hybridCellCol(tied).as("h"))
+      .collect()
+    tr.foreach(r => assert(r.get(0) === r.get(1), r.toString))
+    // generated ≡ interpreted for the kernel itself
+    val interpSession = spark.newSession()
+    interpSession.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interpSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    val kInterp = graft.sources.Tables.embeddings(interpSession, sf0001)
+      .select(col("vec_id"), Similarity.ivfCellCol(cents).as("k"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach(r => assert(kInterp(r.getLong(0)) === r.get(1)))
+  }
 }
