@@ -46,7 +46,7 @@ object BenchFloors {
   val Floors: Map[String, Double] = Map(
     "q100_sql_pipeline_report" -> 1.113,
     "q101_sql_simhash_pairs" -> 0.465,
-    "q102_sql_knn_brute" -> 0.783,
+    "q102_sql_knn_brute" -> 0.685,
     "q103_bpe_train" -> 0.799,
     "q104_bpe_encode" -> 0.858,
     "q105_span_dedup_rewrite" -> 0.147,
@@ -112,11 +112,11 @@ object BenchFloors {
     "q15_set_ops" -> 0.238,
     "q160_embedding_isolation" -> 0.257,
     "q161_epoch_plan" -> 0.127,
-    "q162_filtered_ann" -> 0.593,
+    "q162_filtered_ann" -> 0.427,
     "q163_cross_source_dup_mass" -> 0.247,
     "q164_media_contamination" -> 0.252,
     "q165_post_dedup_mixture" -> 0.408,
-    "q166_ivf_cell_balance" -> 0.189,
+    "q166_ivf_cell_balance" -> 0.169,
     "q167_dedup_threshold_sweep" -> 0.358,
     "q168_modality_skew" -> 0.375,
     "q169_balanced_shards" -> 0.292,
@@ -142,7 +142,7 @@ object BenchFloors {
     // kernel queries) added q86 →0.249, q81 0.397→0.324 (the
     // graft_dot_long win), q166 →0.189, q163/q164/q87/q146/q147/q60/q73
     // tightenings — floor_sum 69.797, projection 83.76 s.
-    "q175_media_contamination_full" -> 0.626,
+    "q175_media_contamination_full" -> 0.62,
     "q176_audio_prefix_rate_normalized" -> 0.396,
     "q177_audio_prefix_incremental_normalized" -> 0.493,
     "q178_video_prefix_time_normalized" -> 0.388,
@@ -168,7 +168,7 @@ object BenchFloors {
     "q30_simhash" -> 0.277,
     "q31_simhash_pairs" -> 0.431,
     "q32_label_centroids" -> 0.273,
-    "q33_knn_brute" -> 0.705,
+    "q33_knn_brute" -> 0.663,
     "q34_emb_near_dup" -> 0.263,
     "q34b_emb_near_dup_lsh" -> 0.608,
     "q35_ann_lsh" -> 0.31,
@@ -196,7 +196,7 @@ object BenchFloors {
     "q44_union_parties" -> 0.193,
     "q45_embedding_array_stats" -> 0.116,
     "q46_bucketed_join" -> 0.391,
-    "q47_ann_ivf" -> 0.705,
+    "q47_ann_ivf" -> 0.65,
     "q48_asof_join" -> 0.424,
     "q49_range_join" -> 0.744,
     "q4_global_parity" -> 0.158,
@@ -211,13 +211,13 @@ object BenchFloors {
     "q58_price_quantiles_approx" -> 0.201,
     "q59_sql_api" -> 0.767,
     "q5_sliding_activity" -> 0.245,
-    "q60_ann_ivf_kmeans" -> 0.723,
+    "q60_ann_ivf_kmeans" -> 0.598,
     "q61_dup_clusters" -> 0.103,
     "q62_range_clustered" -> 0.126,
     "q63_zorder_slice" -> 0.129,
     "q64_repetition_metrics" -> 0.659,
     "q65_eval_contamination" -> 0.346,
-    "q66_pii_redaction" -> 0.894,
+    "q66_pii_redaction" -> 0.68,
     "q67_snapshot_diff" -> 0.261,
     "q68_incremental_dedup" -> 0.254,
     "q69_mixture_sample" -> 0.097,
@@ -240,7 +240,7 @@ object BenchFloors {
     "q84_token_budget_quota" -> 0.132,
     "q85_lm_surprisal" -> 0.286,
     "q86_random_projection" -> 0.249,
-    "q87_ivf_maintenance" -> 0.233,
+    "q87_ivf_maintenance" -> 0.202,
     "q88_source_contamination" -> 0.49,
     "q89_cluster_safe_split" -> 0.261,
     "q8_json_props_sum" -> 0.274,
