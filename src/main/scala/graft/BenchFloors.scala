@@ -101,7 +101,7 @@ object BenchFloors {
     "q14_rollup_returns" -> 0.725,
     "q150_pq_ann" -> 0.587,
     "q151_ivfpq_ann" -> 0.706,
-    "q152_pq_incremental" -> 0.526,
+    "q152_pq_incremental" -> 0.525,
     "q153_ivfpq_rerank" -> 0.296,
     "q154_ivfpq_recall" -> 0.251,
     "q155_ivfpq_deletes" -> 0.214,
@@ -112,11 +112,11 @@ object BenchFloors {
     "q15_set_ops" -> 0.238,
     "q160_embedding_isolation" -> 0.257,
     "q161_epoch_plan" -> 0.127,
-    "q162_filtered_ann" -> 0.427,
+    "q162_filtered_ann" -> 0.369,
     "q163_cross_source_dup_mass" -> 0.247,
     "q164_media_contamination" -> 0.252,
     "q165_post_dedup_mixture" -> 0.408,
-    "q166_ivf_cell_balance" -> 0.169,
+    "q166_ivf_cell_balance" -> 0.147,
     "q167_dedup_threshold_sweep" -> 0.358,
     "q168_modality_skew" -> 0.375,
     "q169_balanced_shards" -> 0.292,
@@ -211,7 +211,7 @@ object BenchFloors {
     "q58_price_quantiles_approx" -> 0.201,
     "q59_sql_api" -> 0.767,
     "q5_sliding_activity" -> 0.245,
-    "q60_ann_ivf_kmeans" -> 0.598,
+    "q60_ann_ivf_kmeans" -> 0.564,
     "q61_dup_clusters" -> 0.103,
     "q62_range_clustered" -> 0.126,
     "q63_zorder_slice" -> 0.129,
@@ -240,7 +240,7 @@ object BenchFloors {
     "q84_token_budget_quota" -> 0.132,
     "q85_lm_surprisal" -> 0.286,
     "q86_random_projection" -> 0.249,
-    "q87_ivf_maintenance" -> 0.202,
+    "q87_ivf_maintenance" -> 0.18,
     "q88_source_contamination" -> 0.49,
     "q89_cluster_safe_split" -> 0.261,
     "q8_json_props_sum" -> 0.274,
